@@ -1,0 +1,172 @@
+"""Text-analysis column expressions for the LLM-data-pipeline operators.
+
+All pure Catalyst expressions (no Python UDFs) so they run JVM-side inside
+whole-stage codegen over 100 TB document scans. Every function here has a
+DuckDB-SQL twin used by the driver's oracle gate, so cross-engine
+determinism is a design constraint:
+
+* hashing goes through :func:`portable_hash` — the first 8 hex chars of
+  md5, parsed as an integer — which both Spark (``conv(substr(md5(x),1,8),
+  16,10)``) and DuckDB (``cast('0x' || substr(md5(x),1,8) as bigint)``)
+  compute identically;
+* tokenization is whitespace-collapse + single-space split, identical to
+  ``string_split(s, ' ')`` after the same normalization in DuckDB;
+* no transcendental math, so results are bit-exact across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: Stopword lists for the n-gram language-ID heuristic. Deliberately tiny
+#: and deterministic; the operator shape (per-language token-hit scoring)
+#: is what scales, the lists are a parameter.
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "is", "to", "in", "that", "it", "for"),
+    "de": ("der", "die", "das", "und", "ist", "zu", "den", "nicht", "ein", "mit"),
+    "fr": ("le", "la", "et", "est", "un", "une", "les", "des", "que", "pour"),
+    "es": ("el", "la", "y", "es", "un", "una", "los", "las", "que", "por"),
+    "zh": ("de", "shi", "le", "zai", "you", "wo", "ta", "men", "zhe", "bu"),
+}
+
+#: English stopwords used by the quality score's stopword-ratio feature.
+QUALITY_STOPWORDS: tuple[str, ...] = LANG_STOPWORDS["en"]
+
+
+def portable_hash(col: Column) -> Column:
+    """32-bit-range integer hash of a string, identical in Spark and DuckDB.
+
+    ``conv(substring(md5(x), 1, 8), 16, 10)`` — md5 is the only hash both
+    engines share bit-for-bit; 8 hex chars keep downstream modular
+    arithmetic inside int64 without overflow.
+    """
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+def normalize_text(col: Column) -> Column:
+    """Lowercase, trim, collapse internal whitespace to single spaces."""
+    return F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokens of normalized text; empty string → empty array."""
+    norm = normalize_text(col)
+    return F.when(F.length(norm) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(norm, " ")
+    )
+
+
+def token_count(col: Column) -> Column:
+    """Whitespace token count (the reference for per-doc length budgeting)."""
+    return F.size(tokens(col))
+
+
+def word_ngrams(tok: Column, n: int) -> Column:
+    """Distinct word n-grams (shingles) of a token array.
+
+    ``transform(sequence(...))`` keeps generation JVM-side; `array_distinct`
+    because shingle *sets* feed Jaccard/minhash. Short docs → empty array.
+    """
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(tok) - (n - 1)),
+        lambda i: F.concat_ws(" ", F.slice(tok, i, n)),
+    )
+    return F.when(F.size(tok) >= n, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def char_ngrams(col: Column, n: int) -> Column:
+    """Distinct character n-grams of normalized text (for SimHash features)."""
+    norm = normalize_text(col)
+    return F.when(
+        F.length(norm) >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.length(norm) - (n - 1)),
+                lambda i: norm.substr(i, F.lit(n)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def alpha_ratio(col: Column) -> Column:
+    """Share of [A-Za-z] characters; 0.0 for empty text."""
+    n = F.length(col)
+    a = F.length(F.regexp_replace(col, "[^A-Za-z]", ""))
+    return F.when(n == 0, F.lit(0.0)).otherwise(a / n)
+
+
+def digit_ratio(col: Column) -> Column:
+    n = F.length(col)
+    d = F.length(F.regexp_replace(col, "[^0-9]", ""))
+    return F.when(n == 0, F.lit(0.0)).otherwise(d / n)
+
+
+def punct_ratio(col: Column) -> Column:
+    """Share of .,!?;: characters; 0.0 for empty text."""
+    n = F.length(col)
+    p = F.length(F.regexp_replace(col, r"[^.,!?;:]", ""))
+    return F.when(n == 0, F.lit(0.0)).otherwise(p / n)
+
+
+def stopword_hits(tok: Column, words: tuple[str, ...]) -> Column:
+    """Number of DISTINCT stopwords present in the token array.
+
+    `array_intersect` dedups both sides — mirrored by DuckDB
+    ``list_intersect`` — so the score is set-based and order-free.
+    """
+    return F.size(F.array_intersect(tok, F.array(*[F.lit(w) for w in words])))
+
+
+def stopword_ratio(tok: Column, words: tuple[str, ...] = QUALITY_STOPWORDS) -> Column:
+    """Share of tokens that are stopwords (occurrence-based, not distinct)."""
+    hits = F.size(F.filter(tok, lambda t: t.isin(*words)))
+    return F.when(F.size(tok) == 0, F.lit(0.0)).otherwise(hits / F.size(tok))
+
+
+def lang_id(tok: Column) -> Column:
+    """Heuristic language ID: argmax of per-language distinct-stopword hits.
+
+    Ties broken by language-code order (deterministic). Unknown when no
+    list scores > 0. The production-scale version swaps the lists for
+    n-gram frequency profiles; the plan shape (pure column math, no UDF,
+    no shuffle) is identical.
+    """
+    scores = {lang: stopword_hits(tok, words) for lang, words in LANG_STOPWORDS.items()}
+    best = F.greatest(*scores.values())
+    expr = F.lit("und")
+    # build reversed so earlier langs win ties via the when-cascade order
+    for lang in reversed(list(LANG_STOPWORDS)):
+        expr = F.when((scores[lang] > 0) & (scores[lang] == best), F.lit(lang)).otherwise(
+            expr
+        )
+    return expr
+
+
+def quality_score(col: Column) -> Column:
+    """Composite [0,1] quality score: length, alpha share, stopword share.
+
+    Same shape as public web-corpus quality filters (C4-style): penalize
+    ultra-short docs, non-alphabetic noise, and stopword-free keyword
+    stuffing. Pure arithmetic → bit-identical in the oracle.
+    """
+    tok = tokens(col)
+    ntok = F.size(tok)
+    len_score = F.least(ntok / F.lit(100.0), F.lit(1.0))
+    return F.round(
+        F.lit(0.4) * len_score
+        + F.lit(0.3) * alpha_ratio(col)
+        + F.lit(0.3) * stopword_ratio(tok),
+        6,
+    )
+
+
+def fingerprint(col: Column) -> Column:
+    """Deterministic document fingerprint: md5 of normalized text.
+
+    The exact-dedup key. (The rolling/winnowing variant lives in
+    operators.dedup as simhash over char n-grams.)
+    """
+    return F.md5(normalize_text(col))

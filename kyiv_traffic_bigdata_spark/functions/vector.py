@@ -1,0 +1,78 @@
+"""Vector math over ``array<float>`` embedding columns.
+
+Pure higher-order-function expressions (``zip_with`` + ``aggregate``) —
+JVM-side, codegen-friendly, no Arrow round-trip — for the similarity-search
+operators. Everything is computed in double after an explicit upcast of the
+float32 storage type, and user-facing similarity scores are rounded to six
+decimals so results are stable across engines and summation orders.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def as_double(v: Column) -> Column:
+    return v.cast("array<double>")
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Dot product via zip_with + aggregate (sequential fold, double acc)."""
+    return F.aggregate(
+        F.zip_with(as_double(a), as_double(b), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm2(a: Column) -> Column:
+    """Squared L2 norm."""
+    ad = as_double(a)
+    return F.aggregate(ad, F.lit(0.0), lambda acc, x: acc + x * x)
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(norm2(a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity; 0.0 when either vector is all-zero."""
+    denom = F.sqrt(norm2(a)) * F.sqrt(norm2(b))
+    return F.when(denom == 0, F.lit(0.0)).otherwise(dot(a, b) / denom)
+
+
+def hyperplane_sign_bits(v: Column, dim: int, n_planes: int, seed: str = "rp") -> Column:
+    """Random-hyperplane LSH signature as a bit-string column.
+
+    Plane coefficients are derived deterministically from
+    ``md5(seed_plane_component)`` (same recipe as functions.text
+    .portable_hash), so the signature is reproducible across runs, engines,
+    and cluster topologies — a hard requirement for re-bucketing 100 TB of
+    embeddings incrementally.
+
+    Each plane's sign bit is ``dot(v, plane) >= 0``; vectors in the same
+    bucket are ANN candidates (operators.similarity.ann_lsh).
+    """
+    vd = as_double(v)
+    bits = []
+    for p in range(n_planes):
+        # coefficient c_{p,k} in [-1, 1): hash → [0, 1000) → affine map
+        coeff = F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda k, p=p: (
+                F.conv(
+                    F.substring(F.md5(F.concat_ws("_", F.lit(seed), F.lit(p), k)), 1, 8),
+                    16,
+                    10,
+                ).cast("long")
+                % 1000
+            ).cast("double")
+            / 500.0
+            - 1.0,
+        )
+        proj = F.aggregate(
+            F.zip_with(vd, coeff, lambda x, c: x * c), F.lit(0.0), lambda a, x: a + x
+        )
+        bits.append(F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bits)

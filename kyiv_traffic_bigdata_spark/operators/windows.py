@@ -1,0 +1,82 @@
+"""Event-time windowing & sessionization — the idiomatic generalization of
+the reference's processing-time 5 s flush (SURVEY §2.8 ST1, flagged there
+as the engine's extension surface).
+
+Batch and Structured Streaming share these shapes: ``F.window`` works in
+both; the session operator's lag+cumsum form is batch-only (streaming uses
+``session_window`` / ``applyInPandasWithState`` in streaming/ingest.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .aggregates import stable_avg
+
+
+def tumbling_stats(
+    df: DataFrame,
+    ts_col: str,
+    duration: str,
+    group_cols: list[str],
+    value_col: str,
+) -> DataFrame:
+    """Per (tumbling window × group) count + stable mean.
+
+    Window start is exposed as epoch seconds (integer) — engine-portable
+    and partition-prunable. One hash aggregate; at scale the window start
+    is derivable map-side so no extra shuffle beyond the group-by.
+    """
+    return (
+        df.groupBy(F.window(F.col(ts_col), duration).alias("w"), *group_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            stable_avg(value_col).alias("avg_value"),
+        )
+        .select(
+            F.unix_timestamp("w.start").alias("window_start_s"),
+            *group_cols,
+            "n_events",
+            "avg_value",
+        )
+    )
+
+
+def sessionize(
+    df: DataFrame,
+    key_col: str,
+    ts_us_col: str,
+    gap_s: int,
+    tiebreak_cols: list[str] | None = None,
+) -> DataFrame:
+    """Gap-based sessions: a new session starts when the inter-event gap
+    exceeds ``gap_s``. Classic lag + running-sum-of-boundaries; both window
+    functions share one (key, ts) sort, so the physical plan is a single
+    shuffle + sort per key — the standard sessionization plan at any scale.
+
+    Output: one row per session with start/end (epoch s), event count.
+    """
+    order = [F.col(ts_us_col).asc()] + [F.col(c).asc() for c in (tiebreak_cols or [])]
+    w = Window.partitionBy(key_col).orderBy(*order)
+    run = Window.partitionBy(key_col).orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    gap_us = gap_s * 1_000_000
+    with_sessions = (
+        df.withColumn("_prev_ts", F.lag(ts_us_col).over(w))
+        .withColumn(
+            "_new_session",
+            F.when(
+                F.col("_prev_ts").isNull()
+                | ((F.col(ts_us_col) - F.col("_prev_ts")) > gap_us),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn("session_seq", F.sum("_new_session").over(run))
+    )
+    return with_sessions.groupBy(key_col, "session_seq").agg(
+        F.expr(f"min({ts_us_col}) div 1000000").alias("session_start_s"),
+        F.expr(f"max({ts_us_col}) div 1000000").alias("session_end_s"),
+        F.count(F.lit(1)).alias("n_events"),
+    )

@@ -1,0 +1,947 @@
+"""Registered queries and their DuckDB oracle twins.
+
+This module is the driver-facing inventory: every operator family from
+SURVEY.md §2 (plus the north-star LLM-pipeline operators) mapped onto the
+driver's star-schema testdata, each as a ``(spark, sf_dir) -> DataFrame``
+callable with a semantically identical DuckDB SQL string.
+
+Cross-engine determinism rules (see also operators.aggregates):
+
+* double sums/avgs go through decimal(28,10) (order-independent);
+* integer outputs are cast to BIGINT on both sides (DuckDB SUM/len widen
+  to HUGEINT/BIGINT, Spark size() narrows to int — casts align them);
+* per-row double arithmetic is written with IDENTICAL operation order in
+  both engines (IEEE ops are deterministic; expression shape matters);
+* transcendental results (haversine) and float ratios are rounded to six
+  decimals before leaving a query;
+* event timestamps are compared as exact integer micros/seconds
+  (``ts_ns div 1000`` ≡ DuckDB ``epoch_us(ts)``), never as doubles;
+* every ranking carries a unique tie-break column.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .config import KYIV_BBOX_NARROW, UKRAINE_BBOX
+from .functions import text as TX
+from .functions.geo import classify_region, in_bbox, speed_bucket
+from .operators import dedup as DD
+from .operators import similarity as SIM
+from .operators.aggregates import dec, stable_avg
+from .operators.enrich import broadcast_enrich
+from .operators.latest import dedup_exact, latest_per_key
+from .operators.multimodal import attach_binary_payload, extract_media_features
+from .operators.pivot import explode_parallel_arrays
+from .operators.topk import top_k
+from .operators.trajectory import trajectory_speeds, value_rate
+from .operators.windows import sessionize, tumbling_stats
+from .tables import load_table
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+DEC = "DECIMAL(28,10)"
+
+
+# --------------------------------------------------------------------------
+# SQL fragment helpers (DuckDB dialect)
+# --------------------------------------------------------------------------
+
+def _ssum(expr: str) -> str:
+    """Order-independent double sum (decimal-stable).
+
+    The decimal→double cast goes through VARCHAR: DuckDB's direct decimal→
+    double cast divides int128 by 10^scale in floating point (two
+    roundings, off by ulps), while the string parse — like Spark's
+    BigDecimal.doubleValue() — is correctly rounded.
+    """
+    return f"CAST(CAST(SUM(CAST({expr} AS {DEC})) AS VARCHAR) AS DOUBLE)"
+
+
+def _savg(expr: str, cnt: str) -> str:
+    return f"{_ssum(expr)} / {cnt}"
+
+
+_NORM = r"regexp_replace(lower(trim({c})), '\s+', ' ', 'g')"
+
+
+def _norm(c: str) -> str:
+    return _NORM.format(c=c)
+
+
+def _toks(c: str) -> str:
+    return f"string_split({_norm(c)}, ' ')"
+
+
+_PORTABLE_HASH = "CAST(concat('0x', substr(md5({s}), 1, 8)) AS BIGINT)"
+
+#: word-3-gram distinct shingles of a token-list expression `t`
+_SHINGLES = (
+    "CASE WHEN len({t}) >= 3 THEN list_distinct(list_transform("
+    "range(1, len({t}) - 1), i -> array_to_string(list_slice({t}, i, i + 2), ' ')))"
+    " ELSE []::VARCHAR[] END"
+)
+
+_HAVERSINE = (
+    "6371.0 * (2 * atan2(sqrt("
+    "sin(radians({lat2} - {lat1}) / 2) * sin(radians({lat2} - {lat1}) / 2)"
+    " + cos(radians({lat1})) * cos(radians({lat2}))"
+    " * sin(radians({lon2} - {lon1}) / 2) * sin(radians({lon2} - {lon1}) / 2)"
+    "), sqrt(1 - ("
+    "sin(radians({lat2} - {lat1}) / 2) * sin(radians({lat2} - {lat1}) / 2)"
+    " + cos(radians({lat1})) * cos(radians({lat2}))"
+    " * sin(radians({lon2} - {lon1}) / 2) * sin(radians({lon2} - {lon1}) / 2)"
+    "))))"
+)
+
+#: events with derived synthetic geo columns (SURVEY W1/F1/F8 mapped onto
+#: the star schema: value → (lat, lon) inside the Kyiv poller bbox).
+_GEO_POS_SQL = (
+    "SELECT user_id, event_id, event_type, epoch_us(ts) // 1000000 AS ts_s, "
+    "50.2 + (value % CAST(0.5 AS DOUBLE)) AS lat, "
+    "30.2 + ((value * 1.6) % CAST(0.8 AS DOUBLE)) AS lon FROM events"
+)
+
+
+def _geo_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.expr("ts_us div 1000000").alias("ts_s"),
+        (F.lit(50.2) + (F.col("value") % F.lit(0.5))).alias("lat"),
+        (F.lit(30.2) + ((F.col("value") * F.lit(1.6)) % F.lit(0.8))).alias("lon"),
+    )
+
+
+_RATE_SQL_BODY = """
+WITH lagged AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us, value,
+         lag(epoch_us(ts)) OVER w AS prev_ts_us,
+         lag(value) OVER w AS prev_value
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+),
+rates AS (
+  SELECT user_id, event_id, ts_us,
+         CAST(ts_us - prev_ts_us AS DOUBLE) / 1000000.0 AS dt_s,
+         round(abs(value - prev_value) / (CAST(ts_us - prev_ts_us AS DOUBLE) / 1000000.0), 6) AS rate
+  FROM lagged
+  WHERE prev_ts_us IS NOT NULL
+    AND CAST(ts_us - prev_ts_us AS DOUBLE) / 1000000.0 > 0
+    AND CAST(ts_us - prev_ts_us AS DOUBLE) / 1000000.0 <= 604800
+)
+"""
+
+
+def _rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return value_rate(ev, tiebreak_cols=["event_id"], max_gap_s=604800)
+
+
+_GEO_SPEED_BODY = f"""
+WITH pos AS ({_GEO_POS_SQL}),
+filt AS (
+  SELECT * FROM pos
+  WHERE lat BETWEEN {KYIV_BBOX_NARROW.lat_min} AND {KYIV_BBOX_NARROW.lat_max}
+    AND lon BETWEEN {KYIV_BBOX_NARROW.lon_min} AND {KYIV_BBOX_NARROW.lon_max}
+),
+lagged AS (
+  SELECT *, lag(ts_s) OVER w AS prev_ts_s, lag(lat) OVER w AS prev_lat,
+         lag(lon) OVER w AS prev_lon
+  FROM filt
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_s, event_id)
+),
+speeds AS (
+  SELECT user_id, event_id, event_type, ts_s - prev_ts_s AS dt_s,
+         round({_HAVERSINE.format(lat1='prev_lat', lon1='prev_lon', lat2='lat', lon2='lon')} * 3600.0 / (ts_s - prev_ts_s), 6) AS speed_kmh
+  FROM lagged
+  WHERE prev_ts_s IS NOT NULL AND ts_s - prev_ts_s > 0
+    AND ts_s - prev_ts_s <= 604800
+)
+"""
+
+
+def _geo_speeds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pos = _geo_positions(spark, sf_dir).where(
+        in_bbox(F.col("lat"), F.col("lon"), KYIV_BBOX_NARROW)
+    )
+    return trajectory_speeds(
+        pos,
+        key_col="user_id",
+        ts_col="ts_s",
+        max_gap_s=604800,
+        tiebreak_cols=["event_id"],
+        round_speed=6,
+    )
+
+
+def _docs_with_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+def _sw_sql(words: tuple[str, ...]) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in words) + "]"
+
+
+# --------------------------------------------------------------------------
+# Query registry: name -> (callable, oracle_sql | None)
+# --------------------------------------------------------------------------
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q1-shaped grouped aggregation (SURVEY A2/A3): one hash
+    aggregate with map-side partials; decimal-stable sums."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    charge = disc_price * (F.lit(1.0) + F.col("l_tax"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(disc_price.cast(DEC)).cast("double").alias("sum_disc_price"),
+            F.sum(charge.cast(DEC)).cast("double").alias("sum_charge"),
+            (F.sum(dec("l_quantity")).cast("double") / F.count("l_quantity")).alias("avg_qty"),
+            (F.sum(dec("l_discount")).cast("double") / F.count("l_discount")).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+SQL_PRICING = f"""
+SELECT l_returnflag, l_linestatus,
+  {_ssum('l_quantity')} AS sum_qty,
+  {_ssum('l_extendedprice')} AS sum_base_price,
+  {_ssum('l_extendedprice * (1.0 - l_discount)')} AS sum_disc_price,
+  {_ssum('l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)')} AS sum_charge,
+  {_savg('l_quantity', 'COUNT(l_quantity)')} AS avg_qty,
+  {_savg('l_discount', 'COUNT(l_discount)')} AS avg_disc,
+  CAST(COUNT(*) AS BIGINT) AS count_order
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_top_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K by aggregate (SURVEY W3): TakeOrderedAndProject plan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_partkey").agg(
+        F.sum(dec("l_quantity")).cast("double").alias("total_qty"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+    return top_k(agg, [F.col("total_qty").desc(), F.col("l_partkey").asc()], 10)
+
+
+SQL_TOP_PARTS = f"""
+SELECT l_partkey, {_ssum('l_quantity')} AS total_qty, CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem GROUP BY l_partkey
+ORDER BY total_qty DESC, l_partkey ASC LIMIT 10
+"""
+
+
+def q_lineitem_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast dimension enrichment (SURVEY J1/P9): fact table never
+    shuffles; both dims ship to executors once."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    supp = load_table(spark, sf_dir, "supplier")
+    out = broadcast_enrich(li, part, [li.l_partkey == part.p_partkey])
+    out = broadcast_enrich(out, supp, [li.l_suppkey == supp.s_suppkey])
+    return out.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.coalesce(
+            F.concat_ws(" ", "p_brand", "p_type"),
+            F.concat(F.lit("#"), F.col("l_partkey").cast("string")),
+        ).alias("part_label"),
+        F.coalesce(
+            F.col("s_name"), F.concat(F.lit("#"), F.col("l_suppkey").cast("string"))
+        ).alias("supp_label"),
+        F.round(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")), 4).alias(
+            "revenue"
+        ),
+    )
+
+
+SQL_ENRICHED = """
+SELECT l_orderkey, l_linenumber,
+  COALESCE(concat_ws(' ', p_brand, p_type), concat('#', CAST(l_partkey AS VARCHAR))) AS part_label,
+  COALESCE(s_name, concat('#', CAST(l_suppkey AS VARCHAR))) AS supp_label,
+  round(l_extendedprice * (1.0 - l_discount), 4) AS revenue
+FROM lineitem
+LEFT JOIN part ON l_partkey = p_partkey
+LEFT JOIN supplier ON l_suppkey = s_suppkey
+"""
+
+
+def q_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-per-key via single max_by aggregate (SURVEY W2/J2)."""
+    ev = load_table(spark, sf_dir, "events")
+    return latest_per_key(
+        ev,
+        ["user_id"],
+        ["ts_us", "event_id"],
+        ["ts_us", "event_id", "event_type", "value"],
+    )
+
+
+SQL_LATEST = """
+SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type, value
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
+def q_event_value_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship lag-window trajectory shape on events (SURVEY W1)."""
+    return _rates(spark, sf_dir).select("user_id", "event_id", "ts_us", "dt_s", "rate")
+
+
+SQL_RATE = _RATE_SQL_BODY + "SELECT user_id, event_id, ts_us, dt_s, rate FROM rates"
+
+
+def q_event_type_rate_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group stats + HAVING gate (SURVEY A3/F7)."""
+    rates = _rates(spark, sf_dir)
+    return (
+        rates.groupBy("event_type")
+        .agg(
+            stable_avg("rate").alias("avg_rate"),
+            F.count(F.lit(1)).alias("samples"),
+            F.countDistinct("user_id").alias("users"),
+        )
+        .where(F.col("samples") >= 10)
+    )
+
+
+SQL_RATE_STATS = _RATE_SQL_BODY + f"""
+SELECT e.event_type,
+  {_savg('rate', 'COUNT(rate)')} AS avg_rate,
+  CAST(COUNT(*) AS BIGINT) AS samples,
+  CAST(COUNT(DISTINCT r.user_id) AS BIGINT) AS users
+FROM rates r JOIN events e ON r.event_id = e.event_id
+GROUP BY e.event_type HAVING COUNT(*) >= 10
+"""
+
+
+def q_hourly_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time tumbling window (SURVEY ST1 generalization)."""
+    ev = load_table(spark, sf_dir, "events")
+    return tumbling_stats(ev, "ts", "1 hour", ["event_type"], "value")
+
+
+SQL_HOURLY = f"""
+SELECT epoch_us(date_trunc('hour', ts)) // 1000000 AS window_start_s, event_type,
+  CAST(COUNT(*) AS BIGINT) AS n_events,
+  {_savg('value', 'COUNT(value)')} AS avg_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (lag + running sum, SURVEY extension)."""
+    ev = load_table(spark, sf_dir, "events")
+    return sessionize(ev, "user_id", "ts_us", gap_s=1800, tiebreak_cols=["event_id"])
+
+
+SQL_SESSIONS = """
+WITH lagged AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+         lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_ts
+  FROM events
+),
+flagged AS (
+  SELECT *, CASE WHEN prev_ts IS NULL OR ts_us - prev_ts > 1800000000 THEN 1 ELSE 0 END AS new_s
+  FROM lagged
+),
+numbered AS (
+  SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM flagged
+)
+SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+       MIN(ts_us) // 1000000 AS session_start_s,
+       MAX(ts_us) // 1000000 AS session_end_s,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM numbered GROUP BY user_id, session_seq
+"""
+
+
+def q_value_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE-cascade bucketing + counts (SURVEY P10/A7)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.withColumn("bucket", speed_bucket(F.col("value")))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            stable_avg("value").alias("avg_value"),
+        )
+    )
+
+
+SQL_BUCKETS = f"""
+SELECT CASE WHEN value < 10 THEN 'lt10' WHEN value < 20 THEN 'lt20'
+            WHEN value < 30 THEN 'lt30' WHEN value < 40 THEN 'lt40'
+            ELSE 'ge40' END AS bucket,
+  CAST(COUNT(*) AS BIGINT) AS n,
+  {_savg('value', 'COUNT(value)')} AS avg_value
+FROM events GROUP BY 1
+"""
+
+
+def q_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of streaming TTL dedup (SURVEY ST3): deterministic
+    survivor = min event_id per (user_id, ts)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts_us", "event_id", "event_type", "value"
+    )
+    return dedup_exact(ev, ["user_id", "ts_us"], "event_id")
+
+
+SQL_DEDUP_EVENTS = """
+SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type, value
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id, epoch_us(ts) ORDER BY event_id) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
+def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-dim broadcast join + top-K revenue (SURVEY J1+W3)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    joined = broadcast_enrich(
+        broadcast_enrich(o, c, [o.o_custkey == c.c_custkey], how="inner"),
+        n,
+        [c.c_nationkey == n.n_nationkey],
+        how="inner",
+    )
+    agg = joined.groupBy("c_custkey", "c_name", "n_name").agg(
+        F.sum(dec("o_totalprice")).cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    return top_k(agg, [F.col("revenue").desc(), F.col("c_custkey").asc()], 10)
+
+
+SQL_TOP_CUSTOMERS = f"""
+SELECT c_custkey, c_name, n_name, {_ssum('o_totalprice')} AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey ASC LIMIT 10
+"""
+
+
+def q_global_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global one-row summary (SURVEY A2)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.agg(
+        F.count(F.lit(1)).alias("samples"),
+        F.countDistinct("user_id").alias("entities"),
+        stable_avg("value").alias("avg_value"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    )
+
+
+SQL_GLOBAL_STATS = f"""
+SELECT CAST(COUNT(*) AS BIGINT) AS samples,
+  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS entities,
+  {_savg('value', 'COUNT(value)')} AS avg_value,
+  MIN(value) AS min_value, MAX(value) AS max_value
+FROM events
+"""
+
+
+def q_geo_trajectory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference flagship W1 on synthetic geo: bbox filter → lag window →
+    haversine speed → plausibility guards (F1/F5/F6 + P11)."""
+    return _geo_speeds(spark, sf_dir).select(
+        "user_id", "event_id", "dt_s", "speed_kmh"
+    )
+
+
+SQL_GEO_TRAJ = _GEO_SPEED_BODY + """
+SELECT user_id, event_id, CAST(dt_s AS BIGINT) AS dt_s, speed_kmh
+FROM speeds WHERE speed_kmh > 0 AND speed_kmh < 120
+"""
+
+
+def q_geo_speed_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-'route' speed stats with min-samples gate (A3 + F7 on geo)."""
+    sp = _geo_speeds(spark, sf_dir)
+    return (
+        sp.groupBy("event_type")
+        .agg(
+            stable_avg("speed_kmh").alias("avg_speed"),
+            F.count(F.lit(1)).alias("samples"),
+            F.countDistinct("user_id").alias("vehicles"),
+        )
+        .where(F.col("samples") >= 10)
+    )
+
+
+SQL_GEO_SPEED_STATS = _GEO_SPEED_BODY + f"""
+SELECT event_type, {_savg('speed_kmh', 'COUNT(speed_kmh)')} AS avg_speed,
+  CAST(COUNT(*) AS BIGINT) AS samples,
+  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS vehicles
+FROM speeds WHERE speed_kmh > 0 AND speed_kmh < 120
+GROUP BY event_type HAVING COUNT(*) >= 10
+"""
+
+
+def q_geo_region_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Region classification cascade + counts (SURVEY F8/A7)."""
+    pos = _geo_positions(spark, sf_dir)
+    return (
+        pos.withColumn("region", classify_region(F.col("lat"), F.col("lon")))
+        .groupBy("region")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+SQL_GEO_REGIONS = f"""
+WITH pos AS ({_GEO_POS_SQL})
+SELECT CASE
+  WHEN lat BETWEEN {KYIV_BBOX_NARROW.lat_min} AND {KYIV_BBOX_NARROW.lat_max}
+   AND lon BETWEEN {KYIV_BBOX_NARROW.lon_min} AND {KYIV_BBOX_NARROW.lon_max} THEN 'kyiv'
+  WHEN lat BETWEEN {UKRAINE_BBOX.lat_min} AND {UKRAINE_BBOX.lat_max}
+   AND lon BETWEEN {UKRAINE_BBOX.lon_min} AND {UKRAINE_BBOX.lon_max} THEN 'ukraine'
+  ELSE 'other' END AS region,
+  CAST(COUNT(*) AS BIGINT) AS n
+FROM pos GROUP BY 1
+"""
+
+
+def q_orders_without_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti join (completeness beyond the reference's two joins)."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return o.join(
+        li.select(F.col("l_orderkey").alias("o_orderkey")), "o_orderkey", "left_anti"
+    ).select("o_orderkey", "o_custkey", "o_orderstatus")
+
+
+SQL_ANTI = """
+SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
+WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
+"""
+
+
+def q_active_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi join."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(
+        o.select(F.col("o_custkey").alias("c_custkey")), "c_custkey", "left_semi"
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+SQL_SEMI = """
+SELECT c_custkey, c_name, c_mktsegment FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+def q_event_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union-distinct of two filtered scans (SURVEY U1/U2)."""
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "event_type")
+    high = ev.where(F.col("event_type") == "purchase")
+    err = ev.where(F.col("event_type") == "error")
+    return high.unionByName(err).distinct()
+
+
+SQL_UNION = """
+SELECT event_id, user_id, event_type FROM events WHERE event_type = 'purchase'
+UNION
+SELECT event_id, user_id, event_type FROM events WHERE event_type = 'error'
+"""
+
+
+# --------------------------------------------------------------------------
+# Text-analysis / LLM-pipeline queries (documents table)
+# --------------------------------------------------------------------------
+
+def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc text analysis: tokens, ratios, quality, fingerprint, lang-ID."""
+    d = _docs_with_tokens(spark, sf_dir)
+    tok = TX.tokens(F.col("text"))
+    return d.select(
+        "doc_id",
+        "lang",
+        TX.token_count(F.col("text")).cast("long").alias("n_tokens"),
+        F.length(TX.normalize_text(F.col("text"))).cast("long").alias("n_chars_norm"),
+        F.round(TX.alpha_ratio(F.col("text")), 6).alias("alpha_ratio"),
+        F.round(TX.punct_ratio(F.col("text")), 6).alias("punct_ratio"),
+        TX.quality_score(F.col("text")).alias("quality"),
+        TX.fingerprint(F.col("text")).alias("fp"),
+        TX.lang_id(tok).alias("pred_lang"),
+    )
+
+
+def _sql_doc_stats() -> str:
+    toks = _toks("text")
+    scores = {
+        lang: f"len(list_distinct(list_intersect(t, {_sw_sql(words)})))"
+        for lang, words in TX.LANG_STOPWORDS.items()
+    }
+    best = "greatest(" + ", ".join(scores.values()) + ")"
+    cases = " ".join(
+        f"WHEN {scores[lang]} > 0 AND {scores[lang]} = {best} THEN '{lang}'"
+        for lang in TX.LANG_STOPWORDS
+    )
+    sw = _sw_sql(TX.QUALITY_STOPWORDS)
+    swr = f"(CASE WHEN len(t) = 0 THEN 0.0 ELSE CAST(len(list_filter(t, x -> list_contains({sw}, x))) AS DOUBLE) / len(t) END)"
+    alpha = "(CASE WHEN length(text) = 0 THEN 0.0 ELSE CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / length(text) END)"
+    punct = "(CASE WHEN length(text) = 0 THEN 0.0 ELSE CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS DOUBLE) / length(text) END)"
+    qual = f"round(0.4 * least(CAST(len(t) AS DOUBLE) / 100.0, 1.0) + 0.3 * {alpha} + 0.3 * {swr}, 6)"
+    return f"""
+WITH toks AS (SELECT *, {toks} AS t FROM documents)
+SELECT doc_id, lang,
+  CAST(len(t) AS BIGINT) AS n_tokens,
+  CAST(length({_norm('text')}) AS BIGINT) AS n_chars_norm,
+  round({alpha}, 6) AS alpha_ratio,
+  round({punct}, 6) AS punct_ratio,
+  {qual} AS quality,
+  md5({_norm('text')}) AS fp,
+  CASE {cases} ELSE 'und' END AS pred_lang
+FROM toks
+"""
+
+
+def q_doc_lang_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting rolled up by language (corpus budgeting)."""
+    d = _docs_with_tokens(spark, sf_dir)
+    nt = TX.token_count(F.col("text")).cast("long")
+    return (
+        d.select("lang", nt.alias("n_tokens"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            (
+                F.sum(F.col("n_tokens").cast(DEC)).cast("double")
+                / F.count("n_tokens")
+            ).alias("avg_tokens"),
+        )
+    )
+
+
+SQL_LANG_TOKENS = f"""
+WITH toks AS (SELECT lang, len({_toks('text')}) AS n_tokens FROM documents)
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+  {_savg('n_tokens', 'COUNT(n_tokens)')} AS avg_tokens
+FROM toks GROUP BY lang
+"""
+
+
+def q_doc_exact_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: fingerprint hash-groupBy (north-star op #1)."""
+    return DD.exact_duplicates(_docs_with_tokens(spark, sf_dir))
+
+
+SQL_EXACT_DUPS = f"""
+SELECT md5({_norm('text')}) AS fp, MIN(doc_id) AS rep_id,
+       CAST(COUNT(*) AS BIGINT) AS copies
+FROM documents GROUP BY 1
+"""
+
+_SQL_JACCARD_BODY = f"""
+WITH toks AS (SELECT doc_id, {_toks('text')} AS t FROM documents),
+grams AS (SELECT doc_id, unnest({_SHINGLES.format(t='t')}) AS g FROM toks),
+sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM grams GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS n_inter
+  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+jac AS (
+  SELECT id_a, id_b,
+         round(CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter), 6) AS jaccard
+  FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+)
+"""
+
+
+def q_ngram_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by exact n-gram Jaccard (inverted-index self-join)."""
+    return DD.ngram_jaccard_pairs(_docs_with_tokens(spark, sf_dir), threshold=0.2)
+
+
+SQL_NGRAM_NEARDUPS = _SQL_JACCARD_BODY + "SELECT * FROM jac WHERE jaccard >= 0.2"
+
+
+def _sql_minhash_sig() -> str:
+    mins = ",\n   ".join(
+        f"MIN(({a} * h + {b}) % {DD.MINHASH_PRIME}) AS mh_{i}"
+        for i, (a, b) in ((j, DD.perm_coeffs(j)) for j in range(DD.NUM_PERM))
+    )
+    return f"""
+toks AS (SELECT doc_id, {_toks('text')} AS t FROM documents),
+grams AS (SELECT doc_id, unnest({_SHINGLES.format(t='t')}) AS g FROM toks),
+hashed AS (SELECT doc_id, {_PORTABLE_HASH.format(s='g')} AS h FROM grams),
+sig AS (SELECT doc_id, {mins} FROM hashed GROUP BY doc_id)
+"""
+
+
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width MinHash signatures (scale path for near-dedup)."""
+    return DD.minhash_signatures(_docs_with_tokens(spark, sf_dir))
+
+
+SQL_MINHASH_SIG = "WITH " + _sql_minhash_sig() + "SELECT * FROM sig"
+
+
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + banded LSH candidates + exact verification."""
+    return DD.minhash_lsh_pairs(_docs_with_tokens(spark, sf_dir), threshold=0.2)
+
+
+def _sql_minhash_lsh() -> str:
+    bands = "\nUNION ALL\n".join(
+        "SELECT doc_id, {b} AS band, md5(concat_ws(',', {cols})) AS bh FROM sig".format(
+            b=b,
+            cols=", ".join(f"mh_{b * DD.LSH_ROWS + r}" for r in range(DD.LSH_ROWS)),
+        )
+        for b in range(DD.LSH_BANDS)
+    )
+    return (
+        "WITH "
+        + _sql_minhash_sig()
+        + f""",
+buckets AS ({bands}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM buckets a JOIN buckets b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM grams GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS n_inter
+  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+jac AS (
+  SELECT id_a, id_b, round(CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter), 6) AS jaccard
+  FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+)
+SELECT c.id_a, c.id_b, j.jaccard FROM cand c JOIN jac j ON c.id_a = j.id_a AND c.id_b = j.id_b
+WHERE j.jaccard >= 0.2
+"""
+    )
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash per doc (integer math end-to-end)."""
+    return DD.simhash(_docs_with_tokens(spark, sf_dir))
+
+
+SQL_SIMHASH = f"""
+WITH toks AS (SELECT doc_id, unnest({_toks('text')}) AS tokn FROM documents),
+hashed AS (SELECT doc_id, {_PORTABLE_HASH.format(s='tokn')} AS h FROM toks),
+bits AS (SELECT unnest(range(0, 32)) AS bit),
+contrib AS (
+  SELECT doc_id, bit, CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END AS w
+  FROM hashed CROSS JOIN bits
+),
+persum AS (SELECT doc_id, bit, SUM(w) AS s FROM contrib GROUP BY 1, 2)
+SELECT doc_id,
+  CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS simhash
+FROM persum GROUP BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Similarity search (embeddings table)
+# --------------------------------------------------------------------------
+
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-10 for query vectors (vec_id % 50 = 0)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") % 50 == 0)
+    return SIM.cosine_topk(q, emb, k=10)
+
+
+SQL_COSINE_TOPK = """
+WITH qe AS (
+  SELECT vec_id AS qid, generate_subscripts(embedding, 1) AS i,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings WHERE vec_id % 50 = 0
+),
+ce AS (
+  SELECT vec_id AS nid, generate_subscripts(embedding, 1) AS i,
+         CAST(unnest(embedding) AS DOUBLE) AS y
+  FROM embeddings
+),
+norms AS (SELECT nid, SUM(y * y) AS n2 FROM ce GROUP BY nid),
+dots AS (
+  SELECT qid, nid, SUM(x * y) AS d
+  FROM qe JOIN ce USING (i) GROUP BY qid, nid
+),
+cos AS (
+  SELECT qid, dots.nid AS nid,
+         CASE WHEN sqrt(nq.n2) * sqrt(nc.n2) = 0 THEN 0.0
+              ELSE d / (sqrt(nq.n2) * sqrt(nc.n2)) END AS sim
+  FROM dots JOIN norms nq ON nq.nid = dots.qid JOIN norms nc ON nc.nid = dots.nid
+  WHERE qid != dots.nid
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid ASC) AS rn
+  FROM cos
+)
+SELECT qid AS query_id, nid AS neighbor_id, round(sim, 6) AS cosine_sim
+FROM ranked WHERE rn <= 10
+"""
+
+
+def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector L2 norm (vector column math, no UDF)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        F.col("label").cast("long").alias("label"),
+        F.round(F.sqrt(F.expr(
+            "aggregate(cast(embedding as array<double>), cast(0.0 as double), (a, x) -> a + x * x)"
+        )), 6).alias("l2_norm"),
+    )
+
+
+SQL_EMB_NORMS = """
+SELECT vec_id, CAST(label AS BIGINT) AS label, round(sqrt(SUM(y * y)), 6) AS l2_norm
+FROM (SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS y FROM embeddings)
+GROUP BY vec_id, label
+"""
+
+
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate NN (scale path; recall asserted in tests).
+    No SQL oracle — approximation is engine-defined; driver records a
+    rows-only check and pytest compares recall against the exact baseline."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") % 50 == 0)
+    return SIM.ann_lsh_topk(q, emb, k=10)
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column plumbing + Arrow-batched feature extraction
+    (decode stubbed deterministically; see operators.multimodal)."""
+    d = _docs_with_tokens(spark, sf_dir)
+    media = attach_binary_payload(d, "doc_id", "text")
+    feats = extract_media_features(media)
+    return feats.select(
+        "media_id", F.col("n_bytes").cast("long").alias("n_bytes"),
+        "content_md5", "header_hex",
+    )
+
+
+SQL_MULTIMODAL = """
+SELECT doc_id AS media_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       md5(text) AS content_md5, lower(hex(substr(text, 1, 8))) AS header_hex
+FROM documents
+"""
+
+
+def q_weather_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Struct-of-arrays → hourly rows (SURVEY S12 pivot) on a deterministic
+    inline WeatherResponse-shaped frame (driver testdata has no weather)."""
+    from .sources.weather import synthetic_weather_literals  # lazy: avoids cycle
+
+    times, metrics = synthetic_weather_literals()
+    arrays = [F.array(*[F.lit(t) for t in times]).alias("time")] + [
+        F.array(*[F.lit(v) for v in vals]).alias(name) for name, vals in metrics
+    ]
+    df = spark.range(1).select(*arrays)
+    return explode_parallel_arrays(df, ["time"] + [n for n, _ in metrics])
+
+
+def _sql_weather() -> str:
+    from .sources.weather import synthetic_weather_literals
+
+    times, metrics = synthetic_weather_literals()
+    t_lit = "[" + ", ".join(f"'{t}'" for t in times) + "]"
+    cols = [f"unnest({t_lit}) AS time"]
+    for name, vals in metrics:
+        v_lit = "[" + ", ".join(repr(float(v)) for v in vals) + "]"
+        cols.append(f"CAST(unnest({v_lit}) AS DOUBLE) AS {name}")
+    return "SELECT " + ", ".join(cols)
+
+
+# --------------------------------------------------------------------------
+# Registry
+# --------------------------------------------------------------------------
+
+QUERIES: dict[str, QueryFn] = {
+    "pricing_summary": q_pricing_summary,
+    "top_parts": q_top_parts,
+    "lineitem_enriched": q_lineitem_enriched,
+    "latest_event_per_user": q_latest_event_per_user,
+    "event_value_rate": q_event_value_rate,
+    "event_type_rate_stats": q_event_type_rate_stats,
+    "hourly_event_stats": q_hourly_event_stats,
+    "user_sessions": q_user_sessions,
+    "value_buckets": q_value_buckets,
+    "dedup_events": q_dedup_events,
+    "top_customers": q_top_customers,
+    "global_event_stats": q_global_event_stats,
+    "geo_trajectory": q_geo_trajectory,
+    "geo_speed_by_type": q_geo_speed_by_type,
+    "geo_region_counts": q_geo_region_counts,
+    "orders_without_lineitems": q_orders_without_lineitems,
+    "active_customers": q_active_customers,
+    "event_union": q_event_union,
+    "doc_stats": q_doc_stats,
+    "doc_lang_token_stats": q_doc_lang_token_stats,
+    "doc_exact_dups": q_doc_exact_dups,
+    "ngram_neardups": q_ngram_neardups,
+    "minhash_signatures": q_minhash_signatures,
+    "minhash_lsh_pairs": q_minhash_lsh_pairs,
+    "simhash": q_simhash,
+    "cosine_topk": q_cosine_topk,
+    "embedding_norms": q_embedding_norms,
+    "ann_lsh": q_ann_lsh,
+    "multimodal_features": q_multimodal_features,
+    "weather_pivot": q_weather_pivot,
+}
+
+
+def build_oracles() -> dict[str, str]:
+    return {
+        "pricing_summary": SQL_PRICING,
+        "top_parts": SQL_TOP_PARTS,
+        "lineitem_enriched": SQL_ENRICHED,
+        "latest_event_per_user": SQL_LATEST,
+        "event_value_rate": SQL_RATE,
+        "event_type_rate_stats": SQL_RATE_STATS,
+        "hourly_event_stats": SQL_HOURLY,
+        "user_sessions": SQL_SESSIONS,
+        "value_buckets": SQL_BUCKETS,
+        "dedup_events": SQL_DEDUP_EVENTS,
+        "top_customers": SQL_TOP_CUSTOMERS,
+        "global_event_stats": SQL_GLOBAL_STATS,
+        "geo_trajectory": SQL_GEO_TRAJ,
+        "geo_speed_by_type": SQL_GEO_SPEED_STATS,
+        "geo_region_counts": SQL_GEO_REGIONS,
+        "orders_without_lineitems": SQL_ANTI,
+        "active_customers": SQL_SEMI,
+        "event_union": SQL_UNION,
+        "doc_stats": _sql_doc_stats(),
+        "doc_lang_token_stats": SQL_LANG_TOKENS,
+        "doc_exact_dups": SQL_EXACT_DUPS,
+        "ngram_neardups": SQL_NGRAM_NEARDUPS,
+        "minhash_signatures": SQL_MINHASH_SIG,
+        "minhash_lsh_pairs": _sql_minhash_lsh(),
+        "simhash": SQL_SIMHASH,
+        "cosine_topk": SQL_COSINE_TOPK,
+        "embedding_norms": SQL_EMB_NORMS,
+        # ann_lsh: intentionally no oracle (approximate, engine-defined)
+        "multimodal_features": SQL_MULTIMODAL,
+        "weather_pivot": _sql_weather(),
+    }

@@ -1,0 +1,56 @@
+"""SparkSession factory with scale-aware defaults.
+
+Local test/bench runs use ``local[N]``; the same config block is what we
+would ship to a 1000-executor cluster (AQE, skew-join handling, Arrow,
+UTC session time zone for oracle comparability). Only the master URL and
+memory sizing differ between the two.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "kyiv_traffic_bigdata_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with the engine's standard config.
+
+    Scale posture (holds at 100 TB / 1000 executors):
+      * AQE on: runtime coalescing, skew-join splitting, broadcast demotion.
+      * Shuffle partitions sized to cores locally; on a cluster AQE's
+        coalescing makes the static number mostly irrelevant.
+      * Arrow enabled for every pandas_udf / toPandas boundary.
+      * UTC session time zone so timestamps compare bit-for-bit against
+        UTC-naive engines (DuckDB oracle) and across clusters.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or f"local[{cpus}]")
+        .config(
+            "spark.sql.shuffle.partitions",
+            str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),
+        )
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.parquet.filterPushdown", "true")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,19 @@
+"""Shared fixtures: one SparkSession per test session (local[*])."""
+
+from __future__ import annotations
+
+import pytest
+
+from kyiv_traffic_bigdata_spark.session import get_spark
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark("tests", shuffle_partitions=8)
+    yield s
+    s.stop()
+
+
+@pytest.fixture(scope="session")
+def sf_dir() -> str:
+    return "/root/testdata/sf0.001"
