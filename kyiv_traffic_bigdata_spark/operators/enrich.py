@@ -32,10 +32,12 @@ def route_label(type_col: Column, number_col: Column, id_col: Column) -> Column:
     Label map follows kpt/visualize.py:19-23 (code wins over docs — see
     SURVEY §1.2 discrepancy note).
     """
-    label = F.lit(None).cast("string")
+    label = F.lit("")
     for t, name in sorted(ROUTE_TYPE_LABELS.items(), reverse=True):
         label = F.when(type_col == t, F.lit(name)).otherwise(label)
+    # reference: f"{prefix} {number}".strip() if number else f"#{route_id}" —
+    # an unknown type with a number still labels as the bare number.
     return F.when(
-        number_col.isNotNull() & label.isNotNull(),
-        F.concat_ws(" ", label, number_col),
+        number_col.isNotNull() & (number_col != ""),
+        F.trim(F.concat_ws(" ", label, number_col)),
     ).otherwise(F.concat(F.lit("#"), id_col.cast("string")))

@@ -78,6 +78,25 @@ def read_positions(spark: SparkSession, paths: str | list[str]) -> DataFrame:
     )
 
 
+def read_positions_ordered(spark: SparkSession, paths: str | list[str]) -> DataFrame:
+    """S1 with the reference's *file order* made explicit.
+
+    ``visualize.py`` concatenates envelope lines sequentially, and several
+    of its operators are order-dependent (stable sort ties, last-seen route
+    J2, first-wins latest-fix ties — SURVEY §7.4). File order ≡ (envelope
+    ingest timestamp, index within the envelope's array), which
+    ``posexplode`` captures as a total order usable as a window tiebreak.
+    """
+    env = read_position_envelopes(spark, paths)
+    return (
+        env.select(
+            F.to_timestamp(F.col("timestamp")).alias("ingest_ts"),
+            F.posexplode("positions").alias("pos_idx", "p"),
+        )
+        .select("ingest_ts", "pos_idx", "p.*")
+    )
+
+
 def read_routes(
     spark: SparkSession, paths: str | list[str], latest_only: bool = True
 ) -> DataFrame:
