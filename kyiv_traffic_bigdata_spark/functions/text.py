@@ -145,14 +145,20 @@ def lang_id(tok: Column) -> Column:
     return expr
 
 
-def quality_score(col: Column) -> Column:
+def quality_score(col: Column, tok: Column | None = None) -> Column:
     """Composite [0,1] quality score: length, alpha share, stopword share.
 
     Same shape as public web-corpus quality filters (C4-style): penalize
     ultra-short docs, non-alphabetic noise, and stopword-free keyword
     stuffing. Pure arithmetic → bit-identical in the oracle.
+
+    Pass a pre-materialized ``tok`` column when composing with other
+    token-consuming expressions — the token array is referenced several
+    times below and recomputing the tokenizer per reference is the
+    dominant cost (see operators.dedup.shingle_index note).
     """
-    tok = tokens(col)
+    if tok is None:
+        tok = tokens(col)
     ntok = F.size(tok)
     len_score = F.least(ntok / F.lit(100.0), F.lit(1.0))
     return F.round(

@@ -54,10 +54,28 @@ def exact_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "t
 def shingle_index(
     docs: DataFrame, id_col: str, text_col: str, ngram: int
 ) -> DataFrame:
-    """Inverted index: (doc_id, shingle) with DISTINCT word n-gram shingles."""
-    return docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(word_ngrams(tokens(F.col(text_col)), ngram)).alias("shingle"),
+    """Inverted index: (doc_id, shingle) with DISTINCT word n-gram shingles.
+
+    Staged projections on purpose: ``tokens`` (regex normalize + split) is
+    materialized once per row before the n-gram lambda references it.
+    Higher-order functions get no common-subexpression elimination, so the
+    inlined composition re-runs the tokenizer per reference — measured 12×
+    slower at sf0.1. CollapseProject keeps the stages separate because the
+    alias is non-cheap and multiply-referenced.
+    """
+    toked = docs.select(
+        F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("_tok")
+    )
+    grams = toked.select("doc_id", word_ngrams(F.col("_tok"), ngram).alias("_g"))
+    # explode_outer + post-filter, NOT plain explode: InferFiltersFromGenerate
+    # would add size(_g) > 0 under a plain explode, and predicate pushdown
+    # then substitutes the whole n-gram expression into a scan-level Filter,
+    # re-evaluating the expensive pipeline per row (measured 2x the whole
+    # query). A filter on the *generated* column cannot sink below the
+    # Generate, and dropping the null rows is semantically identical.
+    return (
+        grams.select("doc_id", F.explode_outer("_g").alias("shingle"))
+        .where(F.col("shingle").isNotNull())
     )
 
 
@@ -178,9 +196,41 @@ def minhash_lsh_pairs(
         .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
         .distinct()
     )
-    exact = ngram_jaccard_pairs(docs, id_col, text_col, ngram, threshold=0.0)
+    # Exact-Jaccard verification bounded by the candidate set: intersect
+    # shingles only for LSH-surfaced pairs (candidates ⋈ index_a ⋈ index_b)
+    # instead of re-running the full inverted-index self-join — that would
+    # cost the same as ngram_jaccard_pairs and defeat LSH's purpose. Work
+    # here tracks |candidates| x shingles/doc, independent of corpus size.
+    idx = shingle_index(docs, id_col, text_col, ngram)
+    sizes = idx.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    ia, ib = idx.alias("ia"), idx.alias("ib")
+    inter = (
+        candidates.join(ia, F.col("id_a") == F.col("ia.doc_id"))
+        .join(
+            ib,
+            (F.col("id_b") == F.col("ib.doc_id"))
+            & (F.col("ia.shingle") == F.col("ib.shingle")),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
     return (
-        candidates.join(exact, ["id_a", "id_b"])
+        inter.join(sizes.withColumnRenamed("doc_id", "id_a"), "id_a")
+        .withColumnRenamed("n_shingles", "n_a")
+        .join(
+            sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed(
+                "n_shingles", "n_b"
+            ),
+            "id_b",
+        )
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"),
+                6,
+            ),
+        )
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )

@@ -573,17 +573,25 @@ SELECT event_id, user_id, event_type FROM events WHERE event_type = 'error'
 def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc text analysis: tokens, ratios, quality, fingerprint, lang-ID."""
     d = _docs_with_tokens(spark, sf_dir)
-    tok = TX.tokens(F.col("text"))
-    return d.select(
+    # materialize tokens/normalized text once; the dozen expressions below
+    # reference them repeatedly and higher-order exprs get no CSE
+    staged = d.select(
         "doc_id",
         "lang",
-        TX.token_count(F.col("text")).cast("long").alias("n_tokens"),
-        F.length(TX.normalize_text(F.col("text"))).cast("long").alias("n_chars_norm"),
+        "text",
+        TX.tokens(F.col("text")).alias("_tok"),
+        TX.normalize_text(F.col("text")).alias("_norm"),
+    )
+    return staged.select(
+        "doc_id",
+        "lang",
+        F.size("_tok").cast("long").alias("n_tokens"),
+        F.length("_norm").cast("long").alias("n_chars_norm"),
         F.round(TX.alpha_ratio(F.col("text")), 6).alias("alpha_ratio"),
         F.round(TX.punct_ratio(F.col("text")), 6).alias("punct_ratio"),
-        TX.quality_score(F.col("text")).alias("quality"),
-        TX.fingerprint(F.col("text")).alias("fp"),
-        TX.lang_id(tok).alias("pred_lang"),
+        TX.quality_score(F.col("text"), tok=F.col("_tok")).alias("quality"),
+        F.md5("_norm").alias("fp"),
+        TX.lang_id(F.col("_tok")).alias("pred_lang"),
     )
 
 
