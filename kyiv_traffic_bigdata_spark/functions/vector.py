@@ -42,37 +42,43 @@ def cosine(a: Column, b: Column) -> Column:
     return F.when(denom == 0, F.lit(0.0)).otherwise(dot(a, b) / denom)
 
 
+def plane_coefficients(dim: int, n_planes: int, seed: str = "rp") -> list[list[float]]:
+    """Deterministic random-hyperplane coefficients in [-1, 1).
+
+    c_{p,k} = ((int(md5("{seed}_{p}_{k}")[:8], 16) % 1000) / 500) - 1 — the
+    same md5-prefix recipe as functions.text.portable_hash, so signatures
+    are reproducible across runs, engines, and cluster topologies (a hard
+    requirement for re-bucketing 100 TB of embeddings incrementally).
+    Computed once driver-side: the planes are row-independent, so hashing
+    them per row would cost dim x n_planes md5s per vector for constants.
+    """
+    import hashlib
+
+    return [
+        [
+            (int(hashlib.md5(f"{seed}_{p}_{k}".encode()).hexdigest()[:8], 16) % 1000)
+            / 500.0
+            - 1.0
+            for k in range(dim)
+        ]
+        for p in range(n_planes)
+    ]
+
+
 def hyperplane_sign_bits(v: Column, dim: int, n_planes: int, seed: str = "rp") -> Column:
     """Random-hyperplane LSH signature as a bit-string column.
 
-    Plane coefficients are derived deterministically from
-    ``md5(seed_plane_component)`` (same recipe as functions.text
-    .portable_hash), so the signature is reproducible across runs, engines,
-    and cluster topologies — a hard requirement for re-bucketing 100 TB of
-    embeddings incrementally.
-
     Each plane's sign bit is ``dot(v, plane) >= 0``; vectors in the same
-    bucket are ANN candidates (operators.similarity.ann_lsh).
+    bucket are ANN candidates (operators.similarity.ann_lsh). Plane
+    coefficients are literal arrays (see :func:`plane_coefficients`), so
+    the per-row work is n_planes fused multiply-add folds over the vector.
     """
     vd = as_double(v)
     bits = []
-    for p in range(n_planes):
-        # coefficient c_{p,k} in [-1, 1): hash → [0, 1000) → affine map
-        coeff = F.transform(
-            F.sequence(F.lit(0), F.lit(dim - 1)),
-            lambda k, p=p: (
-                F.conv(
-                    F.substring(F.md5(F.concat_ws("_", F.lit(seed), F.lit(p), k)), 1, 8),
-                    16,
-                    10,
-                ).cast("long")
-                % 1000
-            ).cast("double")
-            / 500.0
-            - 1.0,
-        )
+    for coeffs in plane_coefficients(dim, n_planes, seed):
+        plane = F.array(*[F.lit(c) for c in coeffs])
         proj = F.aggregate(
-            F.zip_with(vd, coeff, lambda x, c: x * c), F.lit(0.0), lambda a, x: a + x
+            F.zip_with(vd, plane, lambda x, c: x * c), F.lit(0.0), lambda a, x: a + x
         )
         bits.append(F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0")))
     return F.concat(*bits)

@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.vector import cosine, hyperplane_sign_bits
+from ..functions.vector import dot, hyperplane_sign_bits, norm
 from .topk import top_k_per_group
 
 
@@ -33,16 +33,29 @@ def cosine_topk(
     Scores rounded to 6 decimals (cross-engine float stability); ranking
     uses the unrounded score with id tiebreak for determinism.
     """
+    # norms are per-row, not per-pair: attach them to each side before the
+    # join so the O(|q| x |c|) scoring loop does one dot product per pair
+    # instead of re-folding both vectors' norms 4M times. sqrt-then-multiply
+    # keeps the float result identical to cosine()'s denominator.
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        norm(F.col(vec_col)).alias("_qn"),
     )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"))
-    scored = (
-        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("_sim", cosine(F.col("qvec"), F.col("cvec")))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cvec"),
+        norm(F.col(vec_col)).alias("_cn"),
+    )
+    denom = F.col("_qn") * F.col("_cn")
+    sim = F.when(denom == 0, F.lit(0.0)).otherwise(
+        dot(F.col("qvec"), F.col("cvec")) / denom
+    )
+    scored = c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id")).select(
+        "query_id", "neighbor_id", sim.alias("_sim")
     )
     ranked = top_k_per_group(
-        scored.select("query_id", "neighbor_id", "_sim"),
+        scored,
         ["query_id"],
         [F.col("_sim").desc(), F.col("neighbor_id").asc()],
         k,
@@ -74,10 +87,14 @@ def ann_lsh_topk(
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cvec"),
+        norm(F.col(vec_col)).alias("_cn"),
         sig.alias("bucket"),
     )
     q0 = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"), sig.alias("sig")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        norm(F.col(vec_col)).alias("_qn"),
+        sig.alias("sig"),
     )
     probes = [F.col("sig")]
     if multiprobe_bits >= 1:
@@ -91,16 +108,16 @@ def ann_lsh_topk(
             )
             probes.append(flipped)
     q = q0.select(
-        "query_id", "qvec", F.explode(F.array(*probes)).alias("bucket")
+        "query_id", "qvec", "_qn", F.explode(F.array(*probes)).alias("bucket")
     ).distinct()
+    denom = F.col("_qn") * F.col("_cn")
+    sim = F.when(denom == 0, F.lit(0.0)).otherwise(
+        dot(F.col("qvec"), F.col("cvec")) / denom
+    )
     scored = (
         c.join(q, "bucket")
         .where(F.col("query_id") != F.col("neighbor_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            cosine(F.col("qvec"), F.col("cvec")).alias("_sim"),
-        )
+        .select("query_id", "neighbor_id", sim.alias("_sim"))
         # multiprobe can reach the same neighbor via several buckets
         .groupBy("query_id", "neighbor_id")
         .agg(F.max("_sim").alias("_sim"))
