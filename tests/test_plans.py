@@ -1,0 +1,114 @@
+"""Plan-shape regression tests: pin the physical plans we want at scale.
+
+These don't execute queries — they assert on ``explain()`` output, so a
+Catalyst-interaction regression (a dimension join degrading to sort-merge,
+a filter failing to push, an expensive expression cloned into a scan
+filter) fails CI before it costs anything on a cluster.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from kyiv_traffic_bigdata_spark.operators.dedup import shingle_index
+from kyiv_traffic_bigdata_spark.plans import (
+    broadcast_join_count,
+    exchange_count,
+    physical_plan,
+    scan_filter_exprs,
+    sort_merge_join_count,
+)
+from kyiv_traffic_bigdata_spark.queries import QUERIES
+
+
+@pytest.fixture(scope="module")
+def plans(spark, sf_dir):
+    def get(name, mode="formatted"):
+        return physical_plan(QUERIES[name](spark, sf_dir), mode)
+
+    return get
+
+
+def test_enrichment_joins_broadcast_not_shuffle(plans):
+    """J1-family: every dimension join on the lineitem fact must be a
+    broadcast hash join — a sort-merge join here shuffles the fact table
+    (petabytes at the target scale) for a kilobyte dimension."""
+    plan = plans("lineitem_enriched")
+    assert broadcast_join_count(plan) >= 2
+    assert sort_merge_join_count(plan) == 0
+
+
+def test_pricing_partial_agg_and_pruned_scan(plans):
+    """A-family: the wide aggregate must map-side combine (partial
+    HashAggregate under the single exchange) and the scan must prune to
+    the six referenced columns — reading l_orderkey for a 6-column
+    aggregate means pruning broke."""
+    plan = plans("pricing_summary")
+    assert exchange_count(plan) == 1
+    # formatted mode lists nodes in tree + detail blocks; count the blocks
+    assert len(re.findall(r"\(\d+\) HashAggregate", plan)) == 2
+    assert "partial_sum" in plan
+    read_schema = re.search(r"ReadSchema: struct<([^>]*)>", plan).group(1)
+    assert "l_orderkey" not in read_schema and "l_quantity" in read_schema
+
+
+def test_filter_and_projection_reach_parquet_scan(spark, sf_dir):
+    """F1-style pushdown on raw columns: a selective predicate lands in
+    PushedFilters and projection prunes ReadSchema. (Derived-column
+    predicates — e.g. the synthetic geo mapping — legitimately cannot
+    push; this pins the raw-column contract.)"""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    df = li.where(F.col("l_quantity") < 10).select("l_orderkey", "l_quantity")
+    plan = physical_plan(df)
+    pushed = " ".join(scan_filter_exprs(plan))
+    assert "LessThan(l_quantity" in pushed
+    read_schema = re.search(r"ReadSchema: struct<([^>]*)>", plan).group(1)
+    assert set(read_schema.split(",")) == {"l_orderkey:bigint", "l_quantity:double"}
+
+
+def test_trajectory_single_shuffle(plans):
+    """W1: one hash-partition exchange (by the window key) is the whole
+    shuffle budget for the lag-window pipeline."""
+    plan = plans("geo_trajectory")
+    assert exchange_count(plan) == 1
+
+
+def test_latest_per_key_single_shuffle(plans):
+    plan = plans("latest_event_per_user")
+    assert exchange_count(plan) == 1
+
+
+def test_topk_uses_take_ordered(plans):
+    """W3/W4: global top-k must compile to TakeOrderedAndProject, never a
+    full sort of the aggregate output."""
+    assert "TakeOrderedAndProject" in plans("top_parts")
+
+
+def test_cosine_topk_broadcasts_queries(plans):
+    """The ANN baseline must broadcast the query side; the corpus scan
+    stays shuffle-free until the final per-query top-k window."""
+    plan = plans("cosine_topk")
+    assert broadcast_join_count(plan) >= 1
+    assert sort_merge_join_count(plan) == 0
+
+
+def test_shingle_index_scan_filter_stays_cheap(spark, sf_dir):
+    """Regression guard: the inferred-filter-pushdown interaction that once
+    cloned the whole tokenizer+n-gram pipeline into the parquet scan's
+    DataFilters (2x query cost). Scan filters must stay trivial."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = physical_plan(shingle_index(docs, "doc_id", "text", 3))
+    for expr in scan_filter_exprs(plan):
+        assert "regexp_replace" not in expr and "transform" not in expr
+
+
+def test_doc_stats_tokenizes_once(plans):
+    """The staged-projection contract: exactly one regex-split tokenizer
+    evaluation per row (plus one normalize for n_chars/fp), not one per
+    consuming expression."""
+    plan = plans("doc_stats")
+    # each split( occurrence in the final plan is one tokenizer evaluation
+    assert plan.count("split(regexp_replace") <= 4
