@@ -1,0 +1,118 @@
+"""Property-based tests (hypothesis) — SURVEY §5.4.
+
+Encode the reference's implicit contracts as invariants over arbitrary
+input: parsers drop, never raise; filters select subsets; dedup is
+idempotent; decoded values stay in representable ranges. Spark job startup
+dominates per-example cost, so each property runs ONE Spark job over a
+batch of generated examples instead of one job per example.
+"""
+
+from __future__ import annotations
+
+import base64
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from kyiv_traffic_bigdata_spark.config import KYIV_BBOX_POLLER
+from kyiv_traffic_bigdata_spark.operators.dedup import exact_duplicates
+from kyiv_traffic_bigdata_spark.operators.latest import dedup_exact
+from kyiv_traffic_bigdata_spark.sources.eway import decode_messages
+from kyiv_traffic_bigdata_spark.sources.kpt import parse_messages
+
+SETTINGS = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+
+printable = st.text(
+    alphabet=st.characters(codec="utf-8", exclude_categories=("Cs",)),
+    max_size=200,
+)
+
+
+@given(st.lists(printable, min_size=1, max_size=30))
+@SETTINGS
+def test_kpt_parser_never_raises_and_always_in_bbox(spark, lines):
+    """The 'bad input is dropped, never fatal' contract (parsers.py:33-53)
+    + F1: every surviving row is inside the bbox with non-null ids."""
+    raw = spark.createDataFrame([(l,) for l in lines], "value string")
+    out = parse_messages(raw, default_ts=F.lit(0)).collect()
+    for r in out:
+        assert KYIV_BBOX_POLLER.contains(r.lat, r.lon)
+        assert r.vehicle_id is not None and r.route_id is not None
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(1, 5),  # vehicle_id
+            st.floats(45.0, 55.0, allow_nan=False),
+            st.floats(25.0, 35.0, allow_nan=False),
+        ),
+        min_size=1,
+        max_size=50,
+    )
+)
+@SETTINGS
+def test_bbox_filter_is_a_subset(spark, rows):
+    df = spark.createDataFrame(rows, "vehicle_id long, lat double, lon double")
+    kept = df.where(
+        F.col("lat").between(KYIV_BBOX_POLLER.lat_min, KYIV_BBOX_POLLER.lat_max)
+        & F.col("lon").between(KYIV_BBOX_POLLER.lon_min, KYIV_BBOX_POLLER.lon_max)
+    )
+    assert kept.count() <= df.count()
+    assert kept.exceptAll(df).count() == 0
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(1, 4), st.integers(0, 5), st.integers(0, 1000)),
+        min_size=1,
+        max_size=60,
+    )
+)
+@SETTINGS
+def test_dedup_exact_idempotent_and_key_unique(spark, rows):
+    """ST3-as-batch: dedup(dedup(x)) == dedup(x); one row per key; output
+    rows all come from the input."""
+    df = spark.createDataFrame(rows, "k long, ts long, v long")
+    once = dedup_exact(df, ["k", "ts"], tiebreak="v")
+    twice = dedup_exact(once, ["k", "ts"], tiebreak="v")
+    got_once = sorted(map(tuple, once.collect()))
+    got_twice = sorted(map(tuple, twice.collect()))
+    assert got_once == got_twice
+    keys = [(r.k, r.ts) for r in once.collect()]
+    assert len(keys) == len(set(keys)) == len({(k, t) for k, t, _ in rows})
+    assert once.exceptAll(df).count() == 0
+
+
+@given(st.lists(st.binary(min_size=0, max_size=64), min_size=1, max_size=20))
+@SETTINGS
+def test_eway_decoder_total_and_in_range(spark, blobs):
+    """P7 totality: arbitrary bytes (base64'd) decode without error; every
+    row is within the uint32/1e8 representable range with aligned offsets."""
+    msgs = [base64.b64encode(b).decode() for b in blobs]
+    raw = spark.createDataFrame([(m,) for m in msgs], "value string")
+    rows = decode_messages(raw, min_len=0).collect()
+    expected = sum(len(b) // 8 for b in blobs)
+    assert len(rows) == expected
+    for r in rows:
+        assert 0 <= r.latitude < 43 and 0 <= r.longitude < 43
+        assert r.offset % 8 == 0
+
+
+@given(st.lists(st.sampled_from(["aaa bbb", "xyz", "aaa  bbb", "  "]), min_size=1, max_size=30))
+@SETTINGS
+def test_exact_dup_copies_sum_to_input(spark, texts):
+    """Exact dedup partitions the corpus: copy counts sum to row count and
+    whitespace-normalized equal texts share a fingerprint group."""
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    groups = exact_duplicates(df).collect()
+    assert sum(g.copies for g in groups) == len(texts)
+    norm = {" ".join(t.lower().split()) for t in texts}
+    assert len(groups) == len(norm)
