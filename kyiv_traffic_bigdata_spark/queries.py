@@ -34,6 +34,7 @@ from .operators import similarity as SIM
 from .operators.aggregates import dec, stable_avg
 from .operators.enrich import broadcast_enrich
 from .operators.latest import dedup_exact, latest_per_key
+from .operators.asof import asof_join
 from .operators.multimodal import attach_binary_payload, extract_media_features
 from .operators.pivot import explode_parallel_arrays
 from .operators.topk import top_k
@@ -566,6 +567,57 @@ SELECT event_id, user_id, event_type FROM events WHERE event_type = 'error'
 """
 
 
+def q_events_asof_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (SURVEY §7.3 extension): for each click, the most recent
+    error of the same user at or before it — union-sort-fill shape, one
+    shuffle, no row expansion (operators.asof)."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts_us", "value"
+    )
+    errors = ev.where(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts_us", "value"
+    )
+    joined = asof_join(
+        clicks,
+        errors,
+        key_cols=["user_id"],
+        left_ts="ts_us",
+        right_ts="ts_us",
+        right_value_cols=["event_id", "value"],
+        right_tiebreak="event_id",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        "value",
+        F.col("asof_ts_us").alias("err_ts_us"),
+        F.col("asof_event_id").alias("err_event_id"),
+        F.col("asof_value").alias("err_value"),
+    )
+
+
+SQL_ASOF = """
+WITH clicks AS (
+  SELECT event_id, user_id, epoch_us(ts) AS ts_us, value
+  FROM events WHERE event_type = 'click'
+),
+errors0 AS (
+  SELECT event_id, user_id, epoch_us(ts) AS ts_us, value
+  FROM events WHERE event_type = 'error'
+),
+errors AS (
+  SELECT * FROM errors0
+  QUALIFY row_number() OVER (PARTITION BY user_id, ts_us ORDER BY event_id DESC) = 1
+)
+SELECT c.event_id, c.user_id, c.ts_us, c.value,
+       e.ts_us AS err_ts_us, e.event_id AS err_event_id, e.value AS err_value
+FROM clicks c ASOF LEFT JOIN errors e
+  ON c.user_id = e.user_id AND e.ts_us <= c.ts_us
+"""
+
+
 # --------------------------------------------------------------------------
 # Text-analysis / LLM-pipeline queries (documents table)
 # --------------------------------------------------------------------------
@@ -905,6 +957,7 @@ QUERIES: dict[str, QueryFn] = {
     "orders_without_lineitems": q_orders_without_lineitems,
     "active_customers": q_active_customers,
     "event_union": q_event_union,
+    "events_asof_error": q_events_asof_error,
     "doc_stats": q_doc_stats,
     "doc_lang_token_stats": q_doc_lang_token_stats,
     "doc_exact_dups": q_doc_exact_dups,
@@ -940,6 +993,7 @@ def build_oracles() -> dict[str, str]:
         "orders_without_lineitems": SQL_ANTI,
         "active_customers": SQL_SEMI,
         "event_union": SQL_UNION,
+        "events_asof_error": SQL_ASOF,
         "doc_stats": _sql_doc_stats(),
         "doc_lang_token_stats": SQL_LANG_TOKENS,
         "doc_exact_dups": SQL_EXACT_DUPS,

@@ -1,0 +1,77 @@
+"""Unit tests for the as-of join operator (operators/asof.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kyiv_traffic_bigdata_spark.operators.asof import asof_join
+
+
+def _frames(spark):
+    left = spark.createDataFrame(
+        [(1, 100, "a"), (1, 200, "b"), (2, 150, "c"), (3, 50, "d")],
+        "k long, ts long, tag string",
+    )
+    right = spark.createDataFrame(
+        [(1, 90, 10.0), (1, 150, 20.0), (2, 150, 30.0), (2, 10, 40.0)],
+        "k long, ts long, v double",
+    )
+    return left, right
+
+
+def test_basic_asof_semantics(spark):
+    left, right = _frames(spark)
+    out = {
+        r.tag: r
+        for r in asof_join(
+            left, right, ["k"], "ts", "ts", right_value_cols=["v"]
+        ).collect()
+    }
+    assert out["a"].asof_v == 10.0  # 90 <= 100, not 150
+    assert out["b"].asof_v == 20.0  # latest of {90, 150}
+    assert out["c"].asof_v == 30.0  # inclusive: right ts == left ts matches
+    assert out["d"].asof_v is None and out["d"].asof_ts is None  # no match
+
+
+def test_left_rows_all_preserved_no_expansion(spark):
+    left, right = _frames(spark)
+    out = asof_join(left, right, ["k"], "ts", "ts", right_value_cols=["v"])
+    assert out.count() == left.count()
+    assert sorted(r.tag for r in out.collect()) == ["a", "b", "c", "d"]
+
+
+def test_duplicate_right_ts_tiebreak_deterministic(spark):
+    left = spark.createDataFrame([(1, 100)], "k long, ts long")
+    right = spark.createDataFrame(
+        [(1, 100, 7, 1.0), (1, 100, 9, 2.0), (1, 100, 8, 3.0)],
+        "k long, ts long, rid long, v double",
+    )
+    out = asof_join(
+        left, right, ["k"], "ts", "ts",
+        right_value_cols=["rid", "v"], right_tiebreak="rid",
+    ).collect()[0]
+    assert out.asof_rid == 9 and out.asof_v == 2.0  # max tiebreak wins
+
+
+def test_tolerance_nulls_stale_matches(spark):
+    left = spark.createDataFrame([(1, 1000), (1, 2000)], "k long, ts long")
+    right = spark.createDataFrame([(1, 900, 5.0)], "k long, ts long, v double")
+    out = {
+        r.ts: r
+        for r in asof_join(
+            left, right, ["k"], "ts", "ts",
+            right_value_cols=["v"], tolerance_s=200,
+        ).collect()
+    }
+    assert out[1000].asof_v == 5.0  # gap 100 <= 200
+    assert out[2000].asof_v is None  # gap 1100 > 200 → stale
+
+
+def test_single_shuffle_plan(spark):
+    from kyiv_traffic_bigdata_spark.plans import exchange_count, physical_plan
+
+    left, right = _frames(spark)
+    plan = physical_plan(
+        asof_join(left, right, ["k"], "ts", "ts", right_value_cols=["v"])
+    )
+    assert exchange_count(plan) == 1
