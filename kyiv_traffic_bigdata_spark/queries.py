@@ -31,12 +31,13 @@ from .functions import text as TX
 from .functions.geo import classify_region, in_bbox, speed_bucket
 from .operators import dedup as DD
 from .operators import similarity as SIM
-from .operators.aggregates import dec, stable_avg
+from .operators.aggregates import dec, stable_avg, stable_sum
 from .operators.enrich import broadcast_enrich
 from .operators.latest import dedup_exact, latest_per_key
 from .operators.asof import asof_join
 from .operators.multimodal import attach_binary_payload, extract_media_features
 from .operators.pivot import explode_parallel_arrays
+from .operators.proximity import proximity_join
 from .operators.topk import top_k
 from .operators.trajectory import trajectory_speeds, value_rate
 from .operators.windows import sessionize, tumbling_stats
@@ -618,6 +619,132 @@ FROM clicks c ASOF LEFT JOIN errors e
 """
 
 
+def q_geo_nearby_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geo-proximity range join (SURVEY §7.3 extension): every event within
+    1 km of each probe event. Grid-cell blocking (operators.proximity)
+    turns the cross range-join into a co-partitioned equi-join; cell_deg
+    0.02 > 1 km in lon-degrees at 50.7N, so blocking is lossless and the
+    oracle states the plain distance join."""
+    pos = _geo_positions(spark, sf_dir)
+    probes = pos.where(F.col("event_id") % 200 == 0).select("event_id", "lat", "lon")
+    corpus = pos.select("event_id", "lat", "lon")
+    joined = proximity_join(
+        probes, corpus, radius_km=1.0, cell_deg=0.02,
+        left_prefix="p_", right_prefix="e_",
+    )
+    return (
+        joined.where(F.col("p_event_id") != F.col("e_event_id"))
+        .select(
+            F.col("p_event_id").alias("probe_id"),
+            F.col("e_event_id").alias("event_id"),
+            F.round(F.col("dist_km"), 6).alias("dist_km"),
+        )
+    )
+
+
+_GEO_NEARBY_DIST = _HAVERSINE.format(
+    lat1="p.lat", lon1="p.lon", lat2="e.lat", lon2="e.lon"
+)
+
+SQL_GEO_NEARBY = f"""
+WITH pos AS ({_GEO_POS_SQL}),
+probes AS (SELECT event_id, lat, lon FROM pos WHERE event_id % 200 = 0),
+pairs AS (
+  SELECT p.event_id AS probe_id, e.event_id AS event_id,
+         {_GEO_NEARBY_DIST} AS dist
+  FROM probes p JOIN pos e ON e.event_id != p.event_id
+)
+SELECT probe_id, event_id, round(dist, 6) AS dist_km FROM pairs WHERE dist <= 1.0
+"""
+
+
+def q_emb_cosine_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (north-star dedup op #5): banded
+    hyperplane-LSH blocking + exact cosine >= 0.3 verification
+    (operators.similarity.cosine_neardup_pairs)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return SIM.cosine_neardup_pairs(emb, threshold=0.3)
+
+
+def _sql_emb_neardups() -> str:
+    from .functions.vector import plane_coefficients
+
+    n_planes = SIM.NEARDUP_BANDS * SIM.NEARDUP_ROWS
+    planes = plane_coefficients(64, n_planes)
+    vals = ", ".join(
+        f"({p}, {i + 1}, {c!r})"
+        for p, coeffs in enumerate(planes)
+        for i, c in enumerate(coeffs)
+    )
+    bands = ", ".join(str(b) for b in range(SIM.NEARDUP_BANDS))
+    return f"""
+WITH ce AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         CAST(unnest(embedding) AS DOUBLE) AS y
+  FROM embeddings
+),
+pl(p, i, c) AS (VALUES {vals}),
+proj AS (SELECT vec_id, p, SUM(y * c) AS s FROM ce JOIN pl USING (i) GROUP BY 1, 2),
+sig AS (
+  SELECT vec_id, string_agg(CASE WHEN s >= 0 THEN '1' ELSE '0' END, '' ORDER BY p) AS sg
+  FROM proj GROUP BY vec_id
+),
+buckets AS (
+  SELECT vec_id, band, substr(sg, band * {SIM.NEARDUP_ROWS} + 1, {SIM.NEARDUP_ROWS}) AS bkey
+  FROM sig CROSS JOIN (SELECT unnest([{bands}]) AS band) b
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM buckets a JOIN buckets b
+    ON a.band = b.band AND a.bkey = b.bkey AND a.vec_id < b.vec_id
+),
+norms AS (SELECT vec_id, SUM(y * y) AS n2 FROM ce GROUP BY 1),
+dots AS (
+  SELECT c.id_a, c.id_b, SUM(xa.y * xb.y) AS d
+  FROM cand c
+  JOIN ce xa ON xa.vec_id = c.id_a
+  JOIN ce xb ON xb.vec_id = c.id_b AND xb.i = xa.i
+  GROUP BY 1, 2
+),
+cos AS (
+  SELECT id_a, id_b,
+         CASE WHEN sqrt(na.n2) * sqrt(nb.n2) = 0 THEN 0.0
+              ELSE d / (sqrt(na.n2) * sqrt(nb.n2)) END AS sim
+  FROM dots JOIN norms na ON na.vec_id = id_a JOIN norms nb ON nb.vec_id = id_b
+)
+SELECT id_a, id_b, round(sim, 6) AS cosine_sim FROM cos WHERE sim >= 0.3
+"""
+
+
+def q_sales_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical revenue rollup region -> nation -> grand total
+    (grouping-sets coverage; broadcast dims, decimal-stable sum)."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nat = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    reg = load_table(spark, sf_dir, "region")
+    j = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+    )
+    return j.rollup("r_name", "n_name").agg(
+        stable_sum("o_totalprice").alias("revenue"),
+        F.count("*").cast("long").alias("n_orders"),
+    )
+
+
+SQL_ROLLUP = f"""
+SELECT r_name, n_name, {_ssum('o_totalprice')} AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP(r_name, n_name)
+"""
+
+
 # --------------------------------------------------------------------------
 # Text-analysis / LLM-pipeline queries (documents table)
 # --------------------------------------------------------------------------
@@ -958,6 +1085,9 @@ QUERIES: dict[str, QueryFn] = {
     "active_customers": q_active_customers,
     "event_union": q_event_union,
     "events_asof_error": q_events_asof_error,
+    "geo_nearby_events": q_geo_nearby_events,
+    "emb_cosine_neardups": q_emb_cosine_neardups,
+    "sales_rollup": q_sales_rollup,
     "doc_stats": q_doc_stats,
     "doc_lang_token_stats": q_doc_lang_token_stats,
     "doc_exact_dups": q_doc_exact_dups,
@@ -994,6 +1124,9 @@ def build_oracles() -> dict[str, str]:
         "active_customers": SQL_SEMI,
         "event_union": SQL_UNION,
         "events_asof_error": SQL_ASOF,
+        "geo_nearby_events": SQL_GEO_NEARBY,
+        "emb_cosine_neardups": _sql_emb_neardups(),
+        "sales_rollup": SQL_ROLLUP,
         "doc_stats": _sql_doc_stats(),
         "doc_lang_token_stats": SQL_LANG_TOKENS,
         "doc_exact_dups": SQL_EXACT_DUPS,
