@@ -34,6 +34,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-runnable ANSI SQL twin for each query (ann_lsh intentionally
-    omitted: approximate op, checked by recall tests instead)."""
+    """DuckDB-runnable ANSI SQL twin for each query (ann_lsh / ann_ivf
+    intentionally omitted: approximate ops, checked by recall tests instead)."""
     return build_oracles()

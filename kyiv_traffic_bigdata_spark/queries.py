@@ -1017,6 +1017,16 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.ann_lsh_topk(q, emb, k=10)
 
 
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed approximate NN (the second classic ANN scale path
+    next to ann_lsh; recall asserted in tests). No SQL oracle —
+    approximation is engine-defined; the driver records a rows-only
+    check and pytest compares recall against the exact baseline."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") % 50 == 0)
+    return SIM.ann_ivf_topk(q, emb, k=10, n_probe=4)
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column plumbing + Arrow-batched feature extraction
     (decode stubbed deterministically; see operators.multimodal)."""
@@ -1098,6 +1108,7 @@ QUERIES: dict[str, QueryFn] = {
     "cosine_topk": q_cosine_topk,
     "embedding_norms": q_embedding_norms,
     "ann_lsh": q_ann_lsh,
+    "ann_ivf": q_ann_ivf,
     "multimodal_features": q_multimodal_features,
     "weather_pivot": q_weather_pivot,
 }
