@@ -172,7 +172,79 @@ def quality_score(col: Column, tok: Column | None = None) -> Column:
 def fingerprint(col: Column) -> Column:
     """Deterministic document fingerprint: md5 of normalized text.
 
-    The exact-dedup key. (The rolling/winnowing variant lives in
-    operators.dedup as simhash over char n-grams.)
+    The exact-dedup key. (The positional rolling-hash variant is
+    :func:`gram_rolling_hashes` + :func:`winnow` in operators.dedup.)
     """
     return F.md5(normalize_text(col))
+
+
+#: Polynomial rolling-hash parameters. Base 131 over printable-ASCII
+#: codepoints mod 1e9+7: per fold step acc < 1e9, acc*131 + 126 < 2^37 —
+#: every intermediate stays far inside int64 in BOTH engines, which is
+#: what makes the hash bit-identical in the DuckDB oracle.
+ROLL_BASE = 131
+ROLL_MOD = 1_000_000_007
+
+
+def ascii_normalize(col: Column) -> Column:
+    """Normalized text projected to printable ASCII (the rolling-hash
+    domain — Spark ``ascii`` and DuckDB ``ord`` agree only on ASCII)."""
+    return F.regexp_replace(normalize_text(col), "[^ -~]", "")
+
+
+def codepoints(a: Column) -> Column:
+    """Codepoint array of an ASCII string column.
+
+    ``split(a, '')`` then per-char ``ascii`` — one O(n) pass; turning
+    chars into longs up front makes each k-gram fold k O(1) array reads
+    instead of k O(position) substring scans (higher-order functions run
+    interpreted, so per-element cost directly bounds throughput).
+    """
+    return F.when(F.length(a) == 0, F.array().cast("array<long>")).otherwise(
+        F.transform(F.split(a, ""), lambda c: F.ascii(c).cast("long"))
+    )
+
+
+def gram_rolling_hashes(cp: Column, k: int) -> Column:
+    """Polynomial rolling hash of every char k-gram of a codepoint array.
+
+    ``h(gram) = fold(acc*BASE + codepoint) mod MOD`` — the classic
+    Rabin-Karp position-local hash, one value per gram position, as a pure
+    ``transform``/``aggregate`` expression (no UDF). Shorter-than-k docs
+    hash to an empty array.
+    """
+    n = F.size(cp)
+    return F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(1), n - (k - 1)),
+            lambda i: F.aggregate(
+                F.slice(cp, i, k),
+                F.lit(0).cast("long"),
+                lambda acc, c: (acc * ROLL_BASE + c) % ROLL_MOD,
+            ),
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+
+
+def winnow(hashes: Column, w: int) -> Column:
+    """Winnowing fingerprint selection (Schleimer/Wilkerson/Aiken, MOSS).
+
+    Keep the minimum hash of every ``w``-wide window of consecutive gram
+    hashes, deduplicated — guarantees any match of length ≥ w+k-1 chars
+    shares a fingerprint while keeping ~2/(w+1) of the grams. Docs with
+    fewer than ``w`` grams keep their single minimum; empty stays empty.
+    """
+    n = F.size(hashes)
+    return (
+        F.when(n == 0, F.array().cast("array<long>"))
+        .when(n < w, F.array(F.array_min(hashes)))
+        .otherwise(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), n - (w - 1)),
+                    lambda s: F.array_min(F.slice(hashes, s, w)),
+                )
+            )
+        )
+    )

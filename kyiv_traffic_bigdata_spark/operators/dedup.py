@@ -275,3 +275,187 @@ def simhash(
         .groupBy("doc_id")
         .agg(F.sum("bitval").alias("simhash"))
     )
+
+
+#: SimHash banding parameters: 32-bit keys split into 4 bands of 8 bits.
+#: Pigeonhole guarantee: any pair within hamming distance 3 differs in at
+#: most 3 bands, so at least one band matches — banding loses NO pairs at
+#: the default threshold (it is an exact algorithm, not an approximation).
+SIMHASH_BITS = 32
+SIMHASH_BANDS = 4
+SIMHASH_MAX_HAMMING = 3
+
+
+def simhash_neardup_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = SIMHASH_BITS,
+    bands: int = SIMHASH_BANDS,
+    max_hamming: int = SIMHASH_MAX_HAMMING,
+) -> DataFrame:
+    """Near-duplicate doc pairs by SimHash hamming distance ≤ ``max_hamming``.
+
+    The scale path for hamming search: instead of the O(n²) all-pairs
+    XOR, split each key into ``bands`` bit-bands and self-equi-join on
+    (band index, band value) — only docs agreeing on some band ever meet,
+    and with ``max_hamming < bands`` the pigeonhole principle makes that
+    blocking lossless. Each band join is a plain shuffle-hash/sort-merge
+    equi-join on a compact int key, so it partitions cleanly at 100 TB;
+    a candidate pair surfacing in several bands is collapsed by distinct
+    before the exact bit_count(xor) verify.
+    """
+    assert max_hamming < bands, "pigeonhole guarantee needs max_hamming < bands"
+    width = bits // bands
+    sh = simhash(docs, id_col, text_col, bits)
+    banded = sh.select(
+        "doc_id",
+        "simhash",
+        F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band"),
+    ).withColumn(
+        "bval", F.expr(f"(simhash >> (band * {width})) & {(1 << width) - 1}")
+    )
+    a = banded.select("band", "bval", F.col("doc_id").alias("id_a"), F.col("simhash").alias("sh_a"))
+    b = banded.select("band", "bval", F.col("doc_id").alias("id_b"), F.col("simhash").alias("sh_b"))
+    return (
+        a.join(b, ["band", "bval"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .distinct()
+        .withColumn("hamming", F.bit_count(F.expr("sh_a ^ sh_b")).cast("long"))
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+#: Winnowing parameters. k=7 char grams, window w=4 ⇒ any shared substring
+#: of ≥ 10 chars is guaranteed a shared fingerprint; expected fingerprint
+#: density 2/(w+1) = 40% of grams. MAX_DOC_FREQ drops "stop fingerprints"
+#: (grams shared by half the corpus carry no dedup signal and are exactly
+#: the skewed keys that would blow up the pair join at scale).
+WINNOW_K = 7
+WINNOW_W = 4
+WINNOW_MAX_DOC_FREQ = 20
+WINNOW_MIN_SHARED = 3
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = WINNOW_K,
+    w: int = WINNOW_W,
+) -> DataFrame:
+    """Per-doc winnowed rolling-hash fingerprints (north-star text op:
+    document fingerprinting via rolling hash).
+
+    Output: (doc_id, n_grams, fps:array<long>) — gram count plus the
+    winnowed fingerprint set. Map-only (no shuffle); each stage of the
+    char→codepoint→gram-hash→winnow chain is materialized as its own
+    projection because higher-order lambdas get no common-subexpression
+    elimination (same staging rationale as queries.q_doc_stats).
+    """
+    from ..functions.text import ascii_normalize, codepoints, gram_rolling_hashes, winnow
+
+    # Parallelize the interpreted higher-order chain: tiny inputs arrive
+    # as one parquet partition, and a single core grinding ~ms/doc lambda
+    # evaluation is the actual bottleneck (measured). One round-robin
+    # shuffle of raw text is trivially cheaper than the map it balances;
+    # at real scale the input already has many partitions and this keeps
+    # them (repartition to the same default parallelism).
+    docs = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    staged = docs.select(
+        F.col(id_col).alias("doc_id"), ascii_normalize(F.col(text_col)).alias("_a")
+    ).select("doc_id", codepoints(F.col("_a")).alias("_cp"))
+    hashed = staged.select(
+        "doc_id", gram_rolling_hashes(F.col("_cp"), k).alias("_h")
+    )
+    return hashed.select(
+        "doc_id",
+        F.size("_h").cast("long").alias("n_grams"),
+        winnow(F.col("_h"), w).alias("fps"),
+    )
+
+
+def winnow_overlap_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = WINNOW_K,
+    w: int = WINNOW_W,
+    max_doc_freq: int = WINNOW_MAX_DOC_FREQ,
+    min_shared: int = WINNOW_MIN_SHARED,
+) -> DataFrame:
+    """Doc pairs sharing ≥ ``min_shared`` winnowed fingerprints (MOSS-style
+    overlap detection) with a containment-style score.
+
+    The standard inverted-index candidate shape: explode fingerprints,
+    drop fingerprints appearing in > ``max_doc_freq`` docs (stop-gram
+    filter — kills both noise and join skew), self-equi-join on the
+    fingerprint, count per pair, then join per-doc set sizes for
+    ``overlap = shared / (n_a + n_b - shared)`` (Jaccard over fp sets).
+
+    Plan-shape constraint: the explode projection emits ONLY (doc_id, fp).
+    Higher-order expressions run interpreted (no codegen), and any column
+    derived from the fps array that survives past the Generate gets
+    inlined by projection collapse and re-evaluated per EXPLODED row —
+    measured as a >100x blowup. Set sizes are therefore recounted from the
+    exploded rows (fps is distinct, so count == size) and joined back at
+    the end, exactly like ngram_jaccard_pairs.
+    """
+    fpi = winnow_fingerprints(docs, id_col, text_col, k, w)
+    # Materialize the exploded inverted index ONCE (persist): it feeds
+    # four consumers (set sizes, stop-gram doc-freq filter, both join
+    # sides), and recomputing the interpreted rolling-hash chain per
+    # consumer is the dominant cost. Persisting the compact (doc_id, fp)
+    # pairs is exactly what an inverted-index build does at 100 TB too —
+    # the index is orders of magnitude smaller than the corpus.
+    #
+    # explode_OUTER, not explode: for plain explode, Catalyst's
+    # InferFiltersFromGenerate synthesizes `size(fps) > 0` and pushes it
+    # below every staged projection, inlining the whole winnow chain into
+    # one expression where the window lambda re-evaluates the gram array
+    # per position — O(n·k) becomes O(n²·k) per doc (measured: hang at
+    # 500 docs). The rule skips outer generates; the isNotNull filter on
+    # the generator OUTPUT cannot be pushed below the Generate, so the
+    # staging survives.
+    e = (
+        fpi.select("doc_id", F.explode_outer("fps").alias("fp"))
+        .where(F.col("fp").isNotNull())
+        .persist()
+    )
+    sizes = e.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_fps"))
+    ok = (
+        e.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .where(F.col("_df") <= max_doc_freq)
+        .select("fp")
+    )
+    f = e.join(ok, "fp")
+    a = f.select(F.col("fp"), F.col("doc_id").alias("id_a"))
+    b = f.select(F.col("fp"), F.col("doc_id").alias("id_b"))
+    pairs = (
+        a.join(b, "fp")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .where(F.col("shared") >= min_shared)
+    )
+    return (
+        pairs.join(sizes.withColumnRenamed("doc_id", "id_a"), "id_a")
+        .withColumnRenamed("n_fps", "n_a")
+        .join(
+            sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed(
+                "n_fps", "n_b"
+            ),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.col("shared").cast("long").alias("shared"),
+            F.round(
+                F.col("shared") / (F.col("n_a") + F.col("n_b") - F.col("shared")), 6
+            ).alias("overlap"),
+        )
+    )

@@ -43,6 +43,52 @@ def tumbling_stats(
     )
 
 
+def moving_stats(
+    df: DataFrame,
+    key_col: str,
+    order_cols: list[str],
+    value_col: str,
+    frame_rows: int,
+) -> DataFrame:
+    """Sliding row-frame stats: per key, ordered by ``order_cols``, the
+    moving sum/avg of ``value_col`` over the trailing ``frame_rows`` rows
+    plus the running (unbounded-preceding) total.
+
+    All three window aggregates share one (key, order) sort, so the
+    physical plan is a single hash-partition shuffle + in-partition sort —
+    the frame evaluation itself is streaming within the sort, no extra
+    pass. Sums go through the decimal path (aggregates.dec) so the
+    trailing-frame arithmetic is order-exact and matches the oracle
+    bit-for-bit; ``order_cols`` must end in a tiebreaker column that makes
+    the order total (frame semantics are undefined under ties).
+    """
+    from .aggregates import dec
+
+    order = [F.col(c).asc() for c in order_cols]
+    frame = (
+        Window.partitionBy(key_col)
+        .orderBy(*order)
+        .rowsBetween(-(frame_rows - 1), Window.currentRow)
+    )
+    run = (
+        Window.partitionBy(key_col)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return df.select(
+        key_col,
+        *order_cols,
+        F.col(value_col),
+        F.sum(dec(value_col)).over(frame).cast("double").alias("mov_sum"),
+        (F.sum(dec(value_col)).over(frame).cast("double") / F.count(F.lit(1)).over(frame)).alias("mov_avg"),
+        F.sum(dec(value_col)).over(run).cast("double").alias("run_sum"),
+        F.row_number()
+        .over(Window.partitionBy(key_col).orderBy(*order))
+        .cast("long")
+        .alias("seq"),
+    )
+
+
 def sessionize(
     df: DataFrame,
     key_col: str,

@@ -40,7 +40,7 @@ from .operators.pivot import explode_parallel_arrays
 from .operators.proximity import proximity_join
 from .operators.topk import top_k
 from .operators.trajectory import trajectory_speeds, value_rate
-from .operators.windows import sessionize, tumbling_stats
+from .operators.windows import moving_stats, sessionize, tumbling_stats
 from .tables import load_table
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -370,6 +370,32 @@ SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
        MAX(ts_us) // 1000000 AS session_end_s,
        CAST(COUNT(*) AS BIGINT) AS n_events
 FROM numbered GROUP BY user_id, session_seq
+"""
+
+
+def q_moving_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding row-frame window (SURVEY §2.6 frame generalization): per
+    user, trailing-5-row moving sum/avg of value plus running total.
+    One shuffle + one in-partition sort serves all four window exprs."""
+    ev = load_table(spark, sf_dir, "events")
+    return moving_stats(ev, "user_id", ["ts_us", "event_id"], "value", frame_rows=5)
+
+
+def _sql_moving() -> str:
+    mov = "ROWS BETWEEN 4 PRECEDING AND CURRENT ROW"
+    run = "ROWS UNBOUNDED PRECEDING"
+    ordr = "PARTITION BY user_id ORDER BY epoch_us(ts), event_id"
+    wsum = (
+        f"CAST(CAST(SUM(CAST(value AS {DEC})) OVER ({ordr} {{frame}})"
+        " AS VARCHAR) AS DOUBLE)"
+    )
+    return f"""
+SELECT user_id, epoch_us(ts) AS ts_us, event_id, value,
+  {wsum.format(frame=mov)} AS mov_sum,
+  {wsum.format(frame=mov)} / COUNT(*) OVER ({ordr} {mov}) AS mov_avg,
+  {wsum.format(frame=run)} AS run_sum,
+  CAST(row_number() OVER ({ordr}) AS BIGINT) AS seq
+FROM events
 """
 
 
@@ -745,6 +771,98 @@ GROUP BY ROLLUP(r_name, n_name)
 """
 
 
+def q_salted_supplier_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resilient salted join (SURVEY §7.4 hot-key posture): lineitem
+    facts salted across 8 buckets, supplier dim replicated 8x, then
+    per-nation revenue. Result is byte-identical to the unsalted join —
+    the oracle proves exactly that."""
+    from .operators.enrich import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_orderkey", "l_extendedprice"
+    )
+    sup = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("l_suppkey"), "s_nationkey"
+    )
+    j = salted_join(li, sup, key="l_suppkey", salt_col=F.col("l_orderkey"))
+    return j.groupBy("s_nationkey").agg(
+        stable_sum("l_extendedprice").alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+SQL_SALTED = f"""
+SELECT s_nationkey, {_ssum('l_extendedprice')} AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY s_nationkey
+"""
+
+
+def q_sales_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full CUBE over (returnflag, linestatus) with grouping_id — the
+    grouping-sets completion of q_sales_rollup. One Expand + one hash
+    aggregate; partials combine map-side so the 4x row expansion never
+    crosses the shuffle un-aggregated."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            stable_sum("l_quantity").alias("sum_qty"),
+            stable_sum("l_extendedprice").alias("sum_price"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .select("gid", "l_returnflag", "l_linestatus", "sum_qty", "sum_price", "n_items")
+    )
+
+
+SQL_CUBE = f"""
+SELECT CAST(grouping(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+       l_returnflag, l_linestatus,
+       {_ssum('l_quantity')} AS sum_qty,
+       {_ssum('l_extendedprice')} AS sum_price,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+"""
+
+
+def q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles of event value per type (order
+    statistics — the reference has only avg/min/max; p50/p90/p99 are the
+    latency-style stats any monitoring query layer needs). Exact
+    percentile needs the full value multiset per group — fine when groups
+    are few and wide; the approx_grouped_stats operator is the sketch
+    path when they aren't."""
+    ev = load_table(spark, sf_dir, "events")
+    pct = F.percentile("value", F.lit([0.25, 0.5, 0.9, 0.99]))
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            pct.alias("_p"),
+        )
+        .select(
+            "event_type",
+            "n",
+            F.round(F.element_at("_p", 1), 6).alias("p25"),
+            F.round(F.element_at("_p", 2), 6).alias("p50"),
+            F.round(F.element_at("_p", 3), 6).alias("p90"),
+            F.round(F.element_at("_p", 4), 6).alias("p99"),
+        )
+    )
+
+
+SQL_PERCENTILES = """
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       round(quantile_cont(value, 0.25), 6) AS p25,
+       round(quantile_cont(value, 0.5), 6) AS p50,
+       round(quantile_cont(value, 0.9), 6) AS p90,
+       round(quantile_cont(value, 0.99), 6) AS p99
+FROM events GROUP BY event_type
+"""
+
+
 # --------------------------------------------------------------------------
 # Text-analysis / LLM-pipeline queries (documents table)
 # --------------------------------------------------------------------------
@@ -946,6 +1064,127 @@ FROM persum GROUP BY doc_id
 """
 
 
+def q_simhash_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: band-blocked hamming join (lossless for
+    hamming ≤ 3 by pigeonhole over 4 bands — see operators.dedup)."""
+    return DD.simhash_neardup_pairs(_docs_with_tokens(spark, sf_dir))
+
+
+def _sql_simhash_neardups() -> str:
+    bands, width = DD.SIMHASH_BANDS, DD.SIMHASH_BITS // DD.SIMHASH_BANDS
+    maxh = DD.SIMHASH_MAX_HAMMING
+    return f"""
+WITH toks AS (SELECT doc_id, unnest({_toks('text')}) AS tokn FROM documents),
+hashed AS (SELECT doc_id, {_PORTABLE_HASH.format(s='tokn')} AS h FROM toks),
+bits AS (SELECT unnest(range(0, {DD.SIMHASH_BITS})) AS bit),
+contrib AS (
+  SELECT doc_id, bit, CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END AS w
+  FROM hashed CROSS JOIN bits
+),
+persum AS (SELECT doc_id, bit, SUM(w) AS s FROM contrib GROUP BY 1, 2),
+sh AS (
+  SELECT doc_id,
+    CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS simhash
+  FROM persum GROUP BY doc_id
+),
+banded AS (
+  SELECT doc_id, simhash, (simhash >> (band * {width})) & {(1 << width) - 1} AS bval, band
+  FROM sh CROSS JOIN (SELECT unnest(range(0, {bands})) AS band)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         a.simhash AS sh_a, b.simhash AS sh_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, CAST(bit_count(xor(sh_a, sh_b)) AS BIGINT) AS hamming
+FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= {maxh}
+"""
+
+
+def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc winnowed rolling-hash fingerprints (north-star text op:
+    document fingerprinting via rolling hash; MOSS winnowing selection).
+    Output pins the fingerprint set via count/min/max/sum aggregates."""
+    d = load_table(spark, sf_dir, "documents")
+    fpi = DD.winnow_fingerprints(d)
+    return fpi.select(
+        "doc_id",
+        "n_grams",
+        F.size("fps").cast("long").alias("n_fps"),
+        F.array_min("fps").alias("min_fp"),
+        F.array_max("fps").alias("max_fp"),
+        F.aggregate("fps", F.lit(0).cast("long"), lambda a, x: a + x).alias("sum_fp"),
+    )
+
+
+def _sql_winnow_base() -> str:
+    k, w = DD.WINNOW_K, DD.WINNOW_W
+    b, m = TX.ROLL_BASE, TX.ROLL_MOD
+    return f"""
+WITH s AS (
+  SELECT doc_id, regexp_replace({_norm('text')}, '[^ -~]', '', 'g') AS a FROM documents
+),
+h AS (
+  SELECT doc_id,
+    CASE WHEN length(a) >= {k} THEN
+      list_transform(generate_series(1, length(a) - {k - 1}),
+        i -> list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                 list_transform(generate_series(0, {k - 1}), j -> CAST(ord(a[i + j]) AS BIGINT))),
+               (acc, c) -> (acc * {b} + c) % {m}))
+    ELSE CAST([] AS BIGINT[]) END AS hashes
+  FROM s
+),
+wn AS (
+  SELECT doc_id, len(hashes) AS n_grams,
+    CASE WHEN len(hashes) = 0 THEN CAST([] AS BIGINT[])
+         WHEN len(hashes) < {w} THEN [list_min(hashes)]
+         ELSE list_distinct(list_transform(generate_series(1, len(hashes) - {w - 1}),
+                s -> list_min(hashes[s : s + {w - 1}])))
+    END AS fps
+  FROM h
+)
+"""
+
+
+def _sql_winnow_fps() -> str:
+    return (
+        _sql_winnow_base()
+        + """
+SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+  CAST(len(fps) AS BIGINT) AS n_fps,
+  list_min(fps) AS min_fp, list_max(fps) AS max_fp,
+  COALESCE(CAST(list_sum(fps) AS BIGINT), 0) AS sum_fp
+FROM wn
+"""
+    )
+
+
+def q_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS-style overlap detection: doc pairs sharing winnowed
+    fingerprints, stop-fingerprint capped (see operators.dedup)."""
+    d = load_table(spark, sf_dir, "documents")
+    return DD.winnow_overlap_pairs(d)
+
+
+def _sql_winnow_overlap() -> str:
+    cap, min_shared = DD.WINNOW_MAX_DOC_FREQ, DD.WINNOW_MIN_SHARED
+    return (
+        _sql_winnow_base()
+        + f"""
+, e AS (SELECT doc_id, len(fps) AS n_fps, unnest(fps) AS fp FROM wn),
+ok AS (SELECT fp FROM e GROUP BY fp HAVING count(*) <= {cap}),
+f AS (SELECT e.doc_id, e.n_fps, e.fp FROM e JOIN ok USING (fp))
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS shared,
+  round(CAST(count(*) AS DOUBLE) / (a.n_fps + b.n_fps - count(*)), 6) AS overlap
+FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id, a.n_fps, b.n_fps
+HAVING count(*) >= {min_shared}
+"""
+    )
+
+
 # --------------------------------------------------------------------------
 # Similarity search (embeddings table)
 # --------------------------------------------------------------------------
@@ -1084,6 +1323,7 @@ QUERIES: dict[str, QueryFn] = {
     "event_type_rate_stats": q_event_type_rate_stats,
     "hourly_event_stats": q_hourly_event_stats,
     "user_sessions": q_user_sessions,
+    "moving_event_stats": q_moving_event_stats,
     "value_buckets": q_value_buckets,
     "dedup_events": q_dedup_events,
     "top_customers": q_top_customers,
@@ -1098,6 +1338,9 @@ QUERIES: dict[str, QueryFn] = {
     "geo_nearby_events": q_geo_nearby_events,
     "emb_cosine_neardups": q_emb_cosine_neardups,
     "sales_rollup": q_sales_rollup,
+    "sales_cube": q_sales_cube,
+    "salted_supplier_stats": q_salted_supplier_stats,
+    "value_percentiles": q_value_percentiles,
     "doc_stats": q_doc_stats,
     "doc_lang_token_stats": q_doc_lang_token_stats,
     "doc_exact_dups": q_doc_exact_dups,
@@ -1105,6 +1348,9 @@ QUERIES: dict[str, QueryFn] = {
     "minhash_signatures": q_minhash_signatures,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "simhash": q_simhash,
+    "simhash_neardups": q_simhash_neardups,
+    "winnow_fingerprints": q_winnow_fingerprints,
+    "winnow_overlap": q_winnow_overlap,
     "cosine_topk": q_cosine_topk,
     "embedding_norms": q_embedding_norms,
     "ann_lsh": q_ann_lsh,
@@ -1124,6 +1370,7 @@ def build_oracles() -> dict[str, str]:
         "event_type_rate_stats": SQL_RATE_STATS,
         "hourly_event_stats": SQL_HOURLY,
         "user_sessions": SQL_SESSIONS,
+        "moving_event_stats": _sql_moving(),
         "value_buckets": SQL_BUCKETS,
         "dedup_events": SQL_DEDUP_EVENTS,
         "top_customers": SQL_TOP_CUSTOMERS,
@@ -1138,6 +1385,9 @@ def build_oracles() -> dict[str, str]:
         "geo_nearby_events": SQL_GEO_NEARBY,
         "emb_cosine_neardups": _sql_emb_neardups(),
         "sales_rollup": SQL_ROLLUP,
+        "sales_cube": SQL_CUBE,
+        "salted_supplier_stats": SQL_SALTED,
+        "value_percentiles": SQL_PERCENTILES,
         "doc_stats": _sql_doc_stats(),
         "doc_lang_token_stats": SQL_LANG_TOKENS,
         "doc_exact_dups": SQL_EXACT_DUPS,
@@ -1145,6 +1395,9 @@ def build_oracles() -> dict[str, str]:
         "minhash_signatures": SQL_MINHASH_SIG,
         "minhash_lsh_pairs": _sql_minhash_lsh(),
         "simhash": SQL_SIMHASH,
+        "simhash_neardups": _sql_simhash_neardups(),
+        "winnow_fingerprints": _sql_winnow_fps(),
+        "winnow_overlap": _sql_winnow_overlap(),
         "cosine_topk": SQL_COSINE_TOPK,
         "embedding_norms": SQL_EMB_NORMS,
         # ann_lsh: intentionally no oracle (approximate, engine-defined)
