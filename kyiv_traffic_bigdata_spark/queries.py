@@ -399,6 +399,37 @@ FROM events
 """
 
 
+def q_event_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction (SURVEY §2.2 json surface): parse the
+    events.props JSON string with a TYPED from_json schema — schema'd
+    parse stays in codegen and prunes to the one referenced field,
+    unlike per-row get_json_object string probing — then aggregate the
+    extracted field per event type."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.from_json(F.col("props"), "k BIGINT")["k"]
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.count_if(F.col("k") >= 50).alias("n_high"),
+        )
+    )
+
+
+SQL_PROPS = """
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(props ->> 'k' AS BIGINT)) AS BIGINT) AS sum_k,
+       MIN(CAST(props ->> 'k' AS BIGINT)) AS min_k,
+       MAX(CAST(props ->> 'k' AS BIGINT)) AS max_k,
+       CAST(count_if(CAST(props ->> 'k' AS BIGINT) >= 50) AS BIGINT) AS n_high
+FROM events GROUP BY event_type
+"""
+
+
 def q_value_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CASE-cascade bucketing + counts (SURVEY P10/A7)."""
     ev = load_table(spark, sf_dir, "events")
@@ -1324,6 +1355,7 @@ QUERIES: dict[str, QueryFn] = {
     "hourly_event_stats": q_hourly_event_stats,
     "user_sessions": q_user_sessions,
     "moving_event_stats": q_moving_event_stats,
+    "event_props_stats": q_event_props_stats,
     "value_buckets": q_value_buckets,
     "dedup_events": q_dedup_events,
     "top_customers": q_top_customers,
@@ -1371,6 +1403,7 @@ def build_oracles() -> dict[str, str]:
         "hourly_event_stats": SQL_HOURLY,
         "user_sessions": SQL_SESSIONS,
         "moving_event_stats": _sql_moving(),
+        "event_props_stats": SQL_PROPS,
         "value_buckets": SQL_BUCKETS,
         "dedup_events": SQL_DEDUP_EVENTS,
         "top_customers": SQL_TOP_CUSTOMERS,

@@ -112,3 +112,48 @@ def test_doc_stats_tokenizes_once(plans):
     plan = plans("doc_stats")
     # each split( occurrence in the final plan is one tokenizer evaluation
     assert plan.count("split(regexp_replace") <= 4
+
+
+def test_winnow_overlap_no_inlined_hash_chain(spark, sf_dir):
+    """Regression guard for the InferFiltersFromGenerate blowup: no scan
+    or filter in the winnow pair plan may contain the inlined rolling-hash
+    chain (aggregate(slice(...)) inside a filter means the O(n·k) gram map
+    went quadratic — measured as a hang at 500 docs)."""
+    from kyiv_traffic_bigdata_spark.operators.dedup import winnow_overlap_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = physical_plan(winnow_overlap_pairs(docs))
+    for m in re.finditer(r"\(\d+\) Filter\b.*?(?=\(\d+\) )", plan, re.S):
+        assert "aggregate(slice" not in m.group(0)
+
+
+def test_salted_join_replicates_dim_not_fact(spark, sf_dir):
+    """The salted join must explode (replicate) only the dimension side;
+    the fact side gets a scalar salt projection. A Generate over the
+    fact table means the salting is inverted and fact bytes multiply."""
+    from kyiv_traffic_bigdata_spark.operators.enrich import salted_join
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_suppkey", "l_orderkey", "l_extendedprice"
+    )
+    sup = spark.read.parquet(f"{sf_dir}/supplier.parquet").select(
+        F.col("s_suppkey").alias("l_suppkey"), "s_nationkey"
+    )
+    plan = physical_plan(salted_join(li, sup, "l_suppkey", F.col("l_orderkey")))
+    gen_blocks = re.findall(r"\(\d+\) Generate\b.*?(?=\(\d+\) )", plan, re.S)
+    assert len(gen_blocks) == 1
+    assert "s_nationkey" in gen_blocks[0]
+
+
+def test_moving_stats_single_shuffle(plans):
+    """All four window expressions (two frames + running + row_number)
+    share one (key, order) sort: exactly one exchange in the plan."""
+    assert exchange_count(plans("moving_event_stats")) == 1
+
+
+def test_simhash_neardups_no_cartesian(plans):
+    """Band blocking must compile to an equi-join on (band, bval) —
+    never a cartesian/broadcast-nested-loop over the doc corpus."""
+    plan = plans("simhash_neardups")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
