@@ -34,6 +34,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-runnable ANSI SQL twin for each query (ann_lsh / ann_ivf
-    intentionally omitted: approximate ops, checked by recall tests instead)."""
+    """DuckDB-runnable ANSI SQL twin for each query (ann_lsh / ann_ivf /
+    approx_event_stats intentionally omitted: approximate ops, checked by
+    recall/error tests instead)."""
     return build_oracles()

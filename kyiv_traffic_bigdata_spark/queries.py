@@ -399,6 +399,17 @@ FROM events
 """
 
 
+def q_approx_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-path per-type stats (SURVEY §4 item 4 / A3 scale variant):
+    HLL++ approx distinct users instead of the exact countDistinct
+    expand. Approximate by design → no SQL oracle; the accuracy contract
+    (≤2% error vs exact at rsd=0.01) is pinned by tests/test_approx.py."""
+    from .operators.aggregates import approx_grouped_stats
+
+    ev = load_table(spark, sf_dir, "events")
+    return approx_grouped_stats(ev, ["event_type"], "value", "user_id", rsd=0.01)
+
+
 def q_event_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured extraction (SURVEY §2.2 json surface): parse the
     events.props JSON string with a TYPED from_json schema — schema'd
@@ -1356,6 +1367,7 @@ QUERIES: dict[str, QueryFn] = {
     "user_sessions": q_user_sessions,
     "moving_event_stats": q_moving_event_stats,
     "event_props_stats": q_event_props_stats,
+    "approx_event_stats": q_approx_event_stats,
     "value_buckets": q_value_buckets,
     "dedup_events": q_dedup_events,
     "top_customers": q_top_customers,
@@ -1433,7 +1445,8 @@ def build_oracles() -> dict[str, str]:
         "winnow_overlap": _sql_winnow_overlap(),
         "cosine_topk": SQL_COSINE_TOPK,
         "embedding_norms": SQL_EMB_NORMS,
-        # ann_lsh: intentionally no oracle (approximate, engine-defined)
+        # ann_lsh / ann_ivf / approx_event_stats: intentionally no oracle
+        # (approximate by design; accuracy pinned by recall/error tests)
         "multimodal_features": SQL_MULTIMODAL,
         "weather_pivot": _sql_weather(),
     }
