@@ -1,0 +1,132 @@
+"""Custom stateful streaming operator: incremental trajectory speeds.
+
+The batch flagship (operators/trajectory.py, reference kpt/visualize.py:60-88)
+computes per-vehicle consecutive-fix speeds with a lag window — which needs
+the whole history per key. The streaming form keeps ONE fix per vehicle as
+managed state and emits a speed row per arriving fix: this is SURVEY §2.8's
+genuinely non-SQL-expressible custom stateful op, implemented on
+``applyInPandasWithState`` (Arrow-batched per-key state, RocksDB/HDFS state
+store at scale — the same store that backs the built-in streaming dedup).
+
+Scale posture: state is O(#vehicles) (one 24-byte fix each), not O(#fixes);
+the state store shards by the grouping key across executors; the
+processing-time timeout evicts vehicles not seen for ``state_ttl_s`` exactly
+like the reference's TTL sweep (websocket_client.py:117-121).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from ..config import MAX_PLAUSIBLE_SPEED_KMH, MAX_TIME_GAP_S
+
+EARTH_RADIUS_KM = 6371.0
+
+OUTPUT_SCHEMA = (
+    "vehicle_id long, ts long, dt_s long, dist_km double, speed_kmh double"
+)
+STATE_SCHEMA = "lat double, lon double, ts long"
+
+
+def _haversine_km(lat1, lon1, lat2, lon2):
+    """Vectorized haversine (numpy arrays in, km out) — same formula as
+    functions/geo.py (reference kpt/visualize.py:26-36)."""
+    import numpy as np
+
+    rlat1, rlat2 = np.radians(lat1), np.radians(lat2)
+    dlat = np.radians(lat2 - lat1)
+    dlon = np.radians(lon2 - lon1)
+    a = (
+        np.sin(dlat / 2) ** 2
+        + np.cos(rlat1) * np.cos(rlat2) * np.sin(dlon / 2) ** 2
+    )
+    return EARTH_RADIUS_KM * 2 * np.arctan2(np.sqrt(a), np.sqrt(1 - a))
+
+
+def make_speed_fn(
+    gap_max_s: int = MAX_TIME_GAP_S,
+    speed_max: float = MAX_PLAUSIBLE_SPEED_KMH,
+    state_ttl_s: int = 3600,
+):
+    """Build the per-key stateful function (closure over the guards).
+
+    Semantics per vehicle: fixes sorted by ts, chained with the remembered
+    last fix; each consecutive pair yields (dt, dist, speed) gated by the
+    reference's F5/F6 guards (0 < dt <= gap_max_s, 0 < speed < speed_max);
+    state advances to the newest fix either way.
+    """
+
+    def fn(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        if rows.empty:
+            state.setTimeoutDuration(state_ttl_s * 1000)
+            return
+        rows = rows.sort_values("ts", kind="mergesort", ignore_index=True)
+        if state.exists:
+            plat, plon, pts = state.get
+            prev = pd.DataFrame({"lat": [plat], "lon": [plon], "ts": [pts]})
+            chain = pd.concat([prev, rows[["lat", "lon", "ts"]]], ignore_index=True)
+        else:
+            chain = rows[["lat", "lon", "ts"]]
+        last = chain.iloc[-1]
+        state.update((float(last["lat"]), float(last["lon"]), int(last["ts"])))
+        state.setTimeoutDuration(state_ttl_s * 1000)
+        if len(chain) < 2:
+            return
+        cur, prv = chain.iloc[1:].reset_index(drop=True), chain.iloc[:-1].reset_index(drop=True)
+        dt = (cur["ts"] - prv["ts"]).astype("int64")
+        dist = _haversine_km(
+            prv["lat"].to_numpy(), prv["lon"].to_numpy(),
+            cur["lat"].to_numpy(), cur["lon"].to_numpy(),
+        )
+        speed = pd.Series(dist, dtype="float64") * 3600.0 / dt.where(dt != 0, 1)
+        out = pd.DataFrame(
+            {
+                "vehicle_id": key[0],
+                "ts": cur["ts"].astype("int64"),
+                "dt_s": dt,
+                "dist_km": dist,
+                "speed_kmh": speed,
+            }
+        )
+        mask = (dt > 0) & (dt <= gap_max_s) & (speed > 0) & (speed < speed_max)
+        out = out[mask.to_numpy()]
+        if not out.empty:
+            yield out
+
+    return fn
+
+
+def streaming_trajectory_speeds(
+    positions: DataFrame,
+    gap_max_s: int = MAX_TIME_GAP_S,
+    speed_max: float = MAX_PLAUSIBLE_SPEED_KMH,
+    state_ttl_s: int = 3600,
+) -> DataFrame:
+    """W1 trajectory speeds over a STREAMING positions frame.
+
+    Input needs columns (vehicle_id:long, lat:double, lon:double, ts:long).
+    Output one row per plausible consecutive-fix pair, incrementally.
+    """
+    return positions.groupBy("vehicle_id").applyInPandasWithState(
+        make_speed_fn(gap_max_s, speed_max, state_ttl_s),
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
+
+
+__all__ = ["streaming_trajectory_speeds", "make_speed_fn", "OUTPUT_SCHEMA", "STATE_SCHEMA"]

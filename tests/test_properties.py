@@ -116,3 +116,40 @@ def test_exact_dup_copies_sum_to_input(spark, texts):
     assert sum(g.copies for g in groups) == len(texts)
     norm = {" ".join(t.lower().split()) for t in texts}
     assert len(groups) == len(norm)
+
+
+ascii_word = st.text(alphabet="abcdefghijklmnopqrstuvwxyz", min_size=1, max_size=8)
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.lists(ascii_word, min_size=0, max_size=20),  # prefix words
+            st.lists(ascii_word, min_size=3, max_size=6),   # shared words
+            st.lists(ascii_word, min_size=0, max_size=20),  # suffix words
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+@SETTINGS
+def test_winnowing_guarantee_shared_substring_shares_fingerprint(spark, cases):
+    """The winnowing guarantee (Schleimer/Wilkerson/Aiken): two docs
+    sharing a substring of length >= w + k - 1 (10 chars at k=7, w=4)
+    must share at least one fingerprint. Shared word runs are joined with
+    single spaces so normalize_text preserves them verbatim in both docs."""
+    from kyiv_traffic_bigdata_spark.operators.dedup import winnow_fingerprints
+
+    rows = []
+    expected_pairs = []
+    for i, (pre, shared, suf) in enumerate(cases):
+        mid = " ".join(shared)
+        a_id, b_id = 2 * i, 2 * i + 1
+        rows.append((a_id, " ".join([*pre, mid])))
+        rows.append((b_id, " ".join([mid, *suf])))
+        if len(mid) >= 10:
+            expected_pairs.append((a_id, b_id))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = {r.doc_id: set(r.fps) for r in winnow_fingerprints(docs).collect()}
+    for a_id, b_id in expected_pairs:
+        assert fps[a_id] & fps[b_id], (a_id, b_id)

@@ -1,0 +1,92 @@
+"""Custom stateful operator tests: applyInPandasWithState trajectory
+speeds must carry per-vehicle state ACROSS micro-batches (the property a
+lag window cannot give you incrementally)."""
+
+from __future__ import annotations
+
+import json
+import time
+
+from kyiv_traffic_bigdata_spark.streaming.stateful import streaming_trajectory_speeds
+
+SCHEMA = "vehicle_id long, lat double, lon double, ts long"
+
+
+def _write_batch(dirpath, name, rows):
+    (dirpath / name).write_text(
+        "\n".join(
+            json.dumps(dict(zip(("vehicle_id", "lat", "lon", "ts"), r))) for r in rows
+        )
+        + "\n"
+    )
+
+
+def test_state_carries_across_micro_batches(spark, tmp_path):
+    src = tmp_path / "src"
+    src.mkdir()
+    # batch 1: two fixes for vehicle 1 (one in-batch pair), one fix for 2
+    _write_batch(src, "b1.json", [(1, 50.40, 30.50, 1000), (1, 50.41, 30.50, 1060), (2, 50.45, 30.52, 1000)])
+
+    stream = spark.readStream.schema(SCHEMA).json(str(src))
+    speeds = streaming_trajectory_speeds(stream)
+    q = (
+        speeds.writeStream.format("memory")
+        .queryName("traj_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(processingTime="1 seconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            if spark.sql("SELECT * FROM traj_out").count() >= 1:
+                break
+            time.sleep(0.5)
+        # batch 2: next fix for each vehicle -> both pair with REMEMBERED state
+        _write_batch(src, "b2.json", [(1, 50.42, 30.50, 1120), (2, 50.46, 30.52, 1060)])
+        while time.time() < deadline:
+            if spark.sql("SELECT * FROM traj_out").count() >= 3:
+                break
+            time.sleep(0.5)
+        rows = {(r.vehicle_id, r.ts): r for r in spark.sql("SELECT * FROM traj_out").collect()}
+    finally:
+        q.stop()
+
+    # in-batch pair (batch 1)
+    assert (1, 1060) in rows
+    # cross-batch pairs: vehicle 1's third fix against batch-1 state,
+    # vehicle 2's second fix against its single batch-1 fix
+    assert (1, 1120) in rows and (2, 1060) in rows
+    v2 = rows[(2, 1060)]
+    assert v2.dt_s == 60 and 0 < v2.speed_kmh < 120
+    # ~1.11 km in 60 s -> ~67 km/h for vehicle 1's steps
+    assert abs(rows[(1, 1060)].speed_kmh - rows[(1, 1120)].speed_kmh) < 5
+
+
+def test_implausible_pairs_are_gated(spark, tmp_path):
+    src = tmp_path / "src2"
+    src.mkdir()
+    # dt=0 (dup ts), dt > 300 s gap, and a teleport (>120 km/h) all drop
+    _write_batch(
+        src,
+        "b1.json",
+        [
+            (7, 50.40, 30.50, 1000),
+            (7, 50.41, 30.50, 1000),   # dt=0
+            (7, 51.40, 30.50, 1030),   # ~111 km in 30 s -> gated
+            (7, 51.41, 30.50, 2000),   # dt=970 > 300 -> gated
+        ],
+    )
+    stream = spark.readStream.schema(SCHEMA).json(str(src))
+    q = (
+        streaming_trajectory_speeds(stream)
+        .writeStream.format("memory")
+        .queryName("traj_gated")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    assert spark.sql("SELECT * FROM traj_gated").count() == 0
