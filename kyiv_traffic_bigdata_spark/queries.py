@@ -841,6 +841,33 @@ GROUP BY s_nationkey
 """
 
 
+def q_top_orders_per_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k (SURVEY W3/W4 generalized from global to grouped):
+    3 highest-value orders per order priority. One shuffle on the group
+    key; rank window with a unique tiebreak so results are total-ordered."""
+    from .operators.topk import top_k_per_group
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_orderkey", "o_totalprice"
+    )
+    return top_k_per_group(
+        o,
+        ["o_orderpriority"],
+        [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()],
+        k=3,
+    )
+
+
+SQL_TOP_PER_GROUP = """
+SELECT o_orderpriority, o_orderkey, o_totalprice FROM (
+  SELECT o_orderpriority, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+  FROM orders
+) WHERE rn <= 3
+"""
+
+
 def q_sales_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full CUBE over (returnflag, linestatus) with grouping_id — the
     grouping-sets completion of q_sales_rollup. One Expand + one hash
@@ -1383,6 +1410,7 @@ QUERIES: dict[str, QueryFn] = {
     "emb_cosine_neardups": q_emb_cosine_neardups,
     "sales_rollup": q_sales_rollup,
     "sales_cube": q_sales_cube,
+    "top_orders_per_priority": q_top_orders_per_priority,
     "salted_supplier_stats": q_salted_supplier_stats,
     "value_percentiles": q_value_percentiles,
     "doc_stats": q_doc_stats,
@@ -1431,6 +1459,7 @@ def build_oracles() -> dict[str, str]:
         "emb_cosine_neardups": _sql_emb_neardups(),
         "sales_rollup": SQL_ROLLUP,
         "sales_cube": SQL_CUBE,
+        "top_orders_per_priority": SQL_TOP_PER_GROUP,
         "salted_supplier_stats": SQL_SALTED,
         "value_percentiles": SQL_PERCENTILES,
         "doc_stats": _sql_doc_stats(),
