@@ -441,6 +441,34 @@ FROM events GROUP BY event_type
 """
 
 
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def q_event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot reshape: per user-cohort counts with one column per event
+    type. The pivot value list is pinned (never inferred) — inference
+    costs an extra distinct scan and makes the output schema
+    data-dependent, which breaks both streaming reuse and the fixed-
+    schema contract a 100 TB pipeline wants."""
+    ev = load_table(spark, sf_dir, "events")
+    p = (
+        ev.withColumn("cohort", F.pmod(F.col("user_id"), F.lit(10)).cast("long"))
+        .groupBy("cohort")
+        .pivot("event_type", list(EVENT_TYPES))
+        .agg(F.count(F.lit(1)))
+    )
+    return p.select(
+        "cohort",
+        *[F.coalesce(F.col(t), F.lit(0)).cast("long").alias(t) for t in EVENT_TYPES],
+    )
+
+
+SQL_PIVOT = "SELECT user_id % 10 AS cohort, " + ", ".join(
+    f"CAST(count(*) FILTER (WHERE event_type = '{t}') AS BIGINT) AS {t}"
+    for t in EVENT_TYPES
+) + " FROM events GROUP BY 1"
+
+
 def q_value_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CASE-cascade bucketing + counts (SURVEY P10/A7)."""
     ev = load_table(spark, sf_dir, "events")
@@ -1395,6 +1423,7 @@ QUERIES: dict[str, QueryFn] = {
     "moving_event_stats": q_moving_event_stats,
     "event_props_stats": q_event_props_stats,
     "approx_event_stats": q_approx_event_stats,
+    "event_type_pivot": q_event_type_pivot,
     "value_buckets": q_value_buckets,
     "dedup_events": q_dedup_events,
     "top_customers": q_top_customers,
@@ -1444,6 +1473,7 @@ def build_oracles() -> dict[str, str]:
         "user_sessions": SQL_SESSIONS,
         "moving_event_stats": _sql_moving(),
         "event_props_stats": SQL_PROPS,
+        "event_type_pivot": SQL_PIVOT,
         "value_buckets": SQL_BUCKETS,
         "dedup_events": SQL_DEDUP_EVENTS,
         "top_customers": SQL_TOP_CUSTOMERS,
