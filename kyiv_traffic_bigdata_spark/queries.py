@@ -824,9 +824,16 @@ def q_sales_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
         .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
     )
-    return j.rollup("r_name", "n_name").agg(
-        stable_sum("o_totalprice").alias("revenue"),
-        F.count("*").cast("long").alias("n_orders"),
+    # Two-phase rollup (same partial-reaggregation trick as q_sales_cube):
+    # collapse the joined facts to per-(region, nation) partials first, so
+    # the rollup's 3x Expand multiplies 25 nation rows, not every order.
+    base = j.groupBy("r_name", "n_name").agg(
+        F.sum(dec("o_totalprice")).alias("_rev"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    return base.rollup("r_name", "n_name").agg(
+        F.sum("_rev").cast("double").alias("revenue"),
+        F.sum("_n").alias("n_orders"),
     )
 
 
