@@ -35,34 +35,44 @@ def infer_sf(path: str) -> float:
 
 def main() -> None:
     spark = get_spark("bench")
+    errors: dict[str, str] = {}
     # warm the JVM, codegen compiler, and every table's file listing +
     # footer metadata once so per-query numbers measure the queries, not
     # session bootstrap — the long-running-cluster posture the 100 TB
     # target implies. count() touches parquet footers/row-group stats
     # only, no data pages. load_table knows the events nanos quirk.
+    # Fault-isolated: one broken table must never zero the whole bench.
     for t in TABLE_NAMES:
-        load_table(spark, SF_DIR, t).count()
+        try:
+            load_table(spark, SF_DIR, t).count()
+        except Exception as exc:  # noqa: BLE001 — report, keep benching
+            errors[f"warmup:{t}"] = str(exc).splitlines()[0][:300]
+            print(f"# warmup {t} FAILED: {errors[f'warmup:{t}']}", file=sys.stderr)
 
     timings: dict[str, float] = {}
     for name, fn in QUERIES.items():
         t0 = time.perf_counter()
-        df = fn(spark, SF_DIR)
-        df.write.mode("overwrite").format("noop").save()
+        try:
+            df = fn(spark, SF_DIR)
+            df.write.mode("overwrite").format("noop").save()
+        except Exception as exc:  # noqa: BLE001 — partial results beat none
+            errors[name] = str(exc).splitlines()[0][:300]
+            print(f"# {name} FAILED: {errors[name]}", file=sys.stderr)
+            continue
         timings[name] = round(time.perf_counter() - t0, 3)
         print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": infer_sf(SF_DIR),
-            }
-        )
-    )
+    out = {
+        "metric": "total_query_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": infer_sf(SF_DIR),
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
     spark.stop()
 
 

@@ -4,11 +4,15 @@ The driver generates TPC-H-ish parquet (``region nation customer supplier
 part orders lineitem events documents embeddings``, see TESTDATA.md). This
 module is the single place that knows two quirks:
 
-* ``events.ts`` is parquet INT64 TIMESTAMP(NANOS), which Spark refuses to
-  read natively — we flip ``spark.sql.legacy.parquet.nanosAsLong`` and
-  expose BOTH the raw nanos (``ts_ns``), exact micros (``ts_us``, integer
-  division, never double math: int64 nanos exceed 2^53) and a proper
-  ``TimestampType`` column (``ts``) for event-time windowing.
+* ``events.ts`` may arrive either as a native timestamp (the driver's
+  testdata is plain parquet ``timestamp[us]``, read as TIMESTAMP_NTZ) or as
+  INT64 TIMESTAMP(NANOS) (which Spark only reads with
+  ``spark.sql.legacy.parquet.nanosAsLong``, surfacing LongType nanos). We
+  dispatch on the *loaded* dtype and normalize to a uniform contract: raw
+  nanos (``ts_ns``), exact micros (``ts_us``, integer math only — int64
+  nanos exceed 2^53 so double division would corrupt), and a proper
+  ``TimestampType`` column (``ts``) for event-time windowing. Session TZ is
+  pinned to UTC (session.py), so NTZ→timestamp is an identity re-tag.
 * all other timestamp columns are micro/milli precision and read natively.
 
 Scale note: loaders only attach metadata / cheap projections — no caching,
@@ -40,17 +44,30 @@ TABLE_NAMES = (
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one testdata table, normalizing the events timestamp."""
     if name == "events":
-        # INT64 TIMESTAMP(NANOS) → LongType nanos. Session-level legacy
-        # conf; harmless for every other table in this repo.
+        # Lets INT64 TIMESTAMP(NANOS) files load at all (as LongType nanos);
+        # a no-op for native timestamp[us] files like the driver testdata.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
-        df = (
-            df.withColumnRenamed("ts", "ts_ns")
-            # integer division: exact for any int64; double division is NOT.
-            .withColumn("ts_us", F.expr("ts_ns div 1000"))
-            .withColumn("ts", F.timestamp_micros(F.col("ts_us")))
-        )
+        ts_type = df.schema["ts"].dataType.typeName()
+        if ts_type in ("long", "bigint"):
+            # True nanos path: integer division is exact for any int64;
+            # double division is NOT (nanos exceed 2^53).
+            df = (
+                df.withColumnRenamed("ts", "ts_ns")
+                .withColumn("ts_us", F.expr("ts_ns div 1000"))
+                .withColumn("ts", F.timestamp_micros(F.col("ts_us")))
+            )
+        else:
+            # timestamp / timestamp_ntz path (the actual testdata). Session
+            # TZ is UTC, so casting NTZ through unix_micros is lossless.
+            df = (
+                df.withColumn(
+                    "ts_us", F.unix_micros(F.col("ts").cast("timestamp"))
+                )
+                .withColumn("ts_ns", F.col("ts_us") * F.lit(1000))
+                .withColumn("ts", F.col("ts").cast("timestamp"))
+            )
     return df
 
 
