@@ -79,32 +79,40 @@ def shingle_index(
     )
 
 
-def ngram_jaccard_pairs(
-    docs: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    ngram: int = 3,
-    threshold: float = 0.5,
+#: Stop-shingle document-frequency cap for ngram_jaccard_pairs candidate
+#: generation. A shingle shared by more than this many documents is a
+#: "stop shingle" (boilerplate): its posting list contributes O(df²)
+#: candidate pairs — one hot shingle shared by millions of docs is a
+#: quadratic join blow-up at 100 TB — while carrying ~no near-dup signal,
+#: because genuinely similar docs share many RARE shingles. Pruning
+#: applies to candidate generation ONLY; verification still computes
+#: Jaccard over the FULL shingle sets, so surfaced pairs keep their exact
+#: score (recall-only, zero-false-positive pruning — same contract as LSH).
+NGRAM_MAX_DOC_FREQ = 100
+
+
+def jaccard_verify(
+    candidates: DataFrame, idx: DataFrame, threshold: float
 ) -> DataFrame:
-    """Near-dup pairs by exact word-n-gram Jaccard similarity.
+    """Exact-Jaccard verification of (id_a, id_b) candidate pairs against a
+    (doc_id, shingle) inverted index.
 
-    Candidate generation = self-join of the shingle inverted index (only
-    docs sharing ≥1 shingle ever meet — the 100 TB-safe pruning); exact
-    Jaccard = |∩| / (|A|+|B|−|∩|) on candidates. Output (a<b) pairs with
-    jaccard ≥ threshold, rounded to 6 for engine portability.
-
-    Skew note: a stop-shingle shared by millions of docs would explode the
-    self-join; production path caps posting-list length (drop shingles with
-    document frequency above a cutoff) — harmless for recall at sensible
-    thresholds because near-dup pairs share many rare shingles.
+    Work is bounded by |candidates| × shingles/doc, independent of corpus
+    size: intersections come from candidates ⋈ index_a ⋈ index_b, never a
+    full index self-join. Output has NO false positives; shared by the
+    n-gram-Jaccard and MinHash-LSH paths so both report identical scores
+    for the same pair.
     """
-    idx = shingle_index(docs, id_col, text_col, ngram)
     sizes = idx.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
-    a, b = idx.alias("a"), idx.alias("b")
+    ia, ib = idx.alias("ia"), idx.alias("ib")
     inter = (
-        a.join(b, "shingle")
-        .where(F.col("a.doc_id") < F.col("b.doc_id"))
-        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        candidates.join(ia, F.col("id_a") == F.col("ia.doc_id"))
+        .join(
+            ib,
+            (F.col("id_b") == F.col("ib.doc_id"))
+            & (F.col("ia.shingle") == F.col("ib.shingle")),
+        )
+        .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
     return (
@@ -127,6 +135,45 @@ def ngram_jaccard_pairs(
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram: int = 3,
+    threshold: float = 0.5,
+    max_doc_freq: int = NGRAM_MAX_DOC_FREQ,
+) -> DataFrame:
+    """Near-dup pairs by exact word-n-gram Jaccard similarity.
+
+    Candidate generation = self-join of the shingle inverted index with
+    stop-shingles pruned (document frequency > ``max_doc_freq`` — the same
+    posting-list cap winnow_overlap_pairs applies): only docs sharing ≥1
+    *rare* shingle ever meet, so candidate volume tracks true near-dup
+    density instead of the df² of the hottest boilerplate phrase — the
+    100 TB-safe pruning. Verification then computes exact
+    Jaccard = |∩| / (|A|+|B|−|∩|) over the FULL (unpruned) shingle sets,
+    bounded by the candidate list, so scores are unchanged by the cap.
+    Output (a<b) pairs with jaccard ≥ threshold, rounded to 6 for engine
+    portability.
+    """
+    idx = shingle_index(docs, id_col, text_col, ngram)
+    rare = (
+        idx.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .where(F.col("_df") <= max_doc_freq)
+        .select("shingle")
+    )
+    pruned = idx.join(rare, "shingle")
+    a, b = pruned.alias("a"), pruned.alias("b")
+    candidates = (
+        a.join(b, "shingle")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
+    )
+    return jaccard_verify(candidates, idx, threshold)
 
 
 def minhash_signatures(
@@ -196,44 +243,13 @@ def minhash_lsh_pairs(
         .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
         .distinct()
     )
-    # Exact-Jaccard verification bounded by the candidate set: intersect
-    # shingles only for LSH-surfaced pairs (candidates ⋈ index_a ⋈ index_b)
+    # Exact-Jaccard verification bounded by the candidate set (shared
+    # jaccard_verify): intersect shingles only for LSH-surfaced pairs
     # instead of re-running the full inverted-index self-join — that would
-    # cost the same as ngram_jaccard_pairs and defeat LSH's purpose. Work
-    # here tracks |candidates| x shingles/doc, independent of corpus size.
+    # cost the same as an uncapped ngram_jaccard_pairs and defeat LSH's
+    # purpose.
     idx = shingle_index(docs, id_col, text_col, ngram)
-    sizes = idx.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
-    ia, ib = idx.alias("ia"), idx.alias("ib")
-    inter = (
-        candidates.join(ia, F.col("id_a") == F.col("ia.doc_id"))
-        .join(
-            ib,
-            (F.col("id_b") == F.col("ib.doc_id"))
-            & (F.col("ia.shingle") == F.col("ib.shingle")),
-        )
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
-    return (
-        inter.join(sizes.withColumnRenamed("doc_id", "id_a"), "id_a")
-        .withColumnRenamed("n_shingles", "n_a")
-        .join(
-            sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed(
-                "n_shingles", "n_b"
-            ),
-            "id_b",
-        )
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.col("n_inter")
-                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"),
-                6,
-            ),
-        )
-        .where(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
-    )
+    return jaccard_verify(candidates, idx, threshold)
 
 
 def simhash(
@@ -404,12 +420,20 @@ def winnow_overlap_pairs(
     the end, exactly like ngram_jaccard_pairs.
     """
     fpi = winnow_fingerprints(docs, id_col, text_col, k, w)
-    # Materialize the exploded inverted index ONCE (persist): it feeds
-    # four consumers (set sizes, stop-gram doc-freq filter, both join
-    # sides), and recomputing the interpreted rolling-hash chain per
-    # consumer is the dominant cost. Persisting the compact (doc_id, fp)
-    # pairs is exactly what an inverted-index build does at 100 TB too —
-    # the index is orders of magnitude smaller than the corpus.
+    # Materialize the exploded inverted index ONCE: it feeds four
+    # consumers (set sizes, stop-gram doc-freq filter, both join sides),
+    # and recomputing the interpreted rolling-hash chain per consumer is
+    # the dominant cost. localCheckpoint (not .persist()): a persist'd
+    # plan lives in the shared CacheManager until someone explicitly
+    # unpersists it — and this function returns a lazy DataFrame, so
+    # there is no correct place to do that; the entry leaked per call.
+    # A local checkpoint materializes eagerly to executor-local
+    # MEMORY_AND_DISK, truncates lineage, and is reclaimed by the
+    # ContextCleaner when the RDD is GC'd. The index is orders of
+    # magnitude smaller than the corpus (exactly what an inverted-index
+    # build materializes at 100 TB too); on a real cluster you'd swap
+    # this for a reliable checkpoint/parquet stage since local
+    # checkpoints don't survive executor loss.
     #
     # explode_OUTER, not explode: for plain explode, Catalyst's
     # InferFiltersFromGenerate synthesizes `size(fps) > 0` and pushes it
@@ -418,11 +442,13 @@ def winnow_overlap_pairs(
     # per position — O(n·k) becomes O(n²·k) per doc (measured: hang at
     # 500 docs). The rule skips outer generates; the isNotNull filter on
     # the generator OUTPUT cannot be pushed below the Generate, so the
-    # staging survives.
+    # staging survives. (Lineage truncation makes this belt-and-braces
+    # for downstream consumers, but the rule fires during THIS plan's
+    # materialization too, so the staging protection still matters.)
     e = (
         fpi.select("doc_id", F.explode_outer("fps").alias("fp"))
         .where(F.col("fp").isNotNull())
-        .persist()
+        .localCheckpoint(eager=True)
     )
     sizes = e.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_fps"))
     ok = (

@@ -171,12 +171,39 @@ def _fold_dot(a, b):
     )
 
 
-#: banding layout for cosine_neardup_pairs — 4 bands x 4 sign bits.
-#: P[same band bucket] = (1 - theta/pi)^4 per band; for cos=0.3
-#: (theta~72.5 deg) that's ~0.13/band, ~0.42 overall — the moderate-recall
-#: blocking tradeoff. More bands => recall up, candidate volume up.
+#: banding layout for cosine_neardup_pairs — 4 bands whose sign-bit width
+#: SCALES WITH CORPUS SIZE. With w bits per band there are 2^w buckets per
+#: band, so expected bucket population on spread-out data is n / 2^w;
+#: neardup_rows_per_band picks the smallest w keeping that at or under
+#: NEARDUP_TARGET_BUCKET. A fixed w (the round-1 design: 4 bits = 16
+#: buckets) means per-band verify work of Θ(n²/16) — quadratic at 100 TB;
+#: the adaptive width keeps per-bucket work bounded (~n·target/2 dot
+#: products per band total) so cost grows linearly with the corpus.
+#: Recall tradeoff is the standard AND/OR construction: longer bands drop
+#: per-band collision probability ((1-θ/π)^w), so at large n you raise
+#: ``bands`` (OR-construction) to claw recall back — exposed as a
+#: parameter; verification is exact either way (precision always 1).
 NEARDUP_BANDS = 4
-NEARDUP_ROWS = 4
+NEARDUP_MIN_ROWS = 4
+NEARDUP_MAX_ROWS = 16
+NEARDUP_TARGET_BUCKET = 64
+
+
+def neardup_rows_per_band(
+    n_rows: int, target: int = NEARDUP_TARGET_BUCKET
+) -> int:
+    """Smallest band bit-width w with expected bucket size n/2^w ≤ target,
+    clamped to [NEARDUP_MIN_ROWS, NEARDUP_MAX_ROWS].
+
+    Deterministic in n only, so the DuckDB oracle can reproduce it in SQL
+    (CEIL(LOG2(n/target))) and two engines bucket identically.
+    """
+    import math
+
+    if n_rows <= target:
+        return NEARDUP_MIN_ROWS
+    w = math.ceil(math.log2(n_rows / target))
+    return max(NEARDUP_MIN_ROWS, min(NEARDUP_MAX_ROWS, w))
 
 
 def cosine_neardup_pairs(
@@ -185,7 +212,7 @@ def cosine_neardup_pairs(
     vec_col: str = "embedding",
     dim: int = 64,
     bands: int = NEARDUP_BANDS,
-    rows_per_band: int = NEARDUP_ROWS,
+    rows_per_band: int | None = None,
     threshold: float = 0.3,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (north-star dedup op #5).
@@ -193,43 +220,52 @@ def cosine_neardup_pairs(
     Banded random-hyperplane LSH blocking + exact cosine verification —
     the signature-space analogue of operators.dedup.minhash_lsh_pairs:
 
-    1. each vector gets ``bands * rows_per_band`` deterministic sign bits
-       (literal hyperplane coefficients, functions.vector);
-    2. per band, vectors sharing the band's bit-slice are candidates —
-       a self-equi-join on (band, slice), hash-partitioned, no cross join;
-    3. DISTINCT candidate id pairs (a pair can collide in several bands)
-       are verified with the exact cosine >= threshold predicate.
+    1. each vector gets ``bands`` sign-bit keys of ``rows_per_band`` bits
+       (literal hyperplane coefficients, functions.vector). Band b hashes
+       with its own seed ("rp_b{b}"), so a band's plane list is a stable
+       prefix as the width grows — re-bucketing a grown corpus reuses
+       every previously computed bit;
+    2. ``rows_per_band=None`` (default) auto-scales the width from the
+       corpus row count (one parquet-footer count job) via
+       :func:`neardup_rows_per_band`, keeping expected bucket population
+       ≤ NEARDUP_TARGET_BUCKET instead of letting buckets grow with n;
+    3. per band, vectors sharing the band key are candidates — a
+       self-equi-join on (band, key), hash-partitioned, no cross join;
+       skewed real-world buckets (clustered embeddings) are AQE
+       skew-join territory, and ``target`` can be lowered to split them;
+    4. candidates are verified with the exact cosine >= threshold
+       predicate — blocking affects recall only, never precision.
 
     Verification runs INSIDE each bucket as one numpy gram matrix
-    (``applyInPandas``): materializing the candidate pair list through a
-    shuffle costs more than the dot products themselves at LSH's dense-
-    bucket worst case (a 4-bit band over n rows has only 16 buckets, so
-    candidate volume is ~n^2/16 per band — 460k pairs at just 2k vectors).
-    Per-bucket BLAS turns those into a few hundred sub-ms matmuls and
-    emits only the >= threshold survivors, so the only shuffles are the
-    bands x corpus bucket exchange (vectors ride along: bands x row_size,
-    bounded) and a final tiny pair dedup. A pair colliding in several
-    bands is deduped by max(sim) — matmul blocking may differ per bucket
-    shape, so the two sims can differ in final ulps; max() + round(6)
-    makes the output deterministic.
+    (``applyInPandas``): with bucket population capped at ~target rows the
+    per-bucket matmul is a bounded target² block (sub-ms), and emitting
+    only >= threshold survivors means the only shuffles are the bands ×
+    corpus bucket exchange (vectors ride along: bands × row_size, bounded)
+    and a final tiny pair dedup. A pair colliding in several bands is
+    deduped by max(sim) — matmul blocking may differ per bucket shape, so
+    the two sims can differ in final ulps; max() + round(6) makes the
+    output deterministic.
     """
     import numpy as np
     import pandas as pd
 
-    n_planes = bands * rows_per_band
-    sig = hyperplane_sign_bits(F.col(vec_col), dim, n_planes)
+    if rows_per_band is None:
+        # count() is parquet-footer metadata, not a data scan; callers on
+        # non-file sources can pass rows_per_band explicitly to skip it.
+        rows_per_band = neardup_rows_per_band(corpus.count())
+    band_keys = [
+        hyperplane_sign_bits(
+            F.col(vec_col), dim, rows_per_band, seed=f"rp_b{b}"
+        )
+        for b in range(bands)
+    ]
     bucketed = corpus.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("vec"),
         F.explode(
             F.array(
                 *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.substring(sig, b * rows_per_band + 1, rows_per_band).alias(
-                            "bkey"
-                        ),
-                    )
+                    F.struct(F.lit(b).alias("band"), band_keys[b].alias("bkey"))
                     for b in range(bands)
                 ]
             )

@@ -756,38 +756,53 @@ SELECT probe_id, event_id, round(dist, 6) AS dist_km FROM pairs WHERE dist <= 1.
 
 def q_emb_cosine_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (north-star dedup op #5): banded
-    hyperplane-LSH blocking + exact cosine >= 0.3 verification
+    hyperplane-LSH blocking (band bit-width auto-scaled to corpus size so
+    bucket population stays bounded) + exact cosine >= 0.3 verification
     (operators.similarity.cosine_neardup_pairs)."""
     emb = load_table(spark, sf_dir, "embeddings")
     return SIM.cosine_neardup_pairs(emb, threshold=0.3)
 
 
 def _sql_emb_neardups() -> str:
+    """Oracle twin of cosine_neardup_pairs. Reproduces the adaptive band
+    width IN SQL (params CTE = neardup_rows_per_band's clamp(ceil(log2(
+    n/target)))) and the per-band plane seeds ("rp_b{b}"), emitting
+    coefficients for the MAX width — each band's plane list is a stable
+    prefix, so the w-bit key is the first w planes of that band."""
     from .functions.vector import plane_coefficients
 
-    n_planes = SIM.NEARDUP_BANDS * SIM.NEARDUP_ROWS
-    planes = plane_coefficients(64, n_planes)
     vals = ", ".join(
-        f"({p}, {i + 1}, {c!r})"
-        for p, coeffs in enumerate(planes)
+        f"({b}, {p}, {i + 1}, {c!r})"
+        for b in range(SIM.NEARDUP_BANDS)
+        for p, coeffs in enumerate(
+            plane_coefficients(64, SIM.NEARDUP_MAX_ROWS, seed=f"rp_b{b}")
+        )
         for i, c in enumerate(coeffs)
     )
-    bands = ", ".join(str(b) for b in range(SIM.NEARDUP_BANDS))
     return f"""
-WITH ce AS (
+WITH params AS (
+  SELECT GREATEST({SIM.NEARDUP_MIN_ROWS}, LEAST({SIM.NEARDUP_MAX_ROWS},
+           CASE WHEN COUNT(*) <= {SIM.NEARDUP_TARGET_BUCKET} THEN {SIM.NEARDUP_MIN_ROWS}
+                ELSE CAST(CEIL(LOG2(COUNT(*) / {SIM.NEARDUP_TARGET_BUCKET}.0)) AS INT)
+           END)) AS w
+  FROM embeddings
+),
+ce AS (
   SELECT vec_id, generate_subscripts(embedding, 1) AS i,
          CAST(unnest(embedding) AS DOUBLE) AS y
   FROM embeddings
 ),
-pl(p, i, c) AS (VALUES {vals}),
-proj AS (SELECT vec_id, p, SUM(y * c) AS s FROM ce JOIN pl USING (i) GROUP BY 1, 2),
-sig AS (
-  SELECT vec_id, string_agg(CASE WHEN s >= 0 THEN '1' ELSE '0' END, '' ORDER BY p) AS sg
-  FROM proj GROUP BY vec_id
+pl(band, p, i, c) AS (VALUES {vals}),
+proj AS (
+  SELECT vec_id, band, p, SUM(y * c) AS s
+  FROM ce JOIN pl USING (i)
+  WHERE p < (SELECT w FROM params)
+  GROUP BY 1, 2, 3
 ),
 buckets AS (
-  SELECT vec_id, band, substr(sg, band * {SIM.NEARDUP_ROWS} + 1, {SIM.NEARDUP_ROWS}) AS bkey
-  FROM sig CROSS JOIN (SELECT unnest([{bands}]) AS band) b
+  SELECT vec_id, band,
+         string_agg(CASE WHEN s >= 0 THEN '1' ELSE '0' END, '' ORDER BY p) AS bkey
+  FROM proj GROUP BY vec_id, band
 ),
 cand AS (
   SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
@@ -1076,13 +1091,32 @@ SELECT md5({_norm('text')}) AS fp, MIN(doc_id) AS rep_id,
 FROM documents GROUP BY 1
 """
 
-_SQL_JACCARD_BODY = f"""
+def q_ngram_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by exact n-gram Jaccard: stop-shingle-capped
+    candidate generation (df ≤ NGRAM_MAX_DOC_FREQ) + exact verification
+    over the full shingle sets — the skew-safe two-phase shape."""
+    return DD.ngram_jaccard_pairs(_docs_with_tokens(spark, sf_dir), threshold=0.2)
+
+
+# Mirrors the two-phase Spark shape: candidates come only from shingles
+# with document frequency ≤ the cap (stop-shingle pruning), but n_inter /
+# sizes — the Jaccard inputs — use the FULL gram sets, so surfaced pairs
+# score identically to the uncapped formulation.
+SQL_NGRAM_NEARDUPS = f"""
 WITH toks AS (SELECT doc_id, {_toks('text')} AS t FROM documents),
 grams AS (SELECT doc_id, unnest({_SHINGLES.format(t='t')}) AS g FROM toks),
 sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM grams GROUP BY doc_id),
+rare AS (SELECT g FROM grams GROUP BY g HAVING COUNT(*) <= {DD.NGRAM_MAX_DOC_FREQ}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM grams a JOIN rare r ON a.g = r.g
+  JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+),
 inter AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS n_inter
-  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+  SELECT c.id_a, c.id_b, CAST(COUNT(*) AS BIGINT) AS n_inter
+  FROM cand c
+  JOIN grams xa ON xa.doc_id = c.id_a
+  JOIN grams xb ON xb.doc_id = c.id_b AND xb.g = xa.g
   GROUP BY 1, 2
 ),
 jac AS (
@@ -1090,15 +1124,8 @@ jac AS (
          round(CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter), 6) AS jaccard
   FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
 )
+SELECT * FROM jac WHERE jaccard >= 0.2
 """
-
-
-def q_ngram_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup pairs by exact n-gram Jaccard (inverted-index self-join)."""
-    return DD.ngram_jaccard_pairs(_docs_with_tokens(spark, sf_dir), threshold=0.2)
-
-
-SQL_NGRAM_NEARDUPS = _SQL_JACCARD_BODY + "SELECT * FROM jac WHERE jaccard >= 0.2"
 
 
 def _sql_minhash_sig() -> str:

@@ -150,22 +150,24 @@ def categorize(
     )
 
 
-def build_report(categorized: DataFrame, other_cap: int = 100) -> dict:
+def build_report(
+    categorized: DataFrame, other_cap: int = 100, region_cap: int = 10_000
+) -> dict:
     """S14 (ws_interceptor.py:259-290): the categorized JSON report —
     summary counts plus per-region position arrays, ``other`` capped.
 
-    Aggregates distribute; only the final ≤(kyiv+ukraine+cap) rows are
-    collected driver-side, mirroring the reference's report artifact."""
+    Aggregates distribute; the collected arrays are ALL capped (the
+    reference caps only "other", but an uncapped driver-side list is a
+    100 TB OOM waiting to happen — summary counts stay exact, the
+    position arrays are a bounded sample artifact)."""
     counts = {
         r["region"]: r["n"]
         for r in categorized.groupBy("region").agg(F.count("*").alias("n")).collect()
     }
     cols = ["latitude", "longitude", "offset"]
 
-    def rows(region, cap=None):
-        df = categorized.where(F.col("region") == region).select(*cols)
-        if cap is not None:
-            df = df.limit(cap)
+    def rows(region, cap):
+        df = categorized.where(F.col("region") == region).select(*cols).limit(cap)
         return [r.asDict() for r in df.collect()]
 
     return {
@@ -175,7 +177,7 @@ def build_report(categorized: DataFrame, other_cap: int = 100) -> dict:
             "ukraine": counts.get("ukraine", 0),
             "other": counts.get("other", 0),
         },
-        "kyiv_positions": rows("kyiv"),
-        "ukraine_positions": rows("ukraine"),
-        "other_positions": rows("other", cap=other_cap),
+        "kyiv_positions": rows("kyiv", region_cap),
+        "ukraine_positions": rows("ukraine", region_cap),
+        "other_positions": rows("other", other_cap),
     }

@@ -64,3 +64,67 @@ def test_overlap_score_monotone_in_shared_content(spark):
     assert wn[(1, 2)] == 1.0
     if (1, 3) in wn:
         assert wn[(1, 3)] < wn[(1, 2)]
+
+
+def test_jaccard_stop_shingle_cap_skew(spark):
+    """A boilerplate sentence shared by EVERY doc must not blow up
+    candidate generation, and must not change surfaced pair scores:
+    the df cap prunes the hot shingles from candidate generation only,
+    while verification still scores the full shingle sets."""
+    from kyiv_traffic_bigdata_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        shingle_index,
+    )
+
+    boiler = "this document is provided as is without warranty of any kind"
+    rows = [(i, f"{boiler} unique payload item number {i} alpha beta") for i in range(30)]
+    # docs 100/101: true near-dups of each other (identical long tail)
+    tail = "the quick brown fox jumps over the lazy dog repeatedly tonight"
+    rows += [(100, f"{boiler} {tail}"), (101, f"{boiler} {tail} extra")]
+    d = _docs(spark, rows)
+
+    # with the cap at 10, every boilerplate shingle (df=32) is pruned...
+    idx = shingle_index(d, "doc_id", "text", 3)
+    dfreq = idx.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    assert dfreq.where(F.col("df") > 10).count() > 0  # hot shingles exist
+    capped = ngram_jaccard_pairs(d, threshold=0.3, max_doc_freq=10)
+    got = {(r.id_a, r.id_b): r.jaccard for r in capped.collect()}
+    # ...the true pair (sharing rare tail shingles) still surfaces,
+    assert (100, 101) in got
+    # with the EXACT full-set jaccard (unchanged by candidate pruning):
+    uncapped = ngram_jaccard_pairs(d, threshold=0.3, max_doc_freq=10**9)
+    full = {(r.id_a, r.id_b): r.jaccard for r in uncapped.collect()}
+    assert got[(100, 101)] == full[(100, 101)]
+    # and boilerplate-only pairs (identical sharing, low true jaccard)
+    # are absent from both (score below threshold), capped or not.
+    assert all(k == (100, 101) or full.get(k) == v for k, v in got.items())
+
+
+def test_jaccard_cap_bounds_candidate_volume(spark):
+    """Candidate volume must track rare-shingle density, not the hot
+    shingle's df² — the 100 TB skew guarantee."""
+    from kyiv_traffic_bigdata_spark.operators.dedup import shingle_index
+
+    boiler = "all rights reserved no part may be reproduced in any form"
+    rows = [(i, f"{boiler} unique text fragment {i} gamma delta") for i in range(40)]
+    d = _docs(spark, rows)
+    idx = shingle_index(d, "doc_id", "text", 3)
+    rare = (
+        idx.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") <= 10)
+        .select("shingle")
+    )
+    pruned = idx.join(rare, "shingle")
+    a, b = pruned.alias("a"), pruned.alias("b")
+    n_cand = (
+        a.join(b, "shingle")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select("a.doc_id", "b.doc_id")
+        .distinct()
+        .count()
+    )
+    # uncapped would be ~40*39/2 = 780 pairs (all docs share boilerplate);
+    # rare shingles are per-doc unique boundary grams, so only the few
+    # accidental boundary overlaps survive.
+    assert n_cand < 100

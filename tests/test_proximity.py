@@ -115,3 +115,28 @@ def test_neardup_pairs_subset_of_exact_and_thresholded(spark):
     planted = {p for p in exact if p[0] < 10 and p[1] < 10}
     found = {(r.id_a, r.id_b) for r in got}
     assert len(found & planted) >= len(planted) * 0.5
+
+
+def test_neardup_band_width_scales_with_corpus():
+    """Adaptive LSH band width: 2^w buckets must keep expected bucket
+    population <= target, clamped to [MIN, MAX] — the fix for the fixed
+    16-bucket design whose verify work grew as n²/16."""
+    from kyiv_traffic_bigdata_spark.operators.similarity import (
+        NEARDUP_MAX_ROWS,
+        NEARDUP_MIN_ROWS,
+        NEARDUP_TARGET_BUCKET,
+        neardup_rows_per_band,
+    )
+
+    t = NEARDUP_TARGET_BUCKET
+    assert neardup_rows_per_band(0) == NEARDUP_MIN_ROWS
+    assert neardup_rows_per_band(t) == NEARDUP_MIN_ROWS
+    assert neardup_rows_per_band(10**12) == NEARDUP_MAX_ROWS
+    prev = 0
+    for n in [t, 4 * t, 16 * t, 256 * t, 2**20 * t]:
+        w = neardup_rows_per_band(n)
+        assert w >= prev  # monotone in corpus size
+        prev = w
+        if w < NEARDUP_MAX_ROWS:
+            # the defining property: enough buckets for the corpus
+            assert 2**w >= n / t
