@@ -1,0 +1,245 @@
+"""Offline tests for the live Socket.IO transport layer (ST7/ST9) —
+sans-IO protocol state machine, Engine.IO polling codec, backoff and
+session-refresh policies, and the full client loop against a scripted
+fake transport (no network anywhere)."""
+
+from __future__ import annotations
+
+import pytest
+
+from kyiv_traffic_bigdata_spark.streaming.transport import (
+    BackoffPolicy,
+    Deliver,
+    LiveSocketIOClient,
+    Send,
+    SessionPolicy,
+    SocketIOStateMachine,
+    TransportError,
+    Upgraded,
+    WebSocketTransport,
+    decode_polling_payload,
+    encode_polling_payload,
+    handshake_url,
+    websocket_url,
+)
+
+EVENT = '42["locations",["77,3,50.45,30.52,0,0,1770000000"]]'
+
+
+# --- codec -----------------------------------------------------------------
+
+
+def test_polling_payload_roundtrip():
+    packets = ['0{"sid":"abc","pingInterval":25000}', "40", EVENT, "2"]
+    assert decode_polling_payload(encode_polling_payload(packets)) == packets
+
+
+def test_polling_payload_malformed_tail_dropped():
+    good = encode_polling_payload(["40", EVENT])
+    assert decode_polling_payload(good + "999:truncated") == ["40", EVENT]
+    assert decode_polling_payload("nonsense") == []
+    assert decode_polling_payload("") == []
+
+
+def test_url_builders():
+    assert handshake_url("https://host.example/") == (
+        "https://host.example/socket.io/?EIO=3&transport=polling"
+    )
+    # wss upgrade URL mirrors reference websocket_client.py:210-214
+    assert websocket_url("https://host.example", "S1D") == (
+        "wss://host.example/socket.io/?EIO=3&transport=websocket&sid=S1D"
+    )
+
+
+# --- state machine ---------------------------------------------------------
+
+
+def test_upgrade_sequence():
+    """open → 2probe; 3probe → 5 + 40 + Upgraded (websocket_client.py:244-252)."""
+    m = SocketIOStateMachine(25.0)
+    assert m.on_open() == [Send("2probe")]
+    assert not m.connected
+    acts = m.on_frame("3probe")
+    assert acts == [Send("5"), Send("40"), Upgraded()]
+    assert m.connected
+
+
+def test_ping_pong_and_delivery():
+    m = SocketIOStateMachine(25.0)
+    m.on_frame("3probe")
+    assert m.on_frame("2") == [Send("3")]  # server ping → pong
+    assert m.on_frame("3") == []  # pong: bookkeeping only
+    assert m.on_frame("40") == []  # namespace ack
+    assert m.on_frame('0{"sid":"x"}') == []  # open packet
+    assert m.on_frame("") == []
+    assert m.on_frame(EVENT) == [Deliver(EVENT)]
+    assert m.stats["delivered"] == 1
+
+
+def test_keepalive_ping_on_idle():
+    now = [0.0]
+    m = SocketIOStateMachine(25.0, clock=lambda: now[0])
+    m.on_frame("3probe")
+    assert m.on_tick() == []  # not due yet
+    now[0] = 26.0
+    assert m.on_tick() == [Send("2")]
+    assert m.on_tick() == []  # timer reset after sending
+    # not connected → never pings
+    m2 = SocketIOStateMachine(25.0, clock=lambda: 1e9)
+    assert m2.on_tick() == []
+
+
+# --- policies --------------------------------------------------------------
+
+
+def test_backoff_doubles_and_caps_and_resets():
+    b = BackoffPolicy(base=5.0, cap=300.0)
+    delays = [b.next_delay() for _ in range(8)]
+    assert delays == [5.0, 10.0, 20.0, 40.0, 80.0, 160.0, 300.0, 300.0]
+    b.reset()
+    assert b.next_delay() == 5.0
+
+
+def test_session_policy_403_and_streak():
+    s = SessionPolicy(max_failures=3)
+    assert s.record_failure(None) is False
+    assert s.record_failure(403) is True  # immediate on 403
+    assert s.consecutive_failures == 0  # refresh resets streak
+    assert s.record_failure(None) is False
+    assert s.record_failure(None) is False
+    assert s.record_failure(None) is True  # 3rd consecutive
+    s.record_failure(None)
+    s.record_success()
+    assert s.consecutive_failures == 0
+
+
+# --- full client loop against a scripted fake transport --------------------
+
+
+class FakeTransport:
+    """Scripted transport: each `session` is (handshake_result, frames).
+    handshake_result is (sid, ping_s) or a TransportError to raise."""
+
+    def __init__(self, sessions):
+        self.sessions = list(sessions)
+        self.sent: list[str] = []
+        self.refreshes = 0
+        self._frames: list[str] = []
+
+    def handshake(self):
+        if not self.sessions:
+            raise TransportError("script exhausted")
+        result, frames = self.sessions.pop(0)
+        if isinstance(result, TransportError):
+            raise result
+        self._frames = list(frames)
+        return result
+
+    def connect(self):
+        pass
+
+    def recv(self):
+        if not self._frames:
+            raise TransportError("connection closed")
+        return self._frames.pop(0)
+
+    def send(self, frame):
+        self.sent.append(frame)
+
+    def close(self):
+        pass
+
+    def refresh(self):
+        self.refreshes += 1
+
+
+def test_client_happy_path_spools_data_frames():
+    t = FakeTransport([(("sid1", 25.0), ["3probe", "40", EVENT, "2", EVENT])])
+    out = []
+    c = LiveSocketIOClient(t, out.append, sleep=lambda _s: None)
+    c.run(max_frames=2)
+    assert out == [EVENT, EVENT]
+    # probe → upgrade(5) + ns connect(40) → pong for the server ping
+    assert t.sent == ["2probe", "5", "40", "3"]
+    assert c.stats["connections"] == 1 and c.stats["errors"] == 0
+
+
+def test_client_refreshes_on_403_then_reconnects():
+    """ST9: a 403 handshake refreshes the session immediately (no backoff
+    sleep) and the next attempt succeeds (poller.py:173-177)."""
+    t = FakeTransport(
+        [
+            (TransportError("HTTP 403", status=403), []),
+            (("sid2", 25.0), ["3probe", EVENT]),
+        ]
+    )
+    slept = []
+    out = []
+    c = LiveSocketIOClient(t, out.append, sleep=slept.append)
+    c.run(max_frames=1)
+    assert out == [EVENT]
+    assert t.refreshes == 1
+    assert slept == []  # 403 path skips the backoff sleep
+    assert c.session.refreshes == 1
+
+
+def test_client_backs_off_exponentially_on_failures():
+    """ST7: consecutive non-403 failures sleep 5, 10, 20... (capped)."""
+    t = FakeTransport(
+        [
+            (TransportError("down"), []),
+            (TransportError("down"), []),
+            (TransportError("down"), []),
+            (("sid", 25.0), ["3probe", EVENT]),
+        ]
+    )
+    slept = []
+    out = []
+    c = LiveSocketIOClient(t, out.append, sleep=slept.append)
+    c.run(max_frames=1)
+    assert slept == [5.0, 10.0, 20.0]
+    assert out == [EVENT]
+    # success resets the backoff for any later reconnect
+    assert c.backoff.next_delay() == 5.0
+
+
+def test_client_reconnects_after_connection_loss():
+    """Connection drop mid-stream → new handshake, upgrade redone, no
+    frame loss across sessions (websocket_client.py:334-374 run loop)."""
+    t = FakeTransport(
+        [
+            (("sid1", 25.0), ["3probe", EVENT]),  # then recv raises
+            (("sid2", 25.0), ["3probe", EVENT]),
+        ]
+    )
+    out = []
+    slept = []
+    c = LiveSocketIOClient(t, out.append, sleep=slept.append)
+    c.run(max_frames=2)
+    assert out == [EVENT, EVENT]
+    assert c.stats["connections"] == 2
+    assert t.sent.count("2probe") == 2
+
+
+def test_client_max_connects_bounds_the_loop():
+    t = FakeTransport([(TransportError("down"), [])] * 3)
+    c = LiveSocketIOClient(t, lambda _f: None, sleep=lambda _s: None)
+    c.run(max_frames=1, max_connects=3)  # script exhausted afterwards too
+    assert c.stats["errors"] == 3
+
+
+def test_websocket_transport_is_an_honest_stub():
+    with pytest.raises(NotImplementedError):
+        WebSocketTransport("https://host.example")
+
+
+def test_transcript_sink_feeds_datasource_format(tmp_path):
+    """End-to-end seam check: frames sunk by the live client are exactly
+    what the kpt_socketio transcript reader tails (one frame per line)."""
+    from kyiv_traffic_bigdata_spark.streaming.transport import TranscriptSink
+
+    path = tmp_path / "live.log"
+    t = FakeTransport([(("sid", 25.0), ["3probe", EVENT, EVENT])])
+    c = LiveSocketIOClient(t, TranscriptSink(str(path)), sleep=lambda _s: None)
+    c.run(max_frames=2)
+    assert path.read_text().splitlines() == [EVENT, EVENT]
