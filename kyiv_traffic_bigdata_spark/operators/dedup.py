@@ -63,6 +63,14 @@ def shingle_index(
     slower at sf0.1. CollapseProject keeps the stages separate because the
     alias is non-cheap and multiply-referenced.
     """
+    # Parallelize the interpreted higher-order chain (same rationale as
+    # winnow_fingerprints): small inputs arrive as one parquet partition
+    # and a single core grinding per-row lambda evaluation is the actual
+    # bottleneck — measured 5.7s of an 11s query at sf0.1. One
+    # round-robin shuffle of raw text is far cheaper than the map it
+    # balances; at real scale the input already has many partitions and
+    # this keeps them.
+    docs = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
     toked = docs.select(
         F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("_tok")
     )
@@ -147,33 +155,91 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Near-dup pairs by exact word-n-gram Jaccard similarity.
 
-    Candidate generation = self-join of the shingle inverted index with
-    stop-shingles pruned (document frequency > ``max_doc_freq`` — the same
-    posting-list cap winnow_overlap_pairs applies): only docs sharing ≥1
-    *rare* shingle ever meet, so candidate volume tracks true near-dup
-    density instead of the df² of the hottest boilerplate phrase — the
-    100 TB-safe pruning. Verification then computes exact
-    Jaccard = |∩| / (|A|+|B|−|∩|) over the FULL (unpruned) shingle sets,
-    bounded by the candidate list, so scores are unchanged by the cap.
+    Skew-safe single-pass shape. The inverted-index self-join runs only
+    over *rare* shingles (document frequency ≤ ``max_doc_freq`` — the
+    same posting-list cap winnow_overlap_pairs applies), so join volume
+    is Σ_rare df² — bounded by cap·|index| — instead of the df² of the
+    hottest boilerplate phrase: one shingle shared by millions of docs
+    can never quadratically blow up the shuffle. That pass counts each
+    pair's rare-shingle intersection directly (groupBy pair — no
+    distinct, no second join against the index).
+
+    Exactness is restored by **hot-shingle completion**: each doc's
+    above-cap shingles are collected into a tiny per-doc array (≤ a few
+    boilerplate phrases by construction — a doc is mostly rare shingles),
+    and for surviving pairs ``n_inter = n_rare +
+    |hot_A ∩ hot_B|`` via array_intersect. So every pair that shares at
+    least one rare shingle gets its EXACT full-set Jaccard; the only
+    recall loss is pairs sharing *exclusively* boilerplate — which a
+    near-dup score should ignore anyway. A cheap upper bound
+    (n_rare + min(|hot_A|,|hot_B|)) pre-filters before the array work.
     Output (a<b) pairs with jaccard ≥ threshold, rounded to 6 for engine
     portability.
     """
-    idx = shingle_index(docs, id_col, text_col, ngram)
-    rare = (
-        idx.groupBy("shingle")
-        .agg(F.count(F.lit(1)).alias("_df"))
-        .where(F.col("_df") <= max_doc_freq)
-        .select("shingle")
+    # Materialize the index once: it feeds the df split, both join sides,
+    # sizes, and hot arrays; the tokenize→n-gram chain is interpreted
+    # higher-order lambdas and must not run per consumer.
+    idx = shingle_index(docs, id_col, text_col, ngram).localCheckpoint(eager=True)
+    dfreq = idx.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+    sizes = idx.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    rare = dfreq.where(F.col("_df") <= max_doc_freq).select("shingle")
+    hot_arrs = (
+        idx.join(dfreq.where(F.col("_df") > max_doc_freq).select("shingle"), "shingle")
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("shingle")).alias("hot"))
     )
     pruned = idx.join(rare, "shingle")
     a, b = pruned.alias("a"), pruned.alias("b")
-    candidates = (
+    pairs = (
         a.join(b, "shingle")
         .where(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
-        .distinct()
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_rare"))
     )
-    return jaccard_verify(candidates, idx, threshold)
+    empty = F.array().cast("array<string>")
+    joined = (
+        pairs.join(sizes.withColumnRenamed("doc_id", "id_a"), "id_a")
+        .withColumnRenamed("n_shingles", "n_a")
+        .join(
+            sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed(
+                "n_shingles", "n_b"
+            ),
+            "id_b",
+        )
+        .join(
+            hot_arrs.withColumnRenamed("doc_id", "id_a").withColumnRenamed(
+                "hot", "hot_a"
+            ),
+            "id_a",
+            "left",
+        )
+        .join(
+            hot_arrs.withColumnRenamed("doc_id", "id_b").withColumnRenamed(
+                "hot", "hot_b"
+            ),
+            "id_b",
+            "left",
+        )
+        .withColumn("hot_a", F.coalesce(F.col("hot_a"), empty))
+        .withColumn("hot_b", F.coalesce(F.col("hot_b"), empty))
+    )
+    # upper bound on the full intersection; J is increasing in n_inter, so
+    # ub(1+t) < t(n_a+n_b) proves jaccard < t without touching the arrays
+    ub = F.col("n_rare") + F.least(F.size("hot_a"), F.size("hot_b"))
+    n_inter = F.col("n_rare") + F.size(F.array_intersect("hot_a", "hot_b"))
+    return (
+        joined.where(
+            ub * (1.0 + threshold) >= threshold * (F.col("n_a") + F.col("n_b"))
+        )
+        .withColumn(
+            "jaccard",
+            F.round(
+                n_inter / (F.col("n_a") + F.col("n_b") - n_inter).cast("double"), 6
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
 
 
 def minhash_signatures(
@@ -182,17 +248,20 @@ def minhash_signatures(
     text_col: str = "text",
     ngram: int = 3,
     num_perm: int = NUM_PERM,
+    index: DataFrame | None = None,
 ) -> DataFrame:
     """Wide MinHash signature: one column ``mh_i`` per permutation.
 
     explode shingles → portable hash → num_perm universal-hash minima via
     conditional aggregation (single hash aggregate, no pivot shuffle).
     Docs with no shingles get no row (nothing to hash) — callers union
-    them back if they must survive.
+    them back if they must survive. ``index`` lets a caller supply an
+    already-materialized (doc_id, shingle) inverted index so the
+    tokenize→n-gram chain is not recomputed (minhash_lsh_pairs shares one
+    with its verification joins).
     """
-    hashed = shingle_index(docs, id_col, text_col, ngram).select(
-        "doc_id", portable_hash(F.col("shingle")).alias("h")
-    )
+    idx = index if index is not None else shingle_index(docs, id_col, text_col, ngram)
+    hashed = idx.select("doc_id", portable_hash(F.col("shingle")).alias("h"))
     mins = [
         F.min((F.lit(a) * F.col("h") + F.lit(b)) % MINHASH_PRIME).alias(f"mh_{i}")
         for i, (a, b) in ((j, perm_coeffs(j)) for j in range(num_perm))
@@ -214,8 +283,14 @@ def minhash_lsh_pairs(
     (band, band_signature) so cost tracks true near-dup density, not n².
     Verification recomputes exact Jaccard on candidates only, so the output
     has NO false positives — misses only pairs the s-curve filters out.
+
+    The shingle inverted index is materialized once (localCheckpoint) and
+    shared between signature generation and the verification joins — the
+    interpreted tokenize→n-gram chain is the dominant per-row cost and
+    must not run once per consumer.
     """
-    sig = minhash_signatures(docs, id_col, text_col, ngram)
+    idx = shingle_index(docs, id_col, text_col, ngram).localCheckpoint(eager=True)
+    sig = minhash_signatures(docs, id_col, text_col, ngram, index=idx)
     band_cols = [
         F.md5(
             F.concat_ws(
@@ -248,7 +323,6 @@ def minhash_lsh_pairs(
     # instead of re-running the full inverted-index self-join — that would
     # cost the same as an uncapped ngram_jaccard_pairs and defeat LSH's
     # purpose.
-    idx = shingle_index(docs, id_col, text_col, ngram)
     return jaccard_verify(candidates, idx, threshold)
 
 

@@ -1098,31 +1098,42 @@ def q_ngram_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.ngram_jaccard_pairs(_docs_with_tokens(spark, sf_dir), threshold=0.2)
 
 
-# Mirrors the two-phase Spark shape: candidates come only from shingles
-# with document frequency ≤ the cap (stop-shingle pruning), but n_inter /
-# sizes — the Jaccard inputs — use the FULL gram sets, so surfaced pairs
-# score identically to the uncapped formulation.
+# Mirrors the skew-safe Spark shape: the pair join runs only over rare
+# shingles (df ≤ cap) and counts n_rare directly; exactness is restored
+# by hot-shingle completion (n_inter = n_rare + |hot_A ∩ hot_B| from tiny
+# per-doc arrays), so any pair sharing ≥1 rare shingle scores its exact
+# full-set Jaccard.
 SQL_NGRAM_NEARDUPS = f"""
 WITH toks AS (SELECT doc_id, {_toks('text')} AS t FROM documents),
 grams AS (SELECT doc_id, unnest({_SHINGLES.format(t='t')}) AS g FROM toks),
 sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM grams GROUP BY doc_id),
-rare AS (SELECT g FROM grams GROUP BY g HAVING COUNT(*) <= {DD.NGRAM_MAX_DOC_FREQ}),
-cand AS (
-  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-  FROM grams a JOIN rare r ON a.g = r.g
-  JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
-),
-inter AS (
-  SELECT c.id_a, c.id_b, CAST(COUNT(*) AS BIGINT) AS n_inter
-  FROM cand c
-  JOIN grams xa ON xa.doc_id = c.id_a
-  JOIN grams xb ON xb.doc_id = c.id_b AND xb.g = xa.g
+dfreq AS (SELECT g, COUNT(*) AS df FROM grams GROUP BY g),
+pr AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS n_rare
+  FROM grams a
+  JOIN dfreq d ON d.g = a.g AND d.df <= {DD.NGRAM_MAX_DOC_FREQ}
+  JOIN grams b ON b.g = a.g AND a.doc_id < b.doc_id
   GROUP BY 1, 2
+),
+hot AS (
+  SELECT doc_id, list(a.g ORDER BY a.g) AS harr
+  FROM grams a JOIN dfreq d ON d.g = a.g AND d.df > {DD.NGRAM_MAX_DOC_FREQ}
+  GROUP BY doc_id
+),
+j AS (
+  SELECT id_a, id_b,
+         n_rare + len(list_intersect(coalesce(ha.harr, []), coalesce(hb.harr, []))) AS n_inter,
+         sa.n AS n_a, sb.n AS n_b
+  FROM pr
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  LEFT JOIN hot ha ON ha.doc_id = id_a
+  LEFT JOIN hot hb ON hb.doc_id = id_b
 ),
 jac AS (
   SELECT id_a, id_b,
-         round(CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter), 6) AS jaccard
-  FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+         round(CAST(n_inter AS DOUBLE) / (n_a + n_b - n_inter), 6) AS jaccard
+  FROM j
 )
 SELECT * FROM jac WHERE jaccard >= 0.2
 """

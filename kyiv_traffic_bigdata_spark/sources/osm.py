@@ -265,3 +265,107 @@ def write_geojson(features: DataFrame, filepath: str) -> int:
     with open(filepath, "w", encoding="utf-8") as fh:
         json.dump(doc, fh, ensure_ascii=False, indent=2)
     return len(feats)
+
+
+# ---------------------------------------------------------------------------
+# S9 live execution — Overpass POST with rate limiting
+# ---------------------------------------------------------------------------
+
+#: Public Overpass API endpoint + client pacing (reference importer.py:16-19).
+OVERPASS_URL = "https://overpass-api.de/api/interpreter"
+REQUEST_DELAY_S = 1.5
+REQUEST_TIMEOUT_S = 120
+
+
+class OverpassHTTPError(Exception):
+    """Non-2xx from the Overpass endpoint (reference raise_for_status,
+    importer.py:122-133)."""
+
+    def __init__(self, status: int, body: str = ""):
+        self.status = status
+        super().__init__(f"Overpass HTTP {status}: {body[:200]}")
+
+
+class OverpassClient:
+    """Live S9 executor: POSTs OverpassQL with the reference's pacing —
+    ≥ ``delay_s`` between requests (importer.py:117-120, a shared-service
+    courtesy limit), form-encoded ``data=<query>`` body, raise on non-2xx.
+
+    The transport is a plain callable ``(url, form_bytes) -> (status,
+    text)`` — default is stdlib urllib (same posture as
+    sources/weather.py); tests inject a fake, so pacing and error paths
+    are covered offline. The fetched JSON lands in the exact element
+    shape ``read_osm_elements`` scans, closing the loop: DSL → live POST
+    → response file → schema'd Spark scan.
+    """
+
+    def __init__(
+        self,
+        url: str = OVERPASS_URL,
+        delay_s: float = REQUEST_DELAY_S,
+        timeout_s: float = REQUEST_TIMEOUT_S,
+        transport=None,
+        clock=None,
+        sleep=None,
+    ):
+        import time as _time
+
+        self.url = url
+        self.delay_s = delay_s
+        self.timeout_s = timeout_s
+        self._transport = transport or self._urllib_transport
+        self._clock = clock or _time.monotonic
+        self._sleep = sleep or _time.sleep
+        self._last_request = float("-inf")
+
+    def _urllib_transport(self, url: str, form: bytes) -> tuple[int, str]:
+        import urllib.error
+        import urllib.request
+
+        req = urllib.request.Request(
+            url,
+            data=form,
+            headers={"User-Agent": "kyiv-traffic-bigdata-spark/1.0 (research)"},
+            method="POST",
+        )
+        try:
+            with urllib.request.urlopen(req, timeout=self.timeout_s) as resp:
+                return resp.status, resp.read().decode("utf-8")
+        except urllib.error.HTTPError as exc:
+            return exc.code, exc.read().decode("utf-8", errors="replace")
+
+    def _rate_limit(self) -> None:
+        elapsed = self._clock() - self._last_request
+        if elapsed < self.delay_s:
+            self._sleep(self.delay_s - elapsed)
+
+    def execute(self, overpass_query_text: str) -> dict:
+        """Run one query; returns the decoded JSON response dict."""
+        from urllib.parse import urlencode
+
+        self._rate_limit()
+        form = urlencode({"data": overpass_query_text}).encode("utf-8")
+        status, text = self._transport(self.url, form)
+        self._last_request = self._clock()
+        if not 200 <= status < 300:
+            raise OverpassHTTPError(status, text)
+        return json.loads(text)
+
+    def fetch_dataset(
+        self,
+        name: str,
+        bbox: BoundingBox = KYIV_BBOX_NARROW,
+        out_path: str | None = None,
+    ) -> dict:
+        """Fetch one of the six reference datasets (dataset_queries);
+        optionally spool the raw response to ``out_path`` — the file
+        ``read_osm_elements`` ingests, so live fetch and offline replay
+        share one scan path."""
+        queries = dataset_queries(bbox)
+        if name not in queries:
+            raise KeyError(f"unknown dataset {name!r}; one of {sorted(queries)}")
+        resp = self.execute(queries[name])
+        if out_path:
+            with open(out_path, "w", encoding="utf-8") as fh:
+                json.dump(resp, fh, ensure_ascii=False, indent=2)
+        return resp
