@@ -48,6 +48,19 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # Scan-split sizing, env-tunable. The 128m default is right for
+        # row-group-sized cluster files (partitions must fit executor
+        # memory without multiplying scheduler overhead at 100 TB task
+        # counts). Shrinking it to parallelize the bench's tiny files was
+        # measured NET-NEGATIVE here (4m: 101s vs 66s total at sf0.1 —
+        # tiny-task overhead beats the extra cores); operators that grind
+        # interpreted lambdas per row instead repartition explicitly
+        # (shingle_index, winnow_fingerprints), which pays one cheap
+        # round-robin shuffle exactly where the compute is heavy.
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "128m"),
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
