@@ -65,6 +65,21 @@ def plane_coefficients(dim: int, n_planes: int, seed: str = "rp") -> list[list[f
     ]
 
 
+def literal_matrix(rows: list[list[float]]) -> Column:
+    """array<array<double>> literal built from ONE parsed SQL expression.
+
+    Element-wise ``F.array(F.lit(...))`` construction costs one py4j
+    round trip per scalar — ~5 s of pure plan-build for a 64×64 matrix
+    (measured); a single ``F.expr`` string parses in milliseconds.
+    ``repr(float)`` is shortest-round-trip, so the parsed doubles are
+    bit-identical to the Python values.
+    """
+    body = ", ".join(
+        "array(" + ", ".join(f"{c!r}d" for c in row) + ")" for row in rows
+    )
+    return F.expr(f"array({body})")
+
+
 def hyperplane_sign_bits(v: Column, dim: int, n_planes: int, seed: str = "rp") -> Column:
     """Random-hyperplane LSH signature as a bit-string column.
 
@@ -74,12 +89,7 @@ def hyperplane_sign_bits(v: Column, dim: int, n_planes: int, seed: str = "rp") -
     the per-row work is n_planes fused multiply-add folds over the vector.
     """
     vd = as_double(v)
-    planes = F.array(
-        *[
-            F.array(*[F.lit(c) for c in coeffs])
-            for coeffs in plane_coefficients(dim, n_planes, seed)
-        ]
-    )
+    planes = literal_matrix(plane_coefficients(dim, n_planes, seed))
     # one transform over a literal array-of-arrays, NOT n_planes separate
     # fold expressions: Catalyst analyzes/codegens the projection lambda
     # once, which cuts plan-compile time ~4x at n_planes=16 (the per-row

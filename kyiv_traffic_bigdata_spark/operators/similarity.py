@@ -111,9 +111,9 @@ def ann_ivf_topk(
         n = math.sqrt(sum(float(x) * float(x) for x in v))
         return [float(x) / n for x in v] if n else [0.0] * len(v)
 
-    cents = F.array(
-        *[F.array(*[F.lit(x) for x in _unit(r.v)]) for r in cent_rows]
-    )
+    from ..functions.vector import literal_matrix
+
+    cents = literal_matrix([_unit(r.v) for r in cent_rows])
 
     def cell_scores(vec):  # dot against every unit centroid: rank == cosine rank
         vd = as_double(vec)
