@@ -1464,6 +1464,79 @@ def _sql_weather() -> str:
     return "SELECT " + ", ".join(cols)
 
 
+def q_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup resolution: connected components over the MinHash-LSH pair
+    list (operators.cluster) — every paired doc labeled with the smallest
+    doc id in its duplicate group, the id a keep-one filter retains."""
+    from .operators.cluster import connected_components
+
+    pairs = DD.minhash_lsh_pairs(_docs_with_tokens(spark, sf_dir), threshold=0.2)
+    return connected_components(pairs).select(
+        F.col("node").alias("doc_id"), F.col("component").alias("component")
+    )
+
+
+def _sql_neardup_components() -> str:
+    """Oracle: transitive closure by recursive CTE (feasible at oracle
+    scale; the Spark side uses join-iterated min-label propagation)."""
+    return f"""
+WITH RECURSIVE
+pairs AS (SELECT id_a, id_b FROM ({_sql_minhash_lsh()}) q),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION ALL
+  SELECT id_b AS a, id_a AS b FROM pairs
+),
+nodes AS (SELECT DISTINCT a AS node FROM edges),
+reach(node, lbl) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT r.node, e.b FROM reach r JOIN edges e ON e.a = r.lbl
+)
+SELECT node AS doc_id, MIN(lbl) AS component FROM reach GROUP BY node
+"""
+
+
+def q_doc_sample_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sample: exactly min(20, |stratum|) docs
+    per language by content-hash order (operators.sample) — reproducible
+    on any engine/partitioning, unlike seeded df.sample()."""
+    from .operators.sample import stratified_sample
+
+    d = _docs_with_tokens(spark, sf_dir).select("doc_id", "lang")
+    return stratified_sample(d, ["lang"], "doc_id", 20)
+
+
+SQL_SAMPLE_BY_LANG = f"""
+WITH h AS (
+  SELECT doc_id, lang, {_PORTABLE_HASH.format(s='CAST(doc_id AS VARCHAR)')} AS sh
+  FROM documents
+),
+r AS (
+  SELECT doc_id, lang,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY sh, doc_id) AS rn
+  FROM h
+)
+SELECT doc_id, lang FROM r WHERE rn <= 20
+"""
+
+
+def q_doc_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-only deterministic ~10% corpus slice by hash threshold
+    (operators.sample.hash_sample): no shuffle, no seed, same rows on
+    any engine — reproducible dataset lineage."""
+    from .operators.sample import hash_sample
+
+    d = _docs_with_tokens(spark, sf_dir).select("doc_id", "lang")
+    return hash_sample(d, "doc_id", 0.1)
+
+
+SQL_HASH_SAMPLE = f"""
+SELECT doc_id, lang FROM documents
+WHERE {_PORTABLE_HASH.format(s='CAST(doc_id AS VARCHAR)')} < {int(0.1 * (1 << 32))}
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -1515,6 +1588,9 @@ QUERIES: dict[str, QueryFn] = {
     "ann_ivf": q_ann_ivf,
     "multimodal_features": q_multimodal_features,
     "weather_pivot": q_weather_pivot,
+    "neardup_components": q_neardup_components,
+    "doc_sample_by_lang": q_doc_sample_by_lang,
+    "doc_hash_sample": q_doc_hash_sample,
 }
 
 
@@ -1565,4 +1641,7 @@ def build_oracles() -> dict[str, str]:
         # (approximate by design; accuracy pinned by recall/error tests)
         "multimodal_features": SQL_MULTIMODAL,
         "weather_pivot": _sql_weather(),
+        "neardup_components": _sql_neardup_components(),
+        "doc_sample_by_lang": SQL_SAMPLE_BY_LANG,
+        "doc_hash_sample": SQL_HASH_SAMPLE,
     }

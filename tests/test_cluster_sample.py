@@ -1,0 +1,87 @@
+"""Unit tests for dedup resolution (connected components) and
+deterministic sampling (operators/cluster.py, operators/sample.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from kyiv_traffic_bigdata_spark.operators.cluster import (
+    connected_components,
+    duplicate_groups,
+)
+from kyiv_traffic_bigdata_spark.operators.sample import (
+    hash_sample,
+    sample_hash,
+    stratified_sample,
+)
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "id_a long, id_b long")
+
+
+def test_components_two_groups_and_chain(spark):
+    # component {1,2,3} via chain, {10,11} direct, crossing edge order
+    e = _edges(spark, [(2, 1), (2, 3), (10, 11)])
+    got = {r.node: r.component for r in connected_components(e).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_components_path_graph_converges(spark):
+    # a worst-case diameter for min-propagation: a path 0-1-2-...-9
+    e = _edges(spark, [(i, i + 1) for i in range(9)])
+    got = {r.node: r.component for r in connected_components(e).collect()}
+    assert got == {i: 0 for i in range(10)}
+
+
+def test_components_raises_without_convergence(spark):
+    e = _edges(spark, [(i, i + 1) for i in range(6)])
+    with pytest.raises(RuntimeError):
+        connected_components(e, max_iter=2)
+
+
+def test_duplicate_groups_summary(spark):
+    e = _edges(spark, [(5, 3), (3, 8), (20, 21)])
+    got = {
+        r.component: (r.n_members, r.canonical_id)
+        for r in duplicate_groups(e).collect()
+    }
+    assert got == {3: (3, 3), 20: (2, 20)}
+
+
+def test_stratified_sample_exact_counts_and_determinism(spark):
+    rows = [(i, "en" if i % 3 else "uk") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    s1 = stratified_sample(df, ["lang"], "doc_id", 10)
+    s2 = stratified_sample(df.repartition(7), ["lang"], "doc_id", 10)
+    got1 = sorted((r.lang, r.doc_id) for r in s1.collect())
+    got2 = sorted((r.lang, r.doc_id) for r in s2.collect())
+    assert got1 == got2  # partitioning-independent
+    by_lang = {}
+    for lang, _ in got1:
+        by_lang[lang] = by_lang.get(lang, 0) + 1
+    assert by_lang == {"en": 10, "uk": 10}
+    # small stratum: takes everything it has
+    tiny = spark.createDataFrame([(1, "de"), (2, "de")], "doc_id long, lang string")
+    assert stratified_sample(tiny, ["lang"], "doc_id", 10).count() == 2
+
+
+def test_hash_sample_fraction_and_stability(spark):
+    df = spark.range(0, 10_000).withColumnRenamed("id", "doc_id")
+    out = hash_sample(df, "doc_id", 0.1)
+    n = out.count()
+    assert 800 <= n <= 1200  # ~10% of 10k, md5-uniform
+    # deterministic: same rows again, and a subset of a larger fraction
+    assert out.count() == n
+    bigger = hash_sample(df, "doc_id", 0.2)
+    assert out.join(bigger, "doc_id", "left_anti").count() == 0
+
+
+def test_sample_hash_matches_portable_recipe(spark):
+    # pin the recipe: first 8 md5 hex chars of the stringified key
+    import hashlib
+
+    df = spark.createDataFrame([(42,)], "k long")
+    got = df.select(sample_hash(F.col("k")).alias("h")).collect()[0].h
+    assert got == int(hashlib.md5(b"42").hexdigest()[:8], 16)
