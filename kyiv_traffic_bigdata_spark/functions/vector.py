@@ -109,3 +109,19 @@ def hyperplane_sign_bits(v: Column, dim: int, n_planes: int, seed: str = "rp") -
         ),
         "",
     )
+
+
+def quantize_scale(v: Column) -> Column:
+    """Per-vector symmetric int8 quantization scale: 127 / max|x| (0.0
+    for the all-zero vector, whose quantized form is all zeros)."""
+    m = F.array_max(F.transform(as_double(v), F.abs))
+    return F.when(m == 0, F.lit(0.0)).otherwise(F.lit(127.0) / m)
+
+
+def quantize_embedding(v: Column, scale: Column) -> Column:
+    """int8-range quantized vector (as array<int> for cross-engine schema
+    stability): round-half-away-from-zero of x·scale — identical rounding
+    in Spark (HALF_UP) and DuckDB (round half away from zero), so the
+    oracle reproduces every element. 4× memory cut for ANN shortlists;
+    exact re-scoring keeps the float column."""
+    return F.transform(as_double(v), lambda x: F.round(x * scale, 0).cast("int"))

@@ -1537,6 +1537,86 @@ WHERE {_PORTABLE_HASH.format(s='CAST(doc_id AS VARCHAR)')} < {int(0.1 * (1 << 32
 """
 
 
+def q_doc_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 characteristic terms per document by smoothed TF-IDF
+    (tf · (ln((N+1)/(df+1)) + 1)) — the classic corpus-analysis ranking,
+    all joins and aggregates: token explode → per-(doc,term) counts →
+    term document frequencies → score → per-doc top-k. Two shuffles
+    (doc+term, then term) regardless of corpus size; ranking uses the
+    6-decimal-rounded score with a term tiebreak so the cut is
+    deterministic cross-engine."""
+    from .operators.topk import top_k_per_group
+
+    d = _docs_with_tokens(spark, sf_dir)
+    n_docs = d.count()
+    tok = d.select("doc_id", F.explode(TX.tokens(F.col("text"))).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = tf.join(dfreq, "term").select(
+        "doc_id",
+        "term",
+        F.round(
+            F.col("tf")
+            * (F.log(F.lit(n_docs + 1.0) / (F.col("df") + F.lit(1.0))) + F.lit(1.0)),
+            6,
+        ).alias("score"),
+    )
+    return top_k_per_group(
+        scored, ["doc_id"], [F.col("score").desc(), F.col("term").asc()], 5
+    )
+
+
+SQL_TFIDF = f"""
+WITH toks AS (SELECT doc_id, unnest({_toks('text')}) AS term FROM documents),
+tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2),
+dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT doc_id, term,
+         round(tf * (ln(((SELECT COUNT(*) FROM documents) + 1.0) / (df + 1.0)) + 1.0), 6) AS score
+  FROM tf JOIN dfreq USING (term)
+),
+ranked AS (
+  SELECT doc_id, term, score,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rn
+  FROM scored
+)
+SELECT doc_id, term, score FROM ranked WHERE rn <= 5
+"""
+
+
+def q_emb_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 embedding quantization (functions.vector): per-row
+    scale 127/max|x|, elementwise round — map-only, no shuffle; the 4×
+    smaller column is what an ANN shortlist scans at 100 TB, with exact
+    re-scoring against the float column."""
+    from .functions.vector import quantize_embedding, quantize_scale
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    scale = quantize_scale(F.col("embedding"))
+    return emb.select(
+        "vec_id",
+        F.round(scale, 6).alias("scale"),
+        quantize_embedding(F.col("embedding"), scale).alias("qvec"),
+    )
+
+
+SQL_QUANTIZED = """
+WITH m AS (
+  SELECT vec_id, embedding,
+         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS mx
+  FROM embeddings
+),
+s AS (
+  SELECT vec_id, embedding,
+         CASE WHEN mx = 0 THEN 0.0 ELSE 127.0 / mx END AS scale
+  FROM m
+)
+SELECT vec_id, round(scale, 6) AS scale,
+       list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * scale) AS INTEGER)) AS qvec
+FROM s
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -1591,6 +1671,8 @@ QUERIES: dict[str, QueryFn] = {
     "neardup_components": q_neardup_components,
     "doc_sample_by_lang": q_doc_sample_by_lang,
     "doc_hash_sample": q_doc_hash_sample,
+    "doc_tfidf_terms": q_doc_tfidf_terms,
+    "emb_quantized": q_emb_quantized,
 }
 
 
@@ -1644,4 +1726,6 @@ def build_oracles() -> dict[str, str]:
         "neardup_components": _sql_neardup_components(),
         "doc_sample_by_lang": SQL_SAMPLE_BY_LANG,
         "doc_hash_sample": SQL_HASH_SAMPLE,
+        "doc_tfidf_terms": SQL_TFIDF,
+        "emb_quantized": SQL_QUANTIZED,
     }
