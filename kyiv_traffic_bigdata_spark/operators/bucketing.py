@@ -5,8 +5,11 @@ Spark-native answer to "join two 100 TB tables every day").
 A fact table written with ``bucketBy(n, key)`` + ``sortBy(key)`` is
 physically hash-partitioned AND sorted on disk. Two tables bucketed on
 the join key with the SAME bucket count sort-merge-join with **zero
-Exchange and zero Sort** — the layout is the shuffle, paid once at write
-time and amortized over every subsequent join/aggregate on that key.
+Exchange** — the layout is the shuffle, paid once at write time and
+amortized over every subsequent join/aggregate on that key. (Local
+per-side Sorts remain: Spark 4 trusts bucket sort metadata only behind
+``spark.sql.legacy.bucketedTableScan.outputOrdering``; those are
+spill-aware in-executor sorts, not network shuffles.)
 That is the single biggest repeated-cost lever at the 100 TB target:
 the shuffle of the fact table is the bottleneck, and bucketing deletes
 it from the steady-state plan (pinned by tests/test_plans.py).
