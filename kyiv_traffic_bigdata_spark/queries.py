@@ -182,8 +182,26 @@ def _geo_speeds(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Same single-split story as _docs_with_tokens: the hyperplane/dot
+    # folds are interpreted higher-order lambdas — spread them over the
+    # cores before the per-row vector math.
+    return load_table(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+
 def _docs_with_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load_table(spark, sf_dir, "documents")
+    # Round-robin the corpus across all cores before the text queries:
+    # the documents table is a single small parquet split locally, and
+    # every downstream doc query grinds interpreted higher-order lambdas
+    # (tokens/ngrams/list ops) per row — one partition means one core.
+    # At real scale the table has many partitions and this keeps them
+    # (repartition to the same default parallelism); the tiny shuffle of
+    # raw text is far cheaper than the maps it balances.
+    return load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
 
 
 def _sw_sql(words: tuple[str, ...]) -> str:
@@ -759,7 +777,7 @@ def q_emb_cosine_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
     hyperplane-LSH blocking (band bit-width auto-scaled to corpus size so
     bucket population stays bounded) + exact cosine >= 0.3 verification
     (operators.similarity.cosine_neardup_pairs)."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _emb(spark, sf_dir)
     return SIM.cosine_neardup_pairs(emb, threshold=0.3)
 
 
@@ -1345,7 +1363,7 @@ HAVING count(*) >= {min_shared}
 
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact brute-force cosine top-10 for query vectors (vec_id % 50 = 0)."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _emb(spark, sf_dir)
     q = emb.where(F.col("vec_id") % 50 == 0)
     return SIM.cosine_topk(q, emb, k=10)
 
@@ -1384,7 +1402,7 @@ FROM ranked WHERE rn <= 10
 
 def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-vector L2 norm (vector column math, no UDF)."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _emb(spark, sf_dir)
     return emb.select(
         "vec_id",
         F.col("label").cast("long").alias("label"),
@@ -1405,7 +1423,7 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed approximate NN (scale path; recall asserted in tests).
     No SQL oracle — approximation is engine-defined; driver records a
     rows-only check and pytest compares recall against the exact baseline."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _emb(spark, sf_dir)
     q = emb.where(F.col("vec_id") % 50 == 0)
     return SIM.ann_lsh_topk(q, emb, k=10)
 
@@ -1415,7 +1433,7 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     next to ann_lsh; recall asserted in tests). No SQL oracle —
     approximation is engine-defined; the driver records a rows-only
     check and pytest compares recall against the exact baseline."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _emb(spark, sf_dir)
     q = emb.where(F.col("vec_id") % 50 == 0)
     return SIM.ann_ivf_topk(q, emb, k=10, n_probe=4)
 
@@ -1591,7 +1609,7 @@ def q_emb_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-scoring against the float column."""
     from .functions.vector import quantize_embedding, quantize_scale
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _emb(spark, sf_dir)
     scale = quantize_scale(F.col("embedding"))
     return emb.select(
         "vec_id",
