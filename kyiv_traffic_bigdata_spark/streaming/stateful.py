@@ -130,3 +130,93 @@ def streaming_trajectory_speeds(
 
 
 __all__ = ["streaming_trajectory_speeds", "make_speed_fn", "OUTPUT_SCHEMA", "STATE_SCHEMA"]
+
+
+# ---------------------------------------------------------------------------
+# Streaming sessionization (the incremental twin of windows.sessionize)
+# ---------------------------------------------------------------------------
+
+SESSION_OUTPUT_SCHEMA = (
+    "user_id long, session_start_us long, session_end_us long, n_events long"
+)
+SESSION_STATE_SCHEMA = "start_us long, last_us long, n long"
+
+
+def make_session_fn(gap_s: int = 1800, state_ttl_s: int = 3600):
+    """Per-key gap sessionizer: events extend the open session while the
+    inter-event gap stays ≤ ``gap_s``; a larger gap (or the state TTL
+    firing with no new events) CLOSES the session and emits it.
+
+    The batch twin (operators/windows.sessionize) needs the full history
+    and one sort per key; this keeps O(1) state per user (start, last,
+    count) and emits each closed session exactly once — the only way to
+    sessionize an unbounded stream. The TTL doubles as the close signal
+    for idle users, so ``state_ttl_s`` should be ≥ ``gap_s``.
+    """
+    gap_us = gap_s * 1_000_000
+
+    def fn(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        def row(start, last, n):
+            return pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "session_start_us": [int(start)],
+                    "session_end_us": [int(last)],
+                    "n_events": [int(n)],
+                }
+            )
+
+        if state.hasTimedOut:
+            # idle user: the open session (if any) is over — flush it
+            if state.exists:
+                start, last, n = state.get
+                state.remove()
+                yield row(start, last, n)
+            return
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        if rows.empty:
+            state.setTimeoutDuration(state_ttl_s * 1000)
+            return
+        ts = rows["ts_us"].sort_values(kind="mergesort", ignore_index=True)
+        cur = list(state.get) if state.exists else None
+        closed = []
+        for t in ts.to_numpy():
+            t = int(t)
+            if cur is None:
+                cur = [t, t, 0]
+            elif t - cur[1] > gap_us:
+                closed.append(tuple(cur))
+                cur = [t, t, 0]
+            cur[1] = t
+            cur[2] += 1
+        state.update(tuple(cur))
+        state.setTimeoutDuration(state_ttl_s * 1000)
+        for start, last, n in closed:
+            yield row(start, last, n)
+
+    return fn
+
+
+def streaming_sessionize(
+    events: DataFrame, gap_s: int = 1800, state_ttl_s: int = 3600
+) -> DataFrame:
+    """Gap-based sessions over a STREAMING events frame.
+
+    Input needs (user_id:long, ts_us:long). Output: one row per CLOSED
+    session (append mode — a closed session never changes, which is what
+    makes this op streamable at all).
+    """
+    return events.groupBy("user_id").applyInPandasWithState(
+        make_session_fn(gap_s, state_ttl_s),
+        outputStructType=SESSION_OUTPUT_SCHEMA,
+        stateStructType=SESSION_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
+
+
+__all__ += ["streaming_sessionize", "make_session_fn", "SESSION_OUTPUT_SCHEMA"]

@@ -90,3 +90,71 @@ def test_implausible_pairs_are_gated(spark, tmp_path):
     )
     q.awaitTermination(60)
     assert spark.sql("SELECT * FROM traj_gated").count() == 0
+
+
+def test_streaming_sessionize_closes_on_gap_across_batches(spark, tmp_path):
+    """Sessions must extend across micro-batches and close exactly once
+    when the gap exceeds the threshold — matching the batch twin
+    (operators/windows.sessionize) on the closed prefix."""
+    import json as _json
+
+    from kyiv_traffic_bigdata_spark.operators.windows import sessionize
+    from kyiv_traffic_bigdata_spark.streaming.stateful import streaming_sessionize
+
+    US = 1_000_000
+    src = tmp_path / "sess_src"
+    src.mkdir()
+
+    def write(name, rows):
+        (src / name).write_text(
+            "\n".join(_json.dumps({"user_id": u, "ts_us": t * US}) for u, t in rows)
+            + "\n"
+        )
+
+    # batch 1: user 1 [1000, 1060]; user 2 [1000] — all one open session each
+    write("b1.json", [(1, 1000), (1, 1060), (2, 1000)])
+    stream = spark.readStream.schema("user_id long, ts_us long").json(str(src))
+    q = (
+        streaming_sessionize(stream, gap_s=300)
+        .writeStream.format("memory")
+        .queryName("sess_out")
+        .option("checkpointLocation", str(tmp_path / "sess_ckpt"))
+        .outputMode("append")
+        .trigger(processingTime="1 seconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        # batch 2: 1100 extends user 1's session (gap 40 ≤ 300); 3000
+        # exceeds the gap → closes [1000..1100] with 3 events
+        while time.time() < deadline and not (src / "b1.json").exists():
+            time.sleep(0.2)
+        time.sleep(2)
+        write("b2.json", [(1, 1100), (1, 3000)])
+        rows = []
+        while time.time() < deadline:
+            rows = spark.sql("SELECT * FROM sess_out").collect()
+            if rows:
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+
+    assert len(rows) == 1
+    got = rows[0]
+    assert (got.user_id, got.n_events) == (1, 3)
+    assert got.session_start_us == 1000 * US and got.session_end_us == 1100 * US
+    # parity: the batch sessionizer on the full history produces the same
+    # closed session as its first user-1 session
+    batch = spark.createDataFrame(
+        [(1, 1000 * US), (1, 1060 * US), (1, 1100 * US), (1, 3000 * US),
+         (2, 1000 * US)],
+        "user_id long, ts_us long",
+    )
+    b = {
+        (r.user_id, r.session_seq): r
+        for r in sessionize(batch, "user_id", "ts_us", 300).collect()
+    }
+    first = b[(1, 1)]
+    assert first.session_start_s == 1000 and first.session_end_s == 1100
+    assert first.n_events == 3
