@@ -43,9 +43,14 @@ def connected_components(
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     sym = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
     sym = sym.distinct().localCheckpoint(eager=True)
+    # Seed with round 1 fused into initialization: label(v) =
+    # min(v, min(neighbors)) is ONE aggregation over the edge list when
+    # every label is still the identity — no join needed, one whole
+    # propagation round saved before the loop starts.
     labels = (
-        sym.select(F.col("a").alias("node")).distinct()
-        .withColumn("component", F.col("node"))
+        sym.groupBy("a")
+        .agg(F.least(F.col("a"), F.min("b")).alias("component"))
+        .withColumnRenamed("a", "node")
         .localCheckpoint(eager=True)
     )
     for _ in range(max_iter):
