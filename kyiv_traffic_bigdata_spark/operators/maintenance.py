@@ -1,0 +1,61 @@
+"""Table maintenance: small-file compaction.
+
+Streaming sinks (5 s micro-batches, ST1/ST10) and bucketed writers leave
+directories with thousands of small files; parquet scans then pay per-file
+open cost and lose row-group locality — at 100 TB the file count, not the
+byte count, becomes the scan bottleneck. Compaction rewrites a directory
+into ~target-sized files: one read, one repartition (round-robin — no key
+skew), one write.
+
+The reference has no analogue (its sinks are single JSONL appenders);
+this is part of operating the same pipeline on a cluster.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def directory_bytes(path: str) -> int:
+    """Total data bytes under a local path (cluster deployments would ask
+    the Hadoop FileSystem API the same question)."""
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if not f.startswith(("_", ".")):
+                total += os.path.getsize(os.path.join(root, f))
+    return total
+
+
+def plan_compaction(total_bytes: int, target_mb: int = 256) -> int:
+    """Number of output files: ceil(total / target), minimum 1. Parquet
+    compresses ~the same before and after, so input bytes are a good
+    proxy for output sizing."""
+    return max(1, math.ceil(total_bytes / (target_mb * 1024 * 1024)))
+
+
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    out_path: str,
+    target_mb: int = 256,
+    partition_by: list[str] | None = None,
+) -> int:
+    """Rewrite a parquet directory into ~``target_mb``-sized files at
+    ``out_path``; returns the file count written. Readers swap to the
+    new location on success (write-then-swap keeps the old data intact
+    if the job dies mid-rewrite — never compact in place).
+
+    With ``partition_by``, files are compacted within partitions and the
+    directory keeps its partition pruning.
+    """
+    df: DataFrame = spark.read.parquet(path)
+    n = plan_compaction(directory_bytes(path), target_mb)
+    writer = df.repartition(n).write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(out_path)
+    return n

@@ -85,3 +85,31 @@ def test_sample_hash_matches_portable_recipe(spark):
     df = spark.createDataFrame([(42,)], "k long")
     got = df.select(sample_hash(F.col("k")).alias("h")).collect()[0].h
     assert got == int(hashlib.md5(b"42").hexdigest()[:8], 16)
+
+
+def test_compact_parquet_reduces_file_count_losslessly(spark, tmp_path):
+    """Maintenance: a fragmented directory (50 files) compacts to the
+    planned count with identical content."""
+    import glob
+
+    from kyiv_traffic_bigdata_spark.operators.maintenance import (
+        compact_parquet,
+        plan_compaction,
+    )
+
+    src = str(tmp_path / "frag")
+    out = str(tmp_path / "compacted")
+    df = spark.range(0, 5000).withColumnRenamed("id", "k")
+    df.repartition(50).write.parquet(src)
+    assert len(glob.glob(src + "/part-*")) == 50
+
+    n = compact_parquet(spark, src, out, target_mb=256)
+    assert n == 1  # tiny table -> one target-sized file
+    assert len(glob.glob(out + "/part-*")) == 1
+    got = spark.read.parquet(out)
+    assert got.count() == 5000
+    assert got.join(df, "k", "left_anti").count() == 0
+
+    # sizing math: 1 GiB at 256 MiB target -> 4 files
+    assert plan_compaction(1 << 30, 256) == 4
+    assert plan_compaction(0, 256) == 1
