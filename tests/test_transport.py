@@ -305,3 +305,62 @@ def test_state_machine_replays_reference_poller_log():
     # the log says it saw 15+ WS messages across sessions (some sessions
     # reconnect before any data frame arrives — that's fine)
     assert total_delivered >= 10
+
+
+# --- PollingTransport protocol flow (stubbed HTTP) --------------------------
+
+
+class _ScriptedHTTP:
+    """Stand-in for PollingTransport._http: records requests, replays
+    scripted response bodies."""
+
+    def __init__(self, responses):
+        self.responses = list(responses)
+        self.requests = []
+
+    def __call__(self, url, data=None):
+        self.requests.append((url, data))
+        return self.responses.pop(0)
+
+
+def test_polling_transport_handshake_and_recv_and_send():
+    from kyiv_traffic_bigdata_spark.streaming.transport import PollingTransport
+
+    t = PollingTransport("https://host.example")
+    hs = encode_polling_payload(['0{"sid":"SID9","pingInterval":20000}'])
+    poll1 = encode_polling_payload(["40", EVENT])
+    t._http = _ScriptedHTTP([hs, "", poll1, "", encode_polling_payload(["2"])])
+
+    sid, ping_s = t.handshake()
+    assert (sid, ping_s) == ("SID9", 20.0)
+    t.connect()  # posts the namespace connect packet
+    url, body = t._http.requests[1]
+    assert "sid=SID9" in url and body == b"2:40"
+
+    assert t.recv() == "40"  # long-poll drains queued packets in order
+    assert t.recv() == EVENT
+    t.send("3")
+    assert t._http.requests[-1][1] == b"1:3"
+    assert t.recv() == "2"  # next poll
+    t.refresh()
+    assert t.sid is None  # ST9: session state dropped
+
+
+def test_polling_transport_maps_http_errors():
+    from kyiv_traffic_bigdata_spark.streaming.transport import PollingTransport
+
+    t = PollingTransport("https://host.example")
+
+    def boom(url, data=None):
+        raise TransportError("HTTP Error 403: Forbidden", status=403)
+
+    t._http = boom
+    with pytest.raises(TransportError) as ei:
+        t.handshake()
+    assert ei.value.status == 403
+    # protocol misuse guards
+    t2 = PollingTransport("https://host.example")
+    with pytest.raises(TransportError):
+        t2.recv()
+    with pytest.raises(TransportError):
+        t2.send("2")
