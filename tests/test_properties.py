@@ -153,3 +153,39 @@ def test_winnowing_guarantee_shared_substring_shares_fingerprint(spark, cases):
     fps = {r.doc_id: set(r.fps) for r in winnow_fingerprints(docs).collect()}
     for a_id, b_id in expected_pairs:
         assert fps[a_id] & fps[b_id], (a_id, b_id)
+
+
+@SETTINGS
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 40), st.integers(0, 40)),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_connected_components_match_union_find(spark, edges):
+    """Distributed min-label propagation must agree with a sequential
+    union-find on arbitrary graphs (self-loops and duplicates included)."""
+    from kyiv_traffic_bigdata_spark.operators.cluster import connected_components
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        parent[find(a)] = find(b)
+    nodes = {n for e in edges for n in e}
+    expect = {}
+    roots: dict[int, int] = {}
+    for n in sorted(nodes):
+        r = find(n)
+        roots.setdefault(r, n)  # smallest member labels the component
+        expect[n] = roots[r]
+
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r.node: r.component for r in connected_components(df).collect()}
+    assert got == expect
