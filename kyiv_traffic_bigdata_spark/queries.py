@@ -1635,6 +1635,51 @@ FROM s
 """
 
 
+#: clicks_after_error window (4 h in micros).
+_ERR_WINDOW_US = 4 * 3600 * 1_000_000
+
+
+def q_clicks_after_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join (operators.interval): every click within 4 h AFTER an
+    error by the same user — the point-in-range join Spark would
+    otherwise plan as a BroadcastNestedLoop, expressed as lossless
+    bin blocking + exact BETWEEN."""
+    from .operators.interval import interval_join
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts_us", "event_type"
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "event_id", "ts_us"
+    )
+    errors = ev.where(F.col("event_type") == "error").select(
+        "user_id",
+        F.col("event_id").alias("err_event_id"),
+        F.col("ts_us").alias("err_start"),
+        (F.col("ts_us") + F.lit(_ERR_WINDOW_US)).alias("err_end"),
+    )
+    out = interval_join(
+        clicks, errors, ["user_id"], "ts_us", "err_start", "err_end"
+    )
+    return out.select("user_id", "event_id", "ts_us", "err_event_id")
+
+
+SQL_CLICKS_AFTER_ERROR = f"""
+WITH clicks AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events
+  WHERE event_type = 'click'
+),
+errors AS (
+  SELECT user_id, event_id AS err_event_id, epoch_us(ts) AS err_start,
+         epoch_us(ts) + {_ERR_WINDOW_US} AS err_end
+  FROM events WHERE event_type = 'error'
+)
+SELECT c.user_id, c.event_id, c.ts_us, e.err_event_id
+FROM clicks c JOIN errors e
+  ON e.user_id = c.user_id AND c.ts_us >= e.err_start AND c.ts_us <= e.err_end
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -1691,6 +1736,7 @@ QUERIES: dict[str, QueryFn] = {
     "doc_hash_sample": q_doc_hash_sample,
     "doc_tfidf_terms": q_doc_tfidf_terms,
     "emb_quantized": q_emb_quantized,
+    "clicks_after_error": q_clicks_after_error,
 }
 
 
@@ -1746,4 +1792,5 @@ def build_oracles() -> dict[str, str]:
         "doc_hash_sample": SQL_HASH_SAMPLE,
         "doc_tfidf_terms": SQL_TFIDF,
         "emb_quantized": SQL_QUANTIZED,
+        "clicks_after_error": SQL_CLICKS_AFTER_ERROR,
     }

@@ -75,3 +75,40 @@ def test_single_shuffle_plan(spark):
         asof_join(left, right, ["k"], "ts", "ts", right_value_cols=["v"])
     )
     assert exchange_count(plan) == 1
+
+
+def test_interval_join_matches_bruteforce_and_is_dup_free(spark):
+    """Bin blocking must be lossless (same pairs as the inequality join)
+    and duplicate-free (a pair meets in exactly one bin), including
+    intervals straddling bin boundaries and spanning multiple bins."""
+    from pyspark.sql import functions as F
+
+    from kyiv_traffic_bigdata_spark.operators.interval import interval_join
+
+    pts = spark.createDataFrame(
+        [(1, i, t) for i, t in enumerate([5, 99, 100, 101, 150, 250, 1000])]
+        + [(2, 100, 100)],
+        "k long, pid long, ts long",
+    )
+    iv = spark.createDataFrame(
+        [
+            (1, 10, 90, 120),    # straddles the bin boundary at 100
+            (1, 11, 0, 500),     # spans many bins
+            (1, 12, 140, 160),   # interior
+            (2, 13, 90, 120),    # other key
+        ],
+        "k long, iid long, lo long, hi long",
+    )
+    got = interval_join(pts, iv, ["k"], "ts", "lo", "hi", bin_width=100)
+    pairs = sorted((r.pid, r.iid) for r in got.collect())
+    brute = sorted(
+        (r.pid, r.iid)
+        for r in pts.join(iv, "k")
+        .where((F.col("ts") >= F.col("lo")) & (F.col("ts") <= F.col("hi")))
+        .collect()
+    )
+    assert pairs == brute
+    assert len(pairs) == len(set(pairs))  # no duplicates from the explode
+    # auto width = longest interval (500): still exact
+    auto = interval_join(pts, iv, ["k"], "ts", "lo", "hi")
+    assert sorted((r.pid, r.iid) for r in auto.collect()) == brute
