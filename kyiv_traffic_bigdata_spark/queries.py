@@ -1659,7 +1659,8 @@ def q_clicks_after_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("ts_us") + F.lit(_ERR_WINDOW_US)).alias("err_end"),
     )
     out = interval_join(
-        clicks, errors, ["user_id"], "ts_us", "err_start", "err_end"
+        clicks, errors, ["user_id"], "ts_us", "err_start", "err_end",
+        bin_width=_ERR_WINDOW_US,  # known constant width: skip the probe job
     )
     return out.select("user_id", "event_id", "ts_us", "err_event_id")
 

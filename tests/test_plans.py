@@ -202,3 +202,12 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
         spark.sql("DROP TABLE IF EXISTS t_li_bucketed")
         spark.sql("DROP TABLE IF EXISTS t_ord_bucketed")
+
+
+def test_interval_join_is_equi_join_not_nested_loop(plans):
+    """The range join must block on (key, bin) — a BroadcastNestedLoopJoin
+    here means the BETWEEN predicate reached the join unblocked, the
+    quadratic plan at 100 TB."""
+    plan = plans("clicks_after_error")
+    assert "BroadcastNestedLoop" not in plan
+    assert "Cross" not in plan
