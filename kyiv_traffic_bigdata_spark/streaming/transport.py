@@ -30,12 +30,10 @@ Spark-first restatement, three layers:
 
 from __future__ import annotations
 
-import json
 import time
 from dataclasses import dataclass, field
 
 from .socketio import (
-    FRAME_EVENT_PREFIX,
     FRAME_NS_CONNECT,
     FRAME_PING,
     FRAME_PONG,
