@@ -189,3 +189,54 @@ def test_connected_components_match_union_find(spark, edges):
     df = spark.createDataFrame(edges, "id_a long, id_b long")
     got = {r.node: r.component for r in connected_components(df).collect()}
     assert got == expect
+
+
+@SETTINGS
+@given(
+    st.lists(st.tuples(st.integers(0, 3), st.integers(-50, 500)), max_size=25),
+    st.lists(
+        st.tuples(st.integers(0, 3), st.integers(-50, 500), st.integers(0, 200)),
+        max_size=15,
+    ),
+    st.integers(1, 300),
+)
+def test_interval_join_bin_blocking_is_lossless(spark, pts, ivs, bin_width):
+    """For ANY bin width, bin blocking must produce exactly the
+    inequality-join pairs, each once (negative timestamps included —
+    floor division must keep working left of zero)."""
+    from kyiv_traffic_bigdata_spark.operators.interval import interval_join
+
+    points = spark.createDataFrame(
+        [(k, i, t) for i, (k, t) in enumerate(pts)] or [(0, 0, 0)],
+        "k long, pid long, ts long",
+    )
+    intervals = spark.createDataFrame(
+        [(k, i, lo, lo + w) for i, (k, lo, w) in enumerate(ivs)] or [(9, 0, 1, 2)],
+        "k long, iid long, lo long, hi long",
+    )
+    got = sorted(
+        (r.pid, r.iid)
+        for r in interval_join(
+            points, intervals, ["k"], "ts", "lo", "hi", bin_width=bin_width
+        ).collect()
+    )
+    brute = sorted(
+        (r.pid, r.iid)
+        for r in points.join(intervals, "k")
+        .where((F.col("ts") >= F.col("lo")) & (F.col("ts") <= F.col("hi")))
+        .collect()
+    )
+    assert got == brute
+
+
+@SETTINGS
+@given(st.lists(printable, max_size=10))
+def test_polling_codec_roundtrip(packets):
+    """Engine.IO length-prefixed framing round-trips arbitrary packet
+    text (lengths are counted in characters, not bytes)."""
+    from kyiv_traffic_bigdata_spark.streaming.transport import (
+        decode_polling_payload,
+        encode_polling_payload,
+    )
+
+    assert decode_polling_payload(encode_polling_payload(packets)) == packets
