@@ -63,14 +63,13 @@ def shingle_index(
     slower at sf0.1. CollapseProject keeps the stages separate because the
     alias is non-cheap and multiply-referenced.
     """
-    # Parallelize the interpreted higher-order chain (same rationale as
-    # winnow_fingerprints): small inputs arrive as one parquet partition
-    # and a single core grinding per-row lambda evaluation is the actual
-    # bottleneck — measured 5.7s of an 11s query at sf0.1. One
-    # round-robin shuffle of raw text is far cheaper than the map it
-    # balances; at real scale the input already has many partitions and
-    # this keeps them.
-    docs = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    # Partitioning contract: the interpreted higher-order chain below is
+    # the dominant per-row cost, so the INPUT must already be spread
+    # across cores — the query layer does this once (_docs_with_tokens
+    # round-robins the single-split local corpus; measured 5.7s of an
+    # 11s query on one core otherwise). No repartition here: operators
+    # stacking their own shuffles on top of the caller's doubles the
+    # exchange of raw text for nothing.
     toked = docs.select(
         F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("_tok")
     )
@@ -447,13 +446,9 @@ def winnow_fingerprints(
     """
     from ..functions.text import ascii_normalize, codepoints, gram_rolling_hashes, winnow
 
-    # Parallelize the interpreted higher-order chain: tiny inputs arrive
-    # as one parquet partition, and a single core grinding ~ms/doc lambda
-    # evaluation is the actual bottleneck (measured). One round-robin
-    # shuffle of raw text is trivially cheaper than the map it balances;
-    # at real scale the input already has many partitions and this keeps
-    # them (repartition to the same default parallelism).
-    docs = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    # Partitioning contract: same as shingle_index — the caller spreads
+    # the corpus across cores once (_docs_with_tokens); the ~ms/doc
+    # lambda chain here then parallelizes without a second exchange.
     staged = docs.select(
         F.col(id_col).alias("doc_id"), ascii_normalize(F.col(text_col)).alias("_a")
     ).select("doc_id", codepoints(F.col("_a")).alias("_cp"))

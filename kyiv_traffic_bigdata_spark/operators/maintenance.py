@@ -49,12 +49,20 @@ def compact_parquet(
     new location on success (write-then-swap keeps the old data intact
     if the job dies mid-rewrite — never compact in place).
 
-    With ``partition_by``, files are compacted within partitions and the
-    directory keeps its partition pruning.
+    With ``partition_by``, rows are hash-distributed on the partition
+    columns first, so each Hive partition's rows land in as few write
+    tasks as possible (round-robin would spread every partition across
+    all ``n`` tasks and emit up to n×#partitions small files — the very
+    problem being fixed). Returns the write-task count, an upper bound
+    on files per Hive partition.
     """
     df: DataFrame = spark.read.parquet(path)
     n = plan_compaction(directory_bytes(path), target_mb)
-    writer = df.repartition(n).write.mode("overwrite")
+    if partition_by:
+        shaped = df.repartition(n, *[df[c] for c in partition_by])
+    else:
+        shaped = df.repartition(n)
+    writer = shaped.write.mode("overwrite")
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(out_path)

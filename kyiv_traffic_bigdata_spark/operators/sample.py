@@ -19,13 +19,15 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.text import portable_hash
 from .topk import top_k_per_group
 
 
 def sample_hash(key: Column) -> Column:
-    """Uniform deterministic [0, 2^32) hash of a key column (md5 prefix,
-    the engine's portable-hash recipe — reproducible cross-engine)."""
-    return F.conv(F.substring(F.md5(key.cast("string")), 1, 8), 16, 10).cast("long")
+    """Uniform deterministic [0, 2^32) hash of a key column — the
+    engine's single portable-hash recipe (functions.text.portable_hash),
+    so the SQL twin is the one shared _PORTABLE_HASH template."""
+    return portable_hash(key.cast("string"))
 
 
 def stratified_sample(

@@ -777,8 +777,15 @@ def q_emb_cosine_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
     hyperplane-LSH blocking (band bit-width auto-scaled to corpus size so
     bucket population stays bounded) + exact cosine >= 0.3 verification
     (operators.similarity.cosine_neardup_pairs)."""
-    emb = _emb(spark, sf_dir)
-    return SIM.cosine_neardup_pairs(emb, threshold=0.3)
+    # width from the RAW table's count (parquet-footer metadata job);
+    # counting the repartitioned frame would execute the full round-robin
+    # shuffle just to learn n
+    n = load_table(spark, sf_dir, "embeddings").count()
+    return SIM.cosine_neardup_pairs(
+        _emb(spark, sf_dir),
+        threshold=0.3,
+        rows_per_band=SIM.neardup_rows_per_band(n),
+    )
 
 
 def _sql_emb_neardups() -> str:

@@ -345,8 +345,12 @@ class OverpassClient:
 
         self._rate_limit()
         form = urlencode({"data": overpass_query_text}).encode("utf-8")
-        status, text = self._transport(self.url, form)
-        self._last_request = self._clock()
+        try:
+            status, text = self._transport(self.url, form)
+        finally:
+            # stamp even on transport failure: fast-failing retries must
+            # still honor the courtesy spacing toward the shared service
+            self._last_request = self._clock()
         if not 200 <= status < 300:
             raise OverpassHTTPError(status, text)
         return json.loads(text)

@@ -191,7 +191,11 @@ def make_session_fn(gap_s: int = 1800, state_ttl_s: int = 3600):
             elif t - cur[1] > gap_us:
                 closed.append(tuple(cur))
                 cur = [t, t, 0]
-            cur[1] = t
+            # max(): a late event from a reordered batch extends the
+            # member count but must never regress the session end below
+            # an already-observed timestamp (end < start emissions,
+            # spurious early closes)
+            cur[1] = max(cur[1], t)
             cur[2] += 1
         state.update(tuple(cur))
         state.setTimeoutDuration(state_ttl_s * 1000)

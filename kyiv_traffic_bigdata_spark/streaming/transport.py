@@ -116,33 +116,54 @@ class Upgraded:
     """The ws upgrade handshake completed; the connection is live."""
 
 
+@dataclass(frozen=True)
+class Closed:
+    """The server ended the Engine.IO session (close packet ``1``) —
+    the driving loop must reconnect, not keep polling a dead sid."""
+
+
 class SocketIOStateMachine:
     """Engine.IO/Socket.IO client protocol, sans IO.
 
-    Mirrors the reference's frame handling exactly
+    Mirrors the reference's frame handling
     (websocket_client.py:244-269 ``_handle_protocol_message`` /
     ``_handle_message``; 295-330 keepalive):
 
-    * on ws open → send ``2probe``;
-    * ``3probe`` → send ``5`` (upgrade) + ``40`` (namespace connect),
+    * WEBSOCKET mode (``upgrades=True``): on open → send ``2probe``;
+      ``3probe`` → send ``5`` (upgrade) + ``40`` (namespace connect),
       connection counts as established;
-    * server ``2`` (ping) → answer ``3`` (pong);
-    * ``3`` (pong) → bookkeeping only;
+    * POLLING mode (``upgrades=False``): the session is live as soon as
+      the handshake + namespace connect complete — no probe dance, and
+      the ws-only ``5`` packet is never sent (a protocol violation on
+      polling). Keepalive pings flow immediately;
+    * server ``2`` (ping) → answer ``3`` (pong); ``3`` (pong) /
+      ``6`` (noop) / ``40`` / ``0{...}`` → bookkeeping only;
+    * ``1`` (close) → :class:`Closed`, never delivered downstream;
     * idle longer than ping_interval → send ``2`` (client ping);
     * anything else non-protocol (``42[...]`` events, unknown frames the
       parser may still salvage) → delivered downstream.
     """
 
-    def __init__(self, ping_interval_s: float = 25.0, clock=time.monotonic):
+    def __init__(
+        self,
+        ping_interval_s: float = 25.0,
+        clock=time.monotonic,
+        upgrades: bool = True,
+    ):
         self.ping_interval = ping_interval_s
         self._clock = clock
+        self.upgrades = upgrades
         self.connected = False
         self._last_ping = clock()
         self.stats = {"messages": 0, "delivered": 0, "pings_sent": 0}
 
     def on_open(self) -> list:
-        """WebSocket (or polling channel) established — probe for upgrade."""
+        """Channel established. WebSocket mode probes for the upgrade;
+        polling mode is already a working session."""
         self._last_ping = self._clock()
+        if not self.upgrades:
+            self.connected = True
+            return []
         return [Send(FRAME_PROBE)]
 
     def on_frame(self, message: str) -> list:
@@ -156,6 +177,11 @@ class SocketIOStateMachine:
             return []
         if message == FRAME_PING:
             return [Send(FRAME_PONG)]
+        if message == "1":  # Engine.IO close: session is gone
+            self.connected = False
+            return [Closed()]
+        if message == "6":  # Engine.IO noop (poll cycling): ignore
+            return []
         if message == FRAME_NS_CONNECT or message.startswith("0{"):
             return []  # namespace ack / open packet: no data
         self.stats["delivered"] += 1
@@ -243,6 +269,11 @@ class PollingTransport:
     (the upgrade to websocket is an optimization the protocol makes
     optional). Same no-extra-deps network posture as sources/weather.py.
     """
+
+    #: no ws probe dance on this transport: the session is live right
+    #: after handshake + namespace connect (the state machine skips the
+    #: upgrade path and starts keepalive pings immediately)
+    upgrades = False
 
     def __init__(self, base_url: str, timeout_s: float = 30.0):
         self.base_url = base_url
@@ -387,24 +418,40 @@ class LiveSocketIOClient:
         """Pump until ``max_frames`` data frames are sunk (None = forever)
         or ``max_connects`` connection attempts are exhausted."""
         connects = 0
+        refreshed_last = False
         while max_frames is None or self.stats["frames"] < max_frames:
             if max_connects is not None and connects >= max_connects:
                 return
             connects += 1
             try:
                 _sid, ping_s = self.transport.handshake()
-                self.machine = SocketIOStateMachine(ping_s, clock=self._clock)
+                # transports advertise whether they do the ws probe dance;
+                # the stdlib polling transport is live straight away
+                self.machine = SocketIOStateMachine(
+                    ping_s,
+                    clock=self._clock,
+                    upgrades=getattr(self.transport, "upgrades", True),
+                )
                 self.transport.connect()
                 self._apply(self.machine.on_open())
                 self.session.record_success()
                 self.backoff.reset()
+                refreshed_last = False
                 self.stats["connections"] += 1
                 self._pump(max_frames)
             except TransportError as exc:
                 self.stats["errors"] += 1
                 if self.session.record_failure(exc.status):
                     self.transport.refresh()
-                    continue  # refreshed session reconnects immediately
+                    # the FIRST refresh retries immediately (the reference's
+                    # 403 dance), but refresh-looping (server 403s every
+                    # fresh session) must back off like any other outage —
+                    # otherwise this is a zero-delay hammer loop
+                    if refreshed_last:
+                        self._sleep(self.backoff.next_delay())
+                    refreshed_last = True
+                    continue
+                refreshed_last = False
                 self._sleep(self.backoff.next_delay())
 
     def _pump(self, max_frames: int | None) -> None:
@@ -414,4 +461,7 @@ class LiveSocketIOClient:
             if frame is None:
                 self._apply(self.machine.on_tick())
                 continue
-            self._apply(self.machine.on_frame(frame))
+            for act in self.machine.on_frame(frame):
+                if isinstance(act, Closed):
+                    raise TransportError("server closed the session")
+                self._apply([act])

@@ -113,3 +113,30 @@ def test_compact_parquet_reduces_file_count_losslessly(spark, tmp_path):
     # sizing math: 1 GiB at 256 MiB target -> 4 files
     assert plan_compaction(1 << 30, 256) == 4
     assert plan_compaction(0, 256) == 1
+
+
+def test_compact_parquet_partitioned_keeps_few_files_per_partition(spark, tmp_path):
+    """partition_by compaction must not round-robin rows across all
+    tasks (that would emit tasks×partitions small files)."""
+    import glob
+
+    from kyiv_traffic_bigdata_spark.operators.maintenance import compact_parquet
+
+    src = str(tmp_path / "frag_p")
+    out = str(tmp_path / "compact_p")
+    df = (
+        spark.range(0, 4000)
+        .withColumnRenamed("id", "k")
+        .withColumn("dt", (F.col("k") % 4).cast("string"))
+    )
+    df.repartition(20).write.partitionBy("dt").parquet(src)
+    # fragmented: ~20 files per dt directory
+    assert len(glob.glob(src + "/dt=0/part-*")) > 5
+
+    compact_parquet(spark, src, out, target_mb=256, partition_by=["dt"])
+    for d in range(4):
+        files = glob.glob(out + f"/dt={d}/part-*")
+        assert len(files) == 1, f"dt={d} has {len(files)} files"
+    got = spark.read.parquet(out)
+    assert got.count() == 4000
+    assert got.select("k").join(df.select("k"), "k", "left_anti").count() == 0

@@ -158,3 +158,44 @@ def test_streaming_sessionize_closes_on_gap_across_batches(spark, tmp_path):
     first = b[(1, 1)]
     assert first.session_start_s == 1000 and first.session_end_s == 1100
     assert first.n_events == 3
+
+
+def test_session_fn_late_event_does_not_regress_session_end():
+    """A reordered (late) event may extend the count but must never pull
+    the session end below an already-observed timestamp."""
+    import pandas as pd
+
+    from kyiv_traffic_bigdata_spark.streaming.stateful import make_session_fn
+
+    class FakeState:
+        def __init__(self, value=None):
+            self._v = value
+            self.hasTimedOut = False
+
+        @property
+        def exists(self):
+            return self._v is not None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+
+        def setTimeoutDuration(self, _ms):
+            pass
+
+        def remove(self):
+            self._v = None
+
+    US = 1_000_000
+    fn = make_session_fn(gap_s=300)
+    state = FakeState((800 * US, 1000 * US, 2))  # open session, end=1000s
+    # batch delivers a LATE event (700s) then a fresh one (1100s)
+    out = list(
+        fn((1,), iter([pd.DataFrame({"ts_us": [700 * US, 1100 * US]})]), state)
+    )
+    assert out == []  # nothing closed: 1100-1000=100s is within the gap
+    start, last, n = state.get
+    assert (start, last, n) == (800 * US, 1100 * US, 4)

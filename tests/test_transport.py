@@ -364,3 +364,64 @@ def test_polling_transport_maps_http_errors():
         t2.recv()
     with pytest.raises(TransportError):
         t2.send("2")
+
+
+# --- review fixes: polling keepalive, close packets, 403 loops --------------
+
+
+def test_polling_mode_is_connected_without_probe_and_pings():
+    """In polling mode (upgrades=False) the session is live immediately:
+    no 2probe is sent (ws-only packet) and keepalive pings flow."""
+    from kyiv_traffic_bigdata_spark.streaming.transport import (
+        SocketIOStateMachine,
+    )
+
+    now = [0.0]
+    m = SocketIOStateMachine(25.0, clock=lambda: now[0], upgrades=False)
+    assert m.on_open() == []  # no probe over polling
+    assert m.connected
+    now[0] = 26.0
+    assert m.on_tick() == [Send("2")]  # keepalive works without upgrade
+
+
+def test_close_and_noop_packets_are_protocol_not_data():
+    from kyiv_traffic_bigdata_spark.streaming.transport import Closed
+
+    m = SocketIOStateMachine(25.0)
+    m.on_frame("3probe")
+    assert m.on_frame("6") == []  # noop: ignored
+    acts = m.on_frame("1")  # close: surfaced, never delivered
+    assert acts == [Closed()]
+    assert not m.connected
+    assert m.stats["delivered"] == 0
+
+
+def test_client_reconnects_on_server_close_packet():
+    t = FakeTransport(
+        [
+            (("sid1", 25.0), ["3probe", "1"]),  # server closes the session
+            (("sid2", 25.0), ["3probe", EVENT]),
+        ]
+    )
+    out = []
+    c = LiveSocketIOClient(t, out.append, sleep=lambda _s: None)
+    c.run(max_frames=1)
+    assert out == [EVENT]
+    assert c.stats["connections"] == 2  # close triggered a clean reconnect
+
+
+def test_repeated_403s_back_off_instead_of_busy_looping():
+    """The FIRST 403 refreshes and retries immediately; a server that
+    403s every fresh session must back off like any outage."""
+    t = FakeTransport(
+        [(TransportError("HTTP 403", status=403), [])] * 4
+        + [(("sid", 25.0), ["3probe", EVENT])]
+    )
+    slept = []
+    out = []
+    c = LiveSocketIOClient(t, out.append, sleep=slept.append)
+    c.run(max_frames=1)
+    assert out == [EVENT]
+    assert t.refreshes == 4
+    # no sleep after 403 #1; backoff for #2..#4
+    assert slept == [5.0, 10.0, 20.0]
