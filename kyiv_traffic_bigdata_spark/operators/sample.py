@@ -55,3 +55,25 @@ def hash_sample(df: DataFrame, key_col: str, fraction: float) -> DataFrame:
     engine or partitioning — the 100 TB way to cut a reproducible slice."""
     threshold = int(fraction * (1 << 32))
     return df.where(sample_hash(F.col(key_col)) < threshold)
+
+
+def weighted_hash_sample(
+    df: DataFrame,
+    stratum_col: str,
+    key_col: str,
+    fractions: dict[str, float],
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Corpus mixing: keep a different deterministic fraction of each
+    stratum (e.g. up-sample rare languages, down-sample boilerplate-heavy
+    domains). Map-only like :func:`hash_sample` — the per-stratum
+    threshold is a small CASE cascade, no shuffle, no seed; re-running
+    with a larger fraction yields a superset (hash thresholds nest), so
+    mixtures can be re-weighted incrementally without re-selecting from
+    scratch."""
+    thr = F.lit(int(default_fraction * (1 << 32)))
+    for stratum, frac in sorted(fractions.items()):
+        thr = F.when(
+            F.col(stratum_col) == stratum, F.lit(int(frac * (1 << 32)))
+        ).otherwise(thr)
+    return df.where(sample_hash(F.col(key_col)) < thr)

@@ -1562,6 +1562,37 @@ WHERE {_PORTABLE_HASH.format(s='CAST(doc_id AS VARCHAR)')} < {int(0.1 * (1 << 32
 """
 
 
+#: Corpus-mixing rates: down-sample the dominant language, keep the rare
+#: ones whole — the standard LLM-pretraining rebalance shape.
+CORPUS_MIX = {"en": 0.3, "zh": 1.0, "de": 0.8}
+CORPUS_MIX_DEFAULT = 0.5
+
+
+def q_doc_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted corpus mixing (operators.sample.weighted_hash_sample):
+    per-language deterministic keep-rates, map-only, reproducible on any
+    engine/partitioning; thresholds nest, so re-weighting up yields a
+    superset of the previous mixture."""
+    from .operators.sample import weighted_hash_sample
+
+    d = _docs_with_tokens(spark, sf_dir).select("doc_id", "lang")
+    return weighted_hash_sample(
+        d, "lang", "doc_id", CORPUS_MIX, default_fraction=CORPUS_MIX_DEFAULT
+    )
+
+
+def _sql_corpus_mix() -> str:
+    cases = " ".join(
+        f"WHEN '{k}' THEN {int(v * (1 << 32))}"
+        for k, v in sorted(CORPUS_MIX.items())
+    )
+    return f"""
+SELECT doc_id, lang FROM documents
+WHERE {_PORTABLE_HASH.format(s='CAST(doc_id AS VARCHAR)')} <
+      CASE lang {cases} ELSE {int(CORPUS_MIX_DEFAULT * (1 << 32))} END
+"""
+
+
 def q_doc_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-5 characteristic terms per document by smoothed TF-IDF
     (tf · (ln((N+1)/(df+1)) + 1)) — the classic corpus-analysis ranking,
@@ -1745,6 +1776,7 @@ QUERIES: dict[str, QueryFn] = {
     "doc_tfidf_terms": q_doc_tfidf_terms,
     "emb_quantized": q_emb_quantized,
     "clicks_after_error": q_clicks_after_error,
+    "doc_corpus_mix": q_doc_corpus_mix,
 }
 
 
@@ -1801,4 +1833,5 @@ def build_oracles() -> dict[str, str]:
         "doc_tfidf_terms": SQL_TFIDF,
         "emb_quantized": SQL_QUANTIZED,
         "clicks_after_error": SQL_CLICKS_AFTER_ERROR,
+        "doc_corpus_mix": _sql_corpus_mix(),
     }

@@ -140,3 +140,23 @@ def test_compact_parquet_partitioned_keeps_few_files_per_partition(spark, tmp_pa
     got = spark.read.parquet(out)
     assert got.count() == 4000
     assert got.select("k").join(df.select("k"), "k", "left_anti").count() == 0
+
+
+def test_weighted_hash_sample_rates_and_nesting(spark):
+    """Per-stratum keep-rates land near target, unknown strata use the
+    default, and raising a rate yields a superset (threshold nesting)."""
+    from kyiv_traffic_bigdata_spark.operators.sample import weighted_hash_sample
+
+    rows = [(i, ["a", "b", "c"][i % 3]) for i in range(3000)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = weighted_hash_sample(
+        df, "lang", "doc_id", {"a": 0.2, "b": 1.0}, default_fraction=0.0
+    )
+    by = {r.lang: r.n for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert by.get("c", 0) == 0  # default 0: stratum dropped
+    assert by["b"] == 1000  # fraction 1.0 keeps everything
+    assert 120 <= by["a"] <= 280  # ~200 of 1000 at 0.2, md5-uniform
+    bigger = weighted_hash_sample(
+        df, "lang", "doc_id", {"a": 0.6, "b": 1.0}, default_fraction=0.1
+    )
+    assert out.join(bigger, ["doc_id"], "left_anti").count() == 0  # nested
