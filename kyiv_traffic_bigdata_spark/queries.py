@@ -1562,6 +1562,47 @@ WHERE {_PORTABLE_HASH.format(s='CAST(doc_id AS VARCHAR)')} < {int(0.1 * (1 << 32
 """
 
 
+def q_doc_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-percentile gate: keep each language's top quality quartile
+    (percent_rank ≥ 0.75 within lang) — the relative-threshold corpus
+    filter that adapts per stratum instead of using one global cutoff.
+    One shuffle on lang; rank ties are impossible (doc_id tiebreak)."""
+    from pyspark.sql import Window
+
+    d = _docs_with_tokens(spark, sf_dir)
+    staged = d.select(
+        "doc_id", "lang", TX.tokens(F.col("text")).alias("_tok"), "text"
+    )
+    scored = staged.select(
+        "doc_id",
+        "lang",
+        TX.quality_score(F.col("text"), tok=F.col("_tok")).alias("quality"),
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("quality").asc(), F.col("doc_id").asc())
+    return (
+        scored.withColumn("q_rank", F.round(F.percent_rank().over(w), 6))
+        .where(F.col("q_rank") >= 0.75)
+        .select("doc_id", "lang", "quality", "q_rank")
+    )
+
+
+def _sql_quality_filter() -> str:
+    sw = _sw_sql(TX.QUALITY_STOPWORDS)
+    swr = f"(CASE WHEN len(t) = 0 THEN 0.0 ELSE CAST(len(list_filter(t, x -> list_contains({sw}, x))) AS DOUBLE) / len(t) END)"
+    alpha = "(CASE WHEN length(text) = 0 THEN 0.0 ELSE CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / length(text) END)"
+    qual = f"round(0.4 * least(CAST(len(t) AS DOUBLE) / 100.0, 1.0) + 0.3 * {alpha} + 0.3 * {swr}, 6)"
+    return f"""
+WITH toks AS (SELECT doc_id, lang, text, {_toks('text')} AS t FROM documents),
+scored AS (SELECT doc_id, lang, {qual} AS quality FROM toks),
+ranked AS (
+  SELECT doc_id, lang, quality,
+         round(PERCENT_RANK() OVER (PARTITION BY lang ORDER BY quality ASC, doc_id ASC), 6) AS q_rank
+  FROM scored
+)
+SELECT doc_id, lang, quality, q_rank FROM ranked WHERE q_rank >= 0.75
+"""
+
+
 #: Corpus-mixing rates: down-sample the dominant language, keep the rare
 #: ones whole — the standard LLM-pretraining rebalance shape.
 CORPUS_MIX = {"en": 0.3, "zh": 1.0, "de": 0.8}
@@ -1777,6 +1818,7 @@ QUERIES: dict[str, QueryFn] = {
     "emb_quantized": q_emb_quantized,
     "clicks_after_error": q_clicks_after_error,
     "doc_corpus_mix": q_doc_corpus_mix,
+    "doc_quality_filter": q_doc_quality_filter,
 }
 
 
@@ -1834,4 +1876,5 @@ def build_oracles() -> dict[str, str]:
         "emb_quantized": SQL_QUANTIZED,
         "clicks_after_error": SQL_CLICKS_AFTER_ERROR,
         "doc_corpus_mix": _sql_corpus_mix(),
+        "doc_quality_filter": _sql_quality_filter(),
     }
