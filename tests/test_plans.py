@@ -211,3 +211,14 @@ def test_interval_join_is_equi_join_not_nested_loop(plans):
     plan = plans("clicks_after_error")
     assert "BroadcastNestedLoop" not in plan
     assert "Cross" not in plan
+
+
+def test_hash_sampling_queries_are_map_only(plans):
+    """The deterministic sampling/mixing filters claim 'map-only, no
+    shuffle' — hold them to it: zero Exchange in the physical plan."""
+    for name in ["doc_hash_sample", "doc_corpus_mix"]:
+        plan = plans(name)
+        # the loader's explicit round-robin repartition is the ONE
+        # allowed exchange; the sampling filter itself must add none
+        assert exchange_count(plan) <= 1, name
+        assert "Sort" not in plan, name
