@@ -160,3 +160,38 @@ def test_weighted_hash_sample_rates_and_nesting(spark):
         df, "lang", "doc_id", {"a": 0.6, "b": 1.0}, default_fraction=0.1
     )
     assert out.join(bigger, ["doc_id"], "left_anti").count() == 0  # nested
+
+
+def test_operators_tolerate_empty_inputs(spark):
+    """Empty partitions/tables are the steady state of incremental runs
+    (a new hour with no data) — pair operators, components, sampling,
+    and the interval join must return empty, not crash."""
+    from kyiv_traffic_bigdata_spark.operators.cluster import connected_components
+    from kyiv_traffic_bigdata_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+        simhash_neardup_pairs,
+    )
+    from kyiv_traffic_bigdata_spark.operators.interval import interval_join
+    from kyiv_traffic_bigdata_spark.operators.sample import (
+        stratified_sample,
+        weighted_hash_sample,
+    )
+
+    no_docs = spark.createDataFrame([], "doc_id long, text string")
+    assert ngram_jaccard_pairs(no_docs).count() == 0
+    assert minhash_lsh_pairs(no_docs).count() == 0
+    assert simhash_neardup_pairs(no_docs).count() == 0
+    no_edges = spark.createDataFrame([], "id_a long, id_b long")
+    assert connected_components(no_edges).count() == 0
+    no_rows = spark.createDataFrame([], "doc_id long, lang string")
+    assert stratified_sample(no_rows, ["lang"], "doc_id", 5).count() == 0
+    assert weighted_hash_sample(no_rows, "lang", "doc_id", {"en": 1.0}).count() == 0
+    pts = spark.createDataFrame([], "k long, ts long")
+    ivs = spark.createDataFrame([(1, 0, 10)], "k long, lo long, hi long")
+    assert interval_join(pts, ivs, ["k"], "ts", "lo", "hi", bin_width=5).count() == 0
+    # empty INTERVALS side must also survive the auto-width probe (max of
+    # an empty frame is NULL)
+    no_ivs = spark.createDataFrame([], "k long, lo long, hi long")
+    some_pts = spark.createDataFrame([(1, 3)], "k long, ts long")
+    assert interval_join(some_pts, no_ivs, ["k"], "ts", "lo", "hi").count() == 0
