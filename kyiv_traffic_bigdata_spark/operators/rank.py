@@ -1,0 +1,110 @@
+"""Distributed percent-rank gate — exact window semantics without the
+single-partition-per-group sort.
+
+The straightforward ``percent_rank() OVER (PARTITION BY grp ORDER BY v)``
+puts every row of a group into ONE task for the rank sort: with a handful
+of skewed groups (five languages over a 100 TB corpus) the dominant group
+is a single executor's problem — OOM or a terminal straggler.
+
+This module computes the *same* rounded percent_rank in three fully
+parallel phases, exploiting the fact that the ranked value has a bounded
+codomain (here: a quality score rounded to 6 decimals, so ≤ 1e6 + 1
+distinct values per group *regardless of corpus size*):
+
+1. ``groupBy(grp, v).count()`` — an ordinary hash aggregate with map-side
+   partials; output is bounded by the value codomain, not the row count.
+2. A window over that *aggregated* table (≤ ~1e6 rows per group) derives,
+   per (grp, v): the group total ``n`` and ``cum_before`` = how many rows
+   of the group order strictly below this value. Groups whose best
+   possible rank is still below the gate are dropped here — the bulk of
+   the corpus never reaches phase 3.
+3. Surviving (grp, v) slabs broadcast-join back to the fact rows; the
+   only per-row window is ``row_number() OVER (PARTITION BY grp, v ORDER
+   BY tiebreak)`` — partitioned by the *composite* key, so skew is
+   bounded by the largest set of rows sharing one exact value, not by
+   group size.
+
+``percent_rank`` of a row is then ``(cum_before + rn - 1) / (n - 1)``,
+identical (after rounding) to the monolithic window because the ordering
+``(v, tiebreak)`` makes every row's rank unique.
+
+Reference parity: this backs the quality-percentile corpus gate
+(reference repo has no analogue; the operator exists for the LLM-curation
+query family). Oracle twin: a plain PERCENT_RANK window in DuckDB —
+sf-small inputs make the monolithic form fine *there*; this module is the
+scale path. See SCALING.md ("quality gate").
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def percent_rank_gate(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    tiebreak_col: str,
+    min_rank: float,
+    rank_alias: str = "q_rank",
+    decimals: int = 6,
+) -> DataFrame:
+    """Keep rows whose rounded percent_rank within ``group_col`` (ordered
+    by ``value_col`` asc, ``tiebreak_col`` asc) is ≥ ``min_rank``, emitting
+    the exact rank — with no per-group global sort.
+
+    Requires ``value_col`` to have a bounded number of distinct values per
+    group (e.g. a score rounded to ``decimals`` places); phase-2 cost is
+    proportional to that bound, not to the row count.
+
+    Single-row groups get rank 0.0 (Spark/DuckDB ``percent_rank``
+    convention) and therefore fail any positive gate.
+    """
+    g, v = F.col(group_col), F.col(value_col)
+
+    # Phase 1: bounded hash aggregate (map-side partials; fully parallel).
+    slabs = df.groupBy(group_col, value_col).agg(F.count(F.lit(1)).alias("_cnt"))
+
+    # Phase 2: offsets over the aggregated table. The window partitions by
+    # group ONLY here, but its input is the slab table — bounded by the
+    # value codomain, so one task per group is ≤ ~1e6 rows at any corpus
+    # size. Drop slabs whose BEST row (the last in tiebreak order) still
+    # ranks below the gate.
+    wg = Window.partitionBy(group_col)
+    wcum = wg.orderBy(v.asc()).rowsBetween(Window.unboundedPreceding, -1)
+    slabs = (
+        slabs.withColumn("_n", F.sum("_cnt").over(wg))
+        .withColumn("_cum_before", F.coalesce(F.sum("_cnt").over(wcum), F.lit(0)))
+    )
+    best = _rounded_rank(
+        F.col("_cum_before") + F.col("_cnt") - 1, F.col("_n"), decimals
+    )
+    slabs = slabs.where(best >= F.lit(min_rank))
+
+    # Phase 3: slabs are bounded metadata — broadcast them back onto the
+    # fact rows (an inner join doubles as the bulk filter), then rank
+    # within the composite (group, value) key only.
+    survivors = df.join(
+        F.broadcast(slabs), on=[group_col, value_col], how="inner"
+    )
+    wrow = Window.partitionBy(group_col, value_col).orderBy(
+        F.col(tiebreak_col).asc()
+    )
+    rank = _rounded_rank(
+        F.col("_cum_before") + F.row_number().over(wrow) - 1,
+        F.col("_n"),
+        decimals,
+    )
+    return (
+        survivors.withColumn(rank_alias, rank)
+        .where(F.col(rank_alias) >= F.lit(min_rank))
+        .drop("_cnt", "_n", "_cum_before")
+    )
+
+
+def _rounded_rank(rank_minus_1: Column, n: Column, decimals: int) -> Column:
+    """round((rank-1)/(n-1), d) with the n==1 → 0.0 convention."""
+    return F.when(n > 1, F.round(rank_minus_1 / (n - F.lit(1)), decimals)).otherwise(
+        F.lit(0.0)
+    )

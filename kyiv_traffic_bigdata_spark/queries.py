@@ -1566,8 +1566,16 @@ def q_doc_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-percentile gate: keep each language's top quality quartile
     (percent_rank ≥ 0.75 within lang) — the relative-threshold corpus
     filter that adapts per stratum instead of using one global cutoff.
-    One shuffle on lang; rank ties are impossible (doc_id tiebreak)."""
-    from pyspark.sql import Window
+
+    Scale path (operators.rank.percent_rank_gate): a monolithic
+    ``percent_rank OVER (PARTITION BY lang)`` would sort each language's
+    ENTIRE corpus in one task. Instead: bounded (lang, quality) slab
+    aggregate → offset window over slabs (≤ 1e6 rows/lang at any corpus
+    size, since quality is rounded to 6 decimals) → broadcast slab join +
+    row_number over the composite (lang, quality) key. Same rounded ranks
+    as the monolithic window (the DuckDB oracle runs that form), no
+    single-partition-per-language sort. See SCALING.md."""
+    from .operators.rank import percent_rank_gate
 
     d = _docs_with_tokens(spark, sf_dir)
     staged = d.select(
@@ -1578,12 +1586,9 @@ def q_doc_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         TX.quality_score(F.col("text"), tok=F.col("_tok")).alias("quality"),
     )
-    w = Window.partitionBy("lang").orderBy(F.col("quality").asc(), F.col("doc_id").asc())
-    return (
-        scored.withColumn("q_rank", F.round(F.percent_rank().over(w), 6))
-        .where(F.col("q_rank") >= 0.75)
-        .select("doc_id", "lang", "quality", "q_rank")
-    )
+    return percent_rank_gate(
+        scored, "lang", "quality", "doc_id", 0.75, rank_alias="q_rank"
+    ).select("doc_id", "lang", "quality", "q_rank")
 
 
 def _sql_quality_filter() -> str:

@@ -213,6 +213,21 @@ def test_interval_join_is_equi_join_not_nested_loop(plans):
     assert "Cross" not in plan
 
 
+def test_quality_filter_has_no_per_lang_rank_sort(plans):
+    """The quality gate's scale contract (operators.rank): no
+    percent_rank window over the fact rows — a per-language monolithic
+    rank sort is one task per language at 100 TB. The only per-row window
+    must partition by the composite (lang, quality) key, and the slab
+    metadata must come back via a broadcast join."""
+    plan = plans("doc_quality_filter")
+    assert "percent_rank" not in plan
+    assert broadcast_join_count(plan) >= 1
+    # the row_number window partitions by BOTH lang and quality
+    assert re.search(
+        r"row_number\(\) windowspecdefinition\(lang#\d+, quality#\d+", plan
+    ), plan
+
+
 def test_hash_sampling_queries_are_map_only(plans):
     """The deterministic sampling/mixing filters claim 'map-only, no
     shuffle' — hold them to it: zero Exchange in the physical plan."""

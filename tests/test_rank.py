@@ -1,0 +1,67 @@
+"""Equivalence tests for operators.rank.percent_rank_gate.
+
+The operator claims *identical* output to the monolithic
+``percent_rank() OVER (PARTITION BY g ORDER BY v, tb)`` filter. Pin that
+on data with the awkward shapes: value ties straddling the gate, groups
+entirely above/below it, and single-row groups (rank 0 by convention).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from kyiv_traffic_bigdata_spark.operators.rank import percent_rank_gate
+
+
+def _monolithic(df, min_rank):
+    w = Window.partitionBy("g").orderBy(F.col("v").asc(), F.col("tb").asc())
+    return (
+        df.withColumn("q_rank", F.round(F.percent_rank().over(w), 6))
+        .where(F.col("q_rank") >= min_rank)
+        .select("g", "v", "tb", "q_rank")
+    )
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_matches_monolithic_window_with_ties(spark):
+    # g=a: 8 rows with heavy ties around the 0.75 boundary.
+    # g=b: 3 rows, all distinct. g=c: single row (rank 0, must be dropped).
+    data = (
+        [("a", 1.0, i) for i in range(3)]
+        + [("a", 2.0, i) for i in range(3)]
+        + [("a", 3.0, 0), ("a", 3.0, 1)]
+        + [("b", 5.0, 0), ("b", 6.0, 1), ("b", 7.0, 2)]
+        + [("c", 9.0, 0)]
+    )
+    df = spark.createDataFrame(data, "g string, v double, tb int")
+    for gate in (0.0, 0.5, 0.75, 1.0):
+        got = percent_rank_gate(df, "g", "v", "tb", gate).select(
+            "g", "v", "tb", "q_rank"
+        )
+        assert _rows(got) == _rows(_monolithic(df, gate)), gate
+
+
+def test_single_row_groups_fail_positive_gate(spark):
+    df = spark.createDataFrame(
+        [("x", 1.0, 0), ("y", 2.0, 0)], "g string, v double, tb int"
+    )
+    assert percent_rank_gate(df, "g", "v", "tb", 0.75).count() == 0
+    # ...and a zero gate keeps them with rank 0.0
+    kept = percent_rank_gate(df, "g", "v", "tb", 0.0)
+    assert {r["q_rank"] for r in kept.collect()} == {0.0}
+
+
+def test_boundary_rounding_matches_window(spark):
+    # 1_000 distinct ranks: rounded (rank-1)/999 values land exactly ON
+    # the gate for some rows; both paths must make the same cut.
+    df = spark.createDataFrame(
+        [("g", float(i % 97), i) for i in range(1000)],
+        "g string, v double, tb int",
+    )
+    got = percent_rank_gate(df, "g", "v", "tb", 0.75)
+    exp = _monolithic(df, 0.75)
+    assert _rows(got.select("g", "v", "tb", "q_rank")) == _rows(exp)
