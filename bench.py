@@ -49,18 +49,28 @@ def main() -> None:
             errors[f"warmup:{t}"] = str(exc).splitlines()[0][:300]
             print(f"# warmup {t} FAILED: {errors[f'warmup:{t}']}", file=sys.stderr)
 
+    # Best-of-N per query: local[32] shows ±10-20% run-to-run noise, so a
+    # single sample makes round-over-round comparisons noise artifacts.
+    # The first run also pays that query's codegen/broadcast warmup; min
+    # over consecutive runs is the steady-state number a cluster would see.
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     timings: dict[str, float] = {}
     for name, fn in QUERIES.items():
-        t0 = time.perf_counter()
-        try:
-            df = fn(spark, SF_DIR)
-            df.write.mode("overwrite").format("noop").save()
-        except Exception as exc:  # noqa: BLE001 — partial results beat none
-            errors[name] = str(exc).splitlines()[0][:300]
-            print(f"# {name} FAILED: {errors[name]}", file=sys.stderr)
-            continue
-        timings[name] = round(time.perf_counter() - t0, 3)
-        print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
+        samples = []
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            try:
+                df = fn(spark, SF_DIR)
+                df.write.mode("overwrite").format("noop").save()
+            except Exception as exc:  # noqa: BLE001 — partial results beat none
+                errors[name] = str(exc).splitlines()[0][:300]
+                print(f"# {name} FAILED: {errors[name]}", file=sys.stderr)
+                break
+            samples.append(time.perf_counter() - t0)
+        if samples:
+            timings[name] = round(min(samples), 3)
+            print(f"# {name}: {timings[name]:.3f}s (best of {len(samples)})",
+                  file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
     out = {
@@ -69,6 +79,8 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": infer_sf(SF_DIR),
+        "runs_per_query": runs,
+        "agg": "min",
     }
 
     # BASELINE.md comparison: the reference's only published numbers are
@@ -86,7 +98,15 @@ def main() -> None:
             n = read_positions(spark, ref_pos).count()
             dt = time.perf_counter() - t0
             out["ingest_positions_per_sec"] = round(n / dt, 1)
-            out["baseline_positions_per_sec"] = 16.7
+            # NB: the reference's published 16.7/s is its LIVE, network-
+            # bound WebSocket receive rate; our number is an offline
+            # replay parse of the same capture — engine throughput, not a
+            # like-for-like "N× faster" claim.
+            out["reference_live_ingest_rate_per_sec"] = 16.7
+            out["ingest_note"] = (
+                "reference rate is network-bound live WS receive; "
+                "engine rate is offline replay parse of the same capture"
+            )
         except Exception as exc:  # noqa: BLE001
             errors["ingest_throughput"] = str(exc).splitlines()[0][:300]
 

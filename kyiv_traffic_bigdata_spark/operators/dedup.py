@@ -334,35 +334,31 @@ def simhash(
     """Per-doc SimHash over word-token features (portable 32-bit hashes).
 
     bit_j(doc) = 1 iff Σ_tokens (bit_j(h(token)) ? +1 : −1) > 0.
-    Computed by exploding (token × bit-position) and one aggregate —
-    all integer math, so the oracle reproduces it exactly. Hamming-distance
-    bucketing over the resulting key is the near-dup query path.
+    Computed as ONE conditional aggregate (``bits`` sums over the token
+    stream in a single groupBy, the minhash_signatures shape) — the
+    earlier (token × bit-position) explode multiplied the
+    pre-aggregation row stream ×``bits``; map-side partials contained
+    it, but this form shuffles ~``bits``× less. All integer math, so
+    the oracle reproduces it exactly. Hamming-distance bucketing over
+    the resulting key is the near-dup query path.
     """
     tok = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(tokens(F.col(text_col))).alias("tokn"),
     ).select("doc_id", portable_hash(F.col("tokn")).alias("h"))
-    contrib = tok.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit"),
-        "h",
-    ).withColumn(
-        # shiftright/shiftleft builtins need a literal shift count; expr
-        # form accepts a column one.
-        "w",
-        F.when(F.expr("(h >> bit) & 1") == 1, 1).otherwise(-1),
+    bit_sums = [
+        F.sum(F.when(F.expr(f"(h >> {j}) & 1") == 1, 1).otherwise(-1)).alias(f"s_{j}")
+        for j in range(bits)
+    ]
+    # one parsed expr, not a bits-deep Column tree (plan-build cost)
+    combine = " + ".join(
+        f"(CASE WHEN s_{j} > 0 THEN CAST({1 << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        for j in range(bits)
     )
     return (
-        contrib.groupBy("doc_id", "bit")
-        .agg(F.sum("w").alias("s"))
-        .withColumn(
-            "bitval",
-            F.when(F.col("s") > 0, F.expr("shiftleft(cast(1 as bigint), bit)")).otherwise(
-                F.lit(0).cast("long")
-            ),
-        )
-        .groupBy("doc_id")
-        .agg(F.sum("bitval").alias("simhash"))
+        tok.groupBy("doc_id")
+        .agg(*bit_sums)
+        .select("doc_id", F.expr(combine).alias("simhash"))
     )
 
 

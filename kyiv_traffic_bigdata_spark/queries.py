@@ -1116,11 +1116,25 @@ SELECT md5({_norm('text')}) AS fp, MIN(doc_id) AS rep_id,
 FROM documents GROUP BY 1
 """
 
+#: Stop-shingle df cap for the registered near-dup query — exposed here
+#: (not just as the operator default) so curation runs tune it in one
+#: place; the SQL oracle twin mirrors whatever this is set to. Pairs
+#: overlapping EXCLUSIVELY in above-cap boilerplate are the documented
+#: recall cost; identical docs are still always caught by doc_exact_dups
+#: (pinned in tests/test_dedup_pairs.py).
+NGRAM_QUERY_MAX_DOC_FREQ = DD.NGRAM_MAX_DOC_FREQ
+
+
 def q_ngram_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs by exact n-gram Jaccard: stop-shingle-capped
-    candidate generation (df ≤ NGRAM_MAX_DOC_FREQ) + exact verification
-    over the full shingle sets — the skew-safe two-phase shape."""
-    return DD.ngram_jaccard_pairs(_docs_with_tokens(spark, sf_dir), threshold=0.2)
+    candidate generation (df ≤ NGRAM_QUERY_MAX_DOC_FREQ) + exact
+    verification over the full shingle sets — the skew-safe two-phase
+    shape."""
+    return DD.ngram_jaccard_pairs(
+        _docs_with_tokens(spark, sf_dir),
+        threshold=0.2,
+        max_doc_freq=NGRAM_QUERY_MAX_DOC_FREQ,
+    )
 
 
 # Mirrors the skew-safe Spark shape: the pair join runs only over rare
@@ -1136,13 +1150,13 @@ dfreq AS (SELECT g, COUNT(*) AS df FROM grams GROUP BY g),
 pr AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS n_rare
   FROM grams a
-  JOIN dfreq d ON d.g = a.g AND d.df <= {DD.NGRAM_MAX_DOC_FREQ}
+  JOIN dfreq d ON d.g = a.g AND d.df <= {NGRAM_QUERY_MAX_DOC_FREQ}
   JOIN grams b ON b.g = a.g AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 ),
 hot AS (
   SELECT doc_id, list(a.g ORDER BY a.g) AS harr
-  FROM grams a JOIN dfreq d ON d.g = a.g AND d.df > {DD.NGRAM_MAX_DOC_FREQ}
+  FROM grams a JOIN dfreq d ON d.g = a.g AND d.df > {NGRAM_QUERY_MAX_DOC_FREQ}
   GROUP BY doc_id
 ),
 j AS (

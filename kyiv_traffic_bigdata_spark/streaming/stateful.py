@@ -191,10 +191,17 @@ def make_session_fn(gap_s: int = 1800, state_ttl_s: int = 3600):
             elif t - cur[1] > gap_us:
                 closed.append(tuple(cur))
                 cur = [t, t, 0]
-            # max(): a late event from a reordered batch extends the
+            # max()/min(): a late event from a reordered batch extends the
             # member count but must never regress the session end below
             # an already-observed timestamp (end < start emissions,
-            # spurious early closes)
+            # spurious early closes); symmetrically it widens the start
+            # downward so cross-batch late data matches the batch twin's
+            # full-history sort. Remaining divergence (documented): a
+            # late event more than gap_us OLDER than the open session's
+            # start merges into it instead of forming its own
+            # already-closed session — append mode can't emit
+            # retroactively.
+            cur[0] = min(cur[0], t)
             cur[1] = max(cur[1], t)
             cur[2] += 1
         state.update(tuple(cur))

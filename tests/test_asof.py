@@ -112,3 +112,78 @@ def test_interval_join_matches_bruteforce_and_is_dup_free(spark):
     # auto width = longest interval (500): still exact
     auto = interval_join(pts, iv, ["k"], "ts", "lo", "hi")
     assert sorted((r.pid, r.iid) for r in auto.collect()) == brute
+
+
+def test_interval_join_exact_beyond_double_precision(spark):
+    """Bin assignment must use exact integer division: int64 nanosecond
+    timestamps exceed 2^53, where float floor(ts/width) is off-spec.
+    Values here sit 1 below / 1 above a bin boundary near 2^60 — a
+    double rounds them ONTO the boundary (ULP is 256 there)."""
+    from kyiv_traffic_bigdata_spark.operators.interval import interval_join
+
+    width = 32000
+    boundary = ((1 << 60) // width) * width  # exact multiple near 2^60
+    pts = spark.createDataFrame(
+        [(1, 0, boundary - 1), (1, 1, boundary), (1, 2, boundary + 1)],
+        "k long, pid long, ts long",
+    )
+    iv = spark.createDataFrame(
+        [(1, 10, boundary - 5, boundary - 1), (1, 11, boundary, boundary + 5)],
+        "k long, iid long, lo long, hi long",
+    )
+    got = sorted(
+        (r.pid, r.iid)
+        for r in interval_join(
+            pts, iv, ["k"], "ts", "lo", "hi", bin_width=width
+        ).collect()
+    )
+    assert got == [(0, 10), (1, 11), (2, 11)]
+
+
+def test_interval_join_outlier_width_guard(spark):
+    """width_quantile < 1 keeps ONE giant interval from inflating the
+    bin for everyone: candidate volume (equi-join matches before the
+    BETWEEN filter) must stay bounded, and the result exact."""
+    from pyspark.sql import functions as F
+
+    from kyiv_traffic_bigdata_spark.operators.interval import (
+        choose_bin_width,
+        interval_join,
+    )
+
+    # 50 short intervals (width 10) + one 100_000-wide outlier; 500 points.
+    iv = spark.createDataFrame(
+        [(1, i, i * 200, i * 200 + 10) for i in range(50)]
+        + [(1, 99, 0, 100_000)],
+        "k long, iid long, lo long, hi long",
+    )
+    pts = spark.createDataFrame(
+        [(1, i, i * 20) for i in range(500)], "k long, pid long, ts long"
+    )
+
+    w_max = choose_bin_width(iv, "lo", "hi", 1.0)
+    w_q = choose_bin_width(iv, "lo", "hi", 0.9)
+    assert w_max == 100_000 and w_q <= 10
+
+    def candidates(width):
+        binned = iv.withColumn(
+            "_bin", F.explode(F.sequence(
+                F.expr(f"lo div {width}"), F.expr(f"hi div {width}")))
+        )
+        return (
+            pts.withColumn("_bin", F.expr(f"ts div {width}"))
+            .join(binned, ["k", "_bin"]).count()
+        )
+
+    # max-width: every point lands in the outlier's giant bins alongside
+    # ~all short intervals → near points×intervals. Quantile width prunes.
+    assert candidates(w_q) < candidates(w_max) / 5
+
+    brute = sorted(
+        (r.pid, r.iid)
+        for r in pts.join(iv, "k")
+        .where((F.col("ts") >= F.col("lo")) & (F.col("ts") <= F.col("hi")))
+        .collect()
+    )
+    got = interval_join(pts, iv, ["k"], "ts", "lo", "hi", width_quantile=0.9)
+    assert sorted((r.pid, r.iid) for r in got.collect()) == brute

@@ -100,6 +100,29 @@ def test_jaccard_stop_shingle_cap_skew(spark):
     assert all(k == (100, 101) or full.get(k) == v for k, v in got.items())
 
 
+def test_exact_dedup_covers_boilerplate_only_identical_docs(spark):
+    """The documented recall cost of the df cap: a pair overlapping
+    EXCLUSIVELY in above-cap boilerplate shingles never surfaces from
+    ngram_jaccard_pairs — even two byte-identical all-boilerplate docs.
+    exact_duplicates (fingerprint groupBy, no pruning) must catch that
+    identical-doc case, so the dedup *pipeline* (exact pass + near-dup
+    pass) loses nothing at the identity end."""
+    from kyiv_traffic_bigdata_spark.operators.dedup import (
+        exact_duplicates,
+        ngram_jaccard_pairs,
+    )
+
+    boiler = "this document is provided as is without warranty of any kind"
+    # 20 docs that are nothing but the boilerplate — all identical, every
+    # shingle at df=20, above the cap of 10
+    rows = [(i, boiler) for i in range(20)]
+    d = _docs(spark, rows)
+    pruned = ngram_jaccard_pairs(d, threshold=0.5, max_doc_freq=10)
+    assert pruned.count() == 0  # the known miss: hot-only overlap
+    groups = exact_duplicates(d).collect()
+    assert len(groups) == 1 and groups[0].copies == 20  # ...covered here
+
+
 def test_jaccard_cap_bounds_candidate_volume(spark):
     """Candidate volume must track rare-shingle density, not the hot
     shingle's df² — the 100 TB skew guarantee."""

@@ -161,8 +161,9 @@ def test_streaming_sessionize_closes_on_gap_across_batches(spark, tmp_path):
 
 
 def test_session_fn_late_event_does_not_regress_session_end():
-    """A reordered (late) event may extend the count but must never pull
-    the session end below an already-observed timestamp."""
+    """A reordered (late) event may extend the count and widen the start
+    downward (matching the batch twin's full-history sort) but must never
+    pull the session end below an already-observed timestamp."""
     import pandas as pd
 
     from kyiv_traffic_bigdata_spark.streaming.stateful import make_session_fn
@@ -198,4 +199,6 @@ def test_session_fn_late_event_does_not_regress_session_end():
     )
     assert out == []  # nothing closed: 1100-1000=100s is within the gap
     start, last, n = state.get
-    assert (start, last, n) == (800 * US, 1100 * US, 4)
+    # start widens to the late 700s event — the batch twin sorting the
+    # full history (700, 800, 1000, 1100) reports the same session
+    assert (start, last, n) == (700 * US, 1100 * US, 4)
