@@ -3,11 +3,17 @@
 Pattern: media (image/audio/video) travels as an opaque ``binary`` column
 plus a typed metadata struct; decode / feature-extraction runs as
 Arrow-batched ``mapInPandas`` so bytes never cross the JVM↔Python boundary
-row-at-a-time. The actual codecs are NOT available in this environment —
-the decode step is a clearly-marked deterministic stub
-(:func:`fake_decode_features`) so the Spark-side contract (schema,
-batching, partition behavior) is real and tested, and swapping in a real
-decoder is a one-function change.
+row-at-a-time. Two decode tiers:
+
+* **real** (:func:`real_decode` / :func:`extract_media_metadata`):
+  dimensions, channels, sample rate, duration parsed from the container
+  headers with pure stdlib byte math — PNG, BMP, GIF, JPEG, WAV need no
+  codec library at all;
+* **stub** (:func:`fake_decode_features`): pixel/sample-level feature
+  extraction would need actual codecs (not bundled here), so that tier
+  stays a clearly-marked deterministic stand-in keeping the Spark-side
+  contract (schema, batching, partition behavior) real and tested —
+  swapping in a real decoder is a one-function change.
 """
 
 from __future__ import annotations
@@ -53,12 +59,131 @@ def attach_binary_payload(
     )
 
 
-def real_decode(payload: bytes) -> list[float]:  # pragma: no cover - stub
-    """Placeholder for a real image/audio decoder (libs absent here)."""
-    raise NotImplementedError(
-        "media codecs are not installed in this environment; "
-        "use fake_decode_features for the deterministic test path"
-    )
+#: Header-metadata schema for :func:`extract_media_metadata` — the REAL
+#: decode path for header-parseable formats (see :func:`real_decode`).
+MEDIA_METADATA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("format", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("sample_rate_hz", T.IntegerType()),
+        T.StructField("duration_s", T.DoubleType()),
+    ]
+)
+
+_UNKNOWN = {
+    "format": None,
+    "width": None,
+    "height": None,
+    "channels": None,
+    "sample_rate_hz": None,
+    "duration_s": None,
+}
+
+
+def try_decode_header(payload: bytes) -> dict | None:
+    """Parse real media metadata from the first bytes — pure stdlib, no
+    codec library. Formats whose containers put dimensions/duration in a
+    fixed-layout header: PNG, BMP, GIF, JPEG (SOF scan), WAV (RIFF chunk
+    walk). Returns None when the payload is none of these (or truncated).
+    """
+    n = len(payload)
+    if n >= 24 and payload[:8] == b"\x89PNG\r\n\x1a\n":
+        # IHDR is mandatory-first: width/height big-endian at 16/20
+        w = int.from_bytes(payload[16:20], "big")
+        h = int.from_bytes(payload[20:24], "big")
+        return {**_UNKNOWN, "format": "png", "width": w, "height": h}
+    if n >= 26 and payload[:2] == b"BM":
+        w = int.from_bytes(payload[18:22], "little", signed=True)
+        h = int.from_bytes(payload[22:26], "little", signed=True)
+        # negative height = top-down DIB; magnitude is the pixel height
+        return {**_UNKNOWN, "format": "bmp", "width": w, "height": abs(h)}
+    if n >= 10 and payload[:6] in (b"GIF87a", b"GIF89a"):
+        w = int.from_bytes(payload[6:8], "little")
+        h = int.from_bytes(payload[8:10], "little")
+        return {**_UNKNOWN, "format": "gif", "width": w, "height": h}
+    if n >= 4 and payload[:2] == b"\xff\xd8":  # JPEG SOI
+        i = 2
+        while i + 9 < n:
+            if payload[i] != 0xFF:
+                break
+            marker = payload[i + 1]
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                i += 2  # standalone markers carry no length
+                continue
+            seg_len = int.from_bytes(payload[i + 2 : i + 4], "big")
+            # SOF0..SOF15 minus DHT/JPG/DAC hold the frame dimensions
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                h = int.from_bytes(payload[i + 5 : i + 7], "big")
+                w = int.from_bytes(payload[i + 7 : i + 9], "big")
+                return {**_UNKNOWN, "format": "jpeg", "width": w, "height": h}
+            i += 2 + seg_len
+        return None
+    if n >= 12 and payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        i, fmt, data_size = 12, None, None
+        while i + 8 <= n:
+            cid = payload[i : i + 4]
+            size = int.from_bytes(payload[i + 4 : i + 8], "little")
+            if cid == b"fmt " and i + 24 <= n:
+                fmt = {
+                    "channels": int.from_bytes(payload[i + 10 : i + 12], "little"),
+                    "sample_rate_hz": int.from_bytes(
+                        payload[i + 12 : i + 16], "little"
+                    ),
+                    "byte_rate": int.from_bytes(payload[i + 16 : i + 20], "little"),
+                }
+            elif cid == b"data":
+                data_size = size
+            i += 8 + size + (size & 1)  # chunks are word-aligned
+        if fmt is None:
+            return None
+        dur = (
+            round(data_size / fmt["byte_rate"], 6)
+            if data_size is not None and fmt["byte_rate"]
+            else None
+        )
+        return {
+            **_UNKNOWN,
+            "format": "wav",
+            "channels": fmt["channels"],
+            "sample_rate_hz": fmt["sample_rate_hz"],
+            "duration_s": dur,
+        }
+    return None
+
+
+def real_decode(payload: bytes) -> dict:
+    """Real metadata decode for header-parseable formats (PNG/BMP/GIF/
+    JPEG/WAV via :func:`try_decode_header`). Raises NotImplementedError
+    ONLY for formats that genuinely require a codec library (mp4, webm,
+    ogg, …) — none is bundled in this environment."""
+    meta = try_decode_header(payload)
+    if meta is None:
+        raise NotImplementedError(
+            "payload is not a header-parseable format (PNG/BMP/GIF/JPEG/WAV); "
+            "full media decode requires a codec library not installed here"
+        )
+    return meta
+
+
+def extract_media_metadata(media: DataFrame) -> DataFrame:
+    """Arrow-batched REAL header-metadata extraction (same mapInPandas
+    posture as :func:`extract_media_features`); unknown formats yield a
+    null-metadata row instead of failing the batch — the log-and-continue
+    stance of the reference parsers."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            metas = [
+                try_decode_header(bytes(b)) or _UNKNOWN for b in pdf["payload"]
+            ]
+            out = pd.DataFrame(metas)
+            out.insert(0, "media_id", pdf["media_id"].to_numpy())
+            yield out
+
+    return media.mapInPandas(batches, MEDIA_METADATA_SCHEMA)
 
 
 def fake_decode_features(payload: bytes, dim: int = 4) -> list[float]:

@@ -233,12 +233,29 @@ class TimedCapture:
         return self.stats
 
 
-def live_eway_recv(*_args, **_kwargs):
-    """Live WebSocket binding for :class:`TimedCapture`. The EWAY feed is
-    a raw WebSocket (ws_interceptor.py:169), which needs a ws client
-    library not bundled in this container."""
-    raise NotImplementedError(
-        "live EWAY capture needs a WebSocket client library "
-        "(pip install websockets); wire its recv into TimedCapture. "
-        "Offline, replay captured frames through decode_gps_frames."
-    )
+def live_eway_recv(url: str, timeout_s: float = MESSAGE_TIMEOUT_S, connection=None):
+    """Live WebSocket binding for :class:`TimedCapture` over the stdlib
+    RFC 6455 client (streaming/ws.py) — the reference's raw listener
+    (ws_interceptor.py:169) without the ``websockets`` dependency.
+
+    Returns a zero-arg ``recv`` callable with exactly the TimedCapture
+    contract: next message (str for text frames, bytes for the binary
+    GPS frames EWAY actually sends), ``None`` on an idle receive timeout,
+    ``ConnectionError`` on server close. Usage::
+
+        conn_recv = live_eway_recv("wss://host/path")
+        TimedCapture(conn_recv, sink).run()
+    """
+    from ..streaming.ws import OP_TEXT, WSConnection
+
+    conn = connection or WSConnection(url, timeout_s=timeout_s)
+    conn.connect()
+
+    def recv():
+        msg = conn.recv_message()
+        if msg is None:
+            return None
+        opcode, payload = msg
+        return payload.decode("utf-8", "replace") if opcode == OP_TEXT else payload
+
+    return recv

@@ -84,6 +84,14 @@ def start_positions_sink(
     ``date`` partition column; its 5-s flush timer becomes the processing
     trigger; its WAL-rename two-phase commit becomes the checkpoint.
     """
+    # 100 TB state posture: stateful stages (the TTL dedup upstream of
+    # this sink, sessionization) run on RocksDB when the JVM has it —
+    # state bounded by local disk, not executor heap. Falls back to the
+    # default in-memory provider when absent. Read at query start, so
+    # setting it here covers the whole query's stateful operators.
+    from .state import configure_state_store
+
+    configure_state_store(positions.sparkSession)
     out = positions.withColumn(
         "date", F.date_format(F.col("ingest_ts"), "yyyyMMdd")
     )

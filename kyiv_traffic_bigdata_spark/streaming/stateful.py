@@ -220,7 +220,14 @@ def streaming_sessionize(
     Input needs (user_id:long, ts_us:long). Output: one row per CLOSED
     session (append mode — a closed session never changes, which is what
     makes this op streamable at all).
+
+    Per-user (start, last, count) state rides the configured state-store
+    provider — RocksDB when available (billions of users = disk-bounded
+    state, the SURVEY §4 posture), in-memory fallback otherwise.
     """
+    from .state import configure_state_store
+
+    configure_state_store(events.sparkSession)
     return events.groupBy("user_id").applyInPandasWithState(
         make_session_fn(gap_s, state_ttl_s),
         outputStructType=SESSION_OUTPUT_SCHEMA,

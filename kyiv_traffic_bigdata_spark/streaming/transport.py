@@ -86,9 +86,12 @@ def polling_url(base_url: str, sid: str) -> str:
 
 
 def websocket_url(base_url: str, sid: str) -> str:
-    """wss upgrade URL (reference websocket_client.py:210-214)."""
+    """ws(s) upgrade URL (reference websocket_client.py:210-214).
+    https → wss (the reference's production path); plain http → ws so
+    loopback test servers exercise the identical code path."""
+    scheme = "ws" if base_url.startswith("http://") else "wss"
     host = base_url.replace("https://", "").replace("http://", "").rstrip("/")
-    return f"wss://{host}/socket.io/?EIO=3&transport=websocket&sid={sid}"
+    return f"{scheme}://{host}/socket.io/?EIO=3&transport=websocket&sid={sid}"
 
 
 # ---------------------------------------------------------------------------
@@ -345,19 +348,118 @@ class PollingTransport:
 
 
 class WebSocketTransport:
-    """Upgrade-path transport. Needs a WebSocket client library
-    (``websockets`` or ``aiohttp``), neither bundled in this container —
-    instantiating raises with instructions. The protocol state machine
-    above is transport-agnostic, so dropping a ws library in requires
-    implementing only connect/recv/send over it."""
+    """Upgrade-path transport over the stdlib RFC 6455 client
+    (streaming/ws.py) — the reference's wss flow
+    (websocket_client.py:135-374) with zero external dependencies.
 
-    def __init__(self, base_url: str, **_: object):
-        raise NotImplementedError(
-            "WebSocketTransport requires a WebSocket client library "
-            "(pip install websockets), not bundled in this environment. "
-            "Use PollingTransport (pure stdlib, same Engine.IO session) "
-            "or the transcript replay source (streaming/socketio.py)."
+    Flow: an HTTP polling handshake fetches the Engine.IO sid + ping
+    interval (the protocol requires this first step on every transport),
+    then the ws socket at :func:`websocket_url` opens and the state
+    machine runs the probe dance (``upgrades=True`` → ``2probe`` /
+    ``3probe`` / ``5`` + ``40``). ``recv`` returning ``None`` is the
+    per-``recv_tick_s`` idle tick that drives keepalive pings.
+    """
+
+    upgrades = True
+
+    def __init__(
+        self,
+        base_url: str,
+        timeout_s: float = 30.0,
+        recv_tick_s: float = 1.0,
+        connection_factory=None,
+        sid_fetch=None,
+    ):
+        from .ws import WSConnection
+
+        self.base_url = base_url
+        self.timeout_s = timeout_s
+        self.recv_tick_s = recv_tick_s
+        self.sid: str | None = None
+        self._factory = connection_factory or (
+            lambda url: WSConnection(
+                url, timeout_s=recv_tick_s, origin=base_url
+            )
         )
+        self._sid_fetch = sid_fetch or self._http_sid_fetch
+        self._conn = None
+
+    def _http_sid_fetch(self) -> tuple[str, float]:
+        """Step 1 of the reference flow: plain HTTP polling handshake."""
+        import urllib.error
+        import urllib.request
+
+        req = urllib.request.Request(
+            handshake_url(self.base_url), headers={"Origin": self.base_url}
+        )
+        try:
+            with urllib.request.urlopen(req, timeout=self.timeout_s) as resp:
+                text = resp.read().decode("utf-8")
+        except urllib.error.HTTPError as exc:
+            raise TransportError(str(exc), status=exc.code) from exc
+        except Exception as exc:  # noqa: BLE001 — URLError, socket.timeout
+            raise TransportError(str(exc)) from exc
+        sid, ping_ms = parse_handshake(text)
+        if not sid:
+            raise TransportError(f"unparseable handshake: {text[:100]!r}")
+        return sid, (ping_ms or 25000) / 1000.0
+
+    def handshake(self) -> tuple[str, float]:
+        from .ws import WSError
+
+        sid, ping_s = self._sid_fetch()
+        conn = self._factory(websocket_url(self.base_url, sid))
+        try:
+            conn.connect()
+        except WSError as exc:
+            raise TransportError(str(exc), status=exc.status) from exc
+        except OSError as exc:
+            raise TransportError(str(exc)) from exc
+        self._conn, self.sid = conn, sid
+        return sid, ping_s
+
+    def connect(self) -> None:
+        """No-op: on the ws transport the namespace connect (``40``) is
+        emitted by the state machine after the probe ack, matching the
+        reference's upgrade ordering."""
+        if self._conn is None:
+            raise TransportError("connect before handshake")
+
+    def recv(self) -> str | None:
+        from .ws import WSError
+
+        if self._conn is None:
+            raise TransportError("recv before handshake")
+        try:
+            msg = self._conn.recv_message()
+        except WSError as exc:
+            raise TransportError(str(exc), status=exc.status) from exc
+        except ConnectionError as exc:
+            raise TransportError(str(exc)) from exc
+        if msg is None:
+            return None
+        _opcode, payload = msg
+        return payload.decode("utf-8", "replace")
+
+    def send(self, frame: str) -> None:
+        from .ws import WSError
+
+        if self._conn is None:
+            raise TransportError("send before handshake")
+        try:
+            self._conn.send_text(frame)
+        except (WSError, OSError) as exc:
+            raise TransportError(str(exc)) from exc
+
+    def close(self) -> None:
+        if self._conn is not None:
+            self._conn.close()
+        self._conn, self.sid = None, None
+
+    def refresh(self) -> None:
+        """ST9: drop the connection and session id; the next handshake
+        starts from scratch."""
+        self.close()
 
 
 # ---------------------------------------------------------------------------

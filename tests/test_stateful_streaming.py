@@ -160,6 +160,53 @@ def test_streaming_sessionize_closes_on_gap_across_batches(spark, tmp_path):
     assert first.n_events == 3
 
 
+def test_stateful_ops_run_on_both_state_store_providers(spark, tmp_path):
+    """SURVEY §4 posture: the stateful operators must run green on the
+    RocksDB provider (disk-bounded state at 100 TB) AND on the default
+    in-memory provider (the fallback when the native lib is absent)."""
+    import pytest
+
+    from kyiv_traffic_bigdata_spark.streaming.state import (
+        HDFS_PROVIDER,
+        ROCKSDB_PROVIDER,
+        configure_state_store,
+        rocksdb_available,
+    )
+
+    if not rocksdb_available(spark):
+        pytest.skip("rocksdbjni absent in this JVM; fallback path covered")
+
+    conf_key = "spark.sql.streaming.stateStore.providerClass"
+    old = spark.conf.get(conf_key, None)
+    try:
+        for prefer, provider in ((True, ROCKSDB_PROVIDER), (False, HDFS_PROVIDER)):
+            assert configure_state_store(spark, prefer_rocksdb=prefer) == provider
+            assert spark.conf.get(conf_key) == provider
+            tag = "rocks" if prefer else "hdfs"
+            src = tmp_path / f"src_{tag}"
+            src.mkdir()
+            _write_batch(
+                src, "b1.json", [(1, 50.40, 30.50, 1000), (1, 50.41, 30.50, 1060)]
+            )
+            stream = spark.readStream.schema(SCHEMA).json(str(src))
+            q = (
+                streaming_trajectory_speeds(stream)
+                .writeStream.format("memory")
+                .queryName(f"prov_{tag}")
+                .option("checkpointLocation", str(tmp_path / f"ckpt_{tag}"))
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(60)
+            assert spark.sql(f"SELECT * FROM prov_{tag}").count() == 1, provider
+    finally:
+        if old is not None:
+            spark.conf.set(conf_key, old)
+        else:
+            spark.conf.unset(conf_key)
+
+
 def test_session_fn_late_event_does_not_regress_session_end():
     """A reordered (late) event may extend the count and widen the start
     downward (matching the batch twin's full-history sort) but must never

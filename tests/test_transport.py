@@ -228,9 +228,16 @@ def test_client_max_connects_bounds_the_loop():
     assert c.stats["errors"] == 3
 
 
-def test_websocket_transport_is_an_honest_stub():
-    with pytest.raises(NotImplementedError):
-        WebSocketTransport("https://host.example")
+def test_websocket_transport_duck_type_and_guards():
+    """The upgrade transport is real now (streaming/ws.py; loopback
+    integration in tests/test_ws.py). Pin the transport duck type the
+    client loop relies on, plus the pre-handshake guards."""
+    t = WebSocketTransport("https://host.example")
+    assert t.upgrades is True  # drives the machine's probe dance
+    for op in (t.connect, t.recv, lambda: t.send("2")):
+        with pytest.raises(TransportError):
+            op()
+    t.close()  # idempotent before handshake
 
 
 def test_transcript_sink_feeds_datasource_format(tmp_path):
