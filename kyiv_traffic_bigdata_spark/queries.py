@@ -1779,6 +1779,266 @@ FROM clicks c JOIN errors e
 """
 
 
+#: Gopher-style rule thresholds (public heuristics from the Gopher /
+#: MassiveText filtering literature): token-count band, mean-word-length
+#: band, symbol share, alphabetic share.
+GOPHER_MIN_TOKENS, GOPHER_MAX_TOKENS = 10, 10_000
+GOPHER_MEAN_LEN_LO, GOPHER_MEAN_LEN_HI = 2.0, 12.0
+GOPHER_MAX_SYMBOL_RATIO = 0.2
+GOPHER_MIN_ALPHA_RATIO = 0.5
+
+
+def q_doc_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style rule-based quality flags — the complement of the
+    percentile gate: absolute, per-doc, fully map-only (zero shuffle at
+    any corpus size). Mean token length is pure arithmetic — normalized
+    text carries exactly n-1 single spaces, so mean = (chars-(n-1))/n —
+    no second lambda pass over the tokens."""
+    d = _docs_with_tokens(spark, sf_dir)
+    staged = d.select(
+        "doc_id",
+        "lang",
+        "text",
+        TX.tokens(F.col("text")).alias("_tok"),
+        TX.normalize_text(F.col("text")).alias("_norm"),
+    )
+    n = F.size("_tok").cast("long")
+    mean_len = F.when(
+        n > 0, F.round((F.length("_norm") - (n - 1)) / n, 6)
+    ).otherwise(F.lit(0.0))
+    alpha = F.round(TX.alpha_ratio(F.col("text")), 6)
+    sym = F.round(TX.punct_ratio(F.col("text")), 6)
+    scored = staged.select(
+        "doc_id",
+        "lang",
+        n.alias("n_tokens"),
+        mean_len.alias("mean_tok_len"),
+        alpha.alias("alpha_ratio"),
+        sym.alias("symbol_ratio"),
+    )
+    keep = (
+        (F.col("n_tokens") >= GOPHER_MIN_TOKENS)
+        & (F.col("n_tokens") <= GOPHER_MAX_TOKENS)
+        & (F.col("mean_tok_len") >= GOPHER_MEAN_LEN_LO)
+        & (F.col("mean_tok_len") <= GOPHER_MEAN_LEN_HI)
+        & (F.col("symbol_ratio") <= GOPHER_MAX_SYMBOL_RATIO)
+        & (F.col("alpha_ratio") >= GOPHER_MIN_ALPHA_RATIO)
+    )
+    return scored.withColumn("keep", keep)
+
+
+def _sql_gopher_quality() -> str:
+    alpha = "(CASE WHEN length(text) = 0 THEN 0.0 ELSE CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / length(text) END)"
+    punct = "(CASE WHEN length(text) = 0 THEN 0.0 ELSE CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS DOUBLE) / length(text) END)"
+    return f"""
+WITH toks AS (
+  SELECT doc_id, lang, text, {_toks('text')} AS t, {_norm('text')} AS nm
+  FROM documents
+),
+scored AS (
+  SELECT doc_id, lang, CAST(len(t) AS BIGINT) AS n_tokens,
+         CASE WHEN len(t) > 0
+              THEN round(CAST(length(nm) - (len(t) - 1) AS DOUBLE) / len(t), 6)
+              ELSE 0.0 END AS mean_tok_len,
+         round({alpha}, 6) AS alpha_ratio,
+         round({punct}, 6) AS symbol_ratio
+  FROM toks
+)
+SELECT *,
+       (n_tokens >= {GOPHER_MIN_TOKENS} AND n_tokens <= {GOPHER_MAX_TOKENS}
+        AND mean_tok_len >= {GOPHER_MEAN_LEN_LO} AND mean_tok_len <= {GOPHER_MEAN_LEN_HI}
+        AND symbol_ratio <= {GOPHER_MAX_SYMBOL_RATIO}
+        AND alpha_ratio >= {GOPHER_MIN_ALPHA_RATIO}) AS keep
+FROM scored
+"""
+
+
+#: Repetition gate: docs whose duplicated-trigram share exceeds this are
+#: template/boilerplate spam (C4-style repetition filtering).
+REPETITION_MAX_DUP_RATIO = 0.3
+
+
+def q_doc_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated-n-gram spam score, map-only: duplicated-trigram share =
+    1 - distinct/total trigrams. Both counts come from the one token
+    array already staged — no explode, no shuffle, 100 TB-flat."""
+    d = _docs_with_tokens(spark, sf_dir)
+    staged = d.select(
+        "doc_id", "lang", TX.tokens(F.col("text")).alias("_tok")
+    )
+    total = F.greatest(F.size("_tok") - 2, F.lit(0)).cast("long")
+    distinct = F.size(TX.word_ngrams(F.col("_tok"), 3)).cast("long")
+    scored = staged.select(
+        "doc_id",
+        "lang",
+        total.alias("n_grams"),
+        distinct.alias("n_distinct_grams"),
+    )
+    dup = F.when(
+        F.col("n_grams") > 0,
+        F.round(
+            (F.col("n_grams") - F.col("n_distinct_grams")) / F.col("n_grams"), 6
+        ),
+    ).otherwise(F.lit(0.0))
+    return scored.withColumn("dup_gram_ratio", dup).withColumn(
+        "keep", F.col("dup_gram_ratio") <= REPETITION_MAX_DUP_RATIO
+    )
+
+
+def _sql_repetition_filter() -> str:
+    return f"""
+WITH toks AS (SELECT doc_id, lang, {_toks('text')} AS t FROM documents),
+c AS (
+  SELECT doc_id, lang,
+         CAST(greatest(len(t) - 2, 0) AS BIGINT) AS n_grams,
+         CAST(len({_SHINGLES.format(t='t')}) AS BIGINT) AS n_distinct_grams
+  FROM toks
+),
+s AS (
+  SELECT *,
+         CASE WHEN n_grams > 0
+              THEN round(CAST(n_grams - n_distinct_grams AS DOUBLE) / n_grams, 6)
+              ELSE 0.0 END AS dup_gram_ratio
+  FROM c
+)
+SELECT *, dup_gram_ratio <= {REPETITION_MAX_DUP_RATIO} AS keep FROM s
+"""
+
+
+#: Sequence-packing parameters: tokens per training window; number of
+#: independent packing streams. PACK_SHARDS is the scale knob — each
+#: shard's running-sum window sorts corpus/PACK_SHARDS rows in one task,
+#: so a 100 TB corpus raises it (e.g. to 10^5) and nothing else changes.
+PACK_BUDGET_TOKENS = 512
+PACK_SHARDS = 8
+
+
+def q_doc_pack_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing — assign every doc a training
+    window (pack) id and its token offset inside that pack, the standard
+    pretraining batching layout. Docs are sharded and ordered by content
+    hash (deterministic, engine/relayout-independent shuffle), then a
+    per-shard running token total bins them into PACK_BUDGET windows.
+    One shuffle (the per-shard sort); pack ids are globally unique via
+    the shard prefix."""
+    from pyspark.sql import Window
+
+    d = _docs_with_tokens(spark, sf_dir)
+    staged = d.select(
+        "doc_id",
+        TX.token_count(F.col("text")).cast("long").alias("n_tokens"),
+        TX.portable_hash(F.col("doc_id").cast("string")).alias("_h"),
+    ).withColumn("shard", F.pmod(F.col("_h"), F.lit(PACK_SHARDS)))
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(F.col("_h").asc(), F.col("doc_id").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return (
+        staged.withColumn("_cb", cum)
+        .select(
+            "doc_id",
+            "shard",
+            "n_tokens",
+            (
+                F.col("shard") * F.lit(1_000_000_000)
+                + F.expr(f"_cb div {PACK_BUDGET_TOKENS}")
+            ).alias("pack_id"),
+            (F.col("_cb") % PACK_BUDGET_TOKENS).alias("start_offset"),
+        )
+    )
+
+
+SQL_PACK_WINDOWS = f"""
+WITH t AS (
+  SELECT doc_id, CAST(len({_toks('text')}) AS BIGINT) AS n_tokens,
+         {_PORTABLE_HASH.format(s='CAST(doc_id AS VARCHAR)')} AS h
+  FROM documents
+),
+s AS (SELECT *, h % {PACK_SHARDS} AS shard FROM t),
+c AS (
+  SELECT doc_id, shard, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (
+           PARTITION BY shard ORDER BY h, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+  FROM s
+)
+SELECT doc_id, shard, n_tokens,
+       shard * 1000000000 + cb // {PACK_BUDGET_TOKENS} AS pack_id,
+       cb % {PACK_BUDGET_TOKENS} AS start_offset
+FROM c
+"""
+
+
+#: Decontamination: every PROBE_MOD-th doc (by content hash) stands in
+#: for the benchmark/eval set; contamination = trigram containment.
+PROBE_MOD = 20
+CONTAMINATION_THRESHOLD = 0.5
+
+
+def q_doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination by n-gram containment: for every
+    non-probe doc, the share of its distinct trigrams that appear
+    anywhere in the probe (benchmark) set. Join volume is bounded by the
+    corpus gram count — the probe side is distinct grams, so each corpus
+    gram matches at most one probe row; no df cap needed. Scale: two
+    hash aggregates + one equi-join on the gram, all AQE-skew-safe."""
+    d = _docs_with_tokens(spark, sf_dir)
+    idx = DD.shingle_index(d, "doc_id", "text", 3)
+    h = TX.portable_hash(F.col("doc_id").cast("string"))
+    probe_ids = (
+        d.select("doc_id", h.alias("_h"))
+        .where(F.pmod(F.col("_h"), F.lit(PROBE_MOD)) == 0)
+        .select("doc_id")
+    )
+    probe_grams = idx.join(probe_ids, "doc_id").select("shingle").distinct()
+    corpus = idx.join(probe_ids, "doc_id", "left_anti")
+    sizes = corpus.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    hits = (
+        corpus.join(probe_grams, "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    out = sizes.join(hits, "doc_id", "left").select(
+        "doc_id",
+        "n_grams",
+        F.coalesce(F.col("n_hit"), F.lit(0)).alias("n_hit"),
+    )
+    return out.withColumn(
+        "containment", F.round(F.col("n_hit") / F.col("n_grams"), 6)
+    ).withColumn(
+        "contaminated", F.col("containment") >= CONTAMINATION_THRESHOLD
+    )
+
+
+SQL_DECONTAMINATE = f"""
+WITH toks AS (SELECT doc_id, {_toks('text')} AS t FROM documents),
+grams AS (SELECT doc_id, unnest({_SHINGLES.format(t='t')}) AS g FROM toks),
+probe AS (
+  SELECT doc_id FROM documents
+  WHERE {_PORTABLE_HASH.format(s='CAST(doc_id AS VARCHAR)')} % {PROBE_MOD} = 0
+),
+pg AS (SELECT DISTINCT g FROM grams JOIN probe USING (doc_id)),
+corpus AS (
+  SELECT * FROM grams WHERE doc_id NOT IN (SELECT doc_id FROM probe)
+),
+sizes AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams FROM corpus GROUP BY doc_id
+),
+hits AS (
+  SELECT c.doc_id, CAST(COUNT(*) AS BIGINT) AS n_hit
+  FROM corpus c JOIN pg ON pg.g = c.g GROUP BY c.doc_id
+),
+j AS (
+  SELECT s.doc_id, s.n_grams, COALESCE(h.n_hit, 0) AS n_hit,
+         round(CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / s.n_grams, 6) AS containment
+  FROM sizes s LEFT JOIN hits h USING (doc_id)
+)
+SELECT *, containment >= {CONTAMINATION_THRESHOLD} AS contaminated FROM j
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -1838,6 +2098,10 @@ QUERIES: dict[str, QueryFn] = {
     "clicks_after_error": q_clicks_after_error,
     "doc_corpus_mix": q_doc_corpus_mix,
     "doc_quality_filter": q_doc_quality_filter,
+    "doc_gopher_quality": q_doc_gopher_quality,
+    "doc_repetition_filter": q_doc_repetition_filter,
+    "doc_pack_windows": q_doc_pack_windows,
+    "doc_decontaminate": q_doc_decontaminate,
 }
 
 
@@ -1896,4 +2160,8 @@ def build_oracles() -> dict[str, str]:
         "clicks_after_error": SQL_CLICKS_AFTER_ERROR,
         "doc_corpus_mix": _sql_corpus_mix(),
         "doc_quality_filter": _sql_quality_filter(),
+        "doc_gopher_quality": _sql_gopher_quality(),
+        "doc_repetition_filter": _sql_repetition_filter(),
+        "doc_pack_windows": SQL_PACK_WINDOWS,
+        "doc_decontaminate": SQL_DECONTAMINATE,
     }
