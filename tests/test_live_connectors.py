@@ -137,6 +137,33 @@ def test_timed_capture_stops_on_connection_close():
     assert stats["closed"] and stats["messages"] == 1
 
 
-def test_live_recv_is_an_honest_stub():
-    with pytest.raises(NotImplementedError):
-        live_eway_recv()
+def test_live_recv_decodes_frames_via_injected_connection():
+    """The live ws binding (no longer a stub) maps RFC 6455 frames to the
+    TimedCapture contract: text → str, binary → bytes, None on idle."""
+    from kyiv_traffic_bigdata_spark.streaming.ws import OP_BINARY, OP_TEXT
+
+    class FakeConn:
+        def __init__(self):
+            self.connected = False
+            self.script = [
+                (OP_TEXT, "hello".encode("utf-8")),
+                (OP_BINARY, b"\x01\x02\x03"),
+                None,  # idle timeout
+            ]
+
+        def connect(self):
+            self.connected = True
+
+        def recv_message(self):
+            if not self.script:
+                raise ConnectionError("closed")
+            return self.script.pop(0)
+
+    conn = FakeConn()
+    recv = live_eway_recv("wss://example.invalid/ws", connection=conn)
+    assert conn.connected
+    assert recv() == "hello"
+    assert recv() == b"\x01\x02\x03"
+    assert recv() is None
+    with pytest.raises(ConnectionError):
+        recv()
