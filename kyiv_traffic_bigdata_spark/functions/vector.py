@@ -36,6 +36,15 @@ def norm(a: Column) -> Column:
     return F.sqrt(norm2(a))
 
 
+def sq_dist(a: Column, b: Column) -> Column:
+    """Squared Euclidean distance via zip_with + sequential double fold."""
+    return F.aggregate(
+        F.zip_with(as_double(a), as_double(b), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
 def cosine(a: Column, b: Column) -> Column:
     """Cosine similarity; 0.0 when either vector is all-zero."""
     denom = F.sqrt(norm2(a)) * F.sqrt(norm2(b))

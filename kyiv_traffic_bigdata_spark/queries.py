@@ -30,6 +30,7 @@ from .config import KYIV_BBOX_NARROW, UKRAINE_BBOX
 from .functions import text as TX
 from .functions.geo import classify_region, in_bbox, speed_bucket
 from .operators import dedup as DD
+from .operators import kmeans as KM
 from .operators import similarity as SIM
 from .operators.aggregates import dec, stable_avg, stable_sum
 from .operators.enrich import broadcast_enrich
@@ -2039,6 +2040,202 @@ SELECT *, containment >= {CONTAMINATION_THRESHOLD} AS contaminated FROM j
 """
 
 
+#: Cluster-curation defaults: 8 clusters over the 64-dim embeddings.
+KMEANS_K = 8
+
+#: Tokenizer-vocabulary construction: top-N corpus terms.
+VOCAB_TOP_K = 100
+
+
+def q_emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-based corpus curation view: nearest-centroid assignment
+    (deterministic seed: the k lowest-id vectors) + per-cluster size,
+    majority label, and purity. Assignment is map-only against a literal
+    centroid matrix (operators.kmeans); the profile is two hash
+    aggregates over k rows of output — flat at any corpus size. The
+    full iterative Lloyd's trainer is operators.kmeans.lloyd_iterations
+    (convergence pinned by tests/test_kmeans.py; this registered query
+    uses the deterministic seed so the DuckDB twin is expressible)."""
+    emb = _emb(spark, sf_dir)
+    cents = KM.initial_centroids(emb, KMEANS_K)
+    assigned = KM.assign_clusters(emb, cents, keep_cols=("label",))
+    return KM.cluster_profile(assigned)
+
+
+SQL_EMB_KMEANS = f"""
+WITH cent AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, embedding AS cvec
+  FROM embeddings ORDER BY vec_id LIMIT {KMEANS_K}
+),
+ee AS (
+  SELECT vec_id, label, generate_subscripts(embedding, 1) AS i,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings
+),
+ce AS (
+  SELECT cid, generate_subscripts(cvec, 1) AS i,
+         CAST(unnest(cvec) AS DOUBLE) AS y
+  FROM cent
+),
+dists AS (
+  SELECT vec_id, label, cid, SUM((x - y) * (x - y)) AS d
+  FROM ee JOIN ce ON ee.i = ce.i
+  GROUP BY vec_id, label, cid
+),
+assign AS (
+  SELECT vec_id, label, cid,
+         row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, cid ASC) AS rn
+  FROM dists
+),
+a AS (SELECT vec_id, label, cid FROM assign WHERE rn = 1),
+sizes AS (SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_members FROM a GROUP BY cid),
+labcnt AS (SELECT cid, label, COUNT(*) AS c FROM a GROUP BY cid, label),
+maj AS (
+  SELECT cid, label, c,
+         row_number() OVER (PARTITION BY cid ORDER BY c DESC, label ASC) AS rn
+  FROM labcnt
+)
+SELECT s.cid AS cluster_id, s.n_members,
+       CAST(m.label AS BIGINT) AS majority_label,
+       round(CAST(m.c AS DOUBLE) / s.n_members, 6) AS label_purity
+FROM sizes s JOIN maj m ON m.cid = s.cid AND m.rn = 1
+"""
+
+
+def q_doc_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer vocabulary construction: global term frequencies, top-K
+    by (count desc, term asc), with each vocab entry's cumulative share
+    of all corpus tokens — the "how big a vocab covers X% of the
+    stream" curve. Scale: explode + one hash agg (map-side partials
+    absorb the token fan-out), then a TakeOrdered top-K; the cumulative
+    window runs over at most K=``VOCAB_TOP_K`` rows (bounded, single
+    task by design — it is the *output*, not the corpus)."""
+    from pyspark.sql import Window
+
+    d = _docs_with_tokens(spark, sf_dir)
+    tok = d.select(F.explode(TX.tokens(F.col("text"))).alias("term"))
+    counts = tok.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("term_count")
+    )
+    total = counts.agg(F.sum("term_count").alias("_total"))
+    topk = counts.orderBy(
+        F.col("term_count").desc(), F.col("term").asc()
+    ).limit(VOCAB_TOP_K)
+    w = Window.orderBy(F.col("term_count").desc(), F.col("term").asc())
+    ranked = topk.select(
+        "term",
+        F.row_number().over(w).cast("long").alias("rank"),
+        "term_count",
+        F.sum("term_count").over(w).alias("_cum"),
+    )
+    return ranked.crossJoin(F.broadcast(total)).select(
+        "term",
+        "rank",
+        "term_count",
+        F.round(F.col("_cum").cast("double") / F.col("_total"), 6).alias(
+            "cum_share"
+        ),
+    )
+
+
+SQL_VOCAB_COVERAGE = f"""
+WITH tok AS (SELECT unnest({_toks('text')}) AS term FROM documents),
+cnt AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS term_count FROM tok GROUP BY term),
+ranked AS (
+  SELECT term, term_count,
+         CAST(row_number() OVER (ORDER BY term_count DESC, term ASC) AS BIGINT) AS rank,
+         SUM(term_count) OVER () AS _total,
+         SUM(term_count) OVER (ORDER BY term_count DESC, term ASC) AS _cum
+  FROM cnt
+)
+SELECT term, rank, term_count,
+       round(CAST(_cum AS DOUBLE) / CAST(_total AS DOUBLE), 6) AS cum_share
+FROM ranked WHERE rank <= {VOCAB_TOP_K}
+"""
+
+
+def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential conversion funnel (view → click → purchase, strictly
+    ordered per user): the sequence-pattern analytics the event
+    connectors feed. Each stage is a hash aggregate per user joined to
+    the previous stage's first-hit time — all equi-joins on user_id
+    (co-partitioned, AQE-skew-safe), each stage strictly shrinking.
+    Timestamps compare as exact integer micros (ts_us), never doubles."""
+    ev = load_table(spark, sf_dir, "events")
+    v = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t_prev"))
+    )
+    c = (
+        ev.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where(F.col("ts_us") > F.col("t_prev"))
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t_prev"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(F.col("ts_us") > F.col("t_prev"))
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t_prev"))
+    )
+
+    def stage(df: DataFrame, step: int, name: str) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).cast("long").alias("users")).select(
+            F.lit(step).cast("long").alias("step"),
+            F.lit(name).alias("stage"),
+            "users",
+        )
+
+    stages = (
+        stage(v, 1, "view")
+        .unionByName(stage(c, 2, "click_after_view"))
+        .unionByName(stage(p, 3, "purchase_after_click"))
+    )
+    base = v.agg(F.count(F.lit(1)).cast("long").alias("_base"))
+    return stages.crossJoin(F.broadcast(base)).select(
+        "step",
+        "stage",
+        "users",
+        F.round(F.col("users").cast("double") / F.col("_base"), 6).alias(
+            "conversion"
+        ),
+    )
+
+
+SQL_EVENT_FUNNEL = """
+WITH v AS (
+  SELECT user_id, MIN(epoch_us(ts)) AS t FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, MIN(epoch_us(e.ts)) AS t
+  FROM events e JOIN v ON v.user_id = e.user_id
+  WHERE e.event_type = 'click' AND epoch_us(e.ts) > v.t
+  GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, MIN(epoch_us(e.ts)) AS t
+  FROM events e JOIN c ON c.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > c.t
+  GROUP BY e.user_id
+),
+n AS (
+  SELECT CAST(1 AS BIGINT) AS step, 'view' AS stage,
+         CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS users
+  UNION ALL
+  SELECT 2, 'click_after_view', (SELECT COUNT(*) FROM c)
+  UNION ALL
+  SELECT 3, 'purchase_after_click', (SELECT COUNT(*) FROM p)
+)
+SELECT step, stage, users,
+       round(CAST(users AS DOUBLE) / (SELECT COUNT(*) FROM v), 6) AS conversion
+FROM n
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -2102,6 +2299,9 @@ QUERIES: dict[str, QueryFn] = {
     "doc_repetition_filter": q_doc_repetition_filter,
     "doc_pack_windows": q_doc_pack_windows,
     "doc_decontaminate": q_doc_decontaminate,
+    "emb_kmeans": q_emb_kmeans,
+    "doc_vocab_coverage": q_doc_vocab_coverage,
+    "event_funnel": q_event_funnel,
 }
 
 
@@ -2164,4 +2364,7 @@ def build_oracles() -> dict[str, str]:
         "doc_repetition_filter": _sql_repetition_filter(),
         "doc_pack_windows": SQL_PACK_WINDOWS,
         "doc_decontaminate": SQL_DECONTAMINATE,
+        "emb_kmeans": SQL_EMB_KMEANS,
+        "doc_vocab_coverage": SQL_VOCAB_COVERAGE,
+        "event_funnel": SQL_EVENT_FUNNEL,
     }
