@@ -248,3 +248,49 @@ def winnow(hashes: Column, w: int) -> Column:
             )
         )
     )
+
+
+# --------------------------------------------------------------------------
+# PII scrubbing (training-data redaction)
+# --------------------------------------------------------------------------
+
+#: Redaction patterns (Java regex, pure Catalyst `regexp_replace` — no
+#: UDF, map-only at any scale). Deliberately conservative/simple shapes:
+#: the operator contract (ordered replace chain + per-kind hit counts)
+#: is what matters; patterns are a parameter a curation run tunes. The
+#: driver's synthetic corpus contains no PII (verified: no '@', digits,
+#: or URLs in documents.text), so this surface is fixture-tested in
+#: tests/test_text_pii.py rather than registered as a corpus query.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("url", r"https?://[^\s]+", "<URL>"),
+    ("ipv4", r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    ("phone", r"\+?\d[\d\s().-]{7,}\d", "<PHONE>"),
+)
+
+
+def pii_counts(col: Column) -> Column:
+    """Struct of per-kind PII match counts (email/url/ipv4/phone).
+
+    Counts run against the ORIGINAL text per kind (a URL containing an
+    email still counts both), unlike :func:`redact_pii` where earlier
+    replacements consume their matches.
+    """
+    return F.struct(
+        *[
+            F.regexp_count(col, F.lit(pat)).cast("long").alias(name)
+            for name, pat, _ in PII_PATTERNS
+        ]
+    )
+
+
+def redact_pii(col: Column) -> Column:
+    """Replace every PII match with its typed placeholder, applying the
+    patterns in :data:`PII_PATTERNS` order. Later patterns run over
+    earlier output: an email inside a URL redacts to <EMAIL> first and
+    the URL pass then absorbs the remaining non-space run into <URL> —
+    strictly more redaction, never less (the safe direction)."""
+    out = col
+    for _, pat, repl in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, repl)
+    return out

@@ -2205,6 +2205,37 @@ def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus data card: doc/token/char totals per (source, lang) with
+    rollup subtotals and grand total — the dataset-documentation
+    artifact a curation run publishes. Same two-phase trick as
+    q_sales_cube: collapse to per-(source, lang) partials first
+    (integer sums — re-aggregation is exact), then rollup the partials;
+    the Expand multiplies ~|sources|x|langs| rows, never the corpus."""
+    d = _docs_with_tokens(spark, sf_dir)
+    base = d.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(TX.token_count(F.col("text")).cast("long")).alias("_tok"),
+        F.sum("n_chars").alias("_ch"),
+    )
+    return base.rollup("source", "lang").agg(
+        F.grouping_id().cast("long").alias("gid"),
+        F.sum("_n").alias("n_docs"),
+        F.sum("_tok").alias("total_tokens"),
+        F.round(F.sum("_ch").cast("double") / F.sum("_n"), 6).alias("avg_chars"),
+    )
+
+
+SQL_DOC_DATA_CARD = f"""
+SELECT source, lang,
+       CAST(grouping(source, lang) AS BIGINT) AS gid,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(len({_toks('text')})) AS BIGINT) AS total_tokens,
+       round(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*), 6) AS avg_chars
+FROM documents GROUP BY ROLLUP(source, lang)
+"""
+
+
 SQL_EVENT_FUNNEL = """
 WITH v AS (
   SELECT user_id, MIN(epoch_us(ts)) AS t FROM events
@@ -2302,6 +2333,7 @@ QUERIES: dict[str, QueryFn] = {
     "emb_kmeans": q_emb_kmeans,
     "doc_vocab_coverage": q_doc_vocab_coverage,
     "event_funnel": q_event_funnel,
+    "doc_data_card": q_doc_data_card,
 }
 
 
@@ -2367,4 +2399,5 @@ def build_oracles() -> dict[str, str]:
         "emb_kmeans": SQL_EMB_KMEANS,
         "doc_vocab_coverage": SQL_VOCAB_COVERAGE,
         "event_funnel": SQL_EVENT_FUNNEL,
+        "doc_data_card": SQL_DOC_DATA_CARD,
     }
