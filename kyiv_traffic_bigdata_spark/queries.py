@@ -2267,6 +2267,101 @@ FROM n
 """
 
 
+def q_event_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resample + gap fill: a dense hourly grid per event
+    type (sequence/explode over each type's [min, max] hour span), empty
+    hours at count 0 with the last seen hourly average forward-filled —
+    the standard monitoring/feature-store densification.
+
+    Scale: the grid is |types| x elapsed-hours (8,760 rows per type per
+    YEAR — bounded by wall-clock time, not data volume), so the per-type
+    forward-fill window partition can never blow up the way a per-key
+    data window could; the only full-data work is the hourly aggregate
+    itself (map-side partials)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    hourly = tumbling_stats(ev, "ts", "1 hour", ["event_type"], "value")
+    span = hourly.groupBy("event_type").agg(
+        F.min("window_start_s").alias("_lo"), F.max("window_start_s").alias("_hi")
+    )
+    grid = span.select(
+        "event_type",
+        F.explode(F.sequence(F.col("_lo"), F.col("_hi"), F.lit(3600))).alias(
+            "hour_s"
+        ),
+    )
+    j = grid.join(
+        hourly.withColumnRenamed("window_start_s", "hour_s"),
+        ["event_type", "hour_s"],
+        "left",
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_s")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return j.select(
+        "event_type",
+        "hour_s",
+        F.coalesce(F.col("n_events"), F.lit(0)).cast("long").alias("n_events"),
+        F.last("avg_value", ignorenulls=True).over(w).alias("avg_value_filled"),
+        F.col("n_events").isNull().alias("is_gap"),
+    )
+
+
+SQL_EVENT_GAP_FILL = f"""
+WITH hourly AS (
+  SELECT event_type, epoch_us(date_trunc('hour', ts)) // 1000000 AS h,
+         CAST(COUNT(*) AS BIGINT) AS n, {_savg('value', 'COUNT(value)')} AS av
+  FROM events GROUP BY 1, 2
+),
+span AS (SELECT event_type, MIN(h) AS lo, MAX(h) AS hi FROM hourly GROUP BY 1),
+grid AS (
+  SELECT event_type, unnest(range(lo, hi + 3600, 3600)) AS h FROM span
+),
+j AS (
+  SELECT g.event_type, g.h, hourly.n, hourly.av
+  FROM grid g LEFT JOIN hourly ON hourly.event_type = g.event_type AND hourly.h = g.h
+)
+SELECT event_type, h AS hour_s, COALESCE(n, 0) AS n_events,
+       last_value(av IGNORE NULLS) OVER (
+         PARTITION BY event_type ORDER BY h
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS avg_value_filled,
+       n IS NULL AS is_gap
+FROM j
+"""
+
+
+def q_event_pivot_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt) — the reshape inverse of q_event_type_pivot: pivot
+    the cohort x type counts wide, then unpivot back to long form. The
+    output equals the direct (cohort, type) aggregate, which is exactly
+    what the oracle computes — so the differential gate proves
+    pivot∘unpivot is the identity. Wide-to-long is an Expand (map-only);
+    the value-column list is pinned, schema never data-dependent."""
+    ev = load_table(spark, sf_dir, "events")
+    wide = (
+        ev.withColumn("cohort", F.pmod(F.col("user_id"), F.lit(10)).cast("long"))
+        .groupBy("cohort")
+        .pivot("event_type", list(EVENT_TYPES))
+        .agg(F.count(F.lit(1)))
+    )
+    wide = wide.select(
+        "cohort",
+        *[F.coalesce(F.col(t), F.lit(0)).cast("long").alias(t) for t in EVENT_TYPES],
+    )
+    return wide.unpivot(
+        ["cohort"], list(EVENT_TYPES), "event_type", "n_events"
+    ).where(F.col("n_events") > 0)
+
+
+SQL_PIVOT_ROUNDTRIP = """
+SELECT user_id % 10 AS cohort, event_type, CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events GROUP BY 1, 2
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -2334,6 +2429,8 @@ QUERIES: dict[str, QueryFn] = {
     "doc_vocab_coverage": q_doc_vocab_coverage,
     "event_funnel": q_event_funnel,
     "doc_data_card": q_doc_data_card,
+    "event_gap_fill": q_event_gap_fill,
+    "event_pivot_roundtrip": q_event_pivot_roundtrip,
 }
 
 
@@ -2400,4 +2497,6 @@ def build_oracles() -> dict[str, str]:
         "doc_vocab_coverage": SQL_VOCAB_COVERAGE,
         "event_funnel": SQL_EVENT_FUNNEL,
         "doc_data_card": SQL_DOC_DATA_CARD,
+        "event_gap_fill": SQL_EVENT_GAP_FILL,
+        "event_pivot_roundtrip": SQL_PIVOT_ROUNDTRIP,
     }
