@@ -2281,7 +2281,11 @@ def q_event_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     ev = load_table(spark, sf_dir, "events")
-    hourly = tumbling_stats(ev, "ts", "1 hour", ["event_type"], "value")
+    # hourly feeds BOTH the span probe and the grid join; without
+    # materialization Catalyst re-runs the full-data aggregate twice.
+    # Its size is bounded (types x elapsed hours), so localCheckpoint
+    # buys one full scan total (same pattern as the dedup indexes).
+    hourly = tumbling_stats(ev, "ts", "1 hour", ["event_type"], "value").localCheckpoint()
     span = hourly.groupBy("event_type").agg(
         F.min("window_start_s").alias("_lo"), F.max("window_start_s").alias("_hi")
     )

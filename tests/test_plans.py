@@ -237,3 +237,12 @@ def test_hash_sampling_queries_are_map_only(plans):
         # allowed exchange; the sampling filter itself must add none
         assert exchange_count(plan) <= 1, name
         assert "Sort" not in plan, name
+
+
+def test_gap_fill_scans_events_once(plans):
+    """q_event_gap_fill reuses the hourly aggregate for both the span
+    probe and the grid join; the localCheckpoint must absorb the raw
+    events scan so the final plan reads NO parquet — without it the
+    full-data aggregate (and its scan) runs twice."""
+    plan = plans("event_gap_fill")
+    assert "Scan parquet" not in plan
