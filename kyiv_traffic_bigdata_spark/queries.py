@@ -2366,6 +2366,106 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q3-shaped 3-way join + top-K: unshipped-order revenue for
+    one market segment. The segment filter prunes customer BEFORE the
+    join (Catalyst pushes it to the scan), orders⋈customer and
+    lineitem⋈orders are co-keyed shuffle joins AQE can re-plan, the
+    revenue aggregate partials map-side, and the final top-10 is a
+    TakeOrdered — no global sort. Decimal-stable revenue sum."""
+    cust = load_table(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
+    )
+    revenue = (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).cast(
+        DEC
+    )
+    j = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+    )
+    out = j.select(
+        "l_orderkey",
+        F.expr("unix_micros(cast(o_orderdate as timestamp)) div 1000000").alias(
+            "order_epoch_s"
+        ),
+        "o_orderpriority",
+        "revenue",
+    )
+    return top_k(out, [F.col("revenue").desc(), F.col("l_orderkey").asc()], 10)
+
+
+SQL_SHIPPING_PRIORITY = f"""
+SELECT l_orderkey,
+       epoch_us(o_orderdate) // 1000000 AS order_epoch_s,
+       o_orderpriority,
+       {_ssum('l_extendedprice * (1.0 - l_discount)')} AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15'
+  AND l_shipdate > TIMESTAMP '1998-03-15'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey ASC LIMIT 10
+"""
+
+
+def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q5-shaped 6-way join: per-nation revenue where customer and
+    supplier share the nation, one region, one order-date year. Nation
+    and region broadcast (kilobyte dims at any SF); the fact-side joins
+    are co-keyed shuffles; the s_nationkey = c_nationkey predicate rides
+    the supplier join as a residual filter — Catalyst orders the tree,
+    AQE fixes skew at runtime. Decimal-stable revenue sum."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    revenue = (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).cast(
+        DEC
+    )
+    j = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(
+            supp,
+            (li.l_suppkey == supp.s_suppkey)
+            & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+    )
+    return j.groupBy("n_name").agg(F.sum(revenue).cast("double").alias("revenue"))
+
+
+SQL_LOCAL_SUPPLIER_VOLUME = f"""
+SELECT n_name, {_ssum('l_extendedprice * (1.0 - l_discount)')} AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'EUROPE'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n_name
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -2435,6 +2535,8 @@ QUERIES: dict[str, QueryFn] = {
     "doc_data_card": q_doc_data_card,
     "event_gap_fill": q_event_gap_fill,
     "event_pivot_roundtrip": q_event_pivot_roundtrip,
+    "shipping_priority": q_shipping_priority,
+    "local_supplier_volume": q_local_supplier_volume,
 }
 
 
@@ -2503,4 +2605,6 @@ def build_oracles() -> dict[str, str]:
         "doc_data_card": SQL_DOC_DATA_CARD,
         "event_gap_fill": SQL_EVENT_GAP_FILL,
         "event_pivot_roundtrip": SQL_PIVOT_ROUNDTRIP,
+        "shipping_priority": SQL_SHIPPING_PRIORITY,
+        "local_supplier_volume": SQL_LOCAL_SUPPLIER_VOLUME,
     }
