@@ -246,3 +246,21 @@ def test_gap_fill_scans_events_once(plans):
     full-data aggregate (and its scan) runs twice."""
     plan = plans("event_gap_fill")
     assert "Scan parquet" not in plan
+
+
+def test_shipping_priority_pushdown_and_topk(plans):
+    """TPC-H-Q3 shape: the segment and date predicates must reach the
+    parquet scans (PushedFilters), and the top-10 must be a TakeOrdered,
+    never a global Sort of the aggregate."""
+    plan = plans("shipping_priority")
+    pushed = " | ".join(scan_filter_exprs(plan))
+    assert "c_mktsegment" in pushed and "o_orderdate" in pushed and "l_shipdate" in pushed
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_local_supplier_volume_broadcasts_tiny_dims(plans):
+    """TPC-H-Q5 shape: nation and region are kilobyte dims — both joins
+    must broadcast; the region filter must be pushed to its scan."""
+    plan = plans("local_supplier_volume")
+    assert broadcast_join_count(plan) >= 2
+    assert any("r_name" in f for f in scan_filter_exprs(plan))
