@@ -1,0 +1,110 @@
+"""CLI parity surface (__main__.py): every reference-runnable pipeline
+driven end-to-end through its offline (`--replay` / `--from-file`) twin,
+which shares the live path's parse/scan code."""
+
+from __future__ import annotations
+
+import base64
+import json
+import os
+import struct
+
+import pytest
+
+from kyiv_traffic_bigdata_spark.__main__ import main
+
+REF_POS = "/root/reference/data/kpt_positions_20260207.jsonl"
+
+
+def test_query_command_writes_parquet(spark, tmp_path):
+    out = str(tmp_path / "q.parquet")
+    rc = main(
+        ["query", "--name", "global_event_stats", "--sf-dir", "/root/testdata/sf0.001", "--out", out]
+    )
+    assert rc == 0
+    assert spark.read.parquet(out).count() == 1
+
+
+def test_query_command_rejects_unknown_name(tmp_path):
+    assert main(["query", "--name", "nope", "--out", str(tmp_path / "x")]) == 2
+
+
+@pytest.mark.skipif(not os.path.exists(REF_POS), reason="reference data absent")
+def test_visualize_command_renders_map(tmp_path):
+    out = str(tmp_path / "map.html")
+    assert main(["visualize", "--positions", REF_POS, "--out", out]) == 0
+    html = open(out).read()
+    assert "leaflet" in html and "circleMarker" in html
+
+
+def test_ingest_command_partitions_by_date(spark, tmp_path):
+    src = tmp_path / "env.jsonl"
+    env = {
+        "timestamp": "2026-02-07T10:00:00",
+        "count": 2,
+        "positions": [
+            {"vehicle_id": 1, "route_id": 5, "lat": 50.4, "lon": 30.5,
+             "direction": 0, "flag": 0, "timestamp": 100},
+            {"vehicle_id": 2, "route_id": 5, "lat": 50.5, "lon": 30.6,
+             "direction": 0, "flag": 0, "timestamp": 200},
+        ],
+    }
+    src.write_text(json.dumps(env) + "\n")
+    out = str(tmp_path / "store")
+    assert main(["ingest", "--positions", str(src), "--out", out]) == 0
+    assert os.path.isdir(os.path.join(out, "date=20260207"))
+    assert spark.read.parquet(out).count() == 2
+
+
+def test_eway_capture_replay_builds_report(tmp_path):
+    # uint32/1e8 wire format caps coords at ~42.9 degrees (the same limit
+    # the reference decoder has), so all real decodes land in 'other'
+    ankara = struct.pack("<II", int(38.0 * 1e8), int(37.0 * 1e8))
+    msg = base64.b64encode(ankara * 15).decode().rstrip("=")
+    replay = tmp_path / "cap.txt"
+    replay.write_text(msg + "\n")
+    out = str(tmp_path / "report.json")
+    assert main(["eway-capture", "--replay", str(replay), "--out", out]) == 0
+    rep = json.load(open(out))
+    assert rep["summary"]["other"] == 15 and rep["summary"]["total"] == 15
+    assert len(rep["other_positions"]) == 15
+
+
+def test_osm_import_from_file(tmp_path):
+    elements = {
+        "version": 0.6,
+        "elements": [
+            {"type": "node", "id": 1, "lat": 50.45, "lon": 30.52,
+             "tags": {"name": "stop A", "highway": "bus_stop"}},
+            {"type": "way", "id": 2, "tags": {"highway": "primary"}},
+        ],
+    }
+    src = tmp_path / "elements.json"
+    src.write_text(json.dumps(elements))
+    out = str(tmp_path / "out.geojson")
+    assert main(["osm-import", "--from-file", str(src), "--out", out]) == 0
+    gj = json.load(open(out))
+    assert gj["type"] == "FeatureCollection" and len(gj["features"]) == 1
+    assert gj["features"][0]["geometry"]["coordinates"] == [30.52, 50.45]
+
+
+def test_weather_from_file(spark, tmp_path):
+    from kyiv_traffic_bigdata_spark.schemas import WEATHER_HOURLY_FIELDS
+
+    payload = {
+        "latitude": 50.45,
+        "longitude": 30.52,
+        "elevation": 150.0,
+        "timezone": "UTC",
+        "hourly": {
+            "time": ["2026-01-01T00:00", "2026-01-01T01:00"],
+            **{f: [1.0, 2.0] for f in WEATHER_HOURLY_FIELDS},
+        },
+    }
+    src = tmp_path / "resp.json"
+    src.write_text(json.dumps(payload))
+    out = str(tmp_path / "hourly.parquet")
+    assert main(["weather", "--from-file", str(src), "--out", out]) == 0
+    got = spark.read.parquet(out)
+    assert got.count() == 2
+    assert set(got.columns) == {"time", *WEATHER_HOURLY_FIELDS}
