@@ -2466,6 +2466,55 @@ GROUP BY n_name
 """
 
 
+def q_doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-model-proxy quality score (CCNet-style): per-doc mean
+    unigram log-probability under the corpus's own smoothed unigram LM,
+    ln((c_term + 1) / (total_tokens + |V|)). Low scorers are gibberish /
+    off-distribution docs — the statistical complement of the rule-based
+    Gopher gate.
+
+    Shape: token explode → per-(doc,term) tf → global term counts → one
+    equi-join on term (tf is pre-aggregated, so a hot term contributes
+    at most n_docs join rows — AQE-skew territory, not a blowup) → one
+    per-doc aggregate. The corpus totals ride a 1-row broadcast. The
+    log-prob sum goes through decimal (order-independent) like every
+    other double sum in this module; at real scale the vocab join would
+    be capped to a top-V table, noted here as the tuning knob."""
+    d = _docs_with_tokens(spark, sf_dir)
+    tok = d.select("doc_id", F.explode(TX.tokens(F.col("text"))).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    counts = tf.groupBy("term").agg(F.sum("tf").alias("c"))
+    totals = counts.agg(
+        F.sum("c").alias("_total"), F.count(F.lit(1)).alias("_v")
+    )
+    j = tf.join(counts, "term").crossJoin(F.broadcast(totals))
+    contrib = (
+        F.col("tf")
+        * F.log((F.col("c") + F.lit(1.0)) / (F.col("_total") + F.col("_v")))
+    ).cast(DEC)
+    return j.groupBy("doc_id").agg(
+        F.sum("tf").alias("n_tokens"),
+        F.round(F.sum(contrib).cast("double") / F.sum("tf"), 6).alias(
+            "avg_logprob"
+        ),
+    )
+
+
+SQL_UNIGRAM_LOGPROB = f"""
+WITH toks AS (SELECT doc_id, unnest({_toks('text')}) AS term FROM documents),
+tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2),
+counts AS (SELECT term, CAST(SUM(tf) AS BIGINT) AS c FROM tf GROUP BY term),
+tot AS (SELECT CAST(SUM(c) AS BIGINT) AS total, CAST(COUNT(*) AS BIGINT) AS v FROM counts),
+j AS (
+  SELECT tf.doc_id, tf.tf, counts.c, tot.total, tot.v
+  FROM tf JOIN counts USING (term) CROSS JOIN tot
+)
+SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+       round({_ssum('tf * ln((c + 1.0) / (total + v))')} / SUM(tf), 6) AS avg_logprob
+FROM j GROUP BY doc_id
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -2537,6 +2586,7 @@ QUERIES: dict[str, QueryFn] = {
     "event_pivot_roundtrip": q_event_pivot_roundtrip,
     "shipping_priority": q_shipping_priority,
     "local_supplier_volume": q_local_supplier_volume,
+    "doc_unigram_logprob": q_doc_unigram_logprob,
 }
 
 
@@ -2607,4 +2657,5 @@ def build_oracles() -> dict[str, str]:
         "event_pivot_roundtrip": SQL_PIVOT_ROUNDTRIP,
         "shipping_priority": SQL_SHIPPING_PRIORITY,
         "local_supplier_volume": SQL_LOCAL_SUPPLIER_VOLUME,
+        "doc_unigram_logprob": SQL_UNIGRAM_LOGPROB,
     }

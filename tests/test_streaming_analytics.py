@@ -97,3 +97,61 @@ def test_routes_refresher_appends_and_reduces(spark, tmp_path):
     }[last_poll]
     assert latest[2].number == survivor_version
     assert latest[1].number == "1"
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    """Watermarked stream-stream join: clicks within 60 s after an error
+    by the same user, across two file-replayed streams — the streaming
+    twin of the batch clicks_after_error interval join."""
+    from kyiv_traffic_bigdata_spark.streaming.joins import stream_interval_join
+
+    ldir, rdir = tmp_path / "err", tmp_path / "clk"
+    ldir.mkdir(); rdir.mkdir()
+    (ldir / "a.jsonl").write_text(
+        '{"user_id": 1, "err_ts": "2026-01-01T00:00:00"}\n'
+        '{"user_id": 2, "err_ts": "2026-01-01T00:05:00"}\n'
+    )
+    (rdir / "a.jsonl").write_text(
+        '{"user_id": 1, "clk_ts": "2026-01-01T00:00:30"}\n'   # in window
+        '{"user_id": 1, "clk_ts": "2026-01-01T00:02:00"}\n'   # too late
+        '{"user_id": 2, "clk_ts": "2026-01-01T00:04:00"}\n'   # before error
+        '{"user_id": 2, "clk_ts": "2026-01-01T00:05:10"}\n'   # in window
+        '{"user_id": 3, "clk_ts": "2026-01-01T00:00:10"}\n'   # no error side
+    )
+    errs = (
+        spark.readStream.schema("user_id long, err_ts timestamp")
+        .json(str(ldir))
+    )
+    clicks = (
+        spark.readStream.schema("user_id long, clk_ts timestamp")
+        .json(str(rdir))
+    )
+    joined = stream_interval_join(
+        errs, clicks, key="user_id", left_ts="err_ts", right_ts="clk_ts",
+        max_delay_s=60,
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ssjoin")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r.user_id, str(r.clk_ts)) for r in spark.sql("select * from ssjoin").collect()
+    }
+    assert got == {
+        (1, "2026-01-01 00:00:30"),
+        (2, "2026-01-01 00:05:10"),
+    }
+
+
+def test_stream_interval_join_rejects_same_ts_name(spark):
+    from kyiv_traffic_bigdata_spark.streaming.joins import stream_interval_join
+
+    df = spark.range(1).select("id", F.current_timestamp().alias("ts"))
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        stream_interval_join(df, df, key="id", left_ts="ts", right_ts="ts", max_delay_s=1)
