@@ -2515,6 +2515,69 @@ FROM j GROUP BY doc_id
 """
 
 
+#: End-to-end curation keep-rate after quality + dedup gates.
+CURATION_SAMPLE_RATE = 0.8
+
+
+def q_doc_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end curation decision, composed from verified pieces:
+    keep a doc iff it (1) passes the Gopher rule gate, (2) is the
+    canonical member of its near-dup component (MinHash-LSH pairs →
+    connected components → min-id canonical; unpaired docs are their own
+    canonical), and (3) survives the deterministic hash downsample. One
+    lineage row per doc with each gate's verdict — the audit table a
+    production curation run publishes next to the kept corpus.
+
+    Scale = the max of its parts, all individually bounded: the gopher
+    gate is map-only, the pair/component stage is candidate-bounded
+    (see operators/dedup.py, operators/cluster.py), the sample predicate
+    is map-only, and the final assembly is one left join on doc_id."""
+    from .operators.cluster import connected_components
+
+    d = _docs_with_tokens(spark, sf_dir)
+    g = q_doc_gopher_quality(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("gopher_ok")
+    )
+    comp = connected_components(DD.minhash_lsh_pairs(d, threshold=0.2))
+    canon = comp.groupBy("component").agg(F.min("node").alias("_cid"))
+    canon_flag = comp.join(canon, "component").select(
+        F.col("node").alias("doc_id"),
+        (F.col("node") == F.col("_cid")).alias("_canon"),
+    )
+    sampled = TX.portable_hash(F.col("doc_id").cast("string")) < F.lit(
+        int(CURATION_SAMPLE_RATE * (1 << 32))
+    )
+    out = g.join(canon_flag, "doc_id", "left").select(
+        "doc_id",
+        "gopher_ok",
+        F.coalesce(F.col("_canon"), F.lit(True)).alias("is_canonical"),
+        sampled.alias("sampled"),
+    )
+    return out.withColumn(
+        "kept",
+        F.col("gopher_ok") & F.col("is_canonical") & F.col("sampled"),
+    )
+
+
+def _sql_curation_pipeline() -> str:
+    h = _PORTABLE_HASH.format(s="CAST(g.doc_id AS VARCHAR)")
+    thresh = int(CURATION_SAMPLE_RATE * (1 << 32))
+    return f"""
+WITH gq AS ({_sql_gopher_quality()}),
+comp AS ({_sql_neardup_components()}),
+canon AS (SELECT component, MIN(doc_id) AS cid FROM comp GROUP BY component),
+cf AS (
+  SELECT comp.doc_id, comp.doc_id = canon.cid AS is_c
+  FROM comp JOIN canon USING (component)
+)
+SELECT g.doc_id, g.keep AS gopher_ok,
+       COALESCE(cf.is_c, TRUE) AS is_canonical,
+       ({h} < {thresh}) AS sampled,
+       (g.keep AND COALESCE(cf.is_c, TRUE) AND ({h} < {thresh})) AS kept
+FROM gq g LEFT JOIN cf ON cf.doc_id = g.doc_id
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -2587,6 +2650,7 @@ QUERIES: dict[str, QueryFn] = {
     "shipping_priority": q_shipping_priority,
     "local_supplier_volume": q_local_supplier_volume,
     "doc_unigram_logprob": q_doc_unigram_logprob,
+    "doc_curation_pipeline": q_doc_curation_pipeline,
 }
 
 
@@ -2658,4 +2722,5 @@ def build_oracles() -> dict[str, str]:
         "shipping_priority": SQL_SHIPPING_PRIORITY,
         "local_supplier_volume": SQL_LOCAL_SUPPLIER_VOLUME,
         "doc_unigram_logprob": SQL_UNIGRAM_LOGPROB,
+        "doc_curation_pipeline": _sql_curation_pipeline(),
     }
