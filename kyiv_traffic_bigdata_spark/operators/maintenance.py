@@ -67,3 +67,41 @@ def compact_parquet(
         writer = writer.partitionBy(*partition_by)
     writer.parquet(out_path)
     return n
+
+
+def upsert_parquet(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    key_cols: list[str],
+    out_path: str,
+    order_col: str | None = None,
+) -> int:
+    """MERGE/upsert for a parquet dimension table (the routes-catalog
+    last-write-wins maintenance — SURVEY S2/ST2 — generalized): rows in
+    ``updates`` replace same-key rows in ``path``; new keys append.
+    Returns the merged row count.
+
+    Shape: one left-anti join (existing keys minus updated keys) + a
+    union — the updates side is the small one, so Catalyst broadcasts it
+    and the base table never shuffles. Write-then-swap like
+    compact_parquet: never merge in place, the old snapshot survives a
+    mid-job death. With ``order_col``, intra-``updates`` duplicates
+    resolve to the max-``order_col`` row first (deterministic
+    last-write-wins inside one batch, the S2 rule).
+    """
+    from pyspark.sql import functions as F
+
+    if order_col is not None:
+        w_cols = [F.col(c) for c in key_cols]
+        latest = updates.groupBy(*w_cols).agg(
+            F.max_by(
+                F.struct(*[F.col(c) for c in updates.columns]), F.col(order_col)
+            ).alias("_r")
+        )
+        updates = latest.select("_r.*")
+    base = spark.read.parquet(path)
+    kept = base.join(F.broadcast(updates.select(*key_cols)), key_cols, "left_anti")
+    merged = kept.unionByName(updates.select(*base.columns))
+    merged.write.mode("overwrite").parquet(out_path)
+    return spark.read.parquet(out_path).count()

@@ -195,3 +195,51 @@ def test_operators_tolerate_empty_inputs(spark):
     no_ivs = spark.createDataFrame([], "k long, lo long, hi long")
     some_pts = spark.createDataFrame([(1, 3)], "k long, ts long")
     assert interval_join(some_pts, no_ivs, ["k"], "ts", "lo", "hi").count() == 0
+
+
+def test_upsert_parquet_last_write_wins(spark, tmp_path):
+    """Maintenance MERGE: updated keys replaced, new keys appended,
+    untouched keys preserved; intra-batch dupes resolve by order_col."""
+    from pyspark.sql import functions as F
+
+    from kyiv_traffic_bigdata_spark.operators.maintenance import upsert_parquet
+
+    base = str(tmp_path / "dim")
+    out = str(tmp_path / "dim_v2")
+    spark.createDataFrame(
+        [(1, "one", 0), (2, "two", 0), (3, "three", 0)],
+        "id long, label string, ver long",
+    ).write.parquet(base)
+
+    updates = spark.createDataFrame(
+        [(2, "TWO-old", 1), (2, "TWO", 2), (4, "four", 1)],
+        "id long, label string, ver long",
+    )
+    n = upsert_parquet(spark, base, updates, ["id"], out, order_col="ver")
+    assert n == 4
+    got = {r.id: (r.label, r.ver) for r in spark.read.parquet(out).collect()}
+    assert got == {
+        1: ("one", 0),       # untouched
+        2: ("TWO", 2),       # replaced by max-ver update
+        3: ("three", 0),     # untouched
+        4: ("four", 1),      # appended
+    }
+    # old snapshot intact (write-then-swap)
+    assert spark.read.parquet(base).count() == 3
+
+
+def test_upsert_broadcasts_updates_not_base(spark, tmp_path):
+    from kyiv_traffic_bigdata_spark.operators.maintenance import upsert_parquet
+
+    base = str(tmp_path / "dim")
+    spark.range(1000).selectExpr("id", "cast(id as string) label").write.parquet(base)
+    updates = spark.range(5).selectExpr("id", "'x' label")
+    # plan check: construct the anti-join the operator builds and assert broadcast
+    from pyspark.sql import functions as F
+
+    b = spark.read.parquet(base)
+    anti = b.join(F.broadcast(updates.select("id")), ["id"], "left_anti")
+    plan = anti._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+    n = upsert_parquet(spark, base, updates, ["id"], str(tmp_path / "v2"))
+    assert n == 1000
