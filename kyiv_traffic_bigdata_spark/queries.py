@@ -2515,6 +2515,26 @@ FROM j GROUP BY doc_id
 """
 
 
+def q_emb_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-2 principal-component projection of the embedding corpus
+    (operators.pca): the distributed pass is the d x d gram aggregate,
+    the eigen solve is driver-side metadata, the projection map-only.
+    No SQL oracle — DuckDB has no eigen solver; accuracy is pinned by
+    tests/test_pca.py numpy-parity properties (the same contract as the
+    ANN recall tests), so the driver records a rows-only check."""
+    from .operators.pca import fit_pca, project
+
+    emb = _emb(spark, sf_dir)
+    comps, _var, mean = fit_pca(emb, k=2)
+    out = project(emb, comps, mean)
+    return out.select(
+        "vec_id",
+        F.col("label").cast("long").alias("label"),
+        F.round(F.col("pca")[0], 6).alias("pc1"),
+        F.round(F.col("pca")[1], 6).alias("pc2"),
+    )
+
+
 #: End-to-end curation keep-rate after quality + dedup gates.
 CURATION_SAMPLE_RATE = 0.8
 
@@ -2651,6 +2671,7 @@ QUERIES: dict[str, QueryFn] = {
     "local_supplier_volume": q_local_supplier_volume,
     "doc_unigram_logprob": q_doc_unigram_logprob,
     "doc_curation_pipeline": q_doc_curation_pipeline,
+    "emb_pca": q_emb_pca,
 }
 
 
