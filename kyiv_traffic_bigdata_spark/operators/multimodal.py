@@ -225,3 +225,176 @@ def extract_media_features(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(batches, MEDIA_FEATURES_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Resize / frame-sample — the remaining multimodal pipeline stages.
+# Real where stdlib byte math suffices (uncompressed 24-bit BMP resize,
+# WAV PCM windowing); `needs_codec` status where a codec library would
+# be required — the plumbing (schema, Arrow batching, partitioning) is
+# identical either way, so swapping a real decoder in is local.
+# ---------------------------------------------------------------------------
+
+RESIZED_IMAGE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("status", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("payload", T.BinaryType()),
+    ]
+)
+
+
+def _parse_bmp24(payload: bytes):
+    """(width, height, top_down, pixel_offset) for an uncompressed
+    24-bit BMP, else None."""
+    if len(payload) < 54 or payload[:2] != b"BM":
+        return None
+    pixel_offset = int.from_bytes(payload[10:14], "little")
+    dib = int.from_bytes(payload[14:18], "little")
+    if dib < 40:
+        return None
+    w = int.from_bytes(payload[18:22], "little", signed=True)
+    h = int.from_bytes(payload[22:26], "little", signed=True)
+    bpp = int.from_bytes(payload[28:30], "little")
+    compression = int.from_bytes(payload[30:34], "little")
+    if bpp != 24 or compression != 0 or w <= 0 or h == 0:
+        return None
+    return w, abs(h), h < 0, pixel_offset
+
+
+def resize_bmp_nearest(payload: bytes, out_w: int, out_h: int) -> bytes | None:
+    """REAL nearest-neighbor resize for uncompressed 24-bit BMPs — pure
+    numpy byte math, no codec. Returns a fresh bottom-up 24-bit BMP, or
+    None when the payload is not a supported BMP."""
+    import numpy as np
+
+    parsed = _parse_bmp24(bytes(payload))
+    if parsed is None:
+        return None
+    w, h, top_down, off = parsed
+    stride = (w * 3 + 3) & ~3
+    need = off + stride * h
+    if len(payload) < need:
+        return None
+    rows = np.frombuffer(payload, dtype=np.uint8, count=stride * h, offset=off)
+    rows = rows.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+    if top_down:
+        rows = rows[::-1]  # normalize to bottom-up
+    ys = (np.arange(out_h) * h) // out_h
+    xs = (np.arange(out_w) * w) // out_w
+    resized = rows[ys][:, xs]  # nearest neighbor
+    out_stride = (out_w * 3 + 3) & ~3
+    body = np.zeros((out_h, out_stride), dtype=np.uint8)
+    body[:, : out_w * 3] = resized.reshape(out_h, out_w * 3)
+    data = body.tobytes()
+    file_size = 54 + len(data)
+    header = (
+        b"BM"
+        + file_size.to_bytes(4, "little")
+        + b"\x00\x00\x00\x00"
+        + (54).to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + out_w.to_bytes(4, "little", signed=True)
+        + out_h.to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little")
+        + len(data).to_bytes(4, "little")
+        + (2835).to_bytes(4, "little") * 2
+        + (0).to_bytes(4, "little") * 2
+    )
+    return header + data
+
+
+def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
+    """Arrow-batched image resize stage. Per row: a real resized BMP
+    (status ``resized``), ``needs_codec`` for recognized-but-compressed
+    formats (PNG/GIF/JPEG), ``unsupported`` otherwise — log-and-continue,
+    never a failed batch."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {"media_id": [], "status": [], "width": [], "height": [], "payload": []}
+            for mid, b in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(b)
+                resized = resize_bmp_nearest(b, width, height)
+                if resized is not None:
+                    status = "resized"
+                elif (hdr := try_decode_header(b)) is not None and hdr["format"] in (
+                    "png",
+                    "gif",
+                    "jpeg",
+                ):
+                    status = "needs_codec"
+                else:
+                    status = "unsupported"
+                out["media_id"].append(mid)
+                out["status"].append(status)
+                out["width"].append(width if status == "resized" else None)
+                out["height"].append(height if status == "resized" else None)
+                out["payload"].append(resized)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(batches, RESIZED_IMAGE_SCHEMA)
+
+
+AUDIO_FRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("start_ms", T.LongType()),
+        T.StructField("n_samples", T.IntegerType()),
+        T.StructField("pcm", T.BinaryType()),
+    ]
+)
+
+
+def _wav_pcm(payload: bytes):
+    """(sample_rate, block_align, data_offset, data_size) or None."""
+    n = len(payload)
+    if n < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    i, rate, block = 12, None, None
+    while i + 8 <= n:
+        cid = payload[i : i + 4]
+        size = int.from_bytes(payload[i + 4 : i + 8], "little")
+        if cid == b"fmt " and i + 24 <= n:
+            rate = int.from_bytes(payload[i + 12 : i + 16], "little")
+            block = int.from_bytes(payload[i + 20 : i + 22], "little")
+        elif cid == b"data" and rate is not None and block:
+            return rate, block, i + 8, min(size, n - i - 8)
+        i += 8 + size + (size & 1)
+    return None
+
+
+def sample_audio_frames(media: DataFrame, window_ms: int = 1000) -> DataFrame:
+    """REAL audio frame sampling: slice WAV PCM into ``window_ms``
+    windows — one output row per window with the raw PCM bytes (the
+    training-data shape an audio featurizer consumes). Non-WAV payloads
+    emit no rows (video frame-sampling would need a codec; the row
+    contract is identical). Fan-out is bounded by total audio duration,
+    not row count — the explode happens inside the Arrow batch."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {"media_id": [], "frame_idx": [], "start_ms": [], "n_samples": [], "pcm": []}
+            for mid, b in zip(pdf["media_id"], pdf["payload"]):
+                parsed = _wav_pcm(bytes(b))
+                if parsed is None:
+                    continue
+                rate, block, off, size = parsed
+                spw = max(1, (rate * window_ms) // 1000)  # samples per window
+                bpw = spw * block
+                total = size // block
+                for k in range((total + spw - 1) // spw):
+                    chunk = bytes(b)[off + k * bpw : off + min((k + 1) * bpw, size)]
+                    out["media_id"].append(mid)
+                    out["frame_idx"].append(k)
+                    out["start_ms"].append(k * window_ms)
+                    out["n_samples"].append(len(chunk) // block)
+                    out["pcm"].append(chunk)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(batches, AUDIO_FRAMES_SCHEMA)
