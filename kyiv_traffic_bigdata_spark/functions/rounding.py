@@ -1,0 +1,36 @@
+"""Cross-engine-portable 6-decimal rounding for RATIONAL ratios.
+
+`F.round(x, 6)` is a correctness trap in the DuckDB differential gate:
+Spark rounds via BigDecimal over the double's SHORTEST DECIMAL STRING
+(HALF_UP), DuckDB rounds the SCALED DOUBLE — when the true value lands
+exactly on a .5 boundary at the 7th decimal the two disagree by one
+final digit (observed live: a quality score of 0.5046875 → Spark
+0.504688 vs DuckDB 0.504687 at sf0.1). Ratios of exact integers
+(alpha/jaccard/purity/conversion/...) hit such boundaries whenever the
+denominator is 2^a·5^b times a small factor, so for every rounded
+rational the engine uses
+
+    floor(x * 1e6 + 0.5) / 1e6
+
+— the same IEEE double ops on both engines, hence bit-identical output
+for identical input doubles, always. The SQL twin is :data:`SQL_ROUND6`.
+Only valid for NON-NEGATIVE x (floor(+0.5) is round-half-up; negatives
+would round toward +inf). Transcendental outputs (haversine, cosine,
+ln) keep plain round(x, 6): an irrational landing exactly on a decimal
+half-boundary has effectively zero measure, and their existing oracle
+twins are green at every SF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: DuckDB-side fragment: format with the expression text, e.g.
+#: ``SQL_ROUND6.format(x="CAST(a AS DOUBLE) / b")``.
+SQL_ROUND6 = "(floor(({x}) * 1000000.0 + 0.5) / 1000000.0)"
+
+
+def round6(col: Column) -> Column:
+    """Portable 6-decimal rounding of a non-negative double column."""
+    return F.floor(col * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)

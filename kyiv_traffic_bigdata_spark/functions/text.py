@@ -161,12 +161,17 @@ def quality_score(col: Column, tok: Column | None = None) -> Column:
         tok = tokens(col)
     ntok = F.size(tok)
     len_score = F.least(ntok / F.lit(100.0), F.lit(1.0))
-    return F.round(
+    raw = (
         F.lit(0.4) * len_score
         + F.lit(0.3) * alpha_ratio(col)
-        + F.lit(0.3) * stopword_ratio(tok),
-        6,
+        + F.lit(0.3) * stopword_ratio(tok)
     )
+    # portable rounding (functions/rounding.py): plain round(x, 6)
+    # diverges between Spark and DuckDB at exact .5 boundaries —
+    # observed live on this very score at sf0.1 (0.504688 vs 0.504687).
+    from .rounding import round6
+
+    return round6(raw)
 
 
 def fingerprint(col: Column) -> Column:

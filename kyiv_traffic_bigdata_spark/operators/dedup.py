@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from ..functions.rounding import round6
 
 from ..functions.text import fingerprint, portable_hash, tokens, word_ngrams
 
@@ -133,10 +134,9 @@ def jaccard_verify(
         )
         .withColumn(
             "jaccard",
-            F.round(
+            round6(
                 F.col("n_inter")
-                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"),
-                6,
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double")
             ),
         )
         .where(F.col("jaccard") >= threshold)
@@ -232,8 +232,8 @@ def ngram_jaccard_pairs(
         )
         .withColumn(
             "jaccard",
-            F.round(
-                n_inter / (F.col("n_a") + F.col("n_b") - n_inter).cast("double"), 6
+            round6(
+                n_inter / (F.col("n_a") + F.col("n_b") - n_inter).cast("double")
             ),
         )
         .where(F.col("jaccard") >= threshold)
@@ -597,8 +597,8 @@ def winnow_overlap_pairs(
             "id_a",
             "id_b",
             F.col("shared").cast("long").alias("shared"),
-            F.round(
-                F.col("shared") / (F.col("n_a") + F.col("n_b") - F.col("shared")), 6
+            round6(
+                F.col("shared") / (F.col("n_a") + F.col("n_b") - F.col("shared"))
             ).alias("overlap"),
         )
     )

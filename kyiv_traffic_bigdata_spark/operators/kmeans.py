@@ -33,6 +33,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from ..functions.rounding import round6
 
 from ..functions.vector import as_double, literal_matrix, sq_dist
 
@@ -174,7 +175,7 @@ def cluster_profile(
             "cluster_id",
             "n_members",
             "majority_label",
-            F.round(F.col("_mc").cast("double") / F.col("n_members"), 6).alias(
+            round6(F.col("_mc").cast("double") / F.col("n_members")).alias(
                 "label_purity"
             ),
         )

@@ -39,6 +39,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from ..functions.rounding import round6
 
 
 def percent_rank_gate(
@@ -105,6 +106,7 @@ def percent_rank_gate(
 
 def _rounded_rank(rank_minus_1: Column, n: Column, decimals: int) -> Column:
     """round((rank-1)/(n-1), d) with the n==1 → 0.0 convention."""
-    return F.when(n > 1, F.round(rank_minus_1 / (n - F.lit(1)), decimals)).otherwise(
+    assert decimals == 6, "portable rounding is fixed at 6 decimals"
+    return F.when(n > 1, round6(rank_minus_1 / (n - F.lit(1)))).otherwise(
         F.lit(0.0)
     )

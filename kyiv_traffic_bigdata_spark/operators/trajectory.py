@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from ..functions.rounding import round6
 
 from ..config import MAX_PLAUSIBLE_SPEED_KMH, MAX_TIME_GAP_S
 from ..functions.geo import haversine_km
@@ -106,6 +107,6 @@ def value_rate(
         .where((F.col("dt_s") > 0) & (F.col("dt_s") <= max_gap_s))
         .withColumn(
             "rate",
-            F.round(F.abs(F.col(value_col) - F.col(f"prev_{value_col}")) / F.col("dt_s"), 6),
+            round6(F.abs(F.col(value_col) - F.col(f"prev_{value_col}")) / F.col("dt_s")),
         )
     )

@@ -12,8 +12,11 @@ Cross-engine determinism rules (see also operators.aggregates):
   to HUGEINT/BIGINT, Spark size() narrows to int — casts align them);
 * per-row double arithmetic is written with IDENTICAL operation order in
   both engines (IEEE ops are deterministic; expression shape matters);
-* transcendental results (haversine) and float ratios are rounded to six
-  decimals before leaving a query;
+* transcendental results (haversine, cosine, ln) are rounded to six
+  decimals with plain round(x, 6); RATIONAL ratios (counts over counts)
+  use the portable floor-form rounding instead — see
+  functions/rounding.py for why plain round diverges between engines at
+  exact .5 boundaries (observed live at sf0.1);
 * event timestamps are compared as exact integer micros/seconds
   (``ts_ns div 1000`` ≡ DuckDB ``epoch_us(ts)``), never as doubles;
 * every ranking carries a unique tie-break column.
@@ -29,6 +32,7 @@ from pyspark.sql import functions as F
 from .config import KYIV_BBOX_NARROW, UKRAINE_BBOX
 from .functions import text as TX
 from .functions.geo import classify_region, in_bbox, speed_bucket
+from .functions.rounding import SQL_ROUND6, round6
 from .operators import dedup as DD
 from .operators import kmeans as KM
 from .operators import similarity as SIM
@@ -132,7 +136,7 @@ WITH lagged AS (
 rates AS (
   SELECT user_id, event_id, ts_us,
          CAST(ts_us - prev_ts_us AS DOUBLE) / 1000000.0 AS dt_s,
-         round(abs(value - prev_value) / (CAST(ts_us - prev_ts_us AS DOUBLE) / 1000000.0), 6) AS rate
+         (floor((abs(value - prev_value) / (CAST(ts_us - prev_ts_us AS DOUBLE) / 1000000.0)) * 1000000.0 + 0.5) / 1000000.0) AS rate
   FROM lagged
   WHERE prev_ts_us IS NOT NULL
     AND CAST(ts_us - prev_ts_us AS DOUBLE) / 1000000.0 > 0
@@ -1041,8 +1045,8 @@ def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         F.size("_tok").cast("long").alias("n_tokens"),
         F.length("_norm").cast("long").alias("n_chars_norm"),
-        F.round(TX.alpha_ratio(F.col("text")), 6).alias("alpha_ratio"),
-        F.round(TX.punct_ratio(F.col("text")), 6).alias("punct_ratio"),
+        round6(TX.alpha_ratio(F.col("text"))).alias("alpha_ratio"),
+        round6(TX.punct_ratio(F.col("text"))).alias("punct_ratio"),
         TX.quality_score(F.col("text"), tok=F.col("_tok")).alias("quality"),
         F.md5("_norm").alias("fp"),
         TX.lang_id(F.col("_tok")).alias("pred_lang"),
@@ -1064,14 +1068,14 @@ def _sql_doc_stats() -> str:
     swr = f"(CASE WHEN len(t) = 0 THEN 0.0 ELSE CAST(len(list_filter(t, x -> list_contains({sw}, x))) AS DOUBLE) / len(t) END)"
     alpha = "(CASE WHEN length(text) = 0 THEN 0.0 ELSE CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / length(text) END)"
     punct = "(CASE WHEN length(text) = 0 THEN 0.0 ELSE CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS DOUBLE) / length(text) END)"
-    qual = f"round(0.4 * least(CAST(len(t) AS DOUBLE) / 100.0, 1.0) + 0.3 * {alpha} + 0.3 * {swr}, 6)"
+    qual = f"(floor((0.4 * least(CAST(len(t) AS DOUBLE) / 100.0, 1.0) + 0.3 * {alpha} + 0.3 * {swr}) * 1000000.0 + 0.5) / 1000000.0)"
     return f"""
 WITH toks AS (SELECT *, {toks} AS t FROM documents)
 SELECT doc_id, lang,
   CAST(len(t) AS BIGINT) AS n_tokens,
   CAST(length({_norm('text')}) AS BIGINT) AS n_chars_norm,
-  round({alpha}, 6) AS alpha_ratio,
-  round({punct}, 6) AS punct_ratio,
+  (floor(({alpha}) * 1000000.0 + 0.5) / 1000000.0) AS alpha_ratio,
+  (floor(({punct}) * 1000000.0 + 0.5) / 1000000.0) AS punct_ratio,
   {qual} AS quality,
   md5({_norm('text')}) AS fp,
   CASE {cases} ELSE 'und' END AS pred_lang
@@ -1172,7 +1176,7 @@ j AS (
 ),
 jac AS (
   SELECT id_a, id_b,
-         round(CAST(n_inter AS DOUBLE) / (n_a + n_b - n_inter), 6) AS jaccard
+         (floor((CAST(n_inter AS DOUBLE) / (n_a + n_b - n_inter)) * 1000000.0 + 0.5) / 1000000.0) AS jaccard
   FROM j
 )
 SELECT * FROM jac WHERE jaccard >= 0.2
@@ -1229,7 +1233,7 @@ inter AS (
   GROUP BY 1, 2
 ),
 jac AS (
-  SELECT id_a, id_b, round(CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter), 6) AS jaccard
+  SELECT id_a, id_b, (floor((CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter)) * 1000000.0 + 0.5) / 1000000.0) AS jaccard
   FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
 )
 SELECT c.id_a, c.id_b, j.jaccard FROM cand c JOIN jac j ON c.id_a = j.id_a AND c.id_b = j.id_b
@@ -1371,7 +1375,7 @@ def _sql_winnow_overlap() -> str:
 ok AS (SELECT fp FROM e GROUP BY fp HAVING count(*) <= {cap}),
 f AS (SELECT e.doc_id, e.n_fps, e.fp FROM e JOIN ok USING (fp))
 SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS shared,
-  round(CAST(count(*) AS DOUBLE) / (a.n_fps + b.n_fps - count(*)), 6) AS overlap
+  (floor((CAST(count(*) AS DOUBLE) / (a.n_fps + b.n_fps - count(*))) * 1000000.0 + 0.5) / 1000000.0) AS overlap
 FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id
 GROUP BY a.doc_id, b.doc_id, a.n_fps, b.n_fps
 HAVING count(*) >= {min_shared}
@@ -1610,13 +1614,13 @@ def _sql_quality_filter() -> str:
     sw = _sw_sql(TX.QUALITY_STOPWORDS)
     swr = f"(CASE WHEN len(t) = 0 THEN 0.0 ELSE CAST(len(list_filter(t, x -> list_contains({sw}, x))) AS DOUBLE) / len(t) END)"
     alpha = "(CASE WHEN length(text) = 0 THEN 0.0 ELSE CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / length(text) END)"
-    qual = f"round(0.4 * least(CAST(len(t) AS DOUBLE) / 100.0, 1.0) + 0.3 * {alpha} + 0.3 * {swr}, 6)"
+    qual = f"(floor((0.4 * least(CAST(len(t) AS DOUBLE) / 100.0, 1.0) + 0.3 * {alpha} + 0.3 * {swr}) * 1000000.0 + 0.5) / 1000000.0)"
     return f"""
 WITH toks AS (SELECT doc_id, lang, text, {_toks('text')} AS t FROM documents),
 scored AS (SELECT doc_id, lang, {qual} AS quality FROM toks),
 ranked AS (
   SELECT doc_id, lang, quality,
-         round(PERCENT_RANK() OVER (PARTITION BY lang ORDER BY quality ASC, doc_id ASC), 6) AS q_rank
+         (floor((PERCENT_RANK() OVER (PARTITION BY lang ORDER BY quality ASC, doc_id ASC)) * 1000000.0 + 0.5) / 1000000.0) AS q_rank
   FROM scored
 )
 SELECT doc_id, lang, quality, q_rank FROM ranked WHERE q_rank >= 0.75
@@ -1712,7 +1716,7 @@ def q_emb_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale = quantize_scale(F.col("embedding"))
     return emb.select(
         "vec_id",
-        F.round(scale, 6).alias("scale"),
+        round6(scale).alias("scale"),
         quantize_embedding(F.col("embedding"), scale).alias("qvec"),
     )
 
@@ -1728,7 +1732,7 @@ s AS (
          CASE WHEN mx = 0 THEN 0.0 ELSE 127.0 / mx END AS scale
   FROM m
 )
-SELECT vec_id, round(scale, 6) AS scale,
+SELECT vec_id, (floor((scale) * 1000000.0 + 0.5) / 1000000.0) AS scale,
        list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * scale) AS INTEGER)) AS qvec
 FROM s
 """
@@ -1805,10 +1809,10 @@ def q_doc_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n = F.size("_tok").cast("long")
     mean_len = F.when(
-        n > 0, F.round((F.length("_norm") - (n - 1)) / n, 6)
+        n > 0, round6((F.length("_norm") - (n - 1)) / n)
     ).otherwise(F.lit(0.0))
-    alpha = F.round(TX.alpha_ratio(F.col("text")), 6)
-    sym = F.round(TX.punct_ratio(F.col("text")), 6)
+    alpha = round6(TX.alpha_ratio(F.col("text")))
+    sym = round6(TX.punct_ratio(F.col("text")))
     scored = staged.select(
         "doc_id",
         "lang",
@@ -1839,10 +1843,10 @@ WITH toks AS (
 scored AS (
   SELECT doc_id, lang, CAST(len(t) AS BIGINT) AS n_tokens,
          CASE WHEN len(t) > 0
-              THEN round(CAST(length(nm) - (len(t) - 1) AS DOUBLE) / len(t), 6)
+              THEN (floor((CAST(length(nm) - (len(t) - 1) AS DOUBLE) / len(t)) * 1000000.0 + 0.5) / 1000000.0)
               ELSE 0.0 END AS mean_tok_len,
-         round({alpha}, 6) AS alpha_ratio,
-         round({punct}, 6) AS symbol_ratio
+         (floor(({alpha}) * 1000000.0 + 0.5) / 1000000.0) AS alpha_ratio,
+         (floor(({punct}) * 1000000.0 + 0.5) / 1000000.0) AS symbol_ratio
   FROM toks
 )
 SELECT *,
@@ -1877,8 +1881,8 @@ def q_doc_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dup = F.when(
         F.col("n_grams") > 0,
-        F.round(
-            (F.col("n_grams") - F.col("n_distinct_grams")) / F.col("n_grams"), 6
+        round6(
+            (F.col("n_grams") - F.col("n_distinct_grams")) / F.col("n_grams")
         ),
     ).otherwise(F.lit(0.0))
     return scored.withColumn("dup_gram_ratio", dup).withColumn(
@@ -1898,7 +1902,7 @@ c AS (
 s AS (
   SELECT *,
          CASE WHEN n_grams > 0
-              THEN round(CAST(n_grams - n_distinct_grams AS DOUBLE) / n_grams, 6)
+              THEN (floor((CAST(n_grams - n_distinct_grams AS DOUBLE) / n_grams) * 1000000.0 + 0.5) / 1000000.0)
               ELSE 0.0 END AS dup_gram_ratio
   FROM c
 )
@@ -2007,7 +2011,7 @@ def q_doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("n_hit"), F.lit(0)).alias("n_hit"),
     )
     return out.withColumn(
-        "containment", F.round(F.col("n_hit") / F.col("n_grams"), 6)
+        "containment", round6(F.col("n_hit") / F.col("n_grams"))
     ).withColumn(
         "contaminated", F.col("containment") >= CONTAMINATION_THRESHOLD
     )
@@ -2033,7 +2037,7 @@ hits AS (
 ),
 j AS (
   SELECT s.doc_id, s.n_grams, COALESCE(h.n_hit, 0) AS n_hit,
-         round(CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / s.n_grams, 6) AS containment
+         (floor((CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / s.n_grams) * 1000000.0 + 0.5) / 1000000.0) AS containment
   FROM sizes s LEFT JOIN hits h USING (doc_id)
 )
 SELECT *, containment >= {CONTAMINATION_THRESHOLD} AS contaminated FROM j
@@ -2097,7 +2101,7 @@ maj AS (
 )
 SELECT s.cid AS cluster_id, s.n_members,
        CAST(m.label AS BIGINT) AS majority_label,
-       round(CAST(m.c AS DOUBLE) / s.n_members, 6) AS label_purity
+       (floor((CAST(m.c AS DOUBLE) / s.n_members) * 1000000.0 + 0.5) / 1000000.0) AS label_purity
 FROM sizes s JOIN maj m ON m.cid = s.cid AND m.rn = 1
 """
 
@@ -2132,7 +2136,7 @@ def q_doc_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         "term",
         "rank",
         "term_count",
-        F.round(F.col("_cum").cast("double") / F.col("_total"), 6).alias(
+        round6(F.col("_cum").cast("double") / F.col("_total")).alias(
             "cum_share"
         ),
     )
@@ -2149,7 +2153,7 @@ ranked AS (
   FROM cnt
 )
 SELECT term, rank, term_count,
-       round(CAST(_cum AS DOUBLE) / CAST(_total AS DOUBLE), 6) AS cum_share
+       (floor((CAST(_cum AS DOUBLE) / CAST(_total AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0) AS cum_share
 FROM ranked WHERE rank <= {VOCAB_TOP_K}
 """
 
@@ -2199,7 +2203,7 @@ def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         "step",
         "stage",
         "users",
-        F.round(F.col("users").cast("double") / F.col("_base"), 6).alias(
+        round6(F.col("users").cast("double") / F.col("_base")).alias(
             "conversion"
         ),
     )
@@ -2222,7 +2226,7 @@ def q_doc_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.grouping_id().cast("long").alias("gid"),
         F.sum("_n").alias("n_docs"),
         F.sum("_tok").alias("total_tokens"),
-        F.round(F.sum("_ch").cast("double") / F.sum("_n"), 6).alias("avg_chars"),
+        round6(F.sum("_ch").cast("double") / F.sum("_n")).alias("avg_chars"),
     )
 
 
@@ -2231,7 +2235,7 @@ SELECT source, lang,
        CAST(grouping(source, lang) AS BIGINT) AS gid,
        CAST(COUNT(*) AS BIGINT) AS n_docs,
        CAST(SUM(len({_toks('text')})) AS BIGINT) AS total_tokens,
-       round(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*), 6) AS avg_chars
+       (floor((CAST(SUM(n_chars) AS DOUBLE) / COUNT(*)) * 1000000.0 + 0.5) / 1000000.0) AS avg_chars
 FROM documents GROUP BY ROLLUP(source, lang)
 """
 
@@ -2262,7 +2266,7 @@ n AS (
   SELECT 3, 'purchase_after_click', (SELECT COUNT(*) FROM p)
 )
 SELECT step, stage, users,
-       round(CAST(users AS DOUBLE) / (SELECT COUNT(*) FROM v), 6) AS conversion
+       (floor((CAST(users AS DOUBLE) / (SELECT COUNT(*) FROM v)) * 1000000.0 + 0.5) / 1000000.0) AS conversion
 FROM n
 """
 
