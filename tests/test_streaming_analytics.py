@@ -155,3 +155,49 @@ def test_stream_interval_join_rejects_same_ts_name(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         stream_interval_join(df, df, key="id", left_ts="ts", right_ts="ts", max_delay_s=1)
+
+
+def test_stream_stream_join_checkpoint_restart_no_duplicates(spark, tmp_path):
+    """Join state must survive a query restart via the checkpoint: a left
+    row ingested in run 1 still matches a right row arriving in run 2,
+    and run-1 matches are not re-emitted."""
+    from kyiv_traffic_bigdata_spark.streaming.joins import stream_interval_join
+
+    ldir, rdir = tmp_path / "err", tmp_path / "clk"
+    ldir.mkdir(); rdir.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+
+    (ldir / "a.jsonl").write_text('{"user_id": 1, "err_ts": "2026-01-01T00:00:00"}\n')
+    (rdir / "a.jsonl").write_text('{"user_id": 1, "clk_ts": "2026-01-01T00:00:10"}\n')
+
+    out = str(tmp_path / "out")
+
+    def run():
+        # file sink, not memory: only fault-tolerant sinks may resume
+        # from a checkpoint
+        errs = spark.readStream.schema("user_id long, err_ts timestamp").json(str(ldir))
+        clicks = spark.readStream.schema("user_id long, clk_ts timestamp").json(str(rdir))
+        joined = stream_interval_join(
+            errs, clicks, key="user_id", left_ts="err_ts", right_ts="clk_ts",
+            max_delay_s=60,
+        )
+        q = (
+            joined.writeStream.format("parquet").option("path", out)
+            .outputMode("append").option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(180)
+        return sorted(
+            (r.user_id, str(r.clk_ts)) for r in spark.read.parquet(out).collect()
+        )
+
+    assert run() == [(1, "2026-01-01 00:00:10")]
+
+    # run 2: a NEW right-side event matching the run-1 left row; the
+    # restarted query must join it against run-1's checkpointed state
+    # and must NOT re-emit the run-1 pair
+    (rdir / "b.jsonl").write_text('{"user_id": 1, "clk_ts": "2026-01-01T00:00:30"}\n')
+    assert run() == [
+        (1, "2026-01-01 00:00:10"),
+        (1, "2026-01-01 00:00:30"),
+    ]
