@@ -243,3 +243,21 @@ def test_upsert_broadcasts_updates_not_base(spark, tmp_path):
     assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
     n = upsert_parquet(spark, base, updates, ["id"], str(tmp_path / "v2"))
     assert n == 1000
+
+
+def test_upsert_is_idempotent(spark, tmp_path):
+    """Applying the same update batch to the already-merged table changes
+    nothing (MERGE idempotence — the crash-retry contract)."""
+    from kyiv_traffic_bigdata_spark.operators.maintenance import upsert_parquet
+
+    base = str(tmp_path / "v0")
+    v1, v2 = str(tmp_path / "v1"), str(tmp_path / "v2")
+    spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id long, label string"
+    ).write.parquet(base)
+    updates = spark.createDataFrame([(2, "B"), (3, "c")], "id long, label string")
+    upsert_parquet(spark, base, updates, ["id"], v1)
+    upsert_parquet(spark, v1, updates, ["id"], v2)
+    rows1 = sorted(map(tuple, spark.read.parquet(v1).collect()))
+    rows2 = sorted(map(tuple, spark.read.parquet(v2).collect()))
+    assert rows1 == rows2 == [(1, "a"), (2, "B"), (3, "c")]

@@ -188,3 +188,14 @@ def test_incremental_lsh_equals_full_minus_old_old(spark):
     # the expected semantic pairs actually surfaced
     assert (0, 100) in inc or (1, 100) in inc
     assert (101, 102) in inc
+
+
+def test_incremental_lsh_empty_new_batch_is_empty(spark):
+    from kyiv_traffic_bigdata_spark.operators.dedup import incremental_lsh_pairs
+
+    d = spark.createDataFrame(
+        [(0, "alpha beta gamma delta epsilon"), (1, "alpha beta gamma delta epsilon")],
+        "doc_id long, text string",
+    )
+    empty = spark.createDataFrame([], "doc_id long")
+    assert incremental_lsh_pairs(d, empty).count() == 0
