@@ -396,6 +396,55 @@ FROM numbered GROUP BY user_id, session_seq
 """
 
 
+def q_user_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Built-in event-time session windows (``F.session_window``) — the
+    engine-native mechanism next to q_user_sessions' lag+cumsum
+    formulation; in streaming this same expression is a watermarked
+    stateful operator for free. Boundary semantics differ from
+    sessionize: session_window opens a NEW session when the gap is
+    exactly 30 min (window end is exclusive), so the oracle mirrors
+    ``>=`` rather than ``>``. One shuffle on (user, window) with
+    map-side partials; decimal-stable value sum."""
+    ev = load_table(spark, sf_dir, "events")
+    grouped = ev.groupBy(
+        "user_id",
+        F.session_window(F.col("ts").cast("timestamp"), "30 minutes").alias("_w"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(dec("value")).cast("double").alias("sum_value"),
+    )
+    return grouped.select(
+        "user_id",
+        F.unix_micros(F.col("_w.start")).alias("session_start_us"),
+        F.unix_micros(F.col("_w.end")).alias("session_end_us"),
+        "n_events",
+        "sum_value",
+    )
+
+
+SQL_SESSION_WINDOWS = f"""
+WITH lagged AS (
+  SELECT user_id, value, epoch_us(ts) AS ts_us,
+         lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)) AS prev_ts
+  FROM events
+),
+flagged AS (
+  SELECT *, CASE WHEN prev_ts IS NULL OR ts_us - prev_ts >= 1800000000 THEN 1 ELSE 0 END AS new_s
+  FROM lagged
+),
+numbered AS (
+  SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts_us ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM flagged
+)
+SELECT user_id,
+       MIN(ts_us) AS session_start_us,
+       MAX(ts_us) + 1800000000 AS session_end_us,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       {_ssum('value')} AS sum_value
+FROM numbered GROUP BY user_id, session_seq
+"""
+
+
 def q_moving_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding row-frame window (SURVEY §2.6 frame generalization): per
     user, trailing-5-row moving sum/avg of value plus running total.
@@ -2615,6 +2664,7 @@ QUERIES: dict[str, QueryFn] = {
     "event_type_rate_stats": q_event_type_rate_stats,
     "hourly_event_stats": q_hourly_event_stats,
     "user_sessions": q_user_sessions,
+    "user_session_windows": q_user_session_windows,
     "moving_event_stats": q_moving_event_stats,
     "event_props_stats": q_event_props_stats,
     "approx_event_stats": q_approx_event_stats,
@@ -2689,6 +2739,7 @@ def build_oracles() -> dict[str, str]:
         "event_type_rate_stats": SQL_RATE_STATS,
         "hourly_event_stats": SQL_HOURLY,
         "user_sessions": SQL_SESSIONS,
+        "user_session_windows": SQL_SESSION_WINDOWS,
         "moving_event_stats": _sql_moving(),
         "event_props_stats": SQL_PROPS,
         "event_type_pivot": SQL_PIVOT,
