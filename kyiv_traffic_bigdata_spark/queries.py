@@ -445,6 +445,69 @@ FROM numbered GROUP BY user_id, session_seq
 """
 
 
+#: One week in epoch microseconds (cohort bucketing).
+_WEEK_US = 7 * 86400 * 1_000_000
+
+
+def q_event_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users bucketed by first-activity week,
+    share still active N weeks later — the standard product-analytics
+    triangle. Week indices are exact integer division of epoch micros
+    (``div`` — never float), retention is a portable-rounded rational.
+    Shape: two hash aggregates on user_id + one distinct on
+    (user, week) + a broadcast-sized join on cohort week — every stage
+    keyed and partial-aggregated, nothing quadratic."""
+    ev = load_table(spark, sf_dir, "events")
+    first = ev.groupBy("user_id").agg(F.min("ts_us").alias("_first_us"))
+    cohort = first.select(
+        "user_id", F.expr(f"_first_us div {_WEEK_US}").alias("cohort_week")
+    )
+    activity = ev.select(
+        "user_id", F.expr(f"ts_us div {_WEEK_US}").alias("week")
+    ).distinct()
+    sizes = cohort.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).cast("long").alias("cohort_users")
+    )
+    cells = (
+        activity.join(cohort, "user_id")
+        .groupBy("cohort_week", (F.col("week") - F.col("cohort_week")).alias("week_offset"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_active"))
+    )
+    return cells.join(F.broadcast(sizes), "cohort_week").select(
+        "cohort_week",
+        "week_offset",
+        "n_active",
+        "cohort_users",
+        round6(F.col("n_active").cast("double") / F.col("cohort_users")).alias(
+            "retention"
+        ),
+    )
+
+
+SQL_EVENT_RETENTION = f"""
+WITH first AS (
+  SELECT user_id, MIN(epoch_us(ts)) // {_WEEK_US} AS cohort_week
+  FROM events GROUP BY user_id
+),
+activity AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // {_WEEK_US} AS week FROM events
+),
+sizes AS (
+  SELECT cohort_week, CAST(COUNT(*) AS BIGINT) AS cohort_users
+  FROM first GROUP BY cohort_week
+),
+cells AS (
+  SELECT f.cohort_week, a.week - f.cohort_week AS week_offset,
+         CAST(COUNT(*) AS BIGINT) AS n_active
+  FROM activity a JOIN first f USING (user_id)
+  GROUP BY 1, 2
+)
+SELECT c.cohort_week, c.week_offset, c.n_active, s.cohort_users,
+       {SQL_ROUND6.format(x='CAST(c.n_active AS DOUBLE) / s.cohort_users')} AS retention
+FROM cells c JOIN sizes s USING (cohort_week)
+"""
+
+
 def q_moving_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding row-frame window (SURVEY §2.6 frame generalization): per
     user, trailing-5-row moving sum/avg of value plus running total.
@@ -2665,6 +2728,7 @@ QUERIES: dict[str, QueryFn] = {
     "hourly_event_stats": q_hourly_event_stats,
     "user_sessions": q_user_sessions,
     "user_session_windows": q_user_session_windows,
+    "event_retention": q_event_retention,
     "moving_event_stats": q_moving_event_stats,
     "event_props_stats": q_event_props_stats,
     "approx_event_stats": q_approx_event_stats,
@@ -2740,6 +2804,7 @@ def build_oracles() -> dict[str, str]:
         "hourly_event_stats": SQL_HOURLY,
         "user_sessions": SQL_SESSIONS,
         "user_session_windows": SQL_SESSION_WINDOWS,
+        "event_retention": SQL_EVENT_RETENTION,
         "moving_event_stats": _sql_moving(),
         "event_props_stats": SQL_PROPS,
         "event_type_pivot": SQL_PIVOT,
