@@ -264,3 +264,19 @@ def test_local_supplier_volume_broadcasts_tiny_dims(plans):
     plan = plans("local_supplier_volume")
     assert broadcast_join_count(plan) >= 2
     assert any("r_name" in f for f in scan_filter_exprs(plan))
+
+
+def test_session_window_is_single_shuffle(plans):
+    """The built-in session_window aggregate must be one exchange on the
+    user key — no extra sort/shuffle beyond the sessionization itself."""
+    plan = plans("user_session_windows")
+    assert exchange_count(plan) == 1
+    assert "CartesianProduct" not in plan
+
+
+def test_retention_joins_stay_keyed(plans):
+    """Cohort retention: every join is keyed (broadcast at test SF,
+    shuffle-hash at scale) — never a nested-loop/cartesian fallback."""
+    plan = plans("event_retention")
+    assert "BroadcastNestedLoop" not in plan
+    assert "CartesianProduct" not in plan
