@@ -101,3 +101,31 @@ def test_roundtrip_preserves_rows(spark, tmp_path):
     back = spark.read.parquet(path)
     assert back.columns == ["x", "y"]
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+
+
+def test_date_partitioned_store_prunes_partitions(spark, tmp_path):
+    """ST10 payoff: a date filter on the partitioned positions store must
+    reach the scan as a PartitionFilter (pruned directories, zero I/O for
+    other days) — the layout contract the daily sink exists for."""
+    from pyspark.sql import functions as F
+
+    from kyiv_traffic_bigdata_spark.plans.checks import physical_plan
+
+    df = spark.createDataFrame(
+        [(1, "2026-02-07T10:00:00"), (2, "2026-02-08T10:00:00")],
+        "vehicle_id long, ingest_ts string",
+    ).withColumn("ingest_ts", F.col("ingest_ts").cast("timestamp"))
+    out = str(tmp_path / "store")
+    (
+        df.withColumn("date", F.date_format("ingest_ts", "yyyyMMdd"))
+        .write.partitionBy("date")
+        .parquet(out)
+    )
+    import re
+
+    back = spark.read.parquet(out).where(F.col("date") == "20260207")
+    plan = physical_plan(back)
+    # the date predicate must appear under PartitionFilters, not DataFilters
+    m = re.search(r"PartitionFilters: \[(.*?)\]", plan)
+    assert m and "20260207" in m.group(1), plan
+    assert back.count() == 1
