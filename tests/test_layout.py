@@ -129,3 +129,4 @@ def test_date_partitioned_store_prunes_partitions(spark, tmp_path):
     m = re.search(r"PartitionFilters: \[(.*?)\]", plan)
     assert m and "20260207" in m.group(1), plan
     assert back.count() == 1
+
