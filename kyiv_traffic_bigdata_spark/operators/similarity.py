@@ -373,3 +373,72 @@ def ann_lsh_topk(
     return ranked.select(
         "query_id", "neighbor_id", F.round(F.col("_sim"), 6).alias("cosine_sim")
     )
+
+
+def semdedup(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.35,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al., 2023):
+    cluster the embedding space, then mark as redundant any vector whose
+    cosine similarity to a LOWER-ID vector in the same cluster reaches
+    ``threshold`` — the keep-one-per-semantic-neighborhood gate used to
+    prune web corpora before LLM training.
+
+    Shape: nearest-centroid assignment is map-only against a literal
+    centroid matrix (operators.kmeans.assign_clusters — no shuffle);
+    the only shuffle is the groupBy(cluster) exchange; each cluster is
+    deduped with one numpy gram matrix (applyInPandas, BLAS). Pairwise
+    work is O(m²) per cluster, so at scale ``len(centroids)`` must grow
+    ∝ n/target_cluster_size (the paper runs 50k clusters for 5B docs) —
+    k is the caller's scale knob exactly like the LSH band width in
+    :func:`cosine_neardup_pairs`. Within-cluster order is by id, so the
+    kept set is deterministic regardless of partitioning.
+
+    Returns one row per input vector: ``(id, cluster_id, kept,
+    max_prior_sim)`` where max_prior_sim is the highest similarity to a
+    smaller-id cluster-mate (raw double; 0.0 when none).
+    """
+    import numpy as np
+    import pandas as pd
+
+    from .kmeans import assign_clusters
+
+    assigned = assign_clusters(
+        corpus, centroids, id_col=id_col, vec_col=vec_col, keep_cols=(vec_col,)
+    ).drop("_sqd")
+
+    def dedup_cluster(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf[id_col].to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        cid = int(pdf["cluster_id"].iloc[0])
+        mat = np.stack(pdf[vec_col].to_numpy()[order]).astype(np.float64)
+        norms = np.sqrt((mat * mat).sum(axis=1))
+        denom = np.outer(norms, norms)
+        gram = mat @ mat.T
+        sims = np.divide(gram, denom, out=np.zeros_like(gram), where=denom != 0)
+        # strictly-lower-triangle view: sims[i, j] for j < i are the
+        # similarities to smaller-id mates
+        tril = np.tril(sims, k=-1)
+        prior_max = tril.max(axis=1, initial=0.0)
+        kept = ~(tril >= threshold).any(axis=1)
+        return pd.DataFrame(
+            {
+                "id": ids,
+                "cluster_id": cid,
+                "kept": kept,
+                # raw double; callers round (F.round matches the SQL
+                # oracle's HALF_UP, numpy.round would be half-even)
+                "max_prior_sim": prior_max,
+            }
+        )
+
+    out = assigned.groupBy("cluster_id").applyInPandas(
+        dedup_cluster,
+        "id long, cluster_id long, kept boolean, max_prior_sim double",
+    )
+    return out.withColumnRenamed("id", id_col)

@@ -2582,6 +2582,509 @@ GROUP BY n_name
 """
 
 
+#: SemDeDup semantic-dedup cosine threshold (chosen away from the sf
+#: test data's observed similarity values so the boolean gate can never
+#: flip on a final-ulp engine difference).
+SEMDEDUP_THRESHOLD = 0.35
+
+
+def q_emb_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (cluster-then-dedup) curation gate over the embedding
+    corpus: nearest-seed-centroid assignment (deterministic, oracle-
+    expressible — same seeding as emb_kmeans), then within each cluster
+    drop any vector whose cosine to a lower-id cluster-mate reaches the
+    threshold (operators.similarity.semdedup). The registered k=8 keeps
+    the DuckDB twin tractable; at scale k grows ∝ n/target so per-
+    cluster gram work stays bounded — see the operator docstring."""
+    emb = _emb(spark, sf_dir)
+    cents = KM.initial_centroids(
+        load_table(spark, sf_dir, "embeddings"), KMEANS_K
+    )
+    out = SIM.semdedup(emb, cents, threshold=SEMDEDUP_THRESHOLD)
+    return out.select(
+        "vec_id",
+        "cluster_id",
+        "kept",
+        F.round(F.col("max_prior_sim"), 6).alias("max_prior_sim"),
+    )
+
+
+SQL_EMB_SEMDEDUP = f"""
+WITH cent AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, embedding AS cvec
+  FROM embeddings ORDER BY vec_id LIMIT {KMEANS_K}
+),
+ee AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings
+),
+ce AS (
+  SELECT cid, generate_subscripts(cvec, 1) AS i,
+         CAST(unnest(cvec) AS DOUBLE) AS y
+  FROM cent
+),
+dists AS (
+  SELECT vec_id, cid, SUM((x - y) * (x - y)) AS d
+  FROM ee JOIN ce ON ee.i = ce.i
+  GROUP BY vec_id, cid
+),
+assign AS (
+  SELECT vec_id, cid,
+         row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, cid ASC) AS rn
+  FROM dists
+),
+a AS (SELECT vec_id, cid FROM assign WHERE rn = 1),
+norms AS (SELECT vec_id, SUM(x * x) AS n2 FROM ee GROUP BY 1),
+dots AS (
+  SELECT aa.vec_id AS ia, bb.vec_id AS ib, SUM(xa.x * xb.x) AS d
+  FROM a aa
+  JOIN a bb ON aa.cid = bb.cid AND aa.vec_id < bb.vec_id
+  JOIN ee xa ON xa.vec_id = aa.vec_id
+  JOIN ee xb ON xb.vec_id = bb.vec_id AND xb.i = xa.i
+  GROUP BY 1, 2
+),
+sims AS (
+  SELECT ia, ib,
+         CASE WHEN sqrt(na.n2) * sqrt(nb.n2) = 0 THEN 0.0
+              ELSE d / (sqrt(na.n2) * sqrt(nb.n2)) END AS s
+  FROM dots JOIN norms na ON na.vec_id = ia JOIN norms nb ON nb.vec_id = ib
+),
+prior AS (
+  SELECT ib AS vec_id, MAX(s) AS ms FROM sims GROUP BY ib
+)
+SELECT a.vec_id, CAST(a.cid AS BIGINT) AS cluster_id,
+       COALESCE(prior.ms, 0.0) < {SEMDEDUP_THRESHOLD} AS kept,
+       round(COALESCE(prior.ms, 0.0), 6) AS max_prior_sim
+FROM a LEFT JOIN prior ON prior.vec_id = a.vec_id
+"""
+
+
+#: Sliding-chunk window geometry (tokens per chunk / stride).
+CHUNK_TOKENS = 32
+CHUNK_STRIDE = 24
+
+
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking (the tokenize→chunk step every training
+    pipeline runs): each document becomes ceil(max(n-W,0)/S)+1 chunks of
+    W tokens at stride S (overlap W-S), each with a portable content
+    fingerprint for chunk-level dedup/lineage. Map-only: one tokens
+    pass, one integer sequence explode, array slices — no shuffle, no
+    UDF; scales embarrassingly."""
+    d = _docs_with_tokens(spark, sf_dir)
+    toks = TX.tokens(F.col("text"))
+    W, S = CHUNK_TOKENS, CHUNK_STRIDE
+    t = d.select("doc_id", toks.alias("_t")).select(
+        "doc_id",
+        "_t",
+        F.expr(
+            f"(greatest(0, size(_t) - {W}) + {S} - 1) div {S}"
+        ).alias("_extra"),
+    )
+    e = t.select(
+        "doc_id",
+        "_t",
+        F.explode(F.sequence(F.lit(0), F.col("_extra"))).alias("chunk_idx"),
+    )
+    chunk = F.slice(F.col("_t"), F.col("chunk_idx") * S + 1, W)
+    return e.select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.size(chunk).cast("long").alias("n_chunk_tokens"),
+        TX.portable_hash(F.concat_ws(" ", chunk)).alias("chunk_hash"),
+    )
+
+
+_CHUNK_HASH = _PORTABLE_HASH.format(
+    s=f"array_to_string(list_slice(t, chunk_idx * {CHUNK_STRIDE} + 1, "
+    f"chunk_idx * {CHUNK_STRIDE} + {CHUNK_TOKENS}), ' ')"
+)
+
+SQL_DOC_CHUNKS = f"""
+WITH toks AS (SELECT doc_id, {_toks('text')} AS t FROM documents),
+ex AS (
+  SELECT doc_id, t,
+         (GREATEST(0, len(t) - {CHUNK_TOKENS}) + {CHUNK_STRIDE} - 1)
+           // {CHUNK_STRIDE} AS extra
+  FROM toks
+),
+e AS (
+  SELECT doc_id, t, unnest(range(0, extra + 1)) AS chunk_idx FROM ex
+)
+SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+       CAST(len(list_slice(t, chunk_idx * {CHUNK_STRIDE} + 1,
+            chunk_idx * {CHUNK_STRIDE} + {CHUNK_TOKENS})) AS BIGINT)
+         AS n_chunk_tokens,
+       {_CHUNK_HASH} AS chunk_hash
+FROM e
+"""
+
+
+def q_doc_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-distribution drift per source: KL(source ‖ corpus) over
+    unigram frequencies — the monitoring statistic that flags a crawl
+    slice whose language distribution wandered from the corpus mix.
+    Shape: one explode → per-(source,term) counts (map-side partials
+    absorb the token fan-out) → join the per-term corpus counts (pre-
+    aggregated: a hot term contributes ≤ n_sources join rows) → one
+    per-source aggregate. Corpus totals ride a 1-row broadcast; the
+    KL contribution sum is decimal-stable; identical IEEE expression
+    shape on both engines."""
+    d = _docs_with_tokens(spark, sf_dir)
+    tok = d.select("source", F.explode(TX.tokens(F.col("text"))).alias("term"))
+    st = tok.groupBy("source", "term").agg(F.count(F.lit(1)).alias("c_st"))
+    s_tot = st.groupBy("source").agg(F.sum("c_st").alias("n_s"))
+    g = st.groupBy("term").agg(F.sum("c_st").alias("c_t"))
+    g_tot = g.agg(F.sum("c_t").alias("_n"))
+    j = (
+        st.join(g, "term")
+        .join(F.broadcast(s_tot), "source")
+        .crossJoin(F.broadcast(g_tot))
+    )
+    p = F.col("c_st").cast("double") / F.col("n_s").cast("double")
+    q = F.col("c_t").cast("double") / F.col("_n").cast("double")
+    contrib = (p * F.log(p / q)).cast(DEC)
+    return j.groupBy("source").agg(
+        F.max("n_s").alias("n_tokens"),
+        F.round(F.sum(contrib).cast("double"), 6).alias("kl_vs_corpus"),
+    )
+
+
+SQL_DOC_SOURCE_DRIFT = f"""
+WITH tok AS (
+  SELECT source, unnest({_toks('text')}) AS term FROM documents
+),
+st AS (
+  SELECT source, term, CAST(COUNT(*) AS BIGINT) AS c_st
+  FROM tok GROUP BY 1, 2
+),
+s_tot AS (SELECT source, CAST(SUM(c_st) AS BIGINT) AS n_s FROM st GROUP BY 1),
+g AS (SELECT term, CAST(SUM(c_st) AS BIGINT) AS c_t FROM st GROUP BY 1),
+g_tot AS (SELECT CAST(SUM(c_t) AS BIGINT) AS n FROM g),
+j AS (
+  SELECT st.source, st.c_st, st.term, g.c_t, s_tot.n_s, g_tot.n
+  FROM st JOIN g USING (term) JOIN s_tot USING (source) CROSS JOIN g_tot
+)
+SELECT source, MAX(n_s) AS n_tokens,
+       round({_ssum(
+    "(CAST(c_st AS DOUBLE) / CAST(n_s AS DOUBLE)) * ln((CAST(c_st AS DOUBLE) / CAST(n_s AS DOUBLE)) / (CAST(c_t AS DOUBLE) / CAST(n AS DOUBLE)))"
+)}, 6) AS kl_vs_corpus
+FROM j GROUP BY source
+"""
+
+
+def q_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q10-shaped returned-item report: revenue lost to returns
+    per customer over one quarter, top-20. The `l_returnflag = 'R'` and
+    order-date filters prune both fact scans (pushed to parquet), the
+    lineitem⋈orders and orders⋈customer joins are co-keyed shuffles AQE
+    can re-plan, nation is a broadcast dim, and the final ranking is a
+    TakeOrdered — per-partition heaps, no global sort."""
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    orders = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    revenue = (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).cast(
+        DEC
+    )
+    agg = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+    )
+    return top_k(agg, [F.col("revenue").desc(), F.col("c_custkey").asc()], 20)
+
+
+SQL_RETURNED_ITEMS = f"""
+SELECT c_custkey, c_name, c_acctbal, n_name,
+       {_ssum('l_extendedprice * (1.0 - l_discount)')} AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o_orderdate < TIMESTAMP '1997-04-01'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey ASC LIMIT 20
+"""
+
+
+def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q14-shaped conditional-aggregate ratio: the share of one
+    month's revenue that came from promo-type parts. One co-keyed join
+    (the ship-date filter prunes the lineitem scan first), then a single
+    hash aggregate where the promo split is a CASE inside the sum — no
+    second pass, no self-join. Both sums are decimal-stable; the final
+    ratio uses the portable floor-form rounding (a rational of two
+    exactly-reproducible doubles)."""
+    part = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-02-01").cast("timestamp"))
+    )
+    disc = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", disc).otherwise(F.lit(0.0))
+    agg = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .agg(
+            F.sum(promo.cast(DEC)).cast("double").alias("_promo"),
+            F.sum(disc.cast(DEC)).cast("double").alias("_total"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+    return agg.select(
+        round6(F.lit(100.0) * F.col("_promo") / F.col("_total")).alias(
+            "promo_share_pct"
+        ),
+        "n_items",
+    )
+
+
+_PROMO_RATIO = (
+    "100.0 * "
+    + _ssum("CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END")
+    + " / "
+    + _ssum("l_extendedprice * (1.0 - l_discount)")
+)
+
+SQL_PROMO_REVENUE = f"""
+SELECT {SQL_ROUND6.format(x=_PROMO_RATIO)} AS promo_share_pct,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate < TIMESTAMP '1997-02-01'
+"""
+
+
+def q_top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q15-shaped argmax join: per-supplier revenue over one
+    quarter, returning the supplier(s) hitting the maximum. The revenue
+    aggregate is one co-keyed hash agg; the max rides back as a 1-row
+    broadcast (scalar-subquery decorrelation done by hand, which is
+    exactly what Catalyst does to `= (SELECT max(...))`); the supplier
+    name is a broadcast dim enrichment. Equality on the decimal-summed
+    double is exact — both engines produce the identical bits."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    revenue = (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).cast(
+        DEC
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(revenue).cast("double").alias("total_revenue")
+    )
+    mx = rev.agg(F.max("total_revenue").alias("_mx"))
+    supp = load_table(spark, sf_dir, "supplier")
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .where(F.col("total_revenue") == F.col("_mx"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+SQL_TOP_REVENUE_SUPPLIER = f"""
+WITH rev AS (
+  SELECT l_suppkey, {_ssum('l_extendedprice * (1.0 - l_discount)')} AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate < TIMESTAMP '1997-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+"""
+
+
+def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q17-shaped decorrelated per-group threshold: average yearly
+    revenue lost if small orders (below half the part's mean quantity)
+    were not taken. The correlated `l_quantity < 0.5 * (SELECT avg ...)`
+    decorrelates into one per-part aggregate joined back on partkey —
+    two passes over lineitem, both pushed-down scans, no per-row
+    subquery. The threshold avg is decimal-sum / count so the comparison
+    operand is bit-identical across engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_part = li.groupBy("l_partkey").agg(
+        (
+            F.sum(dec("l_quantity")).cast("double") / F.count(F.lit(1))
+        ).alias("_avg_qty")
+    )
+    j = li.join(per_part, "l_partkey").where(
+        F.col("l_quantity") < F.lit(0.5) * F.col("_avg_qty")
+    )
+    return j.agg(
+        F.round(
+            F.sum(dec("l_extendedprice")).cast("double") / F.lit(7.0), 6
+        ).alias("avg_yearly"),
+        F.count(F.lit(1)).alias("n_small"),
+    )
+
+
+SQL_SMALL_QUANTITY_REVENUE = f"""
+WITH pp AS (
+  SELECT l_partkey, {_ssum('l_quantity')} / COUNT(*) AS avg_qty
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT round({_ssum('l_extendedprice')} / 7.0, 6) AS avg_yearly,
+       CAST(COUNT(*) AS BIGINT) AS n_small
+FROM lineitem JOIN pp USING (l_partkey)
+WHERE l_quantity < 0.5 * avg_qty
+"""
+
+
+def q_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q18-shaped having-gate join: customers who placed orders
+    totalling > 300 units. The quantity gate is one hash aggregate over
+    lineitem; only gated orderkeys (a tiny fraction) flow into the
+    orders/customer joins, so the expensive side is filtered before any
+    wide join — the `HAVING` is evaluated as early as the plan allows.
+    Top-20 by total price is a TakeOrdered."""
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(dec("l_quantity")).cast("double").alias("sum_qty"))
+        .where(F.col("sum_qty") > 300.0)
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    j = (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "l_orderkey",
+            F.expr("unix_micros(cast(o_orderdate as timestamp)) div 1000000").alias(
+                "order_epoch_s"
+            ),
+            "o_totalprice",
+            "sum_qty",
+        )
+    )
+    return top_k(j, [F.col("o_totalprice").desc(), F.col("l_orderkey").asc()], 20)
+
+
+SQL_LARGE_ORDERS = f"""
+WITH big AS (
+  SELECT l_orderkey, {_ssum('l_quantity')} AS sum_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING {_ssum('l_quantity')} > 300.0
+)
+SELECT c_name, c_custkey, l_orderkey,
+       epoch_us(o_orderdate) // 1000000 AS order_epoch_s,
+       o_totalprice, sum_qty
+FROM big
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice DESC, l_orderkey ASC LIMIT 20
+"""
+
+
+def q_brand_discount_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q19-shaped disjunctive-predicate join: revenue from three
+    OR'd (brand, size-range, quantity-range) combinations. Catalyst
+    factors the part-only conjuncts out of the disjunction and pushes
+    `(brand=A AND size...) OR (brand=B AND size...) OR ...` down to the
+    part scan, so the join build side only carries parts that can match
+    at all; the quantity half of each disjunct stays as the join
+    residual. One scan each side, one aggregate."""
+    part = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem")
+    j = li.join(part, li.l_partkey == part.p_partkey)
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#4")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1.0, 20.0)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(10, 30)
+            & F.col("l_quantity").between(10.0, 30.0)
+        )
+        | (
+            (F.col("p_brand") == "Brand#19")
+            & F.col("p_size").between(20, 50)
+            & F.col("l_quantity").between(20.0, 40.0)
+        )
+    )
+    revenue = (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).cast(
+        DEC
+    )
+    return j.where(cond).agg(
+        F.sum(revenue).cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+SQL_BRAND_DISCOUNT_REVENUE = f"""
+SELECT {_ssum('l_extendedprice * (1.0 - l_discount)')} AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#4' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 1.0 AND 20.0)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+       AND l_quantity BETWEEN 10.0 AND 30.0)
+   OR (p_brand = 'Brand#19' AND p_size BETWEEN 20 AND 50
+       AND l_quantity BETWEEN 20.0 AND 40.0)
+"""
+
+
+def q_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q22-shaped anti-join with a scalar-subquery gate: customers
+    whose balance beats the positive-balance average but who placed no
+    order since 1999 (the churned-high-value segment), counted per
+    market segment. The global average is a 1-row broadcast (the
+    decorrelated scalar subquery); the "no recent order" test is a
+    shuffle anti-join on custkey (NOT EXISTS, no count trick) whose
+    probe side is pre-pruned by the pushed-down date filter; the segment
+    profile is a 5-row aggregate. Decimal-stable balance sums."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp")
+    )
+    avg_bal = cust.where(F.col("c_acctbal") > 0.0).agg(
+        (
+            F.sum(dec("c_acctbal")).cast("double") / F.count(F.lit(1))
+        ).alias("_avg")
+    )
+    rich = cust.crossJoin(F.broadcast(avg_bal)).where(
+        F.col("c_acctbal") > F.col("_avg")
+    )
+    idle = rich.join(
+        orders, rich.c_custkey == orders.o_custkey, "anti"
+    )
+    return idle.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_custs"),
+        F.sum(dec("c_acctbal")).cast("double").alias("total_acctbal"),
+    )
+
+
+SQL_IDLE_RICH_CUSTOMERS = f"""
+WITH avg_bal AS (
+  SELECT {_ssum('c_acctbal')} / COUNT(*) AS a
+  FROM customer WHERE c_acctbal > 0.0
+)
+SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_custs,
+       {_ssum('c_acctbal')} AS total_acctbal
+FROM customer, avg_bal
+WHERE c_acctbal > avg_bal.a
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_orderdate >= TIMESTAMP '1999-01-01')
+GROUP BY c_mktsegment
+"""
+
+
 def q_doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-model-proxy quality score (CCNet-style): per-doc mean
     unigram log-probability under the corpus's own smoothed unigram LM,
@@ -2787,6 +3290,16 @@ QUERIES: dict[str, QueryFn] = {
     "event_pivot_roundtrip": q_event_pivot_roundtrip,
     "shipping_priority": q_shipping_priority,
     "local_supplier_volume": q_local_supplier_volume,
+    "returned_items": q_returned_items,
+    "promo_revenue": q_promo_revenue,
+    "top_revenue_supplier": q_top_revenue_supplier,
+    "small_quantity_revenue": q_small_quantity_revenue,
+    "large_orders": q_large_orders,
+    "brand_discount_revenue": q_brand_discount_revenue,
+    "idle_rich_customers": q_idle_rich_customers,
+    "emb_semdedup": q_emb_semdedup,
+    "doc_chunks": q_doc_chunks,
+    "doc_source_drift": q_doc_source_drift,
     "doc_unigram_logprob": q_doc_unigram_logprob,
     "doc_curation_pipeline": q_doc_curation_pipeline,
     "emb_pca": q_emb_pca,
@@ -2862,6 +3375,16 @@ def build_oracles() -> dict[str, str]:
         "event_pivot_roundtrip": SQL_PIVOT_ROUNDTRIP,
         "shipping_priority": SQL_SHIPPING_PRIORITY,
         "local_supplier_volume": SQL_LOCAL_SUPPLIER_VOLUME,
+        "returned_items": SQL_RETURNED_ITEMS,
+        "promo_revenue": SQL_PROMO_REVENUE,
+        "top_revenue_supplier": SQL_TOP_REVENUE_SUPPLIER,
+        "small_quantity_revenue": SQL_SMALL_QUANTITY_REVENUE,
+        "large_orders": SQL_LARGE_ORDERS,
+        "brand_discount_revenue": SQL_BRAND_DISCOUNT_REVENUE,
+        "idle_rich_customers": SQL_IDLE_RICH_CUSTOMERS,
+        "emb_semdedup": SQL_EMB_SEMDEDUP,
+        "doc_chunks": SQL_DOC_CHUNKS,
+        "doc_source_drift": SQL_DOC_SOURCE_DRIFT,
         "doc_unigram_logprob": SQL_UNIGRAM_LOGPROB,
         "doc_curation_pipeline": _sql_curation_pipeline(),
     }
