@@ -59,3 +59,63 @@ def test_ann_ivf_more_probes_more_recall(emb, exact_pairs):
     q = emb.where(F.col("vec_id") % 50 == 0)
     rows = SIM.ann_ivf_topk(q, emb, k=10, n_cells=8, n_probe=8).collect()
     assert _recall(rows, exact_pairs) == 1.0
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup (operators.similarity.semdedup)
+# ---------------------------------------------------------------------------
+
+
+def _semdedup_fixture(spark):
+    """Two tight semantic groups + one isolate, ids interleaved so the
+    keep-lowest-id rule is exercised across clusters."""
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.0, 1.0, 0.0, 0.0]),
+        (3, [0.999, 0.01, 0.0, 0.0]),   # near-dup of 1
+        (4, [0.0, 0.998, 0.02, 0.0]),   # near-dup of 2
+        (5, [1.0, 0.001, 0.0, 0.0]),    # near-dup of 1 and 3
+        (6, [0.0, 0.0, 0.0, 1.0]),      # isolate
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_semdedup_drops_higher_id_neardups(spark):
+    from kyiv_traffic_bigdata_spark.operators.similarity import semdedup
+
+    df = _semdedup_fixture(spark)
+    cents = [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0], [0.0, 0.0, 0.0, 1.0]]
+    out = {r.vec_id: r for r in semdedup(df, cents, threshold=0.95).collect()}
+    assert len(out) == 6  # one row per input, kept or not
+    assert out[1].kept and out[2].kept and out[6].kept
+    assert not out[3].kept and not out[4].kept and not out[5].kept
+    # prior-sim audit: the isolate has no smaller-id mate above anything
+    assert out[6].max_prior_sim == 0.0
+    assert out[5].max_prior_sim > 0.99
+
+
+def test_semdedup_threshold_1_keeps_all_but_exact(spark):
+    from kyiv_traffic_bigdata_spark.operators.similarity import semdedup
+
+    df = _semdedup_fixture(spark)
+    cents = [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0]]
+    out = {r.vec_id: r.kept for r in semdedup(df, cents, threshold=1.0).collect()}
+    # nothing is exactly identical -> everything kept
+    assert all(out.values())
+
+
+def test_semdedup_partitioning_invariant(spark):
+    """The kept set is a function of ids and vectors only — shuffling
+    the input layout must not change any verdict."""
+    from kyiv_traffic_bigdata_spark.operators.similarity import semdedup
+
+    df = _semdedup_fixture(spark)
+    cents = [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0], [0.0, 0.0, 0.0, 1.0]]
+    a = sorted(
+        (r.vec_id, r.kept) for r in semdedup(df, cents, threshold=0.95).collect()
+    )
+    b = sorted(
+        (r.vec_id, r.kept)
+        for r in semdedup(df.repartition(7), cents, threshold=0.95).collect()
+    )
+    assert a == b

@@ -280,3 +280,63 @@ def test_retention_joins_stay_keyed(plans):
     plan = plans("event_retention")
     assert "BroadcastNestedLoop" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_returned_items_pushdown_and_topk(plans):
+    """TPC-H-Q10 shape: returnflag + date predicates reach the fact
+    scans, nation rides a broadcast, and the top-20 is a TakeOrdered —
+    never a global sort of the per-customer aggregate."""
+    plan = plans("returned_items")
+    pushed = " | ".join(scan_filter_exprs(plan))
+    assert "l_returnflag" in pushed and "o_orderdate" in pushed
+    assert "TakeOrderedAndProject" in plan
+    assert broadcast_join_count(plan) >= 1
+
+
+def test_brand_discount_disjunction_pushed_to_part_scan(plans):
+    """TPC-H-Q19 shape: Catalyst must factor the part-only conjuncts out
+    of the OR and push them to the part scan — the build side carries
+    only possibly-matching parts. A scan with no p_brand filter means
+    the factoring regressed and every part flows into the join."""
+    plan = plans("brand_discount_revenue")
+    part_scan_filters = [f for f in scan_filter_exprs(plan) if "p_brand" in f]
+    assert part_scan_filters, "p_brand disjunction not pushed to part scan"
+    assert "Or(" in part_scan_filters[0]
+
+
+def test_large_orders_gates_before_wide_joins(plans):
+    """TPC-H-Q18 shape: the quantity HAVING gate must sit between the
+    lineitem aggregate and the orders/customer joins (filter on the agg
+    output), and the final ranking must be a TakeOrdered."""
+    plan = plans("large_orders")
+    assert "TakeOrderedAndProject" in plan
+    assert re.search(r"Filter.*sum_qty", plan) or "(sum_qty" in plan
+
+
+def test_idle_rich_scalar_gate_is_single_row_broadcast(plans):
+    """TPC-H-Q22 shape: the decorrelated scalar average joins as a
+    1-row broadcast (nested-loop over ONE row is the cheap and correct
+    plan); the no-recent-orders test must plan as a real anti-join."""
+    plan = plans("idle_rich_customers")
+    assert re.search(r"BroadcastNestedLoopJoin.*(Inner|Cross)", plan)
+    assert re.search(r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin).*LeftAnti", plan)
+
+
+def test_doc_chunks_is_map_only(plans):
+    """Chunking must stay shuffle-free: tokens → sequence explode →
+    slices is per-row work; any Exchange here is a regression."""
+    plan = plans("doc_chunks")
+    # one round-robin repartition from _docs_with_tokens is the only
+    # allowed exchange (local test-data balancing, see helper docstring)
+    assert exchange_count(plan) <= 1
+    assert "CartesianProduct" not in plan
+
+
+def test_semdedup_single_cluster_exchange(plans):
+    """SemDeDup: map-only centroid assignment + ONE groupBy(cluster)
+    exchange into the per-cluster gram verify — no pair shuffle, no
+    nested loop."""
+    plan = plans("emb_semdedup")
+    assert "BroadcastNestedLoop" not in plan
+    assert "CartesianProduct" not in plan
+    assert exchange_count(plan) <= 2  # round-robin balance + cluster group
