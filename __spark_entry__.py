@@ -35,6 +35,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL twin for each query (ann_lsh / ann_ivf /
-    approx_event_stats intentionally omitted: approximate ops, checked by
-    recall/error tests instead)."""
+    ann_pq / approx_event_stats omitted: approximate ops, checked by
+    recall/error tests; emb_pca omitted: DuckDB has no eigen solver,
+    accuracy pinned by tests/test_pca.py numpy parity)."""
     return build_oracles()

@@ -2660,6 +2660,90 @@ FROM a LEFT JOIN prior ON prior.vec_id = a.vec_id
 """
 
 
+#: PQ geometry: m subspaces × k codewords over the 64-dim embeddings.
+#: m=4/k=16 keeps the DuckDB twin tractable; the operator takes any
+#: (m, k) and at production scale you'd run m=8..16, k=256.
+PQ_M = 4
+PQ_K = 16
+
+
+def q_emb_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encode of the embedding corpus
+    (operators.pq): per-vector code array (m log2(k) bits ≡ a 128× cut
+    vs float32 at production geometry) + reconstruction error audit.
+    Seed codebooks (n_iters=0) keep the DuckDB twin expressible — the
+    same determinism contract as emb_kmeans; encode itself is map-only
+    Catalyst expression work, no shuffle, no UDF."""
+    from .operators.pq import encode_pq, fit_pq
+
+    raw = load_table(spark, sf_dir, "embeddings")
+    books = fit_pq(raw, m=PQ_M, k=PQ_K, n_iters=0)
+    out = encode_pq(_emb(spark, sf_dir), books)
+    return out.select(
+        "vec_id",
+        "codes",
+        F.round(F.col("recon_sq_err"), 6).alias("recon_sq_err"),
+    )
+
+
+_PQ_SUBDIM = 64 // PQ_M
+
+SQL_EMB_PQ = f"""
+WITH ee AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings
+),
+sub AS (
+  SELECT vec_id, (i - 1) // {_PQ_SUBDIM} AS s, (i - 1) % {_PQ_SUBDIM} AS j, x
+  FROM ee
+),
+cent AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, embedding AS cvec
+  FROM embeddings ORDER BY vec_id LIMIT {PQ_K}
+),
+cc AS (
+  SELECT cid, generate_subscripts(cvec, 1) AS i,
+         CAST(unnest(cvec) AS DOUBLE) AS y
+  FROM cent
+),
+csub AS (
+  SELECT cid, (i - 1) // {_PQ_SUBDIM} AS s, (i - 1) % {_PQ_SUBDIM} AS j, y
+  FROM cc
+),
+dists AS (
+  SELECT sub.vec_id, sub.s, csub.cid, SUM((x - y) * (x - y)) AS d
+  FROM sub JOIN csub ON sub.s = csub.s AND sub.j = csub.j
+  GROUP BY 1, 2, 3
+),
+assign AS (
+  SELECT vec_id, s, cid, d,
+         row_number() OVER (PARTITION BY vec_id, s ORDER BY d ASC, cid ASC) AS rn
+  FROM dists
+)
+SELECT vec_id, list(CAST(cid AS INTEGER) ORDER BY s) AS codes,
+       round(SUM(d), 6) AS recon_sq_err
+FROM assign WHERE rn = 1
+GROUP BY vec_id
+"""
+
+
+def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ asymmetric-distance approximate NN (the third ANN scale path
+    next to ann_lsh/ann_ivf — this one compresses the CORPUS, not the
+    candidate set). No SQL oracle — approximation is engine-defined;
+    the driver records a rows-only check and tests/test_ann.py pins
+    recall against the exact baseline."""
+    from .operators.pq import adc_topk, encode_pq, fit_pq
+
+    raw = load_table(spark, sf_dir, "embeddings")
+    books = fit_pq(raw, m=PQ_M, k=PQ_K, n_iters=0)
+    emb = _emb(spark, sf_dir)
+    codes = encode_pq(emb, books)
+    q = emb.where(F.col("vec_id") % 50 == 0)
+    return adc_topk(q, codes, books, k=10)
+
+
 #: Sliding-chunk window geometry (tokens per chunk / stride).
 CHUNK_TOKENS = 32
 CHUNK_STRIDE = 24
@@ -3298,6 +3382,8 @@ QUERIES: dict[str, QueryFn] = {
     "brand_discount_revenue": q_brand_discount_revenue,
     "idle_rich_customers": q_idle_rich_customers,
     "emb_semdedup": q_emb_semdedup,
+    "emb_pq": q_emb_pq,
+    "ann_pq": q_ann_pq,
     "doc_chunks": q_doc_chunks,
     "doc_source_drift": q_doc_source_drift,
     "doc_unigram_logprob": q_doc_unigram_logprob,
@@ -3383,6 +3469,9 @@ def build_oracles() -> dict[str, str]:
         "brand_discount_revenue": SQL_BRAND_DISCOUNT_REVENUE,
         "idle_rich_customers": SQL_IDLE_RICH_CUSTOMERS,
         "emb_semdedup": SQL_EMB_SEMDEDUP,
+        "emb_pq": SQL_EMB_PQ,
+        # ann_pq: intentionally no oracle (approximate; recall pinned
+        # by tests/test_ann.py against the exact baseline)
         "doc_chunks": SQL_DOC_CHUNKS,
         "doc_source_drift": SQL_DOC_SOURCE_DRIFT,
         "doc_unigram_logprob": SQL_UNIGRAM_LOGPROB,

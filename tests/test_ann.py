@@ -119,3 +119,131 @@ def test_semdedup_partitioning_invariant(spark):
         for r in semdedup(df.repartition(7), cents, threshold=0.95).collect()
     )
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (operators.pq)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def pq_books(emb):
+    from kyiv_traffic_bigdata_spark.operators.pq import fit_pq
+
+    return fit_pq(emb, m=4, k=16, n_iters=0)
+
+
+def test_pq_codes_shape_and_range(emb, pq_books):
+    from kyiv_traffic_bigdata_spark.operators.pq import encode_pq
+
+    rows = encode_pq(emb, pq_books).collect()
+    assert len(rows) == emb.count()
+    for r in rows[:50]:
+        assert len(r.codes) == 4
+        assert all(0 <= c < 16 for c in r.codes)
+        assert r.recon_sq_err >= 0.0
+
+
+def test_pq_reconstruction_error_matches_decode(spark, emb, pq_books):
+    """recon_sq_err must equal the squared distance to the decoded
+    vector — the encode argmin and the decode lookup agree."""
+    from kyiv_traffic_bigdata_spark.functions.vector import sq_dist
+    from kyiv_traffic_bigdata_spark.operators.pq import encode_pq, reconstruct
+
+    enc = encode_pq(emb, pq_books, keep_cols=("embedding",))
+    chk = enc.select(
+        "vec_id",
+        "recon_sq_err",
+        sq_dist(F.col("embedding"), reconstruct(F.col("codes"), pq_books)).alias(
+            "direct"
+        ),
+    ).collect()
+    for r in chk:
+        assert abs(r.recon_sq_err - r.direct) < 1e-9
+
+
+def test_pq_seed_vectors_encode_to_themselves(emb, pq_books):
+    """The k seed vectors ARE codewords in every subspace — their
+    reconstruction error must be exactly zero."""
+    from kyiv_traffic_bigdata_spark.operators.pq import encode_pq
+
+    seed_ids = [r.vec_id for r in emb.orderBy("vec_id").limit(16).collect()]
+    rows = (
+        encode_pq(emb.where(F.col("vec_id").isin(seed_ids)), pq_books)
+        .collect()
+    )
+    assert len(rows) == 16
+    assert all(r.recon_sq_err == 0.0 for r in rows)
+
+
+def test_pq_lloyd_refinement_reduces_error(emb):
+    from kyiv_traffic_bigdata_spark.operators.pq import encode_pq, fit_pq
+
+    seed = fit_pq(emb, m=4, k=16, n_iters=0)
+    refined = fit_pq(emb, m=4, k=16, n_iters=3)
+    err = lambda books: encode_pq(emb, books).agg(
+        F.sum("recon_sq_err")
+    ).collect()[0][0]
+    assert err(refined) < err(seed)
+
+
+def test_pq_adc_recall_vs_exact_l2(spark, emb, pq_books):
+    """ADC top-10 vs the exact L2 top-10 (PQ approximates Euclidean
+    distance, so the baseline is L2, not cosine)."""
+    from kyiv_traffic_bigdata_spark.functions.vector import sq_dist
+    from kyiv_traffic_bigdata_spark.operators.pq import adc_topk, encode_pq
+    from kyiv_traffic_bigdata_spark.operators.topk import top_k_per_group
+
+    q = emb.where(F.col("vec_id") % 50 == 0)
+    qs = q.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"))
+    cs = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv"))
+    exact_scored = (
+        cs.join(F.broadcast(qs), F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", sq_dist(F.col("qv"), F.col("cv")).alias("_d"))
+    )
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in top_k_per_group(
+            exact_scored, ["query_id"], [F.col("_d").asc(), F.col("neighbor_id").asc()], 10
+        ).collect()
+    }
+    codes = encode_pq(emb, pq_books)
+    rows = adc_topk(q, codes, pq_books, k=10).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert all(len(v) == 10 for v in by_q.values())
+    rec = _recall(rows, exact)
+    # observed 0.19 on sf0.001 with untrained seed codebooks over
+    # UNIFORM RANDOM vectors — PQ's adversarial case (no cluster
+    # structure for the codebooks to exploit; measured sweep: m=8
+    # trained reaches 0.29). The bound pins "ADC ranks signal, not
+    # noise" — real embedding corpora cluster and score far higher.
+    assert rec >= 0.15, rec
+
+
+def test_pq_adc_exact_between_codeword_vectors(emb, pq_books):
+    """A seed vector encodes to itself in every subspace, so the ADC
+    distance between two seed vectors is their TRUE squared distance —
+    the asymmetric approximation is exact when the code side has zero
+    quantization error. Pins the distance-table lookup indexing."""
+    from kyiv_traffic_bigdata_spark.functions.vector import sq_dist
+    from kyiv_traffic_bigdata_spark.operators.pq import adc_topk, encode_pq
+
+    seeds = emb.orderBy("vec_id").limit(16)
+    codes = encode_pq(seeds, pq_books)
+    got = {
+        (r.query_id, r.neighbor_id): r.approx_sq_dist
+        for r in adc_topk(seeds, codes, pq_books, k=15).collect()
+    }
+    qs = seeds.select(F.col("vec_id").alias("a"), F.col("embedding").alias("va"))
+    cs = seeds.select(F.col("vec_id").alias("b"), F.col("embedding").alias("vb"))
+    truth = {
+        (r.a, r.b): r.d
+        for r in qs.join(cs, F.col("a") != F.col("b"))
+        .select("a", "b", F.round(sq_dist(F.col("va"), F.col("vb")), 6).alias("d"))
+        .collect()
+    }
+    assert got  # 16 queries x 15 neighbors
+    for pair, d in got.items():
+        assert abs(d - truth[pair]) < 1e-6, pair
