@@ -109,3 +109,102 @@ def latest_routes_snapshot(spark: SparkSession, path: str) -> DataFrame:
         )
         .select("id", "s.type", "s.number")
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming MERGE: dimension maintenance as a foreachBatch upsert sink
+# ---------------------------------------------------------------------------
+
+
+def current_dimension_version(store_dir: str) -> str | None:
+    """The committed version name (``v{batch_id}``), or None before the
+    first batch. The pointer file is the atomic commit: a version dir
+    without the pointer update is invisible garbage, never a torn read."""
+    import os
+
+    ptr = os.path.join(store_dir, "_CURRENT")
+    if not os.path.exists(ptr):
+        return None
+    with open(ptr, encoding="utf-8") as f:
+        return f.read().strip() or None
+
+
+def read_current_dimension(spark: SparkSession, store_dir: str) -> DataFrame:
+    """Reader side of the upsert store: the pointed-at snapshot."""
+    v = current_dimension_version(store_dir)
+    if v is None:
+        raise FileNotFoundError(f"no committed version under {store_dir}")
+    import os
+
+    return spark.read.parquet(os.path.join(store_dir, v))
+
+
+def start_dimension_upsert_sink(
+    updates: DataFrame,
+    store_dir: str,
+    key_cols: list[str],
+    checkpoint_path: str,
+    order_col: str | None = None,
+    trigger_s: int = 5,
+) -> StreamingQuery:
+    """Streaming MERGE: maintain a keyed dimension snapshot from an
+    update stream (the streaming twin of
+    operators.maintenance.upsert_parquet, which documents the join
+    shape: broadcast anti-join + union, base table never shuffles).
+
+    Each micro-batch writes a NEW version dir (``v{batch_id}``), then
+    atomically advances the ``_CURRENT`` pointer (write-to-temp +
+    ``os.replace``) — readers always see a complete snapshot, and the
+    previous version survives a mid-write death. Exactly-once across
+    restarts: foreachBatch may REPLAY a batch id after a crash, so an
+    already-committed batch id is detected via the pointer and skipped
+    (the upsert would also be idempotent, but skipping avoids rewriting
+    the snapshot). Intra-batch duplicate keys collapse last-write-wins
+    by ``order_col`` before merging (the S2 rule).
+
+    At scale the version dirs are the slowly-changing-dimension history;
+    operators.maintenance.compact_parquet handles retention/compaction.
+    """
+    import os
+
+    from ..operators.latest import dedup_last_write_wins
+    from ..operators.maintenance import upsert_parquet
+
+    os.makedirs(store_dir, exist_ok=True)
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        version = f"v{batch_id}"
+        cur = current_dimension_version(store_dir)
+        if cur == version:
+            return  # replayed batch already committed
+        out = os.path.join(store_dir, version)
+        if cur is None:
+            first = (
+                dedup_last_write_wins(batch_df, key_cols, [order_col])
+                if order_col is not None
+                else batch_df.dropDuplicates(key_cols)
+            )
+            first.write.mode("overwrite").parquet(out)
+        else:
+            upsert_parquet(
+                spark,
+                os.path.join(store_dir, cur),
+                batch_df,
+                key_cols,
+                out,
+                order_col=order_col,
+            )
+        tmp = os.path.join(store_dir, "_CURRENT.tmp")
+        with open(tmp, "w", encoding="utf-8") as f:
+            f.write(version)
+        os.replace(tmp, os.path.join(store_dir, "_CURRENT"))
+
+    return (
+        updates.writeStream.foreachBatch(apply)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(processingTime=f"{trigger_s} seconds")
+        .start()
+    )

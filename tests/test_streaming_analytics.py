@@ -201,3 +201,68 @@ def test_stream_stream_join_checkpoint_restart_no_duplicates(spark, tmp_path):
         (1, "2026-01-01 00:00:10"),
         (1, "2026-01-01 00:00:30"),
     ]
+
+
+def test_streaming_dimension_upsert_sink(spark, tmp_path):
+    """Streaming MERGE: two micro-batches of keyed updates roll the
+    versioned snapshot forward; last-write-wins inside a batch, upsert
+    across batches, pointer always names a complete snapshot."""
+    import json
+
+    from kyiv_traffic_bigdata_spark.streaming.analytics import (
+        current_dimension_version,
+        read_current_dimension,
+        start_dimension_upsert_sink,
+    )
+
+    src = tmp_path / "updates"
+    src.mkdir()
+    store, ckpt = str(tmp_path / "store"), str(tmp_path / "ckpt")
+
+    def write_batchfile(name, rows):
+        (src / name).write_text(
+            "\n".join(json.dumps(r) for r in rows) + "\n"
+        )
+
+    # batch 1: ids 1..3, with an intra-batch dup on id 2 (ver decides)
+    write_batchfile(
+        "b1.json",
+        [
+            {"id": 1, "val": "a", "ver": 1},
+            {"id": 2, "val": "old", "ver": 1},
+            {"id": 2, "val": "new", "ver": 2},
+            {"id": 3, "val": "c", "ver": 1},
+        ],
+    )
+    stream = (
+        spark.readStream.schema("id long, val string, ver long")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    q = start_dimension_upsert_sink(
+        stream, store, ["id"], ckpt, order_col="ver", trigger_s=1
+    )
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline and current_dimension_version(store) is None:
+            time.sleep(0.5)
+        assert current_dimension_version(store) is not None
+        snap1 = {
+            r.id: r.val for r in read_current_dimension(spark, store).collect()
+        }
+        assert snap1 == {1: "a", 2: "new", 3: "c"}
+
+        # batch 2: update id 1, insert id 4
+        v_before = current_dimension_version(store)
+        write_batchfile(
+            "b2.json",
+            [{"id": 1, "val": "a2", "ver": 3}, {"id": 4, "val": "d", "ver": 1}],
+        )
+        while time.time() < deadline and current_dimension_version(store) == v_before:
+            time.sleep(0.5)
+        snap2 = {
+            r.id: r.val for r in read_current_dimension(spark, store).collect()
+        }
+        assert snap2 == {1: "a2", 2: "new", 3: "c", 4: "d"}
+    finally:
+        q.stop()
