@@ -62,6 +62,27 @@ def token_count(col: Column) -> Column:
     return F.size(tokens(col))
 
 
+#: BPE-ish pre-tokenization split: letter runs / digit runs / single
+#: non-alphanumeric marks. Deliberately an RE2-safe subset (no lookahead,
+#: no \p classes) so Java regex (Spark) and RE2 (DuckDB) extract the
+#: IDENTICAL token stream — real BPE merges would then run per pre-token,
+#: so this count is the upper bound a tokenizer budget planner needs.
+SUBWORD_PATTERN = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+
+def subword_tokens(col: Column) -> Column:
+    """BPE-ish pre-tokens of normalized text (see SUBWORD_PATTERN)."""
+    return F.regexp_extract_all(
+        normalize_text(col), F.lit(SUBWORD_PATTERN), 0
+    )
+
+
+def subword_count(col: Column) -> Column:
+    """Pre-token count — the '~tokens this doc costs' budgeting number
+    (whitespace words split further on digit/punct boundaries)."""
+    return F.size(subword_tokens(col))
+
+
 def word_ngrams(tok: Column, n: int) -> Column:
     """Distinct word n-grams (shingles) of a token array.
 

@@ -2744,6 +2744,62 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return adc_topk(q, codes, books, k=10)
 
 
+def q_event_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-operation coverage (SURVEY §2.7 extension): audience overlap
+    between viewers and purchasers via NATIVE ``intersect``/``subtract``
+    (each plans as a distinct + hash semi/anti join — co-keyed shuffles,
+    AQE-safe, nothing quadratic). The three counts ride 1-row
+    broadcasts into one output row."""
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.where(F.col("event_type") == "view").select("user_id").distinct()
+    p = ev.where(F.col("event_type") == "purchase").select("user_id").distinct()
+    both = v.intersect(p).agg(F.count(F.lit(1)).alias("n_both"))
+    v_only = v.subtract(p).agg(F.count(F.lit(1)).alias("n_view_only"))
+    p_only = p.subtract(v).agg(F.count(F.lit(1)).alias("n_purchase_only"))
+    return both.crossJoin(F.broadcast(v_only)).crossJoin(F.broadcast(p_only))
+
+
+SQL_EVENT_AUDIENCE_OVERLAP = """
+WITH v AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'view'),
+p AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+SELECT
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM (SELECT * FROM v INTERSECT SELECT * FROM p)) AS n_both,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM (SELECT * FROM v EXCEPT SELECT * FROM p)) AS n_view_only,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM (SELECT * FROM p EXCEPT SELECT * FROM v)) AS n_purchase_only
+"""
+
+
+def q_doc_subword_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-budget accounting: whitespace-word count vs BPE-ish
+    pre-token count per doc plus their expansion ratio — the number a
+    training-data planner multiplies by the corpus to size a token
+    budget. Map-only (two regex extracts per row, no shuffle); the
+    pattern is an RE2-safe subset so both engines extract the identical
+    stream (functions.text.SUBWORD_PATTERN)."""
+    d = _docs_with_tokens(spark, sf_dir)
+    nws = TX.token_count(F.col("text")).cast("long")
+    nsw = TX.subword_count(F.col("text")).cast("long")
+    return d.select(
+        "doc_id",
+        nws.alias("n_ws_tokens"),
+        nsw.alias("n_subwords"),
+        round6(nsw.cast("double") / nws.cast("double")).alias("subword_ratio"),
+    )
+
+
+_SUBWORD_SQL = f"regexp_extract_all({_norm('text')}, '{TX.SUBWORD_PATTERN}')"
+
+SQL_DOC_SUBWORD_STATS = f"""
+SELECT doc_id,
+       CAST(len({_toks('text')}) AS BIGINT) AS n_ws_tokens,
+       CAST(len({_SUBWORD_SQL}) AS BIGINT) AS n_subwords,
+       {SQL_ROUND6.format(
+    x=f"CAST(len({_SUBWORD_SQL}) AS DOUBLE) / CAST(len({_toks('text')}) AS DOUBLE)"
+)} AS subword_ratio
+FROM documents
+"""
+
+
 #: Sliding-chunk window geometry (tokens per chunk / stride).
 CHUNK_TOKENS = 32
 CHUNK_STRIDE = 24
@@ -3385,6 +3441,8 @@ QUERIES: dict[str, QueryFn] = {
     "emb_pq": q_emb_pq,
     "ann_pq": q_ann_pq,
     "doc_chunks": q_doc_chunks,
+    "doc_subword_stats": q_doc_subword_stats,
+    "event_audience_overlap": q_event_audience_overlap,
     "doc_source_drift": q_doc_source_drift,
     "doc_unigram_logprob": q_doc_unigram_logprob,
     "doc_curation_pipeline": q_doc_curation_pipeline,
@@ -3473,6 +3531,8 @@ def build_oracles() -> dict[str, str]:
         # ann_pq: intentionally no oracle (approximate; recall pinned
         # by tests/test_ann.py against the exact baseline)
         "doc_chunks": SQL_DOC_CHUNKS,
+        "doc_subword_stats": SQL_DOC_SUBWORD_STATS,
+        "event_audience_overlap": SQL_EVENT_AUDIENCE_OVERLAP,
         "doc_source_drift": SQL_DOC_SOURCE_DRIFT,
         "doc_unigram_logprob": SQL_UNIGRAM_LOGPROB,
         "doc_curation_pipeline": _sql_curation_pipeline(),

@@ -247,3 +247,14 @@ def test_pq_adc_exact_between_codeword_vectors(emb, pq_books):
     assert got  # 16 queries x 15 neighbors
     for pair, d in got.items():
         assert abs(d - truth[pair]) < 1e-6, pair
+
+
+def test_pq_and_semdedup_tolerate_empty_input(spark, pq_books):
+    from kyiv_traffic_bigdata_spark.operators.pq import encode_pq
+    from kyiv_traffic_bigdata_spark.operators.similarity import semdedup
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    assert encode_pq(empty, pq_books).count() == 0
+    cents = [[1.0, 0.0], [0.0, 1.0]]
+    empty2 = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    assert semdedup(empty2, cents, threshold=0.5).count() == 0
