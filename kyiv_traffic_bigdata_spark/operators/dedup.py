@@ -602,3 +602,91 @@ def winnow_overlap_pairs(
             ).alias("overlap"),
         )
     )
+
+
+def repeated_spans(
+    docs: DataFrame,
+    gram_len: int = 40,
+    min_count: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """EXACT repeated-substring spans — the ExactSubstr dedup semantic of
+    Lee et al. 2022 ("Deduplicating Training Data Makes Language Models
+    Better"): every maximal character span covered by some ``gram_len``-
+    gram occurring ≥ ``min_count`` times in the corpus (same-doc repeats
+    included). Those spans are what a curation run clips out of the
+    training text. The suffix-array construction of the paper is
+    replaced by the Spark-shaped equivalent: position-local rolling
+    hashes + a frequency gate + exact confirmation.
+
+    Three bounded phases (the winnow_overlap machinery's exact, dense
+    cousin — winnowing samples ~2/(w+1) of grams, this keeps them all):
+
+    1. **int-only shuffle**: every gram position hashes via the portable
+       Rabin-Karp fold (functions.text.gram_rolling_hashes); frequency
+       gate on the int hash — the full-corpus shuffle moves (hash, 1)
+       pairs, never text;
+    2. **exact confirm**: only gate survivors extract their substring
+       and re-count grouped by the text itself, eliminating rolling-hash
+       collisions — shuffle volume bounded by the candidate count;
+    3. **island merge**: per-doc window (bounded by doc length — never a
+       corpus-sized partition) merges overlapping/adjacent gram
+       positions (equal-length intervals: merge iff the position gap
+       ≤ gram_len) into maximal spans.
+
+    Returns one row per maximal span: ``(doc_id, span_start, span_end,
+    n_grams)`` with 1-based inclusive char offsets into the
+    ascii-normalized text (the rolling-hash domain, see
+    functions.text.ascii_normalize).
+    """
+    from pyspark.sql import Window
+
+    from ..functions.text import ascii_normalize, codepoints, gram_rolling_hashes
+
+    k = gram_len
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        ascii_normalize(F.col(text_col)).alias("_t"),
+    )
+    hs = gram_rolling_hashes(codepoints(F.col("_t")), k)
+    pos = base.select(
+        "doc_id", "_t", F.posexplode(hs).alias("_p0", "_h")
+    ).select("doc_id", "_t", (F.col("_p0") + 1).alias("pos"), "_h")
+    cand = (
+        pos.groupBy("_h")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .where(F.col("_c") >= min_count)
+        .select("_h")
+    )
+    hits = pos.join(cand, "_h", "semi").withColumn(
+        "_s", F.expr(f"substring(_t, pos, {k})")
+    )
+    confirmed_grams = (
+        hits.groupBy("_s")
+        .agg(F.count(F.lit(1)).alias("_c2"))
+        .where(F.col("_c2") >= min_count)
+        .select("_s")
+    )
+    conf = hits.join(confirmed_grams, "_s", "semi").select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    brk = F.when(F.col("pos") - F.lag("pos").over(w) <= k, F.lit(0)).otherwise(
+        F.lit(1)
+    )
+    marked = conf.select("doc_id", "pos", brk.alias("_brk"))
+    grouped = marked.select(
+        "doc_id",
+        "pos",
+        F.sum("_brk")
+        .over(
+            Window.partitionBy("doc_id")
+            .orderBy("pos")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        .alias("_isle"),
+    )
+    return grouped.groupBy("doc_id", "_isle").agg(
+        F.min("pos").alias("span_start"),
+        (F.max("pos") + F.lit(k - 1)).alias("span_end"),
+        F.count(F.lit(1)).alias("n_grams"),
+    ).drop("_isle")

@@ -2744,6 +2744,60 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return adc_topk(q, codes, books, k=10)
 
 
+#: Exact-substring dedup gram length (chars). 40 on the synthetic corpus
+#: surfaces the injected boilerplate/near-dup spans.
+REPEATED_SPAN_GRAM = 40
+
+
+def q_doc_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact repeated-substring spans (ExactSubstr dedup, Lee et al.
+    2022) — the spans a curation run clips from the training text.
+    operators.dedup.repeated_spans: int-hash frequency gate → exact
+    substring confirm → per-doc island merge (see operator docstring for
+    the three-phase scale argument)."""
+    spans = DD.repeated_spans(
+        _docs_with_tokens(spark, sf_dir), gram_len=REPEATED_SPAN_GRAM
+    )
+    return spans.select(
+        "doc_id",
+        F.col("span_start").cast("long").alias("span_start"),
+        F.col("span_end").cast("long").alias("span_end"),
+        "n_grams",
+    )
+
+
+_ASCII_NORM_SQL = (
+    "regexp_replace(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),"
+    " '[^ -~]', '', 'g')"
+)
+
+SQL_DOC_REPEATED_SPANS = f"""
+WITH n AS (SELECT doc_id, {_ASCII_NORM_SQL} AS t FROM documents),
+pos AS (
+  SELECT doc_id, t, unnest(range(1, len(t) - {REPEATED_SPAN_GRAM} + 2)) AS p
+  FROM n WHERE len(t) >= {REPEATED_SPAN_GRAM}
+),
+g AS (SELECT doc_id, p, substr(t, p, {REPEATED_SPAN_GRAM}) AS s FROM pos),
+rep AS (SELECT s FROM g GROUP BY s HAVING COUNT(*) >= 2),
+hit AS (SELECT doc_id, p FROM g JOIN rep USING (s)),
+isl AS (
+  SELECT doc_id, p,
+         CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p)
+                   <= {REPEATED_SPAN_GRAM} THEN 0 ELSE 1 END AS brk
+  FROM hit
+),
+grp AS (
+  SELECT doc_id, p,
+         SUM(brk) OVER (PARTITION BY doc_id ORDER BY p) AS isle
+  FROM isl
+)
+SELECT doc_id, CAST(MIN(p) AS BIGINT) AS span_start,
+       CAST(MAX(p) + {REPEATED_SPAN_GRAM} - 1 AS BIGINT) AS span_end,
+       CAST(COUNT(*) AS BIGINT) AS n_grams
+FROM grp GROUP BY doc_id, isle
+"""
+
+
 def q_event_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set-operation coverage (SURVEY §2.7 extension): audience overlap
     between viewers and purchasers via NATIVE ``intersect``/``subtract``
@@ -3443,6 +3497,7 @@ QUERIES: dict[str, QueryFn] = {
     "doc_chunks": q_doc_chunks,
     "doc_subword_stats": q_doc_subword_stats,
     "event_audience_overlap": q_event_audience_overlap,
+    "doc_repeated_spans": q_doc_repeated_spans,
     "doc_source_drift": q_doc_source_drift,
     "doc_unigram_logprob": q_doc_unigram_logprob,
     "doc_curation_pipeline": q_doc_curation_pipeline,
@@ -3533,6 +3588,7 @@ def build_oracles() -> dict[str, str]:
         "doc_chunks": SQL_DOC_CHUNKS,
         "doc_subword_stats": SQL_DOC_SUBWORD_STATS,
         "event_audience_overlap": SQL_EVENT_AUDIENCE_OVERLAP,
+        "doc_repeated_spans": SQL_DOC_REPEATED_SPANS,
         "doc_source_drift": SQL_DOC_SOURCE_DRIFT,
         "doc_unigram_logprob": SQL_UNIGRAM_LOGPROB,
         "doc_curation_pipeline": _sql_curation_pipeline(),

@@ -199,3 +199,62 @@ def test_incremental_lsh_empty_new_batch_is_empty(spark):
     )
     empty = spark.createDataFrame([], "doc_id long")
     assert incremental_lsh_pairs(d, empty).count() == 0
+
+
+def test_repeated_spans_exact_boundaries(spark):
+    """Two docs share one 60-char run; the merged span must cover
+    exactly that run in both docs (1-based inclusive, ascii-normalized
+    offsets), and the unique doc must produce no rows."""
+    from kyiv_traffic_bigdata_spark.operators.dedup import repeated_spans
+
+    shared = "the quick brown fox jumps over the lazy dog again and again!"
+    L = len(shared)
+    assert L > 40
+    # distinct boundary chars on every side so the maximal repeated
+    # substring is exactly `shared` (a shared space at a boundary would
+    # correctly extend the span by one — pinned by the first failing
+    # draft of this test)
+    pre1, pre2 = "unique prefix one twenty charsA", "different head here paddB"
+    docs = spark.createDataFrame(
+        [
+            (1, pre1 + shared + "Cunique suffix a"),
+            (2, pre2 + shared + "Dother tail text zz"),
+            (3, "entirely unrelated content with no repeats at all in it"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = repeated_spans(docs, gram_len=40).collect()
+    by_doc = {r.doc_id: r for r in rows}
+    assert set(by_doc) == {1, 2}
+    s1, s2 = len(pre1) + 1, len(pre2) + 1  # 1-based span starts
+    assert (by_doc[1].span_start, by_doc[1].span_end) == (s1, s1 + L - 1)
+    assert (by_doc[2].span_start, by_doc[2].span_end) == (s2, s2 + L - 1)
+    # an L-char run with k=40 grams -> L-39 gram positions
+    assert by_doc[1].n_grams == L - 39 and by_doc[2].n_grams == L - 39
+
+
+def test_repeated_spans_within_single_doc(spark):
+    """Same-doc repetition counts toward the frequency gate (the Lee et
+    al. semantic: ANY repeat in the corpus, including self-repeats)."""
+    from kyiv_traffic_bigdata_spark.operators.dedup import repeated_spans
+
+    chunk = "a" * 45
+    docs = spark.createDataFrame(
+        [(7, chunk + " x " + chunk)], "doc_id long, text string"
+    )
+    rows = sorted(repeated_spans(docs, gram_len=40).collect(),
+                  key=lambda r: r.span_start)
+    # all-a grams repeat across (and within) the two runs; grams
+    # touching the ' x ' gap are unique. Matching positions are 1..6
+    # and 49..54 — a 43-position gap > gram_len, so two islands, each
+    # covering exactly its 45-char run.
+    assert [(r.span_start, r.span_end) for r in rows] == [(1, 45), (49, 93)]
+
+
+def test_repeated_spans_empty_and_short_docs(spark):
+    from kyiv_traffic_bigdata_spark.operators.dedup import repeated_spans
+
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "short"), (3, "short")], "doc_id long, text string"
+    )
+    assert repeated_spans(docs, gram_len=40).count() == 0
