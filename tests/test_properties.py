@@ -276,3 +276,58 @@ def test_morton_interleave_is_injective_and_matches_reference(spark, pairs):
     assert len(set(zs)) == len(pairs)
     for r in got:
         assert deinterleave(r.z) == (r.a, r.b)
+
+
+@given(
+    st.lists(
+        st.text(alphabet="ab ", min_size=0, max_size=40),
+        min_size=1,
+        max_size=6,
+    ),
+    st.integers(min_value=3, max_value=6),
+)
+@SETTINGS
+def test_repeated_spans_match_bruteforce(spark, texts, k):
+    """repeated_spans == a naive python reference on tiny adversarial
+    corpora (2-letter alphabet forces dense repeats; k small enough that
+    islands, self-repeats, and cross-doc repeats all occur)."""
+    from collections import Counter
+
+    from kyiv_traffic_bigdata_spark.operators.dedup import repeated_spans
+
+    def normalize(t):
+        import re
+
+        t = re.sub(r"\s+", " ", t.strip().lower())
+        return re.sub(r"[^ -~]", "", t)
+
+    norm = [normalize(t) for t in texts]
+    counts = Counter(
+        t[i : i + k] for t in norm for i in range(len(t) - k + 1)
+    )
+    expected = set()
+    for doc_id, t in enumerate(norm):
+        hits = [
+            i + 1
+            for i in range(len(t) - k + 1)
+            if counts[t[i : i + k]] >= 2
+        ]
+        # merge islands: equal-length intervals, merge iff gap <= k
+        spans = []
+        for p in hits:
+            if spans and p - spans[-1][1] <= k:
+                spans[-1] = (spans[-1][0], p)
+            else:
+                spans.append((p, p))
+        for s, e in spans:
+            n_grams = len([p for p in hits if s <= p <= e])
+            expected.add((doc_id, s, e + k - 1, n_grams))
+
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {
+        (r.doc_id, r.span_start, r.span_end, r.n_grams)
+        for r in repeated_spans(docs, gram_len=k).collect()
+    }
+    assert got == expected
