@@ -650,17 +650,32 @@ def repeated_spans(
         ascii_normalize(F.col(text_col)).alias("_t"),
     )
     hs = gram_rolling_hashes(codepoints(F.col("_t")), k)
-    pos = base.select(
-        "doc_id", "_t", F.posexplode(hs).alias("_p0", "_h")
-    ).select("doc_id", "_t", (F.col("_p0") + 1).alias("pos"), "_h")
+    # Materialize the position index ONCE (dedup-module rule, cf.
+    # winnow_overlap_pairs): it feeds the frequency gate AND the hit
+    # extraction, and the interpreted rolling-hash chain is the dominant
+    # per-row cost — recomputing it per consumer measured ~4x the query.
+    # INTS ONLY in the checkpoint: carrying the doc text per position
+    # would materialize ~gram_len x the corpus; survivors re-join the
+    # (corpus-sized but keyed) text side instead.
+    pos = (
+        base.select("doc_id", F.posexplode(hs).alias("_p0", "_h"))
+        .select("doc_id", (F.col("_p0") + 1).alias("pos"), "_h")
+        .localCheckpoint(eager=True)
+    )
     cand = (
         pos.groupBy("_h")
         .agg(F.count(F.lit(1)).alias("_c"))
         .where(F.col("_c") >= min_count)
         .select("_h")
     )
-    hits = pos.join(cand, "_h", "semi").withColumn(
-        "_s", F.expr(f"substring(_t, pos, {k})")
+    # hits is bounded by the true repeat mass (tiny vs the corpus) and
+    # feeds the confirm aggregate AND the final projection — checkpoint
+    # so the survivor/base join doesn't run twice.
+    hits = (
+        pos.join(cand, "_h", "semi")
+        .join(base, "doc_id")
+        .select("doc_id", "pos", F.expr(f"substring(_t, pos, {k})").alias("_s"))
+        .localCheckpoint(eager=True)
     )
     confirmed_grams = (
         hits.groupBy("_s")

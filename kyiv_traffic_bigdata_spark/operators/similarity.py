@@ -442,3 +442,42 @@ def semdedup(
         "id long, cluster_id long, kept boolean, max_prior_sim double",
     )
     return out.withColumnRenamed("id", id_col)
+
+
+def lsh_bucket_stats(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    dim: int = 64,
+    bands: int = NEARDUP_BANDS,
+    rows_per_band: int | None = None,
+) -> DataFrame:
+    """Index-health monitoring for the banded-LSH family: per-band
+    bucket occupancy (bucket count, row total, max population). The
+    operational check behind the adaptive-width contract — if
+    ``max_bucket`` drifts far above NEARDUP_TARGET_BUCKET the corpus is
+    clustering harder than the uniform assumption and ``target`` (or
+    the band width) needs retuning BEFORE the verify stage goes
+    quadratic. Cost: the same bands × corpus explode as bucketing
+    itself, two hash aggregates, bands rows out."""
+    if rows_per_band is None:
+        rows_per_band = neardup_rows_per_band(corpus.count())
+    band_keys = [
+        hyperplane_sign_bits(F.col(vec_col), dim, rows_per_band, seed=f"rp_b{b}")
+        for b in range(bands)
+    ]
+    bucketed = corpus.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band"), band_keys[b].alias("bkey"))
+                    for b in range(bands)
+                ]
+            )
+        ).alias("_bb")
+    ).select("_bb.band", "_bb.bkey")
+    occ = bucketed.groupBy("band", "bkey").agg(F.count(F.lit(1)).alias("_c"))
+    return occ.groupBy("band").agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.sum("_c").alias("n_rows"),
+        F.max("_c").alias("max_bucket"),
+    )

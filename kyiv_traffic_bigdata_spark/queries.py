@@ -905,12 +905,14 @@ def q_emb_cosine_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sql_emb_neardups() -> str:
-    """Oracle twin of cosine_neardup_pairs. Reproduces the adaptive band
-    width IN SQL (params CTE = neardup_rows_per_band's clamp(ceil(log2(
-    n/target)))) and the per-band plane seeds ("rp_b{b}"), emitting
-    coefficients for the MAX width — each band's plane list is a stable
-    prefix, so the w-bit key is the first w planes of that band."""
+def _sql_lsh_bucket_prefix() -> str:
+    """Shared CTE prefix (params/ce/pl/proj/buckets): the adaptive-width
+    banded hyperplane bucketing of cosine_neardup_pairs reproduced in
+    SQL — params = neardup_rows_per_band's clamp(ceil(log2(n/target))),
+    per-band plane seeds ("rp_b{b}") emitted at MAX width (each band's
+    plane list is a stable prefix, so the w-bit key is the first w
+    planes). Used by both the near-dup oracle and the index-stats
+    oracle."""
     from .functions.vector import plane_coefficients
 
     vals = ", ".join(
@@ -945,7 +947,13 @@ buckets AS (
   SELECT vec_id, band,
          string_agg(CASE WHEN s >= 0 THEN '1' ELSE '0' END, '' ORDER BY p) AS bkey
   FROM proj GROUP BY vec_id, band
-),
+)"""
+
+
+def _sql_emb_neardups() -> str:
+    """Oracle twin of cosine_neardup_pairs (bucket prefix +
+    candidate/verify tail)."""
+    return f"""{_sql_lsh_bucket_prefix()},
 cand AS (
   SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
   FROM buckets a JOIN buckets b
@@ -2660,6 +2668,39 @@ FROM a LEFT JOIN prior ON prior.vec_id = a.vec_id
 """
 
 
+def q_ann_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH index-health monitoring: per-band bucket occupancy for the
+    cosine-neardup index (operators.similarity.lsh_bucket_stats) — the
+    operational dashboard row that says whether the adaptive band width
+    is holding bucket populations near target or the corpus needs a
+    retune before verify work goes quadratic."""
+    n = load_table(spark, sf_dir, "embeddings").count()
+    occ = SIM.lsh_bucket_stats(
+        _emb(spark, sf_dir), rows_per_band=SIM.neardup_rows_per_band(n)
+    )
+    return occ.select(
+        F.col("band").cast("long").alias("band"),
+        "n_buckets",
+        "n_rows",
+        "max_bucket",
+        round6(
+            F.col("n_rows").cast("double") / F.col("n_buckets").cast("double")
+        ).alias("avg_bucket"),
+    )
+
+
+def _sql_ann_index_stats() -> str:
+    return f"""{_sql_lsh_bucket_prefix()},
+occ AS (SELECT band, bkey, COUNT(*) AS c FROM buckets GROUP BY 1, 2)
+SELECT CAST(band AS BIGINT) AS band,
+       CAST(COUNT(*) AS BIGINT) AS n_buckets,
+       CAST(SUM(c) AS BIGINT) AS n_rows,
+       CAST(MAX(c) AS BIGINT) AS max_bucket,
+       {SQL_ROUND6.format(x="CAST(SUM(c) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)")} AS avg_bucket
+FROM occ GROUP BY band
+"""
+
+
 #: PQ geometry: m subspaces × k codewords over the 64-dim embeddings.
 #: m=4/k=16 keeps the DuckDB twin tractable; the operator takes any
 #: (m, k) and at production scale you'd run m=8..16, k=256.
@@ -3498,6 +3539,7 @@ QUERIES: dict[str, QueryFn] = {
     "doc_subword_stats": q_doc_subword_stats,
     "event_audience_overlap": q_event_audience_overlap,
     "doc_repeated_spans": q_doc_repeated_spans,
+    "ann_index_stats": q_ann_index_stats,
     "doc_source_drift": q_doc_source_drift,
     "doc_unigram_logprob": q_doc_unigram_logprob,
     "doc_curation_pipeline": q_doc_curation_pipeline,
@@ -3589,6 +3631,7 @@ def build_oracles() -> dict[str, str]:
         "doc_subword_stats": SQL_DOC_SUBWORD_STATS,
         "event_audience_overlap": SQL_EVENT_AUDIENCE_OVERLAP,
         "doc_repeated_spans": SQL_DOC_REPEATED_SPANS,
+        "ann_index_stats": _sql_ann_index_stats(),
         "doc_source_drift": SQL_DOC_SOURCE_DRIFT,
         "doc_unigram_logprob": SQL_UNIGRAM_LOGPROB,
         "doc_curation_pipeline": _sql_curation_pipeline(),
