@@ -1,9 +1,14 @@
 """Text-analysis column expressions for the LLM-data-pipeline operators.
 
-All pure Catalyst expressions (no Python UDFs) so they run JVM-side inside
-whole-stage codegen over 100 TB document scans. Every function here has a
-DuckDB-SQL twin used by the driver's oracle gate, so cross-engine
-determinism is a design constraint:
+Pure Catalyst expressions so they run JVM-side inside whole-stage codegen
+over 100 TB document scans — with ONE deliberate exception: the rolling-
+hash hot path also ships Arrow-vectorized twins (``*_arrow``) because
+higher-order lambdas run interpreted (no codegen), and the O(n·k) hash
+fold is the dominant cost of the fingerprint/span operators; the twins
+are bit-identical (property-tested) so every oracle stays anchored on
+the expression form. Every function here has a DuckDB-SQL twin used by
+the driver's oracle gate, so cross-engine determinism is a design
+constraint:
 
 * hashing goes through :func:`portable_hash` — the first 8 hex chars of
   md5, parsed as an integer — which both Spark (``conv(substr(md5(x),1,8),
@@ -16,6 +21,7 @@ determinism is a design constraint:
 
 from __future__ import annotations
 
+import pandas as pd  # noqa: F401 — resolves pandas_udf type hints
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -251,6 +257,76 @@ def gram_rolling_hashes(cp: Column, k: int) -> Column:
             ),
         ),
     ).otherwise(F.array().cast("array<long>"))
+
+
+def gram_rolling_hashes_arrow(ascii_col: Column, k: int) -> Column:
+    """Arrow-vectorized twin of ``codepoints`` + ``gram_rolling_hashes``:
+    the IDENTICAL Rabin-Karp fold in int64 numpy (same base/mod, same
+    step order, every intermediate < 2^37), so values are bit-identical
+    to the expression path — equality is property-tested. Exists because
+    higher-order lambdas run interpreted with no codegen: the O(n·k)
+    fold costs ~ms/doc there vs vectorized C here (~100× at k=40).
+    Input must already be ascii-normalized (:func:`ascii_normalize`) —
+    normalization stays JVM-side so only the arithmetic crosses Arrow.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    @pandas_udf("array<long>")
+    def _roll(s: pd.Series) -> pd.Series:
+        out = []
+        for t in s:
+            if not t or len(t) < k:
+                out.append(np.empty(0, dtype=np.int64))
+                continue
+            a = np.frombuffer(t.encode("ascii"), dtype=np.uint8).astype(
+                np.int64
+            )
+            m = a.size - k + 1
+            h = np.zeros(m, dtype=np.int64)
+            for j in range(k):
+                h = (h * ROLL_BASE + a[j : j + m]) % ROLL_MOD
+            out.append(h)
+        return pd.Series(out)
+
+    return _roll(ascii_col)
+
+
+def winnowed_fps_arrow(ascii_col: Column, k: int, w: int) -> Column:
+    """Arrow-vectorized ``gram_rolling_hashes`` + ``winnow`` in one UDF
+    (one Arrow crossing instead of two interpreted passes). Replicates
+    the expression path exactly: sliding-window min, then distinct
+    preserving FIRST occurrence (= ``array_distinct``); < w grams keep
+    the single minimum; empty stays empty. Equality property-tested."""
+    import numpy as np
+    import pandas as pd
+    from numpy.lib.stride_tricks import sliding_window_view
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    @pandas_udf("array<long>")
+    def _win(s: pd.Series) -> pd.Series:
+        out = []
+        for t in s:
+            if not t or len(t) < k:
+                out.append(np.empty(0, dtype=np.int64))
+                continue
+            a = np.frombuffer(t.encode("ascii"), dtype=np.uint8).astype(
+                np.int64
+            )
+            m = a.size - k + 1
+            h = np.zeros(m, dtype=np.int64)
+            for j in range(k):
+                h = (h * ROLL_BASE + a[j : j + m]) % ROLL_MOD
+            if m < w:
+                out.append(np.array([h.min()], dtype=np.int64))
+                continue
+            mins = sliding_window_view(h, w).min(axis=1)
+            _, idx = np.unique(mins, return_index=True)
+            out.append(mins[np.sort(idx)])
+        return pd.Series(out)
+
+    return _win(ascii_col)
 
 
 def winnow(hashes: Column, w: int) -> Column:

@@ -482,24 +482,48 @@ def winnow_fingerprints(
     text_col: str = "text",
     k: int = WINNOW_K,
     w: int = WINNOW_W,
+    engine: str = "arrow",
 ) -> DataFrame:
     """Per-doc winnowed rolling-hash fingerprints (north-star text op:
     document fingerprinting via rolling hash).
 
     Output: (doc_id, n_grams, fps:array<long>) — gram count plus the
-    winnowed fingerprint set. Map-only (no shuffle); each stage of the
-    char→codepoint→gram-hash→winnow chain is materialized as its own
-    projection because higher-order lambdas get no common-subexpression
-    elimination (same staging rationale as queries.q_doc_stats).
+    winnowed fingerprint set. Map-only (no shuffle) on either engine.
+
+    ``engine="arrow"`` (default) computes the hash+winnow arithmetic in
+    one Arrow-vectorized UDF (functions.text.winnowed_fps_arrow) —
+    measured ~3× the whole-query throughput at sf0.1; ``"expr"`` is the
+    pure-Catalyst higher-order-lambda path, bit-identical values
+    (property-tested), kept for environments where Python workers are
+    unavailable. In the expr path each stage of the char→codepoint→
+    gram-hash→winnow chain is materialized as its own projection because
+    higher-order lambdas get no common-subexpression elimination (same
+    staging rationale as queries.q_doc_stats).
     """
-    from ..functions.text import ascii_normalize, codepoints, gram_rolling_hashes, winnow
+    from ..functions.text import (
+        ascii_normalize,
+        codepoints,
+        gram_rolling_hashes,
+        winnow,
+        winnowed_fps_arrow,
+    )
 
     # Partitioning contract: same as shingle_index — the caller spreads
     # the corpus across cores once (_docs_with_tokens); the ~ms/doc
-    # lambda chain here then parallelizes without a second exchange.
-    staged = docs.select(
+    # hash work here then parallelizes without a second exchange.
+    norm = docs.select(
         F.col(id_col).alias("doc_id"), ascii_normalize(F.col(text_col)).alias("_a")
-    ).select("doc_id", codepoints(F.col("_a")).alias("_cp"))
+    )
+    if engine == "arrow":
+        gram_count = F.greatest(
+            F.lit(0).cast("long"), (F.length("_a") - F.lit(k - 1)).cast("long")
+        )
+        return norm.select(
+            "doc_id",
+            gram_count.alias("n_grams"),
+            winnowed_fps_arrow(F.col("_a"), k, w).alias("fps"),
+        )
+    staged = norm.select("doc_id", codepoints(F.col("_a")).alias("_cp"))
     hashed = staged.select(
         "doc_id", gram_rolling_hashes(F.col("_cp"), k).alias("_h")
     )
@@ -610,6 +634,7 @@ def repeated_spans(
     min_count: int = 2,
     id_col: str = "doc_id",
     text_col: str = "text",
+    engine: str = "arrow",
 ) -> DataFrame:
     """EXACT repeated-substring spans — the ExactSubstr dedup semantic of
     Lee et al. 2022 ("Deduplicating Training Data Makes Language Models
@@ -642,14 +667,25 @@ def repeated_spans(
     """
     from pyspark.sql import Window
 
-    from ..functions.text import ascii_normalize, codepoints, gram_rolling_hashes
+    from ..functions.text import (
+        ascii_normalize,
+        codepoints,
+        gram_rolling_hashes,
+        gram_rolling_hashes_arrow,
+    )
 
     k = gram_len
     base = docs.select(
         F.col(id_col).alias("doc_id"),
         ascii_normalize(F.col(text_col)).alias("_t"),
     )
-    hs = gram_rolling_hashes(codepoints(F.col("_t")), k)
+    # engine="arrow" (default): vectorized hash fold, bit-identical to
+    # the expression path (see winnow_fingerprints) — at k=40 the
+    # interpreted fold is the dominant query cost.
+    if engine == "arrow":
+        hs = gram_rolling_hashes_arrow(F.col("_t"), k)
+    else:
+        hs = gram_rolling_hashes(codepoints(F.col("_t")), k)
     # Materialize the position index ONCE (dedup-module rule, cf.
     # winnow_overlap_pairs): it feeds the frequency gate AND the hit
     # extraction, and the interpreted rolling-hash chain is the dominant

@@ -331,3 +331,48 @@ def test_repeated_spans_match_bruteforce(spark, texts, k):
         for r in repeated_spans(docs, gram_len=k).collect()
     }
     assert got == expected
+
+
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+            min_size=0,
+            max_size=60,
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+    st.integers(min_value=2, max_value=9),
+)
+@SETTINGS
+def test_arrow_rolling_hash_paths_bit_identical(spark, texts, k):
+    """The Arrow-vectorized rolling-hash/winnow twins must produce
+    BIT-IDENTICAL arrays to the pure-Catalyst expression path — the
+    contract that lets operators default to the fast engine while the
+    oracle/portability story stays anchored on the expression form."""
+    from kyiv_traffic_bigdata_spark.functions.text import (
+        ascii_normalize,
+        codepoints,
+        gram_rolling_hashes,
+        gram_rolling_hashes_arrow,
+        winnow,
+        winnowed_fps_arrow,
+    )
+
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    ).select("doc_id", ascii_normalize(F.col("text")).alias("_a"))
+    w = 3
+    both = docs.select(
+        "doc_id",
+        gram_rolling_hashes(codepoints(F.col("_a")), k).alias("h_expr"),
+        gram_rolling_hashes_arrow(F.col("_a"), k).alias("h_arrow"),
+        winnow(gram_rolling_hashes(codepoints(F.col("_a")), k), w).alias(
+            "w_expr"
+        ),
+        winnowed_fps_arrow(F.col("_a"), k, w).alias("w_arrow"),
+    ).collect()
+    for r in both:
+        assert list(r.h_expr or []) == list(r.h_arrow or []), r.doc_id
+        assert list(r.w_expr or []) == list(r.w_arrow or []), r.doc_id
