@@ -104,6 +104,33 @@ def word_ngrams(tok: Column, n: int) -> Column:
     )
 
 
+def word_ngrams_arrow(tok: Column, n: int) -> Column:
+    """Arrow-vectorized twin of :func:`word_ngrams` over a TOKEN ARRAY
+    column: distinct word n-grams in first-occurrence order (the
+    ``array_distinct`` contract), empty below n tokens. Tokenization
+    stays JVM-side (regex split is codegen'd); only the interpreted
+    per-position slice/join crosses Arrow. Bit-identical output —
+    property-tested next to the rolling-hash twins."""
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    @pandas_udf("array<string>")
+    def _ng(s: pd.Series) -> pd.Series:
+        out = []
+        for toks in s:
+            if toks is None:
+                out.append([])
+                continue
+            m = len(toks) - n + 1
+            if m <= 0:
+                out.append([])
+                continue
+            grams = [" ".join(toks[i : i + n]) for i in range(m)]
+            out.append(list(dict.fromkeys(grams)))
+        return pd.Series(out)
+
+    return _ng(tok)
+
+
 def char_ngrams(col: Column, n: int) -> Column:
     """Distinct character n-grams of normalized text (for SimHash features)."""
     norm = normalize_text(col)

@@ -53,17 +53,25 @@ def exact_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "t
 
 
 def shingle_index(
-    docs: DataFrame, id_col: str, text_col: str, ngram: int
+    docs: DataFrame, id_col: str, text_col: str, ngram: int,
+    engine: str = "arrow",
 ) -> DataFrame:
     """Inverted index: (doc_id, shingle) with DISTINCT word n-gram shingles.
 
+    ``engine="arrow"`` (default) builds the n-grams in an Arrow-batched
+    UDF (functions.text.word_ngrams_arrow — the per-position slice/join
+    lambda is interpreted and was the dominant per-row cost); tokenization
+    stays JVM-side either way. ``"expr"`` keeps the pure-Catalyst chain,
+    bit-identical (property-tested).
+
     Staged projections on purpose: ``tokens`` (regex normalize + split) is
-    materialized once per row before the n-gram lambda references it.
+    materialized once per row before the n-gram stage references it.
     Higher-order functions get no common-subexpression elimination, so the
     inlined composition re-runs the tokenizer per reference — measured 12×
     slower at sf0.1. CollapseProject keeps the stages separate because the
     alias is non-cheap and multiply-referenced.
     """
+    from ..functions.text import word_ngrams_arrow
     # Partitioning contract: the interpreted higher-order chain below is
     # the dominant per-row cost, so the INPUT must already be spread
     # across cores — the query layer does this once (_docs_with_tokens
@@ -74,7 +82,8 @@ def shingle_index(
     toked = docs.select(
         F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("_tok")
     )
-    grams = toked.select("doc_id", word_ngrams(F.col("_tok"), ngram).alias("_g"))
+    gram_fn = word_ngrams_arrow if engine == "arrow" else word_ngrams
+    grams = toked.select("doc_id", gram_fn(F.col("_tok"), ngram).alias("_g"))
     # explode_outer + post-filter, NOT plain explode: InferFiltersFromGenerate
     # would add size(_g) > 0 under a plain explode, and predicate pushdown
     # then substitutes the whole n-gram expression into a scan-level Filter,

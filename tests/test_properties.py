@@ -376,3 +376,35 @@ def test_arrow_rolling_hash_paths_bit_identical(spark, texts, k):
     for r in both:
         assert list(r.h_expr or []) == list(r.h_arrow or []), r.doc_id
         assert list(r.w_expr or []) == list(r.w_arrow or []), r.doc_id
+
+
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+            min_size=0,
+            max_size=80,
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+    st.integers(min_value=1, max_value=4),
+)
+@SETTINGS
+def test_arrow_word_ngrams_bit_identical(spark, texts, n):
+    from kyiv_traffic_bigdata_spark.functions.text import (
+        tokens,
+        word_ngrams,
+        word_ngrams_arrow,
+    )
+
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    ).select("doc_id", tokens(F.col("text")).alias("_tok"))
+    both = docs.select(
+        "doc_id",
+        word_ngrams(F.col("_tok"), n).alias("g_expr"),
+        word_ngrams_arrow(F.col("_tok"), n).alias("g_arrow"),
+    ).collect()
+    for r in both:
+        assert list(r.g_expr or []) == list(r.g_arrow or []), r.doc_id
