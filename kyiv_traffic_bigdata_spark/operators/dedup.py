@@ -750,3 +750,75 @@ def repeated_spans(
         (F.max("pos") + F.lit(k - 1)).alias("span_end"),
         F.count(F.lit(1)).alias("n_grams"),
     ).drop("_isle")
+
+
+def clip_spans(
+    docs: DataFrame,
+    spans: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """APPLY step of ExactSubstr dedup: remove character ranges from each
+    doc's ascii-normalized text (the ranges :func:`repeated_spans` found).
+    ``spans`` rows are (doc_id, span_start, span_end), 1-based inclusive,
+    NON-OVERLAPPING per doc — exactly the island-merged output shape.
+
+    Surgery is relational, not procedural: each span contributes the
+    segment between the previous span's end and its own start (a lag
+    window over the doc's spans — bounded by spans-per-doc, never corpus-
+    sized), one tail segment closes the doc, and the segments concatenate
+    in position order. Docs with no spans pass through unchanged via the
+    left join. Output: (doc_id, clipped_text, n_clipped_chars).
+    """
+    from pyspark.sql import Window
+
+    from ..functions.text import ascii_normalize
+
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        ascii_normalize(F.col(text_col)).alias("_t"),
+    )
+    sp = spans.select(
+        F.col(id_col).alias("doc_id"),
+        F.col("span_start").alias("_s"),
+        F.col("span_end").alias("_e"),
+    ).join(base, "doc_id")
+    w = Window.partitionBy("doc_id").orderBy("_s")
+    seg_start = F.coalesce(F.lag("_e").over(w), F.lit(0)) + 1
+    # seg_start must exist before the substring referencing it: compute in
+    # two hops (expressions can't reference a sibling alias in one select)
+    segs = (
+        sp.withColumn("seg_start", seg_start)
+        .select(
+            "doc_id",
+            "_s",
+            "_e",
+            F.expr("substring(_t, seg_start, _s - seg_start)").alias("_seg"),
+        )
+    )
+    heads = segs.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_s", "_seg"))),
+                lambda x: x["_seg"],
+            ),
+            "",
+        ).alias("_head"),
+        F.max("_e").alias("_me"),
+    )
+    joined = base.join(heads, "doc_id", "left")
+    clipped = F.when(
+        F.col("_me").isNull(), F.col("_t")
+    ).otherwise(
+        F.concat(
+            F.col("_head"),
+            F.expr("substring(_t, _me + 1, length(_t) - _me)"),
+        )
+    )
+    return joined.select(
+        "doc_id",
+        clipped.alias("clipped_text"),
+        (F.length("_t") - F.length(clipped)).cast("long").alias(
+            "n_clipped_chars"
+        ),
+    )

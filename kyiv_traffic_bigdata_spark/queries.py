@@ -2839,6 +2839,78 @@ FROM grp GROUP BY doc_id, isle
 """
 
 
+def q_doc_clip_repeated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The APPLY step of ExactSubstr dedup: clip every repeated span out
+    of each doc's normalized text (operators.dedup.clip_spans over
+    repeated_spans' islands) and publish the cleaned length, a portable
+    content hash of the clipped text, and the chars removed — the
+    audit columns a curation run writes next to the cleaned corpus.
+    Relational string surgery: a per-doc lag window over the spans
+    (bounded by spans-per-doc) + ordered concat; docs with no spans pass
+    through the left join unchanged."""
+    d = _docs_with_tokens(spark, sf_dir)
+    spans = DD.repeated_spans(d, gram_len=REPEATED_SPAN_GRAM)
+    out = DD.clip_spans(d, spans)
+    return out.select(
+        "doc_id",
+        F.length("clipped_text").cast("long").alias("n_chars_clean"),
+        TX.portable_hash(F.col("clipped_text")).alias("clipped_hash"),
+        "n_clipped_chars",
+    )
+
+
+def _sql_clip_repeated() -> str:
+    k = REPEATED_SPAN_GRAM
+    h = _PORTABLE_HASH.format(
+        s="CASE WHEN heads.me IS NULL THEN n.t ELSE heads.head ||"
+        " substr(n.t, heads.me + 1, len(n.t) - heads.me) END"
+    )
+    return f"""
+WITH n AS (SELECT doc_id, {_ASCII_NORM_SQL} AS t FROM documents),
+pos AS (
+  SELECT doc_id, t, unnest(range(1, len(t) - {k} + 2)) AS p
+  FROM n WHERE len(t) >= {k}
+),
+g AS (SELECT doc_id, p, substr(t, p, {k}) AS s FROM pos),
+rep AS (SELECT s FROM g GROUP BY s HAVING COUNT(*) >= 2),
+hit AS (SELECT doc_id, p FROM g JOIN rep USING (s)),
+isl AS (
+  SELECT doc_id, p,
+         CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p)
+                   <= {k} THEN 0 ELSE 1 END AS brk
+  FROM hit
+),
+grp AS (
+  SELECT doc_id, p, SUM(brk) OVER (PARTITION BY doc_id ORDER BY p) AS isle
+  FROM isl
+),
+spans AS (
+  SELECT doc_id, MIN(p) AS s, MAX(p) + {k} - 1 AS e
+  FROM grp GROUP BY doc_id, isle
+),
+segs AS (
+  SELECT spans.doc_id, s, e,
+         substr(n.t, COALESCE(lag(e) OVER w, 0) + 1,
+                s - (COALESCE(lag(e) OVER w, 0) + 1)) AS seg
+  FROM spans JOIN n USING (doc_id)
+  WINDOW w AS (PARTITION BY spans.doc_id ORDER BY s)
+),
+heads AS (
+  SELECT doc_id, string_agg(seg, '' ORDER BY s) AS head, MAX(e) AS me
+  FROM segs GROUP BY doc_id
+)
+SELECT n.doc_id,
+       CAST(len(CASE WHEN heads.me IS NULL THEN n.t
+                ELSE heads.head || substr(n.t, heads.me + 1, len(n.t) - heads.me)
+                END) AS BIGINT) AS n_chars_clean,
+       {h} AS clipped_hash,
+       CAST(len(n.t) - len(CASE WHEN heads.me IS NULL THEN n.t
+                ELSE heads.head || substr(n.t, heads.me + 1, len(n.t) - heads.me)
+                END) AS BIGINT) AS n_clipped_chars
+FROM n LEFT JOIN heads USING (doc_id)
+"""
+
+
 def q_event_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set-operation coverage (SURVEY §2.7 extension): audience overlap
     between viewers and purchasers via NATIVE ``intersect``/``subtract``
@@ -3539,6 +3611,7 @@ QUERIES: dict[str, QueryFn] = {
     "doc_subword_stats": q_doc_subword_stats,
     "event_audience_overlap": q_event_audience_overlap,
     "doc_repeated_spans": q_doc_repeated_spans,
+    "doc_clip_repeated": q_doc_clip_repeated,
     "ann_index_stats": q_ann_index_stats,
     "doc_source_drift": q_doc_source_drift,
     "doc_unigram_logprob": q_doc_unigram_logprob,
@@ -3631,6 +3704,7 @@ def build_oracles() -> dict[str, str]:
         "doc_subword_stats": SQL_DOC_SUBWORD_STATS,
         "event_audience_overlap": SQL_EVENT_AUDIENCE_OVERLAP,
         "doc_repeated_spans": SQL_DOC_REPEATED_SPANS,
+        "doc_clip_repeated": _sql_clip_repeated(),
         "ann_index_stats": _sql_ann_index_stats(),
         "doc_source_drift": SQL_DOC_SOURCE_DRIFT,
         "doc_unigram_logprob": SQL_UNIGRAM_LOGPROB,

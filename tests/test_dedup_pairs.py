@@ -258,3 +258,29 @@ def test_repeated_spans_empty_and_short_docs(spark):
         [(1, ""), (2, "short"), (3, "short")], "doc_id long, text string"
     )
     assert repeated_spans(docs, gram_len=40).count() == 0
+
+
+def test_clip_spans_surgery_exact(spark):
+    """clip_spans removes exactly the given ranges from the normalized
+    text: interior span, span at position 1, span to the end, multiple
+    spans per doc, and a doc with no spans."""
+    from kyiv_traffic_bigdata_spark.operators.dedup import clip_spans
+
+    docs = spark.createDataFrame(
+        [
+            (1, "abcdefghij"),   # clip [3,5] -> 'abfghij'
+            (2, "abcdefghij"),   # clip [1,2] and [9,10] -> 'cdefgh'
+            (3, "abcdefghij"),   # clip [1,10] -> ''
+            (4, "untouched"),
+        ],
+        "doc_id long, text string",
+    )
+    spans = spark.createDataFrame(
+        [(1, 3, 5), (2, 1, 2), (2, 9, 10), (3, 1, 10)],
+        "doc_id long, span_start long, span_end long",
+    )
+    rows = {r.doc_id: r for r in clip_spans(docs, spans).collect()}
+    assert rows[1].clipped_text == "abfghij" and rows[1].n_clipped_chars == 3
+    assert rows[2].clipped_text == "cdefgh" and rows[2].n_clipped_chars == 4
+    assert rows[3].clipped_text == "" and rows[3].n_clipped_chars == 10
+    assert rows[4].clipped_text == "untouched" and rows[4].n_clipped_chars == 0
