@@ -130,3 +130,40 @@ def test_date_partitioned_store_prunes_partitions(spark, tmp_path):
     assert m and "20260207" in m.group(1), plan
     assert back.count() == 1
 
+
+
+def test_columnar_and_text_format_roundtrips(spark, sf_dir, tmp_path):
+    """Format-layer breadth: the store layer isn't parquet-only — ORC
+    (columnar twin), JSON lines, and headered CSV all round-trip the
+    same rows bit-for-bit (timestamps through CSV get an explicit
+    format; ORC/JSON preserve types natively)."""
+    li = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .select("l_orderkey", "l_quantity", "l_returnflag", "l_shipdate")
+        .limit(200)
+    )
+    rows = sorted(map(tuple, li.collect()))
+
+    orc = str(tmp_path / "orc")
+    li.write.mode("overwrite").orc(orc)
+    assert sorted(map(tuple, spark.read.orc(orc).collect())) == rows
+
+    js = str(tmp_path / "json")
+    li.write.mode("overwrite").json(js)
+    got_js = (
+        spark.read.schema(li.schema).json(js).collect()
+    )
+    assert sorted(map(tuple, got_js)) == rows
+
+    csv = str(tmp_path / "csv")
+    li.write.mode("overwrite").option("header", True).option(
+        "timestampFormat", "yyyy-MM-dd HH:mm:ss"
+    ).csv(csv)
+    got_csv = (
+        spark.read.schema(li.schema)
+        .option("header", True)
+        .option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
+        .csv(csv)
+        .collect()
+    )
+    assert sorted(map(tuple, got_csv)) == rows

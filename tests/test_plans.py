@@ -340,3 +340,14 @@ def test_semdedup_single_cluster_exchange(plans):
     assert "BroadcastNestedLoop" not in plan
     assert "CartesianProduct" not in plan
     assert exchange_count(plan) <= 2  # round-robin balance + cluster group
+
+
+def test_repeated_spans_windows_are_per_doc(plans):
+    """ExactSubstr span queries: the only sorts are per-doc window
+    sorts (bounded by doc length) — no global sort, no cartesian; and
+    the frequency gate must partial-aggregate map-side."""
+    for q in ("doc_repeated_spans", "doc_clip_repeated"):
+        plan = plans(q)
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoop" not in plan
+        assert "partial_count" in plan or "partial_" in plan

@@ -266,3 +266,29 @@ def test_streaming_dimension_upsert_sink(spark, tmp_path):
         assert snap2 == {1: "a2", 2: "new", 3: "c", 4: "d"}
     finally:
         q.stop()
+
+
+def test_upsert_store_orphan_version_invisible(spark, tmp_path):
+    """Crash consistency: a version dir written without a pointer
+    advance (death between write and commit) is invisible garbage —
+    the reader keeps serving the committed snapshot."""
+    import os
+
+    from kyiv_traffic_bigdata_spark.streaming.analytics import (
+        current_dimension_version,
+        read_current_dimension,
+    )
+
+    store = str(tmp_path / "store")
+    os.makedirs(store)
+    committed = spark.createDataFrame([(1, "a")], "id long, val string")
+    committed.write.parquet(os.path.join(store, "v0"))
+    with open(os.path.join(store, "_CURRENT"), "w") as f:
+        f.write("v0")
+    # orphan: a half-finished v1 with different content, no pointer move
+    spark.createDataFrame([(1, "CRASHED")], "id long, val string").write.parquet(
+        os.path.join(store, "v1")
+    )
+    assert current_dimension_version(store) == "v0"
+    got = read_current_dimension(spark, store).collect()
+    assert [(r.id, r.val) for r in got] == [(1, "a")]
