@@ -2911,6 +2911,62 @@ FROM n LEFT JOIN heads USING (doc_id)
 """
 
 
+#: Train/val/test split fractions (cumulative upper bounds, as exact
+#: 32-bit integer thresholds so both engines compare integers).
+SPLIT_TRAIN_MAX = int(0.8 * (1 << 32))
+SPLIT_VAL_MAX = int(0.9 * (1 << 32))
+
+
+def q_doc_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split profile: every doc is assigned
+    by the portable hash of its CONTENT fingerprint — not its id — so
+    byte-identical duplicates can never straddle splits (the classic
+    eval-contamination bug), re-crawled copies land deterministically,
+    and the assignment survives any re-partitioning or engine change
+    (same contract as operators.sample). Map-only assignment + one
+    3-row aggregate."""
+    d = _docs_with_tokens(spark, sf_dir)
+    u = TX.portable_hash(TX.fingerprint(F.col("text")))
+    split = (
+        F.when(u < SPLIT_TRAIN_MAX, F.lit("train"))
+        .when(u < SPLIT_VAL_MAX, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    # footer-metadata count on the RAW table (counting the repartitioned
+    # frame would execute the round-robin shuffle just to learn n)
+    total = load_table(spark, sf_dir, "documents").count()
+    return (
+        d.select(split.alias("split"), TX.token_count(F.col("text")).alias("_tk"))
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_tk").cast("long").alias("n_tokens"),
+            round6(F.count(F.lit(1)).cast("double") / F.lit(float(total))).alias(
+                "share"
+            ),
+        )
+    )
+
+
+def _sql_doc_splits() -> str:
+    h = _PORTABLE_HASH.format(s=f"md5({_norm('text')})")
+    return f"""
+WITH a AS (
+  SELECT CASE WHEN {h} < {SPLIT_TRAIN_MAX} THEN 'train'
+              WHEN {h} < {SPLIT_VAL_MAX} THEN 'val'
+              ELSE 'test' END AS split,
+         CAST(len({_toks('text')}) AS BIGINT) AS tk
+  FROM documents
+),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents)
+SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(tk) AS BIGINT) AS n_tokens,
+       {SQL_ROUND6.format(x="CAST(COUNT(*) AS DOUBLE) / CAST(tot.n AS DOUBLE)")} AS share
+FROM a CROSS JOIN tot
+GROUP BY split, tot.n
+"""
+
+
 def q_event_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set-operation coverage (SURVEY §2.7 extension): audience overlap
     between viewers and purchasers via NATIVE ``intersect``/``subtract``
@@ -3612,6 +3668,7 @@ QUERIES: dict[str, QueryFn] = {
     "event_audience_overlap": q_event_audience_overlap,
     "doc_repeated_spans": q_doc_repeated_spans,
     "doc_clip_repeated": q_doc_clip_repeated,
+    "doc_splits": q_doc_splits,
     "ann_index_stats": q_ann_index_stats,
     "doc_source_drift": q_doc_source_drift,
     "doc_unigram_logprob": q_doc_unigram_logprob,
@@ -3705,6 +3762,7 @@ def build_oracles() -> dict[str, str]:
         "event_audience_overlap": SQL_EVENT_AUDIENCE_OVERLAP,
         "doc_repeated_spans": SQL_DOC_REPEATED_SPANS,
         "doc_clip_repeated": _sql_clip_repeated(),
+        "doc_splits": _sql_doc_splits(),
         "ann_index_stats": _sql_ann_index_stats(),
         "doc_source_drift": SQL_DOC_SOURCE_DRIFT,
         "doc_unigram_logprob": SQL_UNIGRAM_LOGPROB,

@@ -261,3 +261,25 @@ def test_upsert_is_idempotent(spark, tmp_path):
     rows1 = sorted(map(tuple, spark.read.parquet(v1).collect()))
     rows2 = sorted(map(tuple, spark.read.parquet(v2).collect()))
     assert rows1 == rows2 == [(1, "a"), (2, "B"), (3, "c")]
+
+
+def test_content_hash_splits_keep_duplicates_together(spark):
+    """The split key is the CONTENT fingerprint, so byte-identical docs
+    (even with different ids) always land in the same split — the
+    eval-contamination guard a doc_id-keyed split cannot give."""
+    from kyiv_traffic_bigdata_spark.functions.text import fingerprint, portable_hash
+    from kyiv_traffic_bigdata_spark.queries import SPLIT_TRAIN_MAX, SPLIT_VAL_MAX
+    from pyspark.sql import functions as F
+
+    texts = [f"document body number {i} with content" for i in range(30)]
+    rows = [(i, texts[i % 30]) for i in range(90)]  # every text x3 ids
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    u = portable_hash(fingerprint(F.col("text")))
+    split = (
+        F.when(u < SPLIT_TRAIN_MAX, F.lit("train"))
+        .when(u < SPLIT_VAL_MAX, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    assigned = d.select("text", split.alias("split")).distinct()
+    # one split per distinct content -> 30 rows, not more
+    assert assigned.count() == 30
