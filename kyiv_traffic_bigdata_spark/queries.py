@@ -1203,6 +1203,118 @@ FROM toks
 """
 
 
+def _sql_lang_id_case() -> str:
+    """DuckDB twin of functions.text.lang_id over a token list ``t``."""
+    scores = {
+        lang: f"len(list_distinct(list_intersect(t, {_sw_sql(words)})))"
+        for lang, words in TX.LANG_STOPWORDS.items()
+    }
+    best = "greatest(" + ", ".join(scores.values()) + ")"
+    cases = " ".join(
+        f"WHEN {scores[lang]} > 0 AND {scores[lang]} = {best} THEN '{lang}'"
+        for lang in TX.LANG_STOPWORDS
+    )
+    return f"CASE {cases} ELSE 'und' END"
+
+
+def q_doc_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-eval view of the lang-ID heuristic: the (labeled lang
+    × predicted lang) confusion matrix with per-label recall shares —
+    the table that says which languages the n-gram detector confuses
+    before anyone trusts its corpus routing. Two hash aggregates; the
+    per-label totals ride a broadcast."""
+    d = _docs_with_tokens(spark, sf_dir)
+    staged = d.select(
+        "lang", TX.lang_id(TX.tokens(F.col("text"))).alias("pred_lang")
+    )
+    cells = staged.groupBy("lang", "pred_lang").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    totals = cells.groupBy("lang").agg(F.sum("n_docs").alias("_tot"))
+    return cells.join(F.broadcast(totals), "lang").select(
+        "lang",
+        "pred_lang",
+        "n_docs",
+        round6(
+            F.col("n_docs").cast("double") / F.col("_tot").cast("double")
+        ).alias("share"),
+    )
+
+
+def _sql_langid_confusion() -> str:
+    return f"""
+WITH toks AS (SELECT lang, {_toks('text')} AS t FROM documents),
+pred AS (SELECT lang, {_sql_lang_id_case()} AS pred_lang FROM toks),
+cells AS (
+  SELECT lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM pred GROUP BY 1, 2
+),
+tot AS (SELECT lang, SUM(n_docs) AS t FROM cells GROUP BY lang)
+SELECT cells.lang, pred_lang, n_docs,
+       {SQL_ROUND6.format(x="CAST(n_docs AS DOUBLE) / CAST(t AS DOUBLE)")} AS share
+FROM cells JOIN tot ON cells.lang = tot.lang
+"""
+
+
+def q_event_anomaly_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monitoring-style anomaly profile: per event type, how many events
+    sit ≥ 3 sample standard deviations from the type mean, and the most
+    extreme |z|. The stats pass is one 5-row aggregate with DECIMAL-
+    stable sum/sum-of-squares (variance from the explicit
+    (Σx² − (Σx)²/n)/(n−1) form — NOT the engines' differing one-pass
+    stddev implementations, so both sides compute identical doubles);
+    the stats ride a broadcast back onto the stream for a map-only
+    z-score."""
+    ev = load_table(spark, sf_dir, "events")
+    stats = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(dec("value")).cast("double").alias("_s"),
+        F.sum(dec(F.col("value") * F.col("value"))).cast("double").alias("_s2"),
+    )
+    stats = stats.select(
+        "event_type",
+        "_n",
+        (F.col("_s") / F.col("_n")).alias("_mean"),
+        F.sqrt(
+            (F.col("_s2") - F.col("_s") * F.col("_s") / F.col("_n"))
+            / (F.col("_n") - 1)
+        ).alias("_std"),
+    )
+    z = (F.col("value") - F.col("_mean")) / F.col("_std")
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .select("event_type", F.abs(z).alias("_az"))
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.when(F.col("_az") >= 3.0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_anomalies"),
+            round6(F.max("_az")).alias("max_abs_z"),
+        )
+    )
+
+
+SQL_EVENT_ANOMALY = f"""
+WITH stats AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         {_ssum('value')} AS s, {_ssum('value * value')} AS s2
+  FROM events GROUP BY event_type
+),
+st AS (
+  SELECT event_type, n, s / n AS mean, sqrt((s2 - s * s / n) / (n - 1)) AS std
+  FROM stats
+),
+z AS (
+  SELECT events.event_type, abs((value - mean) / std) AS az
+  FROM events JOIN st ON events.event_type = st.event_type
+)
+SELECT event_type,
+       CAST(SUM(CASE WHEN az >= 3.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies,
+       {SQL_ROUND6.format(x="MAX(az)")} AS max_abs_z
+FROM z GROUP BY event_type
+"""
+
+
 def q_doc_lang_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting rolled up by language (corpus budgeting)."""
     d = _docs_with_tokens(spark, sf_dir)
@@ -3669,6 +3781,8 @@ QUERIES: dict[str, QueryFn] = {
     "doc_repeated_spans": q_doc_repeated_spans,
     "doc_clip_repeated": q_doc_clip_repeated,
     "doc_splits": q_doc_splits,
+    "doc_langid_confusion": q_doc_langid_confusion,
+    "event_anomaly_profile": q_event_anomaly_profile,
     "ann_index_stats": q_ann_index_stats,
     "doc_source_drift": q_doc_source_drift,
     "doc_unigram_logprob": q_doc_unigram_logprob,
@@ -3763,6 +3877,8 @@ def build_oracles() -> dict[str, str]:
         "doc_repeated_spans": SQL_DOC_REPEATED_SPANS,
         "doc_clip_repeated": _sql_clip_repeated(),
         "doc_splits": _sql_doc_splits(),
+        "doc_langid_confusion": _sql_langid_confusion(),
+        "event_anomaly_profile": SQL_EVENT_ANOMALY,
         "ann_index_stats": _sql_ann_index_stats(),
         "doc_source_drift": SQL_DOC_SOURCE_DRIFT,
         "doc_unigram_logprob": SQL_UNIGRAM_LOGPROB,

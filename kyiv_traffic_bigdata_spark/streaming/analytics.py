@@ -208,3 +208,41 @@ def start_dimension_upsert_sink(
         .trigger(processingTime=f"{trigger_s} seconds")
         .start()
     )
+
+
+def prune_dimension_versions(store_dir: str, keep: int = 3) -> list[str]:
+    """Retention for the upsert store: delete old version dirs, keeping
+    the ``keep`` most recent committed ones (the current pointer target
+    is always kept regardless). Orphan dirs newer than the pointer —
+    a crashed write that never committed — are also removed: they are
+    invisible garbage by the pointer protocol. Returns removed names.
+
+    Driver-side metadata work (a directory listing), same posture as
+    operators.maintenance.compact_parquet."""
+    import os
+    import re
+    import shutil
+
+    cur = current_dimension_version(store_dir)
+    if cur is None:
+        return []
+    versions = sorted(
+        (
+            d
+            for d in os.listdir(store_dir)
+            if re.fullmatch(r"v\d+", d)
+            and os.path.isdir(os.path.join(store_dir, d))
+        ),
+        key=lambda d: int(d[1:]),
+    )
+    cur_ord = int(cur[1:])
+    committed = [v for v in versions if int(v[1:]) <= cur_ord]
+    orphans = [v for v in versions if int(v[1:]) > cur_ord]
+    stale = committed[:-keep] if keep > 0 else committed[:-1]
+    removed = []
+    for v in stale + orphans:
+        if v == cur:
+            continue
+        shutil.rmtree(os.path.join(store_dir, v))
+        removed.append(v)
+    return removed

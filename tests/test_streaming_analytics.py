@@ -292,3 +292,32 @@ def test_upsert_store_orphan_version_invisible(spark, tmp_path):
     assert current_dimension_version(store) == "v0"
     got = read_current_dimension(spark, store).collect()
     assert [(r.id, r.val) for r in got] == [(1, "a")]
+
+
+def test_prune_dimension_versions(spark, tmp_path):
+    import os
+
+    from kyiv_traffic_bigdata_spark.streaming.analytics import (
+        prune_dimension_versions,
+        read_current_dimension,
+    )
+
+    store = str(tmp_path / "store")
+    os.makedirs(store)
+    for i in (0, 1, 2, 3):
+        spark.createDataFrame([(i,)], "id long").write.parquet(
+            os.path.join(store, f"v{i}")
+        )
+    with open(os.path.join(store, "_CURRENT"), "w") as f:
+        f.write("v3")
+    # orphan beyond the pointer: crashed write
+    spark.createDataFrame([(9,)], "id long").write.parquet(
+        os.path.join(store, "v9")
+    )
+    removed = prune_dimension_versions(store, keep=2)
+    assert sorted(removed) == ["v0", "v1", "v9"]
+    assert sorted(os.listdir(store)) == ["_CURRENT", "v2", "v3"]
+    assert read_current_dimension(spark, store).collect()[0].id == 3
+    # keep=0 degenerates to keep-current-only
+    removed = prune_dimension_versions(store, keep=0)
+    assert removed == ["v2"]
