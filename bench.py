@@ -49,6 +49,26 @@ def main() -> None:
             errors[f"warmup:{t}"] = str(exc).splitlines()[0][:300]
             print(f"# warmup {t} FAILED: {errors[f'warmup:{t}']}", file=sys.stderr)
 
+    # Warm the Python/Arrow worker pool once across all cores: the
+    # pandas_udf-backed queries would otherwise pay worker spawn in
+    # their first timed sample (same long-running-cluster posture as
+    # the JVM warmup above).
+    try:
+        from pyspark.sql import functions as F
+
+        from kyiv_traffic_bigdata_spark.functions.text import (
+            gram_rolling_hashes_arrow,
+        )
+
+        (
+            spark.range(spark.sparkContext.defaultParallelism * 4)
+            .repartition(spark.sparkContext.defaultParallelism)
+            .select(gram_rolling_hashes_arrow(F.lit("warmup text"), 3))
+            .count()
+        )
+    except Exception as exc:  # noqa: BLE001
+        errors["warmup:arrow"] = str(exc).splitlines()[0][:300]
+
     # Best-of-N per query: local[32] shows ±10-20% run-to-run noise, so a
     # single sample makes round-over-round comparisons noise artifacts.
     # The first run also pays that query's codegen/broadcast warmup; min
