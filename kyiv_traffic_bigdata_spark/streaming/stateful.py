@@ -238,3 +238,150 @@ def streaming_sessionize(
 
 
 __all__ += ["streaming_sessionize", "make_session_fn", "SESSION_OUTPUT_SCHEMA"]
+
+
+# ---------------------------------------------------------------------------
+# transformWithState twin (the Spark 4 StatefulProcessor API)
+# ---------------------------------------------------------------------------
+
+from pyspark.sql.streaming.stateful_processor import (  # noqa: E402
+    StatefulProcessor,
+    StatefulProcessorHandle,
+)
+
+
+class TrajectorySpeedProcessor(StatefulProcessor):
+    """Spark-4 ``transformWithState`` form of the trajectory-speed op —
+    identical per-key semantics to :func:`make_speed_fn`, expressed on
+    the new StatefulProcessor API: typed ``ValueState`` for the last
+    fix with a STORE-MANAGED TTL (the state store expires the entry
+    itself — no timeout callback round-trip like GroupState), and
+    state schema evolution handled by the store. Requires the RocksDB
+    provider (the TWS contract in OSS Spark 4) — the wrapper below
+    enforces it. Both forms stay in the suite: applyInPandasWithState
+    is the broadly-deployed API, this is where Spark stateful
+    processing is going.
+    """
+
+    def __init__(
+        self,
+        gap_max_s: int = MAX_TIME_GAP_S,
+        speed_max: float = MAX_PLAUSIBLE_SPEED_KMH,
+        state_ttl_s: int = 3600,
+    ):
+        self._gap_max_s = gap_max_s
+        self._speed_max = speed_max
+        self._ttl_ms = state_ttl_s * 1000
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._fix = handle.getValueState(
+            "last_fix", STATE_SCHEMA, ttlDurationMs=self._ttl_ms
+        )
+
+    def handleInputRows(self, key, rows, timer_values):  # noqa: ANN001
+        batch = pd.concat(list(rows), ignore_index=True)
+        if batch.empty:
+            return
+        batch = batch.sort_values("ts", kind="mergesort", ignore_index=True)
+        if self._fix.exists():
+            st = self._fix.get()
+            prev = pd.DataFrame(
+                {"lat": [float(st[0])], "lon": [float(st[1])], "ts": [int(st[2])]}
+            )
+            chain = pd.concat(
+                [prev, batch[["lat", "lon", "ts"]]], ignore_index=True
+            )
+        else:
+            chain = batch[["lat", "lon", "ts"]]
+        last = chain.iloc[-1]
+        self._fix.update(
+            (float(last["lat"]), float(last["lon"]), int(last["ts"]))
+        )
+        if len(chain) < 2:
+            return
+        cur = chain.iloc[1:].reset_index(drop=True)
+        prv = chain.iloc[:-1].reset_index(drop=True)
+        dt = (cur["ts"] - prv["ts"]).astype("int64")
+        dist = _haversine_km(
+            prv["lat"].to_numpy(), prv["lon"].to_numpy(),
+            cur["lat"].to_numpy(), cur["lon"].to_numpy(),
+        )
+        speed = pd.Series(dist, dtype="float64") * 3600.0 / dt.where(dt != 0, 1)
+        out = pd.DataFrame(
+            {
+                "vehicle_id": key[0],
+                "ts": cur["ts"].astype("int64"),
+                "dt_s": dt,
+                "dist_km": dist,
+                "speed_kmh": speed,
+            }
+        )
+        mask = (
+            (dt > 0)
+            & (dt <= self._gap_max_s)
+            & (speed > 0)
+            & (speed < self._speed_max)
+        )
+        out = out[mask.to_numpy()]
+        if not out.empty:
+            yield out
+
+    def close(self) -> None:
+        pass
+
+
+def transform_with_state_available(spark: DataFrame | None = None) -> bool:
+    """True when this platform can RUN transformWithState: the worker
+    protocol needs ``google.protobuf`` (absent in some sandboxes) and
+    the RocksDB state store (the TWS contract in OSS Spark 4)."""
+    try:
+        import google.protobuf.descriptor  # noqa: F401
+    except Exception:  # noqa: BLE001
+        return False
+    if spark is None:
+        return True
+    from .state import rocksdb_available
+
+    return rocksdb_available(
+        spark if not isinstance(spark, DataFrame) else spark.sparkSession
+    )
+
+
+def streaming_trajectory_speeds_v2(
+    positions: DataFrame,
+    gap_max_s: int = MAX_TIME_GAP_S,
+    speed_max: float = MAX_PLAUSIBLE_SPEED_KMH,
+    state_ttl_s: int = 3600,
+) -> DataFrame:
+    """W1 trajectory speeds on ``transformWithStateInPandas`` (same
+    contract as :func:`streaming_trajectory_speeds`). Raises unless the
+    platform can run TWS (RocksDB store + protobuf in the Python
+    workers — see :func:`transform_with_state_available`); callers on
+    platforms without either use the applyInPandasWithState form. The
+    processor's per-key logic is platform-independent and unit-tested
+    sans-IO against a fake handle (tests/test_stateful_streaming.py),
+    the same seam discipline as streaming/transport.py."""
+    from .state import ROCKSDB_PROVIDER, configure_state_store
+
+    provider = configure_state_store(positions.sparkSession)
+    if provider != ROCKSDB_PROVIDER or not transform_with_state_available():
+        raise RuntimeError(
+            "transformWithState requires the RocksDB state store and "
+            "google.protobuf in the Python workers; "
+            "use streaming_trajectory_speeds on this platform"
+        )
+    return positions.groupBy("vehicle_id").transformWithStateInPandas(
+        statefulProcessor=TrajectorySpeedProcessor(
+            gap_max_s, speed_max, state_ttl_s
+        ),
+        outputStructType=OUTPUT_SCHEMA,
+        outputMode="append",
+        timeMode="none",
+    )
+
+
+__all__ += [
+    "streaming_trajectory_speeds_v2",
+    "TrajectorySpeedProcessor",
+    "transform_with_state_available",
+]

@@ -249,3 +249,123 @@ def test_session_fn_late_event_does_not_regress_session_end():
     # start widens to the late 700s event — the batch twin sorting the
     # full history (700, 800, 1000, 1100) reports the same session
     assert (start, last, n) == (700 * US, 1100 * US, 4)
+
+
+class _FakeValueState:
+    """Sans-IO stand-in for the TWS ValueState (same seam discipline as
+    the transport tests' fake sockets)."""
+
+    def __init__(self):
+        self._v = None
+
+    def exists(self):
+        return self._v is not None
+
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+
+    def clear(self):
+        self._v = None
+
+
+class _FakeHandle:
+    def __init__(self):
+        self.states = {}
+
+    def getValueState(self, name, schema, ttlDurationMs=None):
+        self.states[name] = _FakeValueState()
+        self.ttl_ms = ttlDurationMs
+        return self.states[name]
+
+
+def test_tws_processor_logic_sans_io():
+    """The transformWithState processor's per-key logic, driven directly
+    against a fake handle: in-batch pairing, cross-batch state carry,
+    guard gating, and state advance — platform-independent, so it runs
+    even where the TWS wire protocol (protobuf workers + RocksDB)
+    cannot."""
+    import pandas as pd
+
+    from kyiv_traffic_bigdata_spark.streaming.stateful import (
+        TrajectorySpeedProcessor,
+    )
+
+    p = TrajectorySpeedProcessor(state_ttl_s=60)
+    h = _FakeHandle()
+    p.init(h)
+    assert h.ttl_ms == 60_000
+
+    b1 = pd.DataFrame(
+        {"lat": [50.40, 50.41], "lon": [30.50, 30.50], "ts": [1000, 1060]}
+    )
+    out1 = pd.concat(list(p.handleInputRows((1,), iter([b1]), None)))
+    assert list(out1["ts"]) == [1060] and list(out1["dt_s"]) == [60]
+    # state advanced to the newest fix
+    assert h.states["last_fix"].get()[2] == 1060
+
+    # batch 2: one fix -> pairs against REMEMBERED state
+    b2 = pd.DataFrame({"lat": [50.42], "lon": [30.50], "ts": [1120]})
+    out2 = pd.concat(list(p.handleInputRows((1,), iter([b2]), None)))
+    assert list(out2["ts"]) == [1120] and list(out2["dt_s"]) == [60]
+
+    # implausible gap is gated but still advances state
+    b3 = pd.DataFrame({"lat": [50.43], "lon": [30.50], "ts": [99_999_999]})
+    assert list(p.handleInputRows((1,), iter([b3]), None)) == []
+    assert h.states["last_fix"].get()[2] == 99_999_999
+
+
+def test_transform_with_state_matches_group_state_twin(spark, tmp_path):
+    """End-to-end TWS parity with the applyInPandasWithState form —
+    runnable only where the TWS wire protocol is available (protobuf in
+    the Python workers + the RocksDB provider); skipped otherwise, with
+    the logic covered sans-IO above."""
+    import pytest
+
+    from kyiv_traffic_bigdata_spark.streaming.stateful import (
+        streaming_trajectory_speeds_v2,
+        transform_with_state_available,
+    )
+
+    if not transform_with_state_available(spark):
+        pytest.skip("transformWithState platform deps unavailable")
+
+    src = tmp_path / "src"
+    src.mkdir()
+    _write_batch(
+        src,
+        "b1.json",
+        [(1, 50.40, 30.50, 1000), (1, 50.41, 30.50, 1060), (2, 50.45, 30.52, 1000)],
+    )
+    stream = spark.readStream.schema(SCHEMA).json(str(src))
+    q = (
+        streaming_trajectory_speeds_v2(stream)
+        .writeStream.format("memory")
+        .queryName("traj_tws")
+        .option("checkpointLocation", str(tmp_path / "ckpt_tws"))
+        .outputMode("append")
+        .trigger(processingTime="1 seconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 90
+        while time.time() < deadline:
+            if spark.sql("SELECT * FROM traj_tws").count() >= 1:
+                break
+            time.sleep(0.5)
+        _write_batch(src, "b2.json", [(1, 50.42, 30.50, 1120), (2, 50.46, 30.52, 1060)])
+        while time.time() < deadline:
+            if spark.sql("SELECT * FROM traj_tws").count() >= 3:
+                break
+            time.sleep(0.5)
+        rows = {
+            (r.vehicle_id, r.ts): (r.dt_s, round(r.speed_kmh, 6))
+            for r in spark.sql("SELECT * FROM traj_tws").collect()
+        }
+    finally:
+        q.stop()
+    # same three pairs (incl. the cross-batch ones) as the GroupState twin
+    assert set(rows) == {(1, 1060), (1, 1120), (2, 1060)}
+    assert rows[(1, 1120)][0] == 60
