@@ -3249,6 +3249,72 @@ FROM j GROUP BY source
 """
 
 
+def q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q6-shaped pure scan-side aggregate: revenue delta from a
+    hypothetical discount change over one year. Every predicate is a
+    raw-column comparison, so ALL of them reach the parquet scan
+    (PushedFilters + row-group stats pruning) — the query is a
+    one-scan, zero-join, zero-shuffle-beyond-partials measurement of
+    the pushdown path."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.02)
+        & (F.col("l_discount") <= 0.04)
+        & (F.col("l_quantity") < 24.0)
+    )
+    return li.agg(
+        F.sum((F.col("l_extendedprice") * F.col("l_discount")).cast(DEC))
+        .cast("double")
+        .alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+SQL_FORECAST_REVENUE = f"""
+SELECT {_ssum('l_extendedprice * l_discount')} AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND l_discount BETWEEN 0.02 AND 0.04
+  AND l_quantity < 24.0
+"""
+
+
+def q_priority_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q4-shaped EXISTS semi-join: orders from one quarter with at
+    least one lineitem shipped after the order date, counted per
+    priority. The EXISTS compiles to a LEFT SEMI join on orderkey with
+    the date comparison as the join residual — each order is tested
+    once, no fan-out, no distinct pass."""
+    orders = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    late = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > orders.o_orderdate),
+        "semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+
+
+SQL_PRIORITY_COUNT = """
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o_orderdate < TIMESTAMP '1997-04-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+GROUP BY o_orderpriority
+"""
+
+
 def q_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q10-shaped returned-item report: revenue lost to returns
     per customer over one quarter, top-20. The `l_returnflag = 'R'` and
@@ -3766,6 +3832,8 @@ QUERIES: dict[str, QueryFn] = {
     "shipping_priority": q_shipping_priority,
     "local_supplier_volume": q_local_supplier_volume,
     "returned_items": q_returned_items,
+    "forecast_revenue": q_forecast_revenue,
+    "priority_count": q_priority_count,
     "promo_revenue": q_promo_revenue,
     "top_revenue_supplier": q_top_revenue_supplier,
     "small_quantity_revenue": q_small_quantity_revenue,
@@ -3861,6 +3929,8 @@ def build_oracles() -> dict[str, str]:
         "shipping_priority": SQL_SHIPPING_PRIORITY,
         "local_supplier_volume": SQL_LOCAL_SUPPLIER_VOLUME,
         "returned_items": SQL_RETURNED_ITEMS,
+        "forecast_revenue": SQL_FORECAST_REVENUE,
+        "priority_count": SQL_PRIORITY_COUNT,
         "promo_revenue": SQL_PROMO_REVENUE,
         "top_revenue_supplier": SQL_TOP_REVENUE_SUPPLIER,
         "small_quantity_revenue": SQL_SMALL_QUANTITY_REVENUE,

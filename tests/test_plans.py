@@ -351,3 +351,21 @@ def test_repeated_spans_windows_are_per_doc(plans):
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoop" not in plan
         assert "partial_count" in plan or "partial_" in plan
+
+
+def test_forecast_revenue_all_predicates_pushed(plans):
+    """TPC-H-Q6 shape: every predicate is a raw-column comparison, so
+    all four must reach the parquet scan; no join anywhere."""
+    plan = plans("forecast_revenue")
+    pushed = " | ".join(scan_filter_exprs(plan))
+    for c in ("l_shipdate", "l_discount", "l_quantity"):
+        assert c in pushed, c
+    assert "Join" not in plan
+
+
+def test_priority_count_exists_is_semi_join(plans):
+    """TPC-H-Q4 shape: EXISTS must plan as a LEFT SEMI join with the
+    date comparison as residual — never a fan-out join + distinct."""
+    plan = plans("priority_count")
+    assert re.search(r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin).*LeftSemi", plan)
+    assert "Distinct" not in plan
