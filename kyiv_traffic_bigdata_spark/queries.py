@@ -1175,15 +1175,6 @@ def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _sql_doc_stats() -> str:
     toks = _toks("text")
-    scores = {
-        lang: f"len(list_distinct(list_intersect(t, {_sw_sql(words)})))"
-        for lang, words in TX.LANG_STOPWORDS.items()
-    }
-    best = "greatest(" + ", ".join(scores.values()) + ")"
-    cases = " ".join(
-        f"WHEN {scores[lang]} > 0 AND {scores[lang]} = {best} THEN '{lang}'"
-        for lang in TX.LANG_STOPWORDS
-    )
     sw = _sw_sql(TX.QUALITY_STOPWORDS)
     swr = f"(CASE WHEN len(t) = 0 THEN 0.0 ELSE CAST(len(list_filter(t, x -> list_contains({sw}, x))) AS DOUBLE) / len(t) END)"
     alpha = "(CASE WHEN length(text) = 0 THEN 0.0 ELSE CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / length(text) END)"
@@ -1198,7 +1189,7 @@ SELECT doc_id, lang,
   (floor(({punct}) * 1000000.0 + 0.5) / 1000000.0) AS punct_ratio,
   {qual} AS quality,
   md5({_norm('text')}) AS fp,
-  CASE {cases} ELSE 'und' END AS pred_lang
+  {_sql_lang_id_case()} AS pred_lang
 FROM toks
 """
 
