@@ -3126,6 +3126,37 @@ FROM documents
 """
 
 
+def q_doc_token_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first BPE-training iteration: the 20 most frequent ADJACENT
+    pre-token pairs in the corpus (count desc, lexicographic tiebreak) —
+    exactly the statistic the greedy merge loop consumes
+    (operators.bpe.bpe_merges runs the full iteration). One explode over
+    positions + one hash aggregate with map-side partials + a
+    TakeOrdered — no sort of the pair space."""
+    d = _docs_with_tokens(spark, sf_dir)
+    t = d.select("doc_id", TX.subword_tokens(F.col("text")).alias("_t"))
+    pairs = t.where(F.size("_t") >= 2).select(
+        F.explode(F.sequence(F.lit(1), F.size("_t") - 1)).alias("_i"), "_t"
+    ).select(
+        F.element_at("_t", F.col("_i")).alias("a"),
+        F.element_at("_t", F.col("_i") + 1).alias("b"),
+    )
+    counts = pairs.groupBy("a", "b").agg(F.count(F.lit(1)).alias("n"))
+    return top_k(
+        counts, [F.col("n").desc(), F.col("a").asc(), F.col("b").asc()], 20
+    )
+
+
+SQL_TOKEN_PAIR_STATS = f"""
+WITH s AS (SELECT doc_id, {_SUBWORD_SQL} AS t FROM documents),
+p AS (SELECT unnest(range(1, len(t))) AS i, t FROM s WHERE len(t) >= 2),
+pr AS (SELECT t[i] AS a, t[i + 1] AS b FROM p)
+SELECT a, b, CAST(COUNT(*) AS BIGINT) AS n
+FROM pr GROUP BY a, b
+ORDER BY n DESC, a ASC, b ASC LIMIT 20
+"""
+
+
 #: Sliding-chunk window geometry (tokens per chunk / stride).
 CHUNK_TOKENS = 32
 CHUNK_STRIDE = 24
@@ -3836,6 +3867,7 @@ QUERIES: dict[str, QueryFn] = {
     "ann_pq": q_ann_pq,
     "doc_chunks": q_doc_chunks,
     "doc_subword_stats": q_doc_subword_stats,
+    "doc_token_pair_stats": q_doc_token_pair_stats,
     "event_audience_overlap": q_event_audience_overlap,
     "doc_repeated_spans": q_doc_repeated_spans,
     "doc_clip_repeated": q_doc_clip_repeated,
@@ -3934,6 +3966,7 @@ def build_oracles() -> dict[str, str]:
         # by tests/test_ann.py against the exact baseline)
         "doc_chunks": SQL_DOC_CHUNKS,
         "doc_subword_stats": SQL_DOC_SUBWORD_STATS,
+        "doc_token_pair_stats": SQL_TOKEN_PAIR_STATS,
         "event_audience_overlap": SQL_EVENT_AUDIENCE_OVERLAP,
         "doc_repeated_spans": SQL_DOC_REPEATED_SPANS,
         "doc_clip_repeated": _sql_clip_repeated(),
