@@ -3095,6 +3095,71 @@ SELECT
 """
 
 
+#: Epoch factors for corpus upsampling (LLaMA-style data mixing: high-
+#: quality sources repeat, bulk sources run < 1 epoch). Sources absent
+#: from the map default to 1.0.
+UPSAMPLE_EPOCHS: dict[str, float] = {
+    "src0": 2.5,
+    "src1": 3.0,
+    "src2": 0.5,
+    "src3": 1.25,
+}
+
+
+def q_doc_upsample_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-weighted corpus mixing, the UPSAMPLING half (doc_corpus_mix
+    is the down-weighting half): a source with epoch factor r emits each
+    doc floor(r) times plus one more with probability frac(r), decided
+    by the doc's content-id hash — deterministic, engine-independent,
+    and exactly r epochs in expectation. The emit is a map-only
+    ``explode(sequence(1, n_copies))``; per-doc output keeps the copy
+    count auditable. Fractional-part comparison is integer (hash <
+    frac·2³²) so both engines decide identically."""
+    d = _docs_with_tokens(spark, sf_dir)
+    r = F.lit(1.0)
+    for src, eps in UPSAMPLE_EPOCHS.items():
+        r = F.when(F.col("source") == src, F.lit(float(eps))).otherwise(r)
+    whole = F.floor(r).cast("long")
+    frac_thresh = ((r - F.floor(r)) * F.lit(float(1 << 32))).cast("long")
+    extra = (
+        TX.portable_hash(F.concat_ws(":", F.col("doc_id"), F.lit("up")))
+        < frac_thresh
+    ).cast("long")
+    n_copies = (whole + extra).alias("n_copies")
+    per_doc = d.select("doc_id", "source", n_copies)
+    emitted = per_doc.where(F.col("n_copies") > 0).select(
+        "doc_id",
+        "source",
+        "n_copies",
+        F.explode(F.sequence(F.lit(1), F.col("n_copies"))).alias("copy_idx"),
+    )
+    return emitted.select(
+        "doc_id", "source", "n_copies", F.col("copy_idx").cast("long").alias("copy_idx")
+    )
+
+
+def _sql_upsample_mix() -> str:
+    r = "1.0"
+    for src, eps in UPSAMPLE_EPOCHS.items():
+        r = f"CASE WHEN source = '{src}' THEN {float(eps)!r} ELSE {r} END"
+    h = _PORTABLE_HASH.format(s="concat(CAST(doc_id AS VARCHAR), ':', 'up')")
+    return f"""
+WITH base AS (
+  SELECT doc_id, source, {r} AS r FROM documents
+),
+cp AS (
+  SELECT doc_id, source,
+         CAST(floor(r) AS BIGINT)
+           + CASE WHEN {h} < CAST((r - floor(r)) * 4294967296.0 AS BIGINT)
+                  THEN 1 ELSE 0 END AS n_copies
+  FROM base
+)
+SELECT doc_id, source, n_copies,
+       CAST(unnest(range(1, n_copies + 1)) AS BIGINT) AS copy_idx
+FROM cp WHERE n_copies > 0
+"""
+
+
 def q_doc_subword_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer-budget accounting: whitespace-word count vs BPE-ish
     pre-token count per doc plus their expansion ratio — the number a
@@ -3868,6 +3933,7 @@ QUERIES: dict[str, QueryFn] = {
     "doc_chunks": q_doc_chunks,
     "doc_subword_stats": q_doc_subword_stats,
     "doc_token_pair_stats": q_doc_token_pair_stats,
+    "doc_upsample_mix": q_doc_upsample_mix,
     "event_audience_overlap": q_event_audience_overlap,
     "doc_repeated_spans": q_doc_repeated_spans,
     "doc_clip_repeated": q_doc_clip_repeated,
@@ -3967,6 +4033,7 @@ def build_oracles() -> dict[str, str]:
         "doc_chunks": SQL_DOC_CHUNKS,
         "doc_subword_stats": SQL_DOC_SUBWORD_STATS,
         "doc_token_pair_stats": SQL_TOKEN_PAIR_STATS,
+        "doc_upsample_mix": _sql_upsample_mix(),
         "event_audience_overlap": SQL_EVENT_AUDIENCE_OVERLAP,
         "doc_repeated_spans": SQL_DOC_REPEATED_SPANS,
         "doc_clip_repeated": _sql_clip_repeated(),

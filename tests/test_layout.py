@@ -167,3 +167,22 @@ def test_columnar_and_text_format_roundtrips(spark, sf_dir, tmp_path):
         .collect()
     )
     assert sorted(map(tuple, got_csv)) == rows
+
+
+def test_schema_evolution_merge_on_read(spark, tmp_path):
+    """Schema drift across parquet batches — a certainty over a 100 TB
+    store's lifetime — must be readable with mergeSchema: old files
+    surface the new column as null, new files keep it, and the unified
+    schema is the union."""
+    store = str(tmp_path / "store")
+    spark.createDataFrame(
+        [(1, "a")], "id long, val string"
+    ).write.mode("append").parquet(store)
+    spark.createDataFrame(
+        [(2, "b", 0.5)], "id long, val string, score double"
+    ).write.mode("append").parquet(store)
+
+    merged = spark.read.option("mergeSchema", True).parquet(store)
+    assert set(merged.columns) == {"id", "val", "score"}
+    rows = {r.id: r for r in merged.collect()}
+    assert rows[1].score is None and rows[2].score == 0.5
