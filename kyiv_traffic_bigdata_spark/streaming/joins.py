@@ -47,3 +47,28 @@ def stream_interval_join(
     l_rest = [F.col(f"l.{c}") for c in left.columns if c != key]
     r_rest = [F.col(f"r.{c}") for c in right.columns if c != key]
     return joined.select(F.col(f"l.{key}").alias(key), *l_rest, *r_rest)
+
+
+def stream_static_enrich(
+    stream_df: DataFrame,
+    static_dim: DataFrame,
+    keys: list[str],
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static dimension enrichment (the third streaming join type
+    next to the watermarked stream-stream join above and the foreachBatch
+    MERGE in streaming/analytics.py): every micro-batch joins against
+    the static side, broadcast-hinted — the stream never shuffles for a
+    dimension, no state store involved, NO watermark needed (the static
+    side is not a stream, so there is nothing to evict).
+
+    Freshness contract: Spark re-evaluates the static side's plan per
+    micro-batch, so a dim TABLE whose rows change is picked up — but a
+    dim read from a PATH that changes (the versioned upsert store's
+    pointer) is not, because the file listing binds at plan time. For
+    the versioned store, re-resolve inside foreachBatch with
+    ``read_current_dimension`` instead; this helper is for genuinely
+    static or table-backed dims (the reference's ST2 routes catalog
+    consumption, poller.py:136-189 reading the latest snapshot).
+    """
+    return stream_df.join(F.broadcast(static_dim), keys, how)

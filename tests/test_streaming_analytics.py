@@ -321,3 +321,33 @@ def test_prune_dimension_versions(spark, tmp_path):
     # keep=0 degenerates to keep-current-only
     removed = prune_dimension_versions(store, keep=0)
     assert removed == ["v2"]
+
+
+def test_stream_static_enrich_end_to_end(spark, tmp_path):
+    """Streaming positions x static route dim: every emitted row carries
+    the dimension columns; unmatched keys survive the left join."""
+    from kyiv_traffic_bigdata_spark.streaming.joins import stream_static_enrich
+
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "b1.json").write_text(
+        '{"vehicle_id": 1, "route_id": 7}\n{"vehicle_id": 2, "route_id": 99}\n'
+    )
+    dim = spark.createDataFrame(
+        [(7, "Bus", "42")], "route_id long, route_type string, number string"
+    )
+    stream = spark.readStream.schema("vehicle_id long, route_id long").json(
+        str(src)
+    )
+    out = stream_static_enrich(stream, dim, ["route_id"])
+    q = (
+        out.writeStream.format("memory")
+        .queryName("enriched")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {r.vehicle_id: r for r in spark.sql("select * from enriched").collect()}
+    assert rows[1].route_type == "Bus" and rows[1].number == "42"
+    assert rows[2].route_type is None  # left join keeps unmatched
