@@ -108,18 +108,26 @@ def encode_pq(
         )
 
     subspaces = F.sequence(F.lit(0), F.lit(m - 1))
+    # Stage the m x k distance table ONCE (the repo's multiply-referenced
+    # higher-order-expression rule, cf. shingle_index): codes and err
+    # both read it, and lambdas get no common-subexpression elimination —
+    # inlining sub_dists into each consumer evaluates the full table 3x
+    # per row.
+    staged = df.select(
+        id_col,
+        *keep_cols,
+        F.transform(subspaces, sub_dists).alias("_dists"),
+    )
     codes = F.transform(
-        subspaces,
-        lambda s: (
-            F.array_position(sub_dists(s), F.array_min(sub_dists(s))) - 1
-        ).cast("int"),
+        F.col("_dists"),
+        lambda d: (F.array_position(d, F.array_min(d)) - 1).cast("int"),
     )
     err = F.aggregate(
-        F.transform(subspaces, lambda s: F.array_min(sub_dists(s))),
+        F.transform(F.col("_dists"), F.array_min),
         F.lit(0.0),
         lambda a, x: a + x,
     )
-    return df.select(
+    return staged.select(
         id_col,
         *keep_cols,
         codes.alias("codes"),

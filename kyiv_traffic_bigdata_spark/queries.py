@@ -1262,14 +1262,20 @@ def q_event_anomaly_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(dec("value")).cast("double").alias("_s"),
         F.sum(dec(F.col("value") * F.col("value"))).cast("double").alias("_s2"),
     )
+    # greatest(0, ·): with an all-equal group the double-arithmetic
+    # variance can land at -1e-18 — DuckDB's sqrt RAISES on negatives
+    # and Spark's returns NaN (which would count every row anomalous);
+    # clamping makes both engines yield std=0 → z=NULL → 0 anomalies.
+    var = F.greatest(
+        F.lit(0.0),
+        (F.col("_s2") - F.col("_s") * F.col("_s") / F.col("_n"))
+        / (F.col("_n") - 1),
+    )
     stats = stats.select(
         "event_type",
         "_n",
         (F.col("_s") / F.col("_n")).alias("_mean"),
-        F.sqrt(
-            (F.col("_s2") - F.col("_s") * F.col("_s") / F.col("_n"))
-            / (F.col("_n") - 1)
-        ).alias("_std"),
+        F.sqrt(var).alias("_std"),
     )
     z = (F.col("value") - F.col("_mean")) / F.col("_std")
     return (
@@ -1292,7 +1298,8 @@ WITH stats AS (
   FROM events GROUP BY event_type
 ),
 st AS (
-  SELECT event_type, n, s / n AS mean, sqrt((s2 - s * s / n) / (n - 1)) AS std
+  SELECT event_type, n, s / n AS mean,
+         sqrt(greatest(0.0, (s2 - s * s / n) / (n - 1))) AS std
   FROM stats
 ),
 z AS (
@@ -2816,8 +2823,11 @@ def q_emb_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators.pq): per-vector code array (m log2(k) bits ≡ a 128× cut
     vs float32 at production geometry) + reconstruction error audit.
     Seed codebooks (n_iters=0) keep the DuckDB twin expressible — the
-    same determinism contract as emb_kmeans; encode itself is map-only
-    Catalyst expression work, no shuffle, no UDF."""
+    same determinism contract as emb_kmeans, including the same accepted
+    risk: the oracle's per-subspace distance SUM is plain double (order-
+    dependent), so an argmin could flip only if a subvector sat within
+    ulps of equidistant between two codewords — measure-zero on real
+    data, and the shape emb_kmeans has held green across rounds."""
     from .operators.pq import encode_pq, fit_pq
 
     raw = load_table(spark, sf_dir, "embeddings")
@@ -2910,10 +2920,9 @@ def q_doc_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_ASCII_NORM_SQL = (
-    "regexp_replace(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),"
-    " '[^ -~]', '', 'g')"
-)
+#: DuckDB twin of functions.text.ascii_normalize (composed from the
+#: shared _NORM fragment so normalization has ONE SQL spelling).
+_ASCII_NORM_SQL = f"regexp_replace({_norm('text')}, '[^ -~]', '', 'g')"
 
 SQL_DOC_REPEATED_SPANS = f"""
 WITH n AS (SELECT doc_id, {_ASCII_NORM_SQL} AS t FROM documents),
@@ -3120,7 +3129,10 @@ def q_doc_upsample_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     for src, eps in UPSAMPLE_EPOCHS.items():
         r = F.when(F.col("source") == src, F.lit(float(eps))).otherwise(r)
     whole = F.floor(r).cast("long")
-    frac_thresh = ((r - F.floor(r)) * F.lit(float(1 << 32))).cast("long")
+    # floor-then-cast on BOTH sides: Spark's double→long cast truncates
+    # but DuckDB's CAST rounds to nearest, so a bare cast diverges for
+    # any non-dyadic epoch fraction (e.g. r=1.1 → .1·2³² = …9.6)
+    frac_thresh = F.floor((r - F.floor(r)) * F.lit(float(1 << 32))).cast("long")
     extra = (
         TX.portable_hash(F.concat_ws(":", F.col("doc_id"), F.lit("up")))
         < frac_thresh
@@ -3150,7 +3162,7 @@ WITH base AS (
 cp AS (
   SELECT doc_id, source,
          CAST(floor(r) AS BIGINT)
-           + CASE WHEN {h} < CAST((r - floor(r)) * 4294967296.0 AS BIGINT)
+           + CASE WHEN {h} < CAST(floor((r - floor(r)) * 4294967296.0) AS BIGINT)
                   THEN 1 ELSE 0 END AS n_copies
   FROM base
 )
@@ -3198,15 +3210,11 @@ def q_doc_token_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators.bpe.bpe_merges runs the full iteration). One explode over
     positions + one hash aggregate with map-side partials + a
     TakeOrdered — no sort of the pair space."""
+    from .operators.bpe import adjacent_pair_counts
+
     d = _docs_with_tokens(spark, sf_dir)
-    t = d.select("doc_id", TX.subword_tokens(F.col("text")).alias("_t"))
-    pairs = t.where(F.size("_t") >= 2).select(
-        F.explode(F.sequence(F.lit(1), F.size("_t") - 1)).alias("_i"), "_t"
-    ).select(
-        F.element_at("_t", F.col("_i")).alias("a"),
-        F.element_at("_t", F.col("_i") + 1).alias("b"),
-    )
-    counts = pairs.groupBy("a", "b").agg(F.count(F.lit(1)).alias("n"))
+    t = d.select("doc_id", TX.subword_tokens(F.col("text")).alias("t"))
+    counts = adjacent_pair_counts(t)
     return top_k(
         counts, [F.col("n").desc(), F.col("a").asc(), F.col("b").asc()], 20
     )

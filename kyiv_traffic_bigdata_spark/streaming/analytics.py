@@ -210,12 +210,20 @@ def start_dimension_upsert_sink(
     )
 
 
-def prune_dimension_versions(store_dir: str, keep: int = 3) -> list[str]:
+def prune_dimension_versions(
+    store_dir: str, keep: int = 3, remove_orphans: bool = False
+) -> list[str]:
     """Retention for the upsert store: delete old version dirs, keeping
     the ``keep`` most recent committed ones (the current pointer target
-    is always kept regardless). Orphan dirs newer than the pointer —
-    a crashed write that never committed — are also removed: they are
-    invisible garbage by the pointer protocol. Returns removed names.
+    is always kept regardless). Returns removed names.
+
+    ``remove_orphans=True`` additionally deletes dirs NEWER than the
+    pointer. An orphan is invisible garbage by the pointer protocol —
+    but a dir the LIVE sink is writing this moment looks identical, and
+    deleting it would race the write (the pointer could then commit to
+    a half-deleted snapshot). Only pass True when the sink is known
+    stopped (offline maintenance); the default prunes committed history
+    only, which can never race.
 
     Driver-side metadata work (a directory listing), same posture as
     operators.maintenance.compact_parquet."""
@@ -237,7 +245,9 @@ def prune_dimension_versions(store_dir: str, keep: int = 3) -> list[str]:
     )
     cur_ord = int(cur[1:])
     committed = [v for v in versions if int(v[1:]) <= cur_ord]
-    orphans = [v for v in versions if int(v[1:]) > cur_ord]
+    orphans = (
+        [v for v in versions if int(v[1:]) > cur_ord] if remove_orphans else []
+    )
     stale = committed[:-keep] if keep > 0 else committed[:-1]
     removed = []
     for v in stale + orphans:

@@ -330,10 +330,11 @@ class TrajectorySpeedProcessor(StatefulProcessor):
         pass
 
 
-def transform_with_state_available(spark: DataFrame | None = None) -> bool:
+def transform_with_state_available(spark=None) -> bool:
     """True when this platform can RUN transformWithState: the worker
     protocol needs ``google.protobuf`` (absent in some sandboxes) and
-    the RocksDB state store (the TWS contract in OSS Spark 4)."""
+    the RocksDB state store (the TWS contract in OSS Spark 4). Pass the
+    SparkSession to include the store probe; None checks protobuf only."""
     try:
         import google.protobuf.descriptor  # noqa: F401
     except Exception:  # noqa: BLE001
@@ -342,9 +343,7 @@ def transform_with_state_available(spark: DataFrame | None = None) -> bool:
         return True
     from .state import rocksdb_available
 
-    return rocksdb_available(
-        spark if not isinstance(spark, DataFrame) else spark.sparkSession
-    )
+    return rocksdb_available(spark)
 
 
 def streaming_trajectory_speeds_v2(

@@ -314,8 +314,14 @@ def test_prune_dimension_versions(spark, tmp_path):
     spark.createDataFrame([(9,)], "id long").write.parquet(
         os.path.join(store, "v9")
     )
+    # default never touches dirs newer than the pointer (they might be
+    # a LIVE in-flight write, not a crashed one)
     removed = prune_dimension_versions(store, keep=2)
-    assert sorted(removed) == ["v0", "v1", "v9"]
+    assert sorted(removed) == ["v0", "v1"]
+    assert sorted(os.listdir(store)) == ["_CURRENT", "v2", "v3", "v9"]
+    # offline maintenance may reap the orphan explicitly
+    removed = prune_dimension_versions(store, keep=2, remove_orphans=True)
+    assert removed == ["v9"]
     assert sorted(os.listdir(store)) == ["_CURRENT", "v2", "v3"]
     assert read_current_dimension(spark, store).collect()[0].id == 3
     # keep=0 degenerates to keep-current-only
