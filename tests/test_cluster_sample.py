@@ -283,3 +283,28 @@ def test_content_hash_splits_keep_duplicates_together(spark):
     assigned = d.select("text", split.alias("split")).distinct()
     # one split per distinct content -> 30 rows, not more
     assert assigned.count() == 30
+
+
+def test_upsample_mix_non_dyadic_fraction_parity(spark, sf_dir, monkeypatch):
+    """The fractional-epoch threshold must be floor'd before the BIGINT
+    cast on the SQL side: DuckDB's double→BIGINT cast rounds to nearest
+    while Spark's truncates, so a NON-DYADIC fraction (.1 · 2³² = …9.6)
+    diverges by one hash value without the floor. Pin parity with
+    adversarial epoch factors the registered config doesn't use."""
+    import duckdb
+
+    from kyiv_traffic_bigdata_spark import queries as Q
+
+    monkeypatch.setattr(
+        Q, "UPSAMPLE_EPOCHS", {"src0": 1.1, "src1": 2.7, "src2": 0.3}
+    )
+    got = sorted(
+        (r.doc_id, r.source, r.n_copies, r.copy_idx)
+        for r in Q.q_doc_upsample_mix(spark, sf_dir).collect()
+    )
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
+    )
+    want = sorted(map(tuple, con.execute(Q._sql_upsample_mix()).fetchall()))
+    assert got == want
