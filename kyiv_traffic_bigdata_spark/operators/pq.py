@@ -70,6 +70,15 @@ def fit_pq(
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m {m}")
     subdim = dim // m
+    if n_iters <= 0:
+        # seed books are SUBVECTORS of the k lowest-id vectors, so one
+        # k-row collect of the full vectors yields every book — m
+        # separate collect jobs would fetch the same rows m times
+        seeds = initial_centroids(df, k, id_col, vec_col)
+        return [
+            [v[s * subdim : (s + 1) * subdim] for v in seeds]
+            for s in range(m)
+        ]
     books: list[list[list[float]]] = []
     for s in range(m):
         sub = df.select(
@@ -78,11 +87,8 @@ def fit_pq(
                 "_sub"
             ),
         )
-        if n_iters <= 0:
-            books.append(initial_centroids(sub, k, id_col, "_sub"))
-        else:
-            _, cents, _ = lloyd_iterations(sub, k, n_iters, id_col, "_sub")
-            books.append(cents)
+        _, cents, _ = lloyd_iterations(sub, k, n_iters, id_col, "_sub")
+        books.append(cents)
     return books
 
 
