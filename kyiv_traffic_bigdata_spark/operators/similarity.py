@@ -421,11 +421,16 @@ def semdedup(
         denom = np.outer(norms, norms)
         gram = mat @ mat.T
         sims = np.divide(gram, denom, out=np.zeros_like(gram), where=denom != 0)
-        # strictly-lower-triangle view: sims[i, j] for j < i are the
-        # similarities to smaller-id mates
-        tril = np.tril(sims, k=-1)
-        prior_max = tril.max(axis=1, initial=0.0)
-        kept = ~(tril >= threshold).any(axis=1)
+        # strictly-lower-triangle mask: sims[i, j] for j < i are the
+        # similarities to smaller-id mates. Mask (not zero-fill) so an
+        # all-negative prior row reports its raw negative max — matching
+        # the oracle's COALESCE(MAX(s), 0.0), which clamps only the
+        # no-prior case, never a real similarity.
+        mask = np.tril(np.ones(sims.shape, dtype=bool), k=-1)
+        masked = np.where(mask, sims, -np.inf)
+        has_prior = mask.any(axis=1)
+        prior_max = np.where(has_prior, masked.max(axis=1, initial=-np.inf), 0.0)
+        kept = ~(masked >= threshold).any(axis=1)
         return pd.DataFrame(
             {
                 "id": ids,
