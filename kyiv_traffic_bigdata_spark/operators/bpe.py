@@ -3,26 +3,45 @@ workload next to the counting/budgeting queries (queries.doc_subword_stats,
 doc_token_pair_stats).
 
 Classic byte-pair-encoding construction (Sennrich et al., 2016), Spark-
-shaped: each round finds the corpus-wide most frequent ADJACENT token
-pair (one hash aggregate with map-side partials + a TakeOrdered-1) and
-rewrites every document's token array with that pair merged (map-only
-fold). The driver holds only the merge table — ``n_merges`` rows of
-metadata — never token data; corpus size only adds map tasks per round.
+shaped and **incremental**: the corpus-wide adjacent-pair count is built
+ONCE; each merge round then
+
+1. takes the top pair from the maintained count table (a TakeOrdered-1
+   over a table bounded by the number of distinct adjacent pairs — no
+   corpus scan);
+2. computes the count *delta* from the affected docs only (docs that
+   actually contain the adjacent pair): old-pair counts negative, new-
+   pair counts positive, folded into the table with one bounded shuffle
+   — the fastBPE / HF-tokenizers bookkeeping expressed relationally;
+3. rewrites the token array only where the pair occurs (a `when(pred,
+   fold)` guard — unaffected rows copy through without executing the
+   merge fold).
+
+The driver holds only the merge table — ``n_merges`` rows of metadata —
+never token data. Per-round corpus-wide work is one predicate map-scan
+(finding affected docs) instead of round 3's full explode→shuffle→agg +
+full-corpus rewrite + full-corpus checkpoint; everything shuffled per
+round is bounded by the affected-doc mass and the distinct-pair table.
 
 Scale notes:
 
-* the pair count is the dominant cost per round and is exactly the
-  doc_token_pair_stats aggregate — partials absorb the position fan-out;
-* the token frame is lineage-truncated per round (localCheckpoint):
-  ``n_merges`` nested array-rewrite lambdas would otherwise stack into
-  one interpreter-bound mega-expression (the InferFilters/staging traps
-  documented in operators/dedup.py apply verbatim);
+* the token frame is lineage-truncated every ``checkpoint_every`` rounds
+  (operators.staging — `local` or `reliable`): the guarded merge folds
+  stack as nested expressions between checkpoints, and unbounded
+  stacking re-creates the InferFilters/staging traps documented in
+  operators/dedup.py. The count table is tiny and staged every round.
 * ties break lexicographically on (a, b), so the merge sequence is a
   pure function of the corpus — reruns and engines agree;
 * the left-to-right non-overlapping merge rule falls out of the fold:
   once a pair merges, its product cannot immediately re-merge with the
   consumed right element (``"a a a"`` at merge (a,a) → ``["aa","a"]``,
-  the standard BPE behavior).
+  the standard BPE behavior). The delta in step 2 is computed by
+  re-counting affected docs before/after the fold, so overlap runs and
+  a == b cases are exact by construction, not by positional reasoning;
+* for very large vocabularies a deterministic hash-sample of the corpus
+  (``sample_rate``) trains the merge table on a statistically standard
+  subset while :func:`merge_pair` still applies corpus-wide — the
+  documented alternative when even one map-scan per merge is too much.
 """
 
 from __future__ import annotations
@@ -30,7 +49,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import subword_tokens
+from ..functions.text import portable_hash, subword_tokens
+from .staging import stage
 
 
 def adjacent_pair_counts(tokens_df: DataFrame, tokens_col: str = "t") -> DataFrame:
@@ -45,6 +65,24 @@ def adjacent_pair_counts(tokens_df: DataFrame, tokens_col: str = "t") -> DataFra
         F.element_at("_t", F.col("_i") + 1).alias("b"),
     )
     return pairs.groupBy("a", "b").agg(F.count(F.lit(1)).alias("n"))
+
+
+def has_adjacent_pair(tokens: Column, a: str, b: str) -> Column:
+    """True iff the token array contains (a, b) at adjacent positions.
+    Cheap array_contains pre-gate short-circuits the positional scan for
+    the (common) rows that lack one of the tokens entirely."""
+    la, lb = F.lit(a), F.lit(b)
+    positional = F.exists(
+        F.sequence(F.lit(1), F.size(tokens) - 1),
+        lambda i: (F.element_at(tokens, i) == la)
+        & (F.element_at(tokens, i + 1) == lb),
+    )
+    return (
+        (F.size(tokens) >= 2)
+        & F.array_contains(tokens, la)
+        & F.array_contains(tokens, lb)
+        & positional
+    )
 
 
 def merge_pair(tokens: Column, a: str, b: str) -> Column:
@@ -66,11 +104,23 @@ def merge_pair(tokens: Column, a: str, b: str) -> Column:
     )
 
 
+def _count_delta(affected: DataFrame, a: str, b: str) -> DataFrame:
+    """Pair-count delta contributed by merging (a, b) in the affected
+    docs: their old adjacent pairs negated plus their new ones."""
+    old_neg = adjacent_pair_counts(affected).select(
+        "a", "b", (-F.col("n")).cast("long").alias("n")
+    )
+    rewritten = affected.select(merge_pair(F.col("t"), a, b).alias("t"))
+    return old_neg.unionByName(adjacent_pair_counts(rewritten))
+
+
 def bpe_merges(
     docs: DataFrame,
     n_merges: int = 10,
     id_col: str = "doc_id",
     text_col: str = "text",
+    checkpoint_every: int = 4,
+    sample_rate: float | None = None,
 ) -> tuple[list[tuple[str, str, int]], DataFrame]:
     """Train ``n_merges`` greedy BPE merges over the corpus.
 
@@ -78,15 +128,31 @@ def bpe_merges(
     [(a, b, count), ...] and the final tokenized corpus
     (id, t:array<string>) with all merges applied. Stops early when no
     adjacent pair repeats (every count ≤ 1 carries no signal).
+
+    ``sample_rate`` (0 < r ≤ 1): train the merge table on a
+    deterministic content-hash sample of the corpus (merge COUNTS then
+    reflect the sample, and the early-stop threshold applies to sample
+    counts). The returned tokens_df still covers the full corpus with
+    the learned merges applied.
     """
     t = docs.select(
         F.col(id_col).alias("id"), subword_tokens(F.col(text_col)).alias("t")
-    ).localCheckpoint(eager=True)
+    )
+    train = t
+    if sample_rate is not None and sample_rate < 1.0:
+        gate = F.lit(int(sample_rate * (1 << 32)))
+        train = t.where(portable_hash(F.col("id").cast("string")) < gate)
+    train = stage(train)
+    counts = stage(adjacent_pair_counts(train))
+
     merges: list[tuple[str, str, int]] = []
+    # when training on a sample, the learned merges are also applied to
+    # the full corpus so callers still get corpus-wide tokens back
+    full = None if sample_rate is None or sample_rate >= 1.0 else stage(t)
+    rounds_since_ckpt = 0
     for _ in range(n_merges):
         top = (
-            adjacent_pair_counts(t)
-            .orderBy(F.col("n").desc(), F.col("a").asc(), F.col("b").asc())
+            counts.orderBy(F.col("n").desc(), F.col("a").asc(), F.col("b").asc())
             .limit(1)
             .collect()
         )
@@ -94,7 +160,25 @@ def bpe_merges(
             break
         a, b, n = top[0].a, top[0].b, int(top[0].n)
         merges.append((a, b, n))
-        t = t.select(
-            "id", merge_pair(F.col("t"), a, b).alias("t")
-        ).localCheckpoint(eager=True)
-    return merges, t
+
+        pred = has_adjacent_pair(F.col("t"), a, b)
+        delta = _count_delta(train.where(pred), a, b)
+        counts = stage(
+            counts.unionByName(delta)
+            .groupBy("a", "b")
+            .agg(F.sum("n").cast("long").alias("n"))
+            .where(F.col("n") > 0)
+        )
+
+        guarded = F.when(pred, merge_pair(F.col("t"), a, b)).otherwise(F.col("t"))
+        train = train.select("id", guarded.alias("t"))
+        if full is not None:
+            full = full.select("id", guarded.alias("t"))
+        rounds_since_ckpt += 1
+        if rounds_since_ckpt >= checkpoint_every:
+            train = stage(train)
+            if full is not None:
+                full = stage(full)
+            rounds_since_ckpt = 0
+
+    return merges, (train if full is None else full)

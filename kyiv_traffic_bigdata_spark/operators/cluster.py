@@ -8,7 +8,8 @@ as DataFrame joins. Each round every node adopts the smallest label among
 itself and its neighbors; rounds repeat until no label changes. Cost per
 round is one equi-join + one aggregate on the (symmetrized) edge list —
 shuffle-partitioned by node id, no driver-side graph. Lineage is
-truncated per round with localCheckpoint (the standard iterative-Spark
+truncated per round via operators.staging.stage (localCheckpoint by
+default, reliable checkpoint on clusters — the standard iterative-Spark
 pattern; a plan that doubles every round otherwise re-executes from the
 source and overwhelms the optimizer).
 
@@ -26,6 +27,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .staging import stage
+
 
 def connected_components(
     edges: DataFrame,
@@ -42,7 +45,7 @@ def connected_components(
     """
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     sym = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
-    sym = sym.distinct().localCheckpoint(eager=True)
+    sym = sym.distinct().transform(stage)
     # Seed with round 1 fused into initialization: label(v) =
     # min(v, min(neighbors)) is ONE aggregation over the edge list when
     # every label is still the identity — no join needed, one whole
@@ -51,7 +54,7 @@ def connected_components(
         sym.groupBy("a")
         .agg(F.least(F.col("a"), F.min("b")).alias("component"))
         .withColumnRenamed("a", "node")
-        .localCheckpoint(eager=True)
+        .transform(stage)
     )
     for _ in range(max_iter):
         nbr_min = (
@@ -73,7 +76,7 @@ def connected_components(
                     F.col("component"), F.coalesce(F.col("_mn"), F.col("component"))
                 ).alias("component"),
             )
-            .localCheckpoint(eager=True)
+            .transform(stage)
         )
         changed = (
             new_labels.alias("n")

@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 from ..functions.rounding import round6
 
 from ..functions.text import fingerprint, portable_hash, tokens, word_ngrams
+from .staging import stage
 
 #: MinHash parameters. 16 permutations in 4 bands × 4 rows ⇒ LSH s-curve
 #: threshold (1/b)^(1/r) ≈ 0.71 Jaccard. Permutation i is the universal
@@ -187,7 +188,7 @@ def ngram_jaccard_pairs(
     # Materialize the index once: it feeds the df split, both join sides,
     # sizes, and hot arrays; the tokenize→n-gram chain is interpreted
     # higher-order lambdas and must not run per consumer.
-    idx = shingle_index(docs, id_col, text_col, ngram).localCheckpoint(eager=True)
+    idx = shingle_index(docs, id_col, text_col, ngram).transform(stage)
     dfreq = idx.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
     sizes = idx.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     rare = dfreq.where(F.col("_df") <= max_doc_freq).select("shingle")
@@ -329,7 +330,7 @@ def incremental_lsh_pairs(
 
     ``new_ids``: a 1-column DataFrame of new ``doc_id``s.
     """
-    idx = shingle_index(docs, id_col, text_col, ngram).localCheckpoint(eager=True)
+    idx = shingle_index(docs, id_col, text_col, ngram).transform(stage)
     sig = minhash_signatures(docs, id_col, text_col, ngram, index=idx)
     buckets = lsh_buckets(sig)
     new_buckets = buckets.join(
@@ -363,12 +364,12 @@ def minhash_lsh_pairs(
     Verification recomputes exact Jaccard on candidates only, so the output
     has NO false positives — misses only pairs the s-curve filters out.
 
-    The shingle inverted index is materialized once (localCheckpoint) and
+    The shingle inverted index is materialized once (operators.staging.stage) and
     shared between signature generation and the verification joins — the
     interpreted tokenize→n-gram chain is the dominant per-row cost and
     must not run once per consumer.
     """
-    idx = shingle_index(docs, id_col, text_col, ngram).localCheckpoint(eager=True)
+    idx = shingle_index(docs, id_col, text_col, ngram).transform(stage)
     sig = minhash_signatures(docs, id_col, text_col, ngram, index=idx)
     buckets = lsh_buckets(sig)
     a, b = buckets.alias("a"), buckets.alias("b")
@@ -581,9 +582,10 @@ def winnow_overlap_pairs(
     # MEMORY_AND_DISK, truncates lineage, and is reclaimed by the
     # ContextCleaner when the RDD is GC'd. The index is orders of
     # magnitude smaller than the corpus (exactly what an inverted-index
-    # build materializes at 100 TB too); on a real cluster you'd swap
-    # this for a reliable checkpoint/parquet stage since local
-    # checkpoints don't survive executor loss.
+    # build materializes at 100 TB too); cluster runs set
+    # SPARK_GRAFT_STAGING=reliable (operators.staging) to swap this for
+    # a fault-tolerant checkpoint, since local checkpoints don't survive
+    # executor loss.
     #
     # explode_OUTER, not explode: for plain explode, Catalyst's
     # InferFiltersFromGenerate synthesizes `size(fps) > 0` and pushes it
@@ -598,7 +600,7 @@ def winnow_overlap_pairs(
     e = (
         fpi.select("doc_id", F.explode_outer("fps").alias("fp"))
         .where(F.col("fp").isNotNull())
-        .localCheckpoint(eager=True)
+        .transform(stage)
     )
     sizes = e.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_fps"))
     ok = (
@@ -705,7 +707,7 @@ def repeated_spans(
     pos = (
         base.select("doc_id", F.posexplode(hs).alias("_p0", "_h"))
         .select("doc_id", (F.col("_p0") + 1).alias("pos"), "_h")
-        .localCheckpoint(eager=True)
+        .transform(stage)
     )
     cand = (
         pos.groupBy("_h")
@@ -720,7 +722,7 @@ def repeated_spans(
         pos.join(cand, "_h", "semi")
         .join(base, "doc_id")
         .select("doc_id", "pos", F.expr(f"substring(_t, pos, {k})").alias("_s"))
-        .localCheckpoint(eager=True)
+        .transform(stage)
     )
     confirmed_grams = (
         hits.groupBy("_s")
