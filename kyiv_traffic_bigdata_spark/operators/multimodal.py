@@ -9,11 +9,15 @@ row-at-a-time. Two decode tiers:
   dimensions, channels, sample rate, duration parsed from the container
   headers with pure stdlib byte math — PNG, BMP, GIF, JPEG, WAV need no
   codec library at all;
-* **stub** (:func:`fake_decode_features`): pixel/sample-level feature
-  extraction would need actual codecs (not bundled here), so that tier
-  stays a clearly-marked deterministic stand-in keeping the Spark-side
-  contract (schema, batching, partition behavior) real and tested —
-  swapping in a real decoder is a one-function change.
+* **real pixels/samples** where stdlib byte math suffices: uncompressed
+  24-bit BMP resize, GIF87a/89a LZW frame decode + resize + frame
+  sampling (:func:`decode_gif_frames`), WAV PCM windowing;
+* **stub** (:func:`fake_decode_features`): only the entropy-coded
+  formats (PNG deflate+filters, JPEG DCT) still need an actual codec
+  (not bundled here), so their pixel tier stays a clearly-marked
+  deterministic stand-in keeping the Spark-side contract (schema,
+  batching, partition behavior) real and tested — swapping in a real
+  decoder is a one-function change.
 """
 
 from __future__ import annotations
@@ -230,9 +234,10 @@ def extract_media_features(media: DataFrame) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Resize / frame-sample — the remaining multimodal pipeline stages.
 # Real where stdlib byte math suffices (uncompressed 24-bit BMP resize,
-# WAV PCM windowing); `needs_codec` status where a codec library would
-# be required — the plumbing (schema, Arrow batching, partitioning) is
-# identical either way, so swapping a real decoder in is local.
+# GIF LZW frame decode/resize/sampling, WAV PCM windowing);
+# `needs_codec` status for PNG/JPEG, whose entropy coding requires a
+# codec library — the plumbing (schema, Arrow batching, partitioning)
+# is identical either way, so swapping a real decoder in is local.
 # ---------------------------------------------------------------------------
 
 RESIZED_IMAGE_SCHEMA = T.StructType(
@@ -244,6 +249,194 @@ RESIZED_IMAGE_SCHEMA = T.StructType(
         T.StructField("payload", T.BinaryType()),
     ]
 )
+
+
+# ---------------------------------------------------------------------------
+# GIF87a/89a pixel decode — pure stdlib LZW (the GIF variant: variable
+# code width starting at min_code_size+1, clear/end codes, 12-bit cap).
+# With this, of the five header-parseable formats only the entropy-coded
+# ones (PNG deflate+filters, JPEG DCT) still need a codec library.
+# ---------------------------------------------------------------------------
+
+
+def _lzw_decode(min_code_size: int, data: bytes, max_pixels: int) -> bytes | None:
+    """GIF-flavored LZW decode of a de-sub-blocked code stream.
+    Returns the color-index bytes (truncated to ``max_pixels``), or None
+    on a corrupt stream. Codes are packed little-endian, LSB-first."""
+    if not 2 <= min_code_size <= 11 or not data:
+        return None
+    clear = 1 << min_code_size
+    end = clear + 1
+    init = [bytes([i]) for i in range(clear)] + [b"", b""]
+    table = list(init)
+    code_size = min_code_size + 1
+    stream = int.from_bytes(data, "little")
+    nbits = len(data) * 8
+    pos = 0
+    out = bytearray()
+    prev: bytes | None = None
+    while pos + code_size <= nbits and len(out) < max_pixels:
+        code = (stream >> pos) & ((1 << code_size) - 1)
+        pos += code_size
+        if code == clear:
+            table = list(init)
+            code_size = min_code_size + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if prev is None:
+            if code >= len(table):
+                return None
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+        elif code == len(table):
+            entry = prev + prev[:1]  # the KwKwK case
+        else:
+            return None
+        out += entry
+        if prev is not None and len(table) < 4096:
+            table.append(prev + entry[:1])
+            # width bumps when the NEXT code could reference the slot
+            if len(table) == (1 << code_size) and code_size < 12:
+                code_size += 1
+        prev = entry
+    return bytes(out[:max_pixels])
+
+
+def _deinterlace(idx: bytes, w: int, h: int) -> bytes:
+    """Reorder GIF interlace passes (rows 0::8, 4::8, 2::4, 1::2) into
+    top-to-bottom scanline order."""
+    order = [
+        r for start, step in ((0, 8), (4, 8), (2, 4), (1, 2))
+        for r in range(start, h, step)
+    ]
+    out: list[bytes | None] = [None] * h
+    for src, dst in enumerate(order):
+        out[dst] = idx[src * w : (src + 1) * w]
+    return b"".join(row or b"\x00" * w for row in out)
+
+
+def decode_gif_frames(
+    payload: bytes, max_frames: int | None = None
+) -> tuple[int, int, list[dict]] | None:
+    """REAL GIF87a/89a pixel decode — pure stdlib byte math + LZW, no
+    codec library. Returns ``(screen_w, screen_h, frames)`` where each
+    frame is ``{"left", "top", "width", "height", "rgb"}`` with ``rgb``
+    as row-major 3-byte pixels mapped through the local-or-global color
+    table (interlaced frames deinterlaced). Frames are emitted as their
+    own rects — no disposal-method composition (this is the frame-
+    SAMPLING operator shape, not a playback renderer). Returns None for
+    non-GIF or corrupt payloads — log-and-continue, like the parsers."""
+    import numpy as np
+
+    b = bytes(payload)
+    n = len(b)
+    if n < 13 or b[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    sw = int.from_bytes(b[6:8], "little")
+    sh = int.from_bytes(b[8:10], "little")
+    packed = b[10]
+    i = 13
+    gct = None
+    if packed & 0x80:
+        sz = 2 ** ((packed & 7) + 1)
+        if n < i + 3 * sz:
+            return None
+        gct = b[i : i + 3 * sz]
+        i += 3 * sz
+    frames: list[dict] = []
+    while i < n:
+        block = b[i]
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension: label + sub-blocks until 0x00
+            i += 2
+            while i < n and b[i] != 0:
+                i += 1 + b[i]
+            i += 1
+            continue
+        if block != 0x2C or i + 10 > n:
+            return None
+        left = int.from_bytes(b[i + 1 : i + 3], "little")
+        top = int.from_bytes(b[i + 3 : i + 5], "little")
+        fw = int.from_bytes(b[i + 5 : i + 7], "little")
+        fh = int.from_bytes(b[i + 7 : i + 9], "little")
+        fpacked = b[i + 9]
+        i += 10
+        ct = gct
+        if fpacked & 0x80:
+            sz = 2 ** ((fpacked & 7) + 1)
+            if n < i + 3 * sz:
+                return None
+            ct = b[i : i + 3 * sz]
+            i += 3 * sz
+        if i >= n or ct is None or fw == 0 or fh == 0:
+            return None
+        min_code = b[i]
+        i += 1
+        data = bytearray()
+        while i < n and b[i] != 0:
+            ln = b[i]
+            data += b[i + 1 : i + 1 + ln]
+            i += 1 + ln
+        if i >= n:
+            return None
+        i += 1  # past the 0x00 sub-block terminator
+        idx = _lzw_decode(min_code, bytes(data), fw * fh)
+        if idx is None or len(idx) < fw * fh:
+            return None
+        if fpacked & 0x40:
+            idx = _deinterlace(idx, fw, fh)
+        tbl = np.zeros((256, 3), dtype=np.uint8)
+        tbl[: len(ct) // 3] = np.frombuffer(
+            ct[: (len(ct) // 3) * 3], dtype=np.uint8
+        ).reshape(-1, 3)
+        arr = np.frombuffer(idx, dtype=np.uint8)
+        frames.append(
+            {
+                "left": left,
+                "top": top,
+                "width": fw,
+                "height": fh,
+                "rgb": tbl[arr].tobytes(),
+            }
+        )
+        if max_frames is not None and len(frames) >= max_frames:
+            break
+    if not frames:
+        return None
+    return sw, sh, frames
+
+
+def _rgb_to_bmp24(rgb, w: int, h: int) -> bytes:
+    """Pack a row-major (h, w, 3) RGB uint8 array as a bottom-up 24-bit
+    BMP (the BGR byte order and 4-byte row padding BMP requires)."""
+    import numpy as np
+
+    arr = np.asarray(rgb, dtype=np.uint8).reshape(h, w, 3)
+    bgr = arr[::-1, :, ::-1]  # bottom-up rows, RGB→BGR
+    stride = (w * 3 + 3) & ~3
+    body = np.zeros((h, stride), dtype=np.uint8)
+    body[:, : w * 3] = bgr.reshape(h, w * 3)
+    data = body.tobytes()
+    header = (
+        b"BM"
+        + (54 + len(data)).to_bytes(4, "little")
+        + b"\x00\x00\x00\x00"
+        + (54).to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little", signed=True)
+        + h.to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little")
+        + len(data).to_bytes(4, "little")
+        + (2835).to_bytes(4, "little") * 2
+        + (0).to_bytes(4, "little") * 2
+    )
+    return header + data
 
 
 def _parse_bmp24(payload: bytes):
@@ -308,10 +501,27 @@ def resize_bmp_nearest(payload: bytes, out_w: int, out_h: int) -> bytes | None:
     return header + data
 
 
+def _resize_gif_first_frame(b: bytes, out_w: int, out_h: int) -> bytes | None:
+    """Decode a GIF's first frame (real LZW) and nearest-resize it,
+    returning a 24-bit BMP, or None when not a decodable GIF."""
+    import numpy as np
+
+    decoded = decode_gif_frames(b, max_frames=1)
+    if decoded is None:
+        return None
+    _, _, frames = decoded
+    f = frames[0]
+    arr = np.frombuffer(f["rgb"], dtype=np.uint8).reshape(f["height"], f["width"], 3)
+    ys = (np.arange(out_h) * f["height"]) // out_h
+    xs = (np.arange(out_w) * f["width"]) // out_w
+    return _rgb_to_bmp24(arr[ys][:, xs], out_w, out_h)
+
+
 def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
     """Arrow-batched image resize stage. Per row: a real resized BMP
-    (status ``resized``), ``needs_codec`` for recognized-but-compressed
-    formats (PNG/GIF/JPEG), ``unsupported`` otherwise — log-and-continue,
+    (status ``resized`` — uncompressed BMPs AND GIFs, whose LZW frames
+    decode with pure stdlib), ``needs_codec`` for the entropy-coded
+    formats (PNG/JPEG), ``unsupported`` otherwise — log-and-continue,
     never a failed batch."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -320,6 +530,8 @@ def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
             for mid, b in zip(pdf["media_id"], pdf["payload"]):
                 b = bytes(b)
                 resized = resize_bmp_nearest(b, width, height)
+                if resized is None:
+                    resized = _resize_gif_first_frame(b, width, height)
                 if resized is not None:
                     status = "resized"
                 elif (hdr := try_decode_header(b)) is not None and hdr["format"] in (
@@ -327,6 +539,7 @@ def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
                     "gif",
                     "jpeg",
                 ):
+                    # gif lands here only when its pixel stream is corrupt
                     status = "needs_codec"
                 else:
                     status = "unsupported"
@@ -338,6 +551,52 @@ def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
             yield pd.DataFrame(out)
 
     return media.mapInPandas(batches, RESIZED_IMAGE_SCHEMA)
+
+
+GIF_FRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("left", T.IntegerType()),
+        T.StructField("top", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("rgb", T.BinaryType()),
+    ]
+)
+
+
+def sample_gif_frames(media: DataFrame, every_n: int = 1) -> DataFrame:
+    """REAL animation frame sampling: decode GIF87a/89a frames (stdlib
+    LZW) and emit every ``every_n``-th frame as raw RGB bytes with its
+    rect — the video-frame-sampling shape with the one animated format
+    this environment can decode without a codec. Non-GIF payloads emit
+    no rows. The fan-out happens inside the Arrow batch and is bounded
+    by total animation pixel mass, like sample_audio_frames."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {
+                "media_id": [], "frame_idx": [], "left": [], "top": [],
+                "width": [], "height": [], "rgb": [],
+            }
+            for mid, b in zip(pdf["media_id"], pdf["payload"]):
+                decoded = decode_gif_frames(bytes(b))
+                if decoded is None:
+                    continue
+                _, _, frames = decoded
+                for k in range(0, len(frames), max(1, every_n)):
+                    f = frames[k]
+                    out["media_id"].append(mid)
+                    out["frame_idx"].append(k)
+                    out["left"].append(f["left"])
+                    out["top"].append(f["top"])
+                    out["width"].append(f["width"])
+                    out["height"].append(f["height"])
+                    out["rgb"].append(f["rgb"])
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(batches, GIF_FRAMES_SCHEMA)
 
 
 AUDIO_FRAMES_SCHEMA = T.StructType(

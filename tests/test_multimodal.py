@@ -215,3 +215,169 @@ def test_sample_audio_frames_real_pcm_slicing(spark):
 
     assert _struct.unpack("<h", bytes(rows[1].pcm[:2]))[0] == 1000
     assert sum(len(r.pcm) for r in rows) == 2500 * 2
+
+
+# ---------------------------------------------------------------------------
+# GIF LZW pixel decode (round 4): real frames from stdlib byte math.
+# ---------------------------------------------------------------------------
+
+
+def _lzw_encode(min_code_size, indices):
+    """Minimal test-side GIF-LZW encoder (variable width, LSB-first)."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    table = {bytes([i]): i for i in range(clear)}
+    next_code = end + 1
+    code_size = min_code_size + 1
+    bits = []
+
+    def emit(code):
+        for k in range(code_size):
+            bits.append((code >> k) & 1)
+
+    emit(clear)
+    prev = b""
+    for ix in bytes(indices):
+        cur = prev + bytes([ix])
+        if cur in table:
+            prev = cur
+        else:
+            emit(table[prev])
+            table[cur] = next_code
+            if next_code == (1 << code_size) and code_size < 12:
+                code_size += 1
+            next_code += 1
+            prev = bytes([ix])
+    if prev:
+        emit(table[prev])
+    emit(end)
+    data = bytearray()
+    for i in range(0, len(bits), 8):
+        byte = 0
+        for k, bit in enumerate(bits[i : i + 8]):
+            byte |= bit << k
+        data.append(byte)
+    return bytes(data)
+
+
+def _sub_blocks(data):
+    out = bytearray()
+    for i in range(0, len(data), 255):
+        chunk = data[i : i + 255]
+        out += bytes([len(chunk)]) + chunk
+    return bytes(out) + b"\x00"
+
+
+def _gif_file(w, h, frames, palette, version=b"GIF89a"):
+    """frames: list of (left, top, fw, fh, indices, interlace)."""
+    entries = 2
+    while entries < len(palette):
+        entries *= 2
+    f = entries.bit_length() - 2  # 2^(f+1) = entries
+    gct = b"".join(bytes(c) for c in palette) + b"\x00" * (3 * (entries - len(palette)))
+    out = bytearray(
+        version + w.to_bytes(2, "little") + h.to_bytes(2, "little")
+        + bytes([0x80 | f, 0, 0]) + gct
+    )
+    # a GCE extension block, to prove the extension walker skips them
+    out += b"\x21\xf9\x04\x00\x00\x00\x00\x00"
+    for left, top, fw, fh, idx, interlace in frames:
+        mcs = max(2, entries.bit_length() - 1)
+        out += (
+            b"\x2c" + left.to_bytes(2, "little") + top.to_bytes(2, "little")
+            + fw.to_bytes(2, "little") + fh.to_bytes(2, "little")
+            + bytes([0x40 if interlace else 0])
+            + bytes([mcs]) + _sub_blocks(_lzw_encode(mcs, idx))
+        )
+    out += b"\x3b"
+    return bytes(out)
+
+
+def test_gif_lzw_decode_hand_pinned_bitstream():
+    """1x1 GIF whose LZW stream is hand-computed (clear=100b, idx=001b,
+    end=101b, LSB-first => 0x4C 0x01) — pins the decoder against an
+    independent bit-level derivation, not the test encoder."""
+    from kyiv_traffic_bigdata_spark.operators.multimodal import decode_gif_frames
+
+    gif = (
+        b"GIF89a" + (1).to_bytes(2, "little") + (1).to_bytes(2, "little")
+        + bytes([0x81, 0, 0])
+        + bytes([0, 0, 0, 10, 20, 30, 1, 1, 1, 2, 2, 2])  # 4-color GCT
+        + b"\x2c" + b"\x00\x00\x00\x00" + (1).to_bytes(2, "little")
+        + (1).to_bytes(2, "little") + b"\x00"
+        + b"\x02" + b"\x02\x4c\x01" + b"\x00" + b"\x3b"
+    )
+    decoded = decode_gif_frames(gif)
+    assert decoded is not None
+    sw, sh, frames = decoded
+    assert (sw, sh) == (1, 1) and len(frames) == 1
+    assert frames[0]["rgb"] == bytes([10, 20, 30])
+
+
+def test_gif_decode_round_trip_with_code_width_growth():
+    from kyiv_traffic_bigdata_spark.operators.multimodal import decode_gif_frames
+
+    palette = [(i, 2 * i, 255 - i) for i in range(4)]
+    # repeating pattern long enough to grow the dictionary past a width bump
+    idx = bytes([0, 1, 2, 3] * 12 + [0, 0, 1, 1, 2, 2, 3, 3] * 6)  # 96 px
+    gif = _gif_file(12, 8, [(0, 0, 12, 8, idx, False)], palette)
+    sw, sh, frames = decode_gif_frames(gif)
+    assert (sw, sh) == (12, 8)
+    expect = b"".join(bytes(palette[i]) for i in idx)
+    assert frames[0]["rgb"] == expect
+
+
+def test_gif_decode_interlaced_rows_reordered():
+    from kyiv_traffic_bigdata_spark.operators.multimodal import decode_gif_frames
+
+    palette = [(i, i, i) for i in range(8)]
+    w, h = 4, 8
+    # row r has solid color r; encoder writes rows in interlace pass order
+    pass_order = [r for start, step in ((0, 8), (4, 8), (2, 4), (1, 2)) for r in range(start, h, step)]
+    idx = bytes(b"".join(bytes([r]) * w for r in pass_order))
+    gif = _gif_file(w, h, [(0, 0, w, h, idx, True)], palette)
+    _, _, frames = decode_gif_frames(gif)
+    got = frames[0]["rgb"]
+    for r in range(h):
+        row = got[r * w * 3 : (r + 1) * w * 3]
+        assert row == bytes(palette[r]) * w, f"row {r} misplaced"
+
+
+def test_sample_gif_frames_spark(spark):
+    from kyiv_traffic_bigdata_spark.operators.multimodal import sample_gif_frames
+
+    palette = [(9, 9, 9), (200, 100, 50)]
+    frames = [
+        (0, 0, 2, 2, bytes([0, 0, 1, 1]), False),
+        (1, 1, 2, 1, bytes([1, 0]), False),
+        (0, 0, 1, 1, bytes([1]), False),
+    ]
+    gif = _gif_file(4, 4, frames, palette)
+    df = spark.createDataFrame(
+        [(1, bytearray(gif)), (2, bytearray(b"not a gif"))],
+        "media_id long, payload binary",
+    )
+    rows = sorted(sample_gif_frames(df).collect(), key=lambda r: r.frame_idx)
+    assert [r.media_id for r in rows] == [1, 1, 1]
+    assert [(r.left, r.top, r.width, r.height) for r in rows] == [(0, 0, 2, 2), (1, 1, 2, 1), (0, 0, 1, 1)]
+    assert bytes(rows[1].rgb) == bytes(palette[1]) + bytes(palette[0])
+    sampled = sample_gif_frames(df, every_n=2).collect()
+    assert sorted(r.frame_idx for r in sampled) == [0, 2]
+
+
+def test_resize_images_decodes_gif_for_real(spark):
+    from kyiv_traffic_bigdata_spark.operators.multimodal import (
+        resize_images,
+        try_decode_header,
+    )
+
+    palette = [(10, 20, 30), (40, 50, 60), (70, 80, 90), (1, 2, 3)]
+    gif = _gif_file(2, 2, [(0, 0, 2, 2, bytes([0, 1, 2, 3]), False)], palette)
+    df = spark.createDataFrame([(5, bytearray(gif))], "media_id long, payload binary")
+    row = resize_images(df, 1, 1).collect()[0]
+    assert row.status == "resized" and (row.width, row.height) == (1, 1)
+    bmp = bytes(row.payload)
+    meta = try_decode_header(bmp)
+    assert meta["format"] == "bmp" and meta["width"] == 1 and meta["height"] == 1
+    # nearest(1x1) picks the top-left pixel; BMP stores BGR
+    assert bmp[54:57] == bytes([30, 20, 10])
