@@ -1899,7 +1899,10 @@ def q_doc_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.topk import top_k_per_group
 
     d = _docs_with_tokens(spark, sf_dir)
-    n_docs = d.count()
+    # corpus size from the un-repartitioned scan: parquet footer counts
+    # only — the repartitioned frame would shuffle the whole corpus just
+    # to count it
+    n_docs = load_table(spark, sf_dir, "documents").count()
     tok = d.select("doc_id", F.explode(TX.tokens(F.col("text"))).alias("term"))
     tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
