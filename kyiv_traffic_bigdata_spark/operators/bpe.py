@@ -46,6 +46,8 @@ Scale notes:
 
 from __future__ import annotations
 
+import pandas as pd  # noqa: F401 — resolves pandas_udf type hints
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -182,3 +184,65 @@ def bpe_merges(
             rounds_since_ckpt = 0
 
     return merges, (train if full is None else full)
+
+
+def apply_merges_arrow(tokens, merges: list[tuple]) -> "Column":
+    """Apply a trained merge table to a token-array column — map-only,
+    Arrow-batched, the merge table shipped as closure metadata (32k
+    merges ≈ a few hundred KB broadcast once per executor, never
+    shuffled). Semantics are EXACTLY the trainer's: one left-to-right
+    non-overlapping pass per merge, in training order — so
+    ``apply_merges_arrow(subword_tokens(text), merges)`` reproduces the
+    trainer's final corpus bit-for-bit (pinned in tests). A membership
+    pre-check skips passes whose tokens are absent from the doc, so the
+    common cost is far below n_merges passes.
+
+    Note this deliberately differs from rank-priority encoders (HF
+    tokenizers): those re-select the minimum-rank pair after every
+    merge, so an occurrence of an EARLIER pair created by a LATER merge
+    still gets merged; the pass-order rule — like the trainer itself —
+    leaves it. Training parity is the contract here.
+    """
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    pairs = [(m[0], m[1]) for m in merges]
+
+    @pandas_udf("array<string>")
+    def _apply(s: pd.Series) -> pd.Series:
+        def enc(seq):
+            seq = list(seq)
+            for a, b in pairs:
+                if a not in seq or b not in seq:
+                    continue
+                out, i, n = [], 0, len(seq)
+                while i < n:
+                    if i + 1 < n and seq[i] == a and seq[i + 1] == b:
+                        out.append(a + b)
+                        i += 2
+                    else:
+                        out.append(seq[i])
+                        i += 1
+                seq = out
+            return seq
+
+        return s.map(enc)
+
+    return _apply(tokens)
+
+
+def encode_tokens(
+    docs: DataFrame,
+    merges: list[tuple],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Tokenize a corpus with a FIXED trained merge table — the serving
+    half of the tokenizer story (train once with :func:`bpe_merges`,
+    encode any corpus forever after). One map-only pass over the data:
+    no iteration, no shuffle, no driver round trips — corpus size only
+    adds map tasks, which is what lets a merge table trained on a
+    sample (``sample_rate``) tokenize 100 TB."""
+    return docs.select(
+        F.col(id_col).alias("id"),
+        apply_merges_arrow(subword_tokens(F.col(text_col)), merges).alias("t"),
+    )

@@ -183,3 +183,31 @@ def test_staging_reliable_mode(spark, tmp_path):
         staging.set_staging("local")
     # reliable mode wrote real checkpoint files to durable storage
     assert any(ckpt.rglob("*"))
+
+
+def test_encode_tokens_reproduces_trainer_output(spark):
+    from kyiv_traffic_bigdata_spark.operators.bpe import bpe_merges, encode_tokens
+
+    texts = [
+        "low low low lower lowest newest newest",
+        "a a a b a a",
+        "x y x y x y z 12 12, low low",
+        "",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    merges, trained = bpe_merges(docs, n_merges=6)
+    assert merges
+    enc = encode_tokens(docs, merges)
+    got = {r.id: list(r.t) for r in enc.collect()}
+    want = {r.id: list(r.t) for r in trained.collect()}
+    assert got == want
+
+
+def test_encode_tokens_is_map_only(spark):
+    from kyiv_traffic_bigdata_spark.operators.bpe import encode_tokens
+
+    docs = spark.createDataFrame([(1, "p q p q")], "doc_id long, text string")
+    plan = encode_tokens(docs, [("p", "q", 2)])._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # encoding never shuffles
