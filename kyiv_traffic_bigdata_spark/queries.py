@@ -3920,6 +3920,54 @@ FROM p
 """
 
 
+def q_doc_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-version diff (operators.maintenance.snapshot_diff): two
+    deterministic snapshots are derived from the documents table (the
+    'old' crawl drops every 10th doc; the 'new' crawl drops every 7th
+    and edits every 5th), then diffed by key + content fingerprint —
+    the added/removed/changed audit a curation pipeline publishes
+    between crawls. One map-only fingerprint per side + ONE full-outer
+    co-partitioned join; unchanged mass is dropped."""
+    from .operators.maintenance import snapshot_diff
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source"
+    )
+    old = d.where(F.col("doc_id") % 10 != 0)
+    new = d.where(F.col("doc_id") % 7 != 0).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 5 == 0, F.concat(F.col("text"), F.lit(" v2"))
+        ).otherwise(F.col("text")),
+    )
+    return snapshot_diff(old, new, ["doc_id"], compare_cols=["text", "lang", "source"])
+
+
+def _sql_version_diff() -> str:
+    fp = (
+        "md5(concat_ws(chr(31), coalesce({t}, chr(0) || 'null'), "
+        "coalesce(lang, chr(0) || 'null'), coalesce(source, chr(0) || 'null')))"
+    )
+    return f"""
+WITH o AS (
+  SELECT doc_id, {fp.format(t='text')} AS old_fp
+  FROM documents WHERE doc_id % 10 <> 0
+),
+n AS (
+  SELECT doc_id,
+         {fp.format(t="CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END")} AS new_fp
+  FROM documents WHERE doc_id % 7 <> 0
+)
+SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+       CASE WHEN o.doc_id IS NULL THEN 'added'
+            WHEN n.doc_id IS NULL THEN 'removed'
+            ELSE 'changed' END AS change_type,
+       old_fp, new_fp
+FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+WHERE o.doc_id IS NULL OR n.doc_id IS NULL OR old_fp <> new_fp
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -4032,6 +4080,7 @@ QUERIES: dict[str, QueryFn] = {
     "weather_pivot": q_weather_pivot,
     "neardup_components": q_neardup_components,
     "doc_sample_by_lang": q_doc_sample_by_lang,
+    "doc_version_diff": q_doc_version_diff,
 }
 
 
@@ -4132,4 +4181,5 @@ def build_oracles() -> dict[str, str]:
         "doc_unigram_logprob": SQL_UNIGRAM_LOGPROB,
         "doc_curation_pipeline": _sql_curation_pipeline(),
         "doc_pii_scrub": _sql_pii_scrub(),
+        "doc_version_diff": _sql_version_diff(),
     }

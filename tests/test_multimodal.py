@@ -381,3 +381,32 @@ def test_resize_images_decodes_gif_for_real(spark):
     assert meta["format"] == "bmp" and meta["width"] == 1 and meta["height"] == 1
     # nearest(1x1) picks the top-left pixel; BMP stores BGR
     assert bmp[54:57] == bytes([30, 20, 10])
+
+
+def test_gif_decoder_never_raises_on_malformed_input():
+    """Log-and-continue contract: arbitrary/truncated/corrupt bytes must
+    yield None (or valid frames), never an exception — a poisoned row
+    must not kill an Arrow batch."""
+    from hypothesis import given, settings, strategies as st
+
+    from kyiv_traffic_bigdata_spark.operators.multimodal import decode_gif_frames
+
+    palette = [(1, 2, 3), (4, 5, 6)]
+    good = _gif_file(3, 3, [(0, 0, 3, 3, bytes([0, 1, 0, 1, 0, 1, 0, 1, 0]), False)], palette)
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.binary(max_size=64), st.integers(0, len(good)), st.integers(0, 255), st.integers(0, len(good) - 1))
+    def check(junk, cut, byte, pos):
+        # pure junk, GIF-prefixed junk, truncations, single-byte corruptions
+        for payload in (
+            junk,
+            b"GIF89a" + junk,
+            good[:cut],
+            good[:pos] + bytes([byte]) + good[pos + 1 :],
+        ):
+            out = decode_gif_frames(payload)
+            if out is not None:
+                sw, sh, frames = out
+                assert frames and all(len(f["rgb"]) == 3 * f["width"] * f["height"] for f in frames)
+
+    check()
