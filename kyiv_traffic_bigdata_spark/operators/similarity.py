@@ -19,6 +19,58 @@ from ..functions.vector import as_double, dot, hyperplane_sign_bits, norm
 from .topk import top_k_per_group
 
 
+def probe_max_sim(
+    corpus: DataFrame,
+    probes: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Max cosine similarity of every corpus vector to a PROBE SET —
+    the semantic-decontamination gate (flag training docs too close in
+    embedding space to any benchmark/eval item), the embedding-space
+    complement of the n-gram containment check in
+    ``queries.doc_decontaminate``.
+
+    Scale shape is the kmeans-centroid pattern, not a join: the probe
+    set (a benchmark suite — thousands of vectors, driver metadata)
+    ships as ONE literal matrix plus a per-probe norm literal; each
+    corpus row evaluates m fused dot-product folds and an array_max,
+    all JVM-side — map-only, zero shuffle, zero Python. Corpus size
+    only adds map tasks; probe-set size only widens the literal.
+
+    Returns ``(id, max_probe_sim)`` with the max rounded to 6 decimals
+    (cross-engine float stability; callers threshold the rounded value
+    so the gate is deterministic across engines too).
+    """
+    if not probes:
+        raise ValueError("probe_max_sim needs a non-empty probe set")
+    # per-probe norms as literals — metadata math, sequential fold to
+    # mirror the engines' accumulation order
+    pnorms = []
+    for p in probes:
+        acc = 0.0
+        for x in p:
+            acc += float(x) * float(x)
+        pnorms.append(acc**0.5)
+    from ..functions.vector import literal_matrix
+
+    probes_lit = literal_matrix([[float(x) for x in p] for p in probes])
+    norms_lit = F.expr("array(" + ", ".join(f"{v!r}d" for v in pnorms) + ")")
+    v = as_double(F.col(vec_col))
+    vn = norm(F.col(vec_col))
+    sims = F.zip_with(
+        probes_lit,
+        norms_lit,
+        lambda p, pn: F.when(pn * vn == 0, F.lit(0.0)).otherwise(
+            dot(p, v) / (pn * vn)
+        ),
+    )
+    return corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.round(F.array_max(sims), 6).alias("max_probe_sim"),
+    )
+
+
 def cosine_topk(
     queries: DataFrame,
     corpus: DataFrame,

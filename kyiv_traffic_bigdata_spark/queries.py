@@ -3920,6 +3920,67 @@ FROM p
 """
 
 
+#: rounded-max-cosine threshold above which a corpus vector counts as
+#: semantically contaminated by the probe (benchmark) set
+EMB_DECONTAMINATE_TAU = 0.2
+
+
+def q_emb_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic decontamination (operators.similarity.probe_max_sim):
+    vectors vec_id % 50 == 1 stand in for a benchmark suite's
+    embeddings; every other corpus vector reports its max cosine to any
+    probe and is flagged when the rounded max reaches
+    EMB_DECONTAMINATE_TAU — the embedding-space complement of the
+    n-gram doc_decontaminate gate. Probe set collected once as driver
+    metadata (the kmeans-centroid pattern, same as emb_pq codebooks);
+    scoring is map-only against a literal probe matrix — no join, no
+    shuffle."""
+    emb = _emb(spark, sf_dir)
+    probes = [
+        [float(x) for x in r.embedding]
+        for r in load_table(spark, sf_dir, "embeddings")
+        .where(F.col("vec_id") % 50 == 1)
+        .orderBy("vec_id")
+        .collect()
+    ]
+    corpus = emb.where(F.col("vec_id") % 50 != 1)
+    scored = SIM.probe_max_sim(corpus, probes)
+    return scored.select(
+        "vec_id",
+        "max_probe_sim",
+        (F.col("max_probe_sim") >= EMB_DECONTAMINATE_TAU).alias("contaminated"),
+    )
+
+
+def _sql_emb_decontaminate() -> str:
+    return f"""
+WITH pe AS (
+  SELECT vec_id AS pid, generate_subscripts(embedding, 1) AS i,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings WHERE vec_id % 50 = 1
+),
+ce AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         CAST(unnest(embedding) AS DOUBLE) AS y
+  FROM embeddings WHERE vec_id % 50 <> 1
+),
+pn AS (SELECT pid, sqrt(SUM(x * x)) AS pnorm FROM pe GROUP BY pid),
+cn AS (SELECT vec_id, sqrt(SUM(y * y)) AS cnorm FROM ce GROUP BY vec_id),
+dots AS (
+  SELECT pid, vec_id, SUM(x * y) AS d FROM pe JOIN ce USING (i) GROUP BY pid, vec_id
+),
+sims AS (
+  SELECT vec_id,
+         CASE WHEN pnorm * cnorm = 0 THEN 0.0 ELSE d / (pnorm * cnorm) END AS sim
+  FROM dots JOIN pn USING (pid) JOIN cn USING (vec_id)
+),
+mx AS (SELECT vec_id, round(MAX(sim), 6) AS max_probe_sim FROM sims GROUP BY vec_id)
+SELECT vec_id, max_probe_sim,
+       (max_probe_sim >= {EMB_DECONTAMINATE_TAU}) AS contaminated
+FROM mx
+"""
+
+
 def q_doc_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dataset-version diff (operators.maintenance.snapshot_diff): two
     deterministic snapshots are derived from the documents table (the
@@ -4029,6 +4090,8 @@ QUERIES: dict[str, QueryFn] = {
     "emb_pca": q_emb_pca,
     "geo_trajectory": q_geo_trajectory,
     "doc_pii_scrub": q_doc_pii_scrub,
+    "doc_version_diff": q_doc_version_diff,
+    "emb_decontaminate": q_emb_decontaminate,
     # ---- slots above are inside the driver's 50-query verification
     # window; everything below rode driver-green in rounds 1-3 ----
     "pricing_summary": q_pricing_summary,
@@ -4080,7 +4143,6 @@ QUERIES: dict[str, QueryFn] = {
     "weather_pivot": q_weather_pivot,
     "neardup_components": q_neardup_components,
     "doc_sample_by_lang": q_doc_sample_by_lang,
-    "doc_version_diff": q_doc_version_diff,
 }
 
 
@@ -4182,4 +4244,5 @@ def build_oracles() -> dict[str, str]:
         "doc_curation_pipeline": _sql_curation_pipeline(),
         "doc_pii_scrub": _sql_pii_scrub(),
         "doc_version_diff": _sql_version_diff(),
+        "emb_decontaminate": _sql_emb_decontaminate(),
     }

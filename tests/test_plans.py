@@ -369,3 +369,23 @@ def test_priority_count_exists_is_semi_join(plans):
     plan = plans("priority_count")
     assert re.search(r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin).*LeftSemi", plan)
     assert "Distinct" not in plan
+
+
+def test_emb_decontaminate_is_map_only_literal_probes(plans):
+    """Semantic decontamination must be the kmeans-centroid shape: probe
+    matrix as a literal, per-row folds + array_max — no join of any
+    kind, no Python eval, and only the round-robin balance exchange."""
+    plan = plans("emb_decontaminate")
+    for node in ("Join", "CartesianProduct", "Exchange hashpartitioning",
+                 "ArrowEvalPython", "BatchEvalPython"):
+        assert node not in plan, node
+    assert exchange_count(plan) <= 1  # _emb round-robin balance only
+
+
+def test_doc_version_diff_single_full_outer_join(plans):
+    """Snapshot diff: one co-partitioned full-outer join on the key —
+    no window, no nested loop; fingerprints are map-side."""
+    plan = plans("doc_version_diff")
+    assert "FullOuter" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    assert "Window" not in plan
