@@ -12,6 +12,8 @@ expansion to claw recall back.
 
 from __future__ import annotations
 
+import pandas as pd  # noqa: F401 — resolves pandas_udf type hints
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -24,6 +26,7 @@ def probe_max_sim(
     probes: list[list[float]],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    engine: str = "arrow",
 ) -> DataFrame:
     """Max cosine similarity of every corpus vector to a PROBE SET —
     the semantic-decontamination gate (flag training docs too close in
@@ -41,17 +44,62 @@ def probe_max_sim(
     Returns ``(id, max_probe_sim)`` with the max rounded to 6 decimals
     (cross-engine float stability; callers threshold the rounded value
     so the gate is deterministic across engines too).
+
+    ``engine="arrow"`` (default) runs the scoring as one Arrow-batched
+    numpy pass whose dot/norm accumulation iterates the dimension axis
+    SEQUENTIALLY — the identical IEEE operation order as the expression
+    fold, so the two engines produce BIT-IDENTICAL doubles (pinned by
+    an exact-equality test; the same escalation rule as the ``*_arrow``
+    text twins). The expression path (``engine="expr"``) stays fully
+    JVM-side but codegens an m-probe literal expression — fine to a few
+    hundred probes, plan-size-bound beyond; arrow carries the probe
+    matrix as closure metadata and scales to benchmark suites of any
+    width.
     """
     if not probes:
         raise ValueError("probe_max_sim needs a non-empty probe set")
-    # per-probe norms as literals — metadata math, sequential fold to
-    # mirror the engines' accumulation order
+    # per-probe norms — metadata math, sequential fold to mirror the
+    # engines' accumulation order
     pnorms = []
     for p in probes:
         acc = 0.0
         for x in p:
             acc += float(x) * float(x)
         pnorms.append(acc**0.5)
+
+    if engine == "arrow":
+        import numpy as np
+        import pandas as pd
+        from pyspark.sql.pandas.functions import pandas_udf
+
+        pmat = np.asarray(
+            [[float(x) for x in p] for p in probes], dtype=np.float64
+        )  # m x d
+        pn_row = np.asarray(pnorms, dtype=np.float64)[None, :]  # 1 x m
+
+        @pandas_udf("double")
+        def _maxsim(s: pd.Series) -> pd.Series:
+            if len(s) == 0:
+                return pd.Series([], dtype="float64")
+            v = np.stack(s.to_numpy()).astype(np.float64)  # n x d
+            n, d = v.shape
+            dots = np.zeros((n, pmat.shape[0]), dtype=np.float64)
+            vn2 = np.zeros(n, dtype=np.float64)
+            # sequential over the dimension axis = the fold's IEEE order
+            for k in range(d):
+                dots += v[:, k : k + 1] * pmat.T[k : k + 1, :]
+                vn2 += v[:, k] * v[:, k]
+            denom = pn_row * np.sqrt(vn2)[:, None]
+            sims = np.divide(
+                dots, denom, out=np.zeros_like(dots), where=denom != 0
+            )
+            return pd.Series(sims.max(axis=1))
+
+        return corpus.select(
+            F.col(id_col).alias("vec_id"),
+            F.round(_maxsim(as_double(F.col(vec_col))), 6).alias("max_probe_sim"),
+        )
+
     from ..functions.vector import literal_matrix
 
     probes_lit = literal_matrix([[float(x) for x in p] for p in probes])

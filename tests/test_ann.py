@@ -258,3 +258,27 @@ def test_pq_and_semdedup_tolerate_empty_input(spark, pq_books):
     cents = [[1.0, 0.0], [0.0, 1.0]]
     empty2 = spark.createDataFrame([], "vec_id long, embedding array<double>")
     assert semdedup(empty2, cents, threshold=0.5).count() == 0
+
+
+def test_probe_max_sim_engines_bit_identical(spark):
+    """The arrow engine's sequential-dimension accumulation must produce
+    BIT-IDENTICAL doubles to the JVM expression fold (same IEEE op
+    order) — exact equality, no tolerance, including a zero vector."""
+    from kyiv_traffic_bigdata_spark.operators.similarity import probe_max_sim
+    from kyiv_traffic_bigdata_spark.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    probes = [
+        [float(x) for x in r.embedding]
+        for r in emb.where("vec_id % 50 = 1").orderBy("vec_id").collect()
+    ]
+    zero = spark.createDataFrame(
+        [(999999, [0.0] * len(probes[0])), (999998, [0.5] * len(probes[0]))],
+        "vec_id long, embedding array<double>",
+    )
+    corpus = emb.select("vec_id", emb.embedding.cast("array<double>").alias("embedding")).unionByName(zero)
+    a = {r.vec_id: r.max_probe_sim for r in probe_max_sim(corpus, probes, engine="arrow").collect()}
+    e = {r.vec_id: r.max_probe_sim for r in probe_max_sim(corpus, probes, engine="expr").collect()}
+    assert a.keys() == e.keys() and len(a) > 100
+    assert all(a[k] == e[k] for k in a), "engines diverged"
+    assert a[999999] == 0.0  # zero vector -> defined 0.0, not NaN

@@ -371,15 +371,29 @@ def test_priority_count_exists_is_semi_join(plans):
     assert "Distinct" not in plan
 
 
-def test_emb_decontaminate_is_map_only_literal_probes(plans):
-    """Semantic decontamination must be the kmeans-centroid shape: probe
-    matrix as a literal, per-row folds + array_max — no join of any
-    kind, no Python eval, and only the round-robin balance exchange."""
+def test_emb_decontaminate_is_map_only_literal_probes(plans, spark, sf_dir):
+    """Semantic decontamination must be the kmeans-centroid shape:
+    probes as metadata, per-row scoring — no join of any kind and only
+    the round-robin balance exchange. The default engine is one Arrow
+    projection (never row-at-a-time Python); the expr engine must stay
+    pure JVM."""
     plan = plans("emb_decontaminate")
     for node in ("Join", "CartesianProduct", "Exchange hashpartitioning",
-                 "ArrowEvalPython", "BatchEvalPython"):
+                 "BatchEvalPython"):
         assert node not in plan, node
     assert exchange_count(plan) <= 1  # _emb round-robin balance only
+    assert "ArrowEvalPython" in plan  # the vectorized scoring pass
+
+    from kyiv_traffic_bigdata_spark.operators.similarity import probe_max_sim
+    from kyiv_traffic_bigdata_spark.plans import physical_plan
+    from kyiv_traffic_bigdata_spark.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    expr_plan = physical_plan(
+        probe_max_sim(emb, [[1.0] * 64], engine="expr"), "formatted"
+    )
+    for node in ("ArrowEvalPython", "BatchEvalPython", "Exchange", "Join"):
+        assert node not in expr_plan, node
 
 
 def test_doc_version_diff_single_full_outer_join(plans):
