@@ -57,6 +57,16 @@ def get_spark(
         # interpreted lambdas per row instead repartition explicitly
         # (shingle_index, winnow_fingerprints), which pays one cheap
         # round-robin shuffle exactly where the compute is heavy.
+        # NB the driver's testdata tables are SINGLE-row-group parquet
+        # files, so scan parallelism is structurally 1 no matter the
+        # split config (a parquet split only yields rows for the row
+        # groups whose midpoint it contains) — the simple fact-table agg
+        # queries are single-core at bench scale. Measured: pre-agg
+        # round-robin repartition buys only ~25% (the lone scan task
+        # still reads+feeds every row) and is the WRONG plan at real
+        # scale (shuffling a petabyte fact ahead of a partial agg), so
+        # it is deliberately not done; real deployments write multi-
+        # row-group files and get scan parallelism for free.
         .config(
             "spark.sql.files.maxPartitionBytes",
             os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "128m"),
