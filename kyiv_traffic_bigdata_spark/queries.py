@@ -3920,6 +3920,63 @@ FROM p
 """
 
 
+def q_doc_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization (functions.web.normalize_url) with a hard
+    oracle row: the corpus has no URL column, so four deterministic
+    messy-URL shapes are derived from doc_id (cased scheme/host,
+    default ports, fragments, tracking params, shuffled param order,
+    plus a non-URL passthrough) and canonicalized — the crawl-dedup
+    preprocessing step. Pure Catalyst regexp/array expressions,
+    map-only at any scale."""
+    from .functions.web import normalize_url
+
+    d = _docs_with_tokens(spark, sf_dir)
+    did = F.col("doc_id").cast("string")
+    m = F.col("doc_id") % 4
+    url = (
+        F.when(
+            m == 0,
+            F.concat(
+                F.lit("HTTP://Site"), did, F.lit(".Example:80/Path/"), did,
+                F.lit("?b=2&utm_source=x&a=1#frag"),
+            ),
+        )
+        .when(
+            m == 1,
+            F.concat(
+                F.lit("https://site"), did, F.lit(".example:443/p?z=9&fbclid=abc"),
+                did, F.lit("&y=8"),
+            ),
+        )
+        .when(m == 2, F.concat(F.lit("https://site"), did, F.lit(".example/p")))
+        .otherwise(F.concat(F.lit("not a url "), did))
+    )
+    staged = d.select("doc_id", url.alias("url"))
+    return staged.select(
+        "doc_id", "url", normalize_url(F.col("url")).alias("canon_url")
+    )
+
+
+def _sql_url_normalize() -> str:
+    from .functions.web import sql_normalize_url
+
+    return f"""
+WITH u AS (
+  SELECT doc_id,
+    CASE doc_id % 4
+      WHEN 0 THEN 'HTTP://Site' || CAST(doc_id AS VARCHAR) || '.Example:80/Path/'
+                  || CAST(doc_id AS VARCHAR) || '?b=2&utm_source=x&a=1#frag'
+      WHEN 1 THEN 'https://site' || CAST(doc_id AS VARCHAR)
+                  || '.example:443/p?z=9&fbclid=abc' || CAST(doc_id AS VARCHAR) || '&y=8'
+      WHEN 2 THEN 'https://site' || CAST(doc_id AS VARCHAR) || '.example/p'
+      ELSE 'not a url ' || CAST(doc_id AS VARCHAR)
+    END AS url
+  FROM documents
+)
+SELECT doc_id, url, {sql_normalize_url('url')} AS canon_url FROM u
+"""
+
+
 #: rounded-max-cosine threshold above which a corpus vector counts as
 #: semantically contaminated by the probe (benchmark) set
 EMB_DECONTAMINATE_TAU = 0.2
@@ -4143,6 +4200,7 @@ QUERIES: dict[str, QueryFn] = {
     "weather_pivot": q_weather_pivot,
     "neardup_components": q_neardup_components,
     "doc_sample_by_lang": q_doc_sample_by_lang,
+    "doc_url_normalize": q_doc_url_normalize,
 }
 
 
@@ -4245,4 +4303,5 @@ def build_oracles() -> dict[str, str]:
         "doc_pii_scrub": _sql_pii_scrub(),
         "doc_version_diff": _sql_version_diff(),
         "emb_decontaminate": _sql_emb_decontaminate(),
+        "doc_url_normalize": _sql_url_normalize(),
     }
