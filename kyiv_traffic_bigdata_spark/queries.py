@@ -3920,6 +3920,77 @@ FROM p
 """
 
 
+#: temperature for mixture re-weighting (the mT5/XLM-R value)
+MIXTURE_ALPHA = 0.3
+
+
+def q_doc_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based mixture weights (mT5 §3.1 / XLM-R style): per
+    language, token share p = tokens_lang / tokens_total and sampling
+    weight w ∝ p^α (α = 0.3) — the standard recipe that upsamples
+    low-resource slices of a multilingual pretraining mix. ``boost`` is
+    w/p, the implied up/downsampling factor a sampler feeds into
+    weighted_hash_sample.
+
+    Cross-engine determinism: integer token counts divide exactly; the
+    only transcendental (p^α) is rounded to 6 decimals BEFORE the
+    normalizing sum, and that sum runs in decimal — so the denominator
+    is order-independent and bit-equal across engines, not a float sum
+    race. Two tiny aggregates + a 1-row broadcast — corpus size only
+    affects the first map-side count."""
+    d = _docs_with_tokens(spark, sf_dir)
+    per = d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(TX.tokens(F.col("text")))).cast("long").alias("n_tokens"),
+    )
+    tot = per.agg(F.sum("n_tokens").cast("long").alias("_tot"))
+    p = F.col("n_tokens").cast("double") / F.col("_tot").cast("double")
+    scored = per.crossJoin(F.broadcast(tot)).select(
+        "lang", "n_docs", "n_tokens",
+        round6(p).alias("share"),
+        round6(F.pow(p, F.lit(MIXTURE_ALPHA))).alias("_a6"),
+        p.alias("_p"),
+    )
+    denom = scored.agg(
+        F.sum(F.col("_a6").cast("decimal(18,6)")).cast("double").alias("_den")
+    )
+    return (
+        scored.crossJoin(F.broadcast(denom))
+        .select(
+            "lang", "n_docs", "n_tokens", "share",
+            round6(F.col("_a6") / F.col("_den")).alias("weight"),
+            round6(F.col("_a6") / F.col("_den") / F.col("_p")).alias("boost"),
+        )
+    )
+
+
+def _sql_mixture_weights() -> str:
+    toks = _toks("text")
+    return f"""
+WITH per AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(len({toks})) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY lang
+),
+tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS t FROM per),
+scored AS (
+  SELECT lang, n_docs, n_tokens,
+         {SQL_ROUND6.format(x='CAST(n_tokens AS DOUBLE) / CAST(t AS DOUBLE)')} AS share,
+         {SQL_ROUND6.format(x=f'pow(CAST(n_tokens AS DOUBLE) / CAST(t AS DOUBLE), {MIXTURE_ALPHA})')} AS a6,
+         CAST(n_tokens AS DOUBLE) / CAST(t AS DOUBLE) AS p
+  FROM per, tot
+),
+den AS (
+  SELECT CAST(CAST(SUM(CAST(a6 AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS d
+  FROM scored
+)
+SELECT lang, n_docs, n_tokens, share,
+       {SQL_ROUND6.format(x='a6 / d')} AS weight,
+       {SQL_ROUND6.format(x='a6 / d / p')} AS boost
+FROM scored, den
+"""
+
+
 def q_doc_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL canonicalization (functions.web.normalize_url) with a hard
     oracle row: the corpus has no URL column, so four deterministic
@@ -4201,6 +4272,7 @@ QUERIES: dict[str, QueryFn] = {
     "neardup_components": q_neardup_components,
     "doc_sample_by_lang": q_doc_sample_by_lang,
     "doc_url_normalize": q_doc_url_normalize,
+    "doc_mixture_weights": q_doc_mixture_weights,
 }
 
 
@@ -4304,4 +4376,5 @@ def build_oracles() -> dict[str, str]:
         "doc_version_diff": _sql_version_diff(),
         "emb_decontaminate": _sql_emb_decontaminate(),
         "doc_url_normalize": _sql_url_normalize(),
+        "doc_mixture_weights": _sql_mixture_weights(),
     }
