@@ -1,0 +1,78 @@
+"""Fixed-iteration PageRank over an edge list — iterative graph
+analytics as DataFrame joins (the centrality companion to
+operators.cluster.connected_components).
+
+Scale design: each iteration is ONE equi-join (edge × rank, partitioned
+by node id) and ONE aggregate — the standard Pregel-free Spark shape;
+no driver-side graph, no windows. Ranks live in a nodes-sized frame;
+corpus growth adds join tasks, not rounds. The iteration count is a
+fixed parameter (k sweeps), which is both what bounded-latency
+production jobs run and what makes the result ORACLE-CHECKABLE: the
+same k sweeps unroll into k chained CTEs in the DuckDB twin.
+
+Cross-engine determinism (the interesting part): float sums over a
+node's in-neighbors are accumulation-order-dependent, so a naive
+implementation diverges from any other engine at the ulp level and
+drifts further every iteration. This implementation quantizes each
+rank state to 6 decimals (the repo's portable floor-form) and sums
+per-edge contributions IN DECIMAL — decimal addition is exact and
+order-free — so every iteration's state is bit-identical across Spark,
+DuckDB, and any partitioning. Determinism costs nothing structurally:
+the decimal cast rides the same aggregate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.rounding import round6
+
+DAMPING = 0.85
+
+
+def pagerank(
+    edges: DataFrame,
+    n_iter: int = 3,
+    damping: float = DAMPING,
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """(node, deg, rank) after ``n_iter`` sweeps over the symmetrized
+    edge list. Nodes are the endpoints of ``edges``; every node of a
+    symmetric graph has out-degree ≥ 1, so there is no dangling-mass
+    term. Rank states are 6-decimal-quantized and contributions are
+    decimal-summed — see the module docstring."""
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    sym = e.unionByName(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).distinct()
+    deg = sym.groupBy("a").agg(F.count(F.lit(1)).alias("deg")).withColumnRenamed(
+        "a", "node"
+    )
+    n = deg.count()  # driver scalar — node count is metadata
+    if n == 0:
+        return deg.select("node", "deg", F.lit(0.0).alias("rank"))
+    r = deg.select(
+        "node", "deg", round6(F.lit(1.0) / F.lit(n)).alias("rank")
+    )
+    teleport = F.lit(1.0 - damping) / F.lit(n)
+    for _ in range(n_iter):
+        contrib = sym.join(r, sym.a == r.node).select(
+            F.col("b").alias("node"),
+            round6(F.col("rank") / F.col("deg")).alias("_c"),
+        )
+        inflow = contrib.groupBy("node").agg(
+            F.sum(F.col("_c").cast("decimal(18,6)")).cast("double").alias("_s")
+        )
+        r = (
+            deg.join(inflow, "node", "left")
+            .select(
+                "node",
+                "deg",
+                round6(
+                    teleport + F.lit(damping) * F.coalesce(F.col("_s"), F.lit(0.0))
+                ).alias("rank"),
+            )
+        )
+    return r

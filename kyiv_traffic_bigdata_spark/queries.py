@@ -3920,6 +3920,68 @@ FROM p
 """
 
 
+#: PageRank sweeps for the near-dup-graph centrality query (fixed so
+#: the oracle can unroll the same number of CTE layers)
+PAGERANK_ITERS = 3
+
+
+def q_neardup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank centrality over the MinHash-LSH near-duplicate graph
+    (operators.pagerank) — which documents sit at the center of big
+    duplication clusters (the doc a keep-the-canonical policy should
+    prefer, and the one whose removal breaks the most duplicate paths).
+    Fixed 3-sweep iteration, decimal-summed 6-decimal states, so the
+    result hash-matches the unrolled SQL twin exactly."""
+    from .operators.pagerank import pagerank
+
+    pairs = DD.minhash_lsh_pairs(_docs_with_tokens(spark, sf_dir), threshold=0.2)
+    pr = pagerank(pairs, n_iter=PAGERANK_ITERS)
+    return pr.select(
+        F.col("node").alias("doc_id"),
+        F.col("deg").cast("long").alias("deg"),
+        "rank",
+    )
+
+
+def _sql_neardup_pagerank() -> str:
+    from .operators.pagerank import DAMPING
+
+    d = repr(DAMPING)
+    tele = repr(1.0 - DAMPING)  # the Python-computed double, verbatim
+    r6 = SQL_ROUND6
+    layers = [
+        f"""
+pairs AS (SELECT id_a, id_b FROM ({_sql_minhash_lsh()}) q),
+sym AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b AS a, id_a AS b FROM pairs
+),
+deg AS (SELECT a AS node, CAST(COUNT(*) AS BIGINT) AS deg FROM sym GROUP BY a),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM deg),
+r0 AS (SELECT node, deg, {r6.format(x='1.0 / nn.n')} AS rank FROM deg, nn)"""
+    ]
+    for i in range(1, PAGERANK_ITERS + 1):
+        layers.append(
+            f"""
+c{i} AS (
+  SELECT s.b AS node,
+         CAST(CAST(SUM(CAST({r6.format(x='p.rank / p.deg')} AS DECIMAL(18,6)))
+              AS VARCHAR) AS DOUBLE) AS s
+  FROM sym s JOIN r{i - 1} p ON s.a = p.node GROUP BY s.b
+),
+r{i} AS (
+  SELECT dd.node, dd.deg,
+         {r6.format(x=f'{tele} / nn.n + {d} * COALESCE(c.s, 0.0)')} AS rank
+  FROM deg dd CROSS JOIN nn LEFT JOIN c{i} c ON c.node = dd.node
+)"""
+        )
+    return (
+        "WITH " + ",".join(layers)
+        + f"\nSELECT node AS doc_id, deg, rank FROM r{PAGERANK_ITERS}"
+    )
+
+
 #: temperature for mixture re-weighting (the mT5/XLM-R value)
 MIXTURE_ALPHA = 0.3
 
@@ -4273,6 +4335,7 @@ QUERIES: dict[str, QueryFn] = {
     "doc_sample_by_lang": q_doc_sample_by_lang,
     "doc_url_normalize": q_doc_url_normalize,
     "doc_mixture_weights": q_doc_mixture_weights,
+    "neardup_pagerank": q_neardup_pagerank,
 }
 
 
@@ -4377,4 +4440,5 @@ def build_oracles() -> dict[str, str]:
         "emb_decontaminate": _sql_emb_decontaminate(),
         "doc_url_normalize": _sql_url_normalize(),
         "doc_mixture_weights": _sql_mixture_weights(),
+        "neardup_pagerank": _sql_neardup_pagerank(),
     }
