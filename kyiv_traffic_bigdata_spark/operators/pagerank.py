@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.rounding import round6
+from .staging import stage
 
 DAMPING = 0.85
 
@@ -44,9 +45,12 @@ def pagerank(
     term. Rank states are 6-decimal-quantized and contributions are
     decimal-summed — see the module docstring."""
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-    sym = e.unionByName(
-        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).distinct()
+    # stage the symmetrized edge list ONCE: every sweep joins against it,
+    # and without truncation each sweep would re-execute the (possibly
+    # expensive) upstream pair-generation pipeline through its lineage
+    sym = stage(
+        e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
+    )
     deg = sym.groupBy("a").agg(F.count(F.lit(1)).alias("deg")).withColumnRenamed(
         "a", "node"
     )

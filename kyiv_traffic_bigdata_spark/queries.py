@@ -4282,6 +4282,7 @@ QUERIES: dict[str, QueryFn] = {
     "doc_pii_scrub": q_doc_pii_scrub,
     "doc_version_diff": q_doc_version_diff,
     "emb_decontaminate": q_emb_decontaminate,
+    "neardup_pagerank": q_neardup_pagerank,
     # ---- slots above are inside the driver's 50-query verification
     # window; everything below rode driver-green in rounds 1-3 ----
     "pricing_summary": q_pricing_summary,
@@ -4335,7 +4336,6 @@ QUERIES: dict[str, QueryFn] = {
     "doc_sample_by_lang": q_doc_sample_by_lang,
     "doc_url_normalize": q_doc_url_normalize,
     "doc_mixture_weights": q_doc_mixture_weights,
-    "neardup_pagerank": q_neardup_pagerank,
 }
 
 
