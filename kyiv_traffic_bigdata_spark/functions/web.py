@@ -67,6 +67,48 @@ def normalize_url(col: Column) -> Column:
     return F.when(p.getField("scheme") == "", col).otherwise(canon)
 
 
+#: ordered (pattern, replacement) chain for :func:`html_to_text` —
+#: RE2-safe (inline (?is) flags, lazy quantifiers, no lookaround), so
+#: Java regex (Spark) and RE2 (DuckDB) produce the identical string.
+#: Order matters: blocks drop before generic tags, entities decode after
+#: tags are gone (so "&lt;tag&gt;" survives as literal text).
+HTML_TEXT_CHAIN: tuple[tuple[str, str], ...] = (
+    (r"(?is)<script[^>]*>.*?</script>", " "),
+    (r"(?is)<style[^>]*>.*?</style>", " "),
+    (r"(?s)<!--.*?-->", " "),
+    (r"(?s)<[^>]+>", " "),
+    (r"&nbsp;", " "),
+    (r"&lt;", "<"),
+    (r"&gt;", ">"),
+    (r"&quot;", "\""),
+    (r"&#39;", "'"),
+    (r"&amp;", "&"),  # last, so "&amp;lt;" decodes to the literal "&lt;"
+)
+
+
+def html_to_text(col: Column) -> Column:
+    """Boilerplate-light text extraction from HTML — the step between
+    :mod:`..sources.warc` crawl ingest and every text operator (dedup,
+    quality gates, lang-ID). Drops script/style/comment blocks, strips
+    tags, decodes the common entities, collapses whitespace. Pure
+    Catalyst ``regexp_replace`` chain: map-only, codegen'd, no UDF —
+    a full-fidelity DOM extractor (readability/trafilatura) is a
+    drop-in replacement behind the same column contract."""
+    out = col
+    for pat, repl in HTML_TEXT_CHAIN:
+        out = F.regexp_replace(out, pat, repl)
+    return F.trim(F.regexp_replace(out, r"\s+", " "))
+
+
+def sql_html_to_text(expr: str) -> str:
+    """DuckDB twin of :func:`html_to_text` (same chain, 'g' flag)."""
+    out = expr
+    for pat, repl in HTML_TEXT_CHAIN:
+        rq = repl.replace("'", "''")
+        out = f"regexp_replace({out}, '{pat}', '{rq}', 'g')"
+    return f"trim(regexp_replace({out}, '\\s+', ' ', 'g'))"
+
+
 def sql_normalize_url(expr: str) -> str:
     """DuckDB twin of :func:`normalize_url` over a string expression —
     identical regexps (RE2-safe) and identical rule order, for oracle

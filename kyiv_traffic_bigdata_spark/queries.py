@@ -3920,6 +3920,53 @@ FROM p
 """
 
 
+def q_doc_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML→text extraction (functions.web.html_to_text) — the step
+    between WARC crawl ingest (sources.warc) and the text operators.
+    Deterministic HTML is derived per doc (head/title, style+script
+    blocks, a comment, entity-encoded text) and extracted; the entity
+    cases pin the order contract (tags strip BEFORE entities decode, so
+    '&lt;i&gt;' survives as the literal text '<i>'). Map-only regexp
+    chain at any scale."""
+    from .functions.web import html_to_text
+
+    d = _docs_with_tokens(spark, sf_dir)
+    did = F.col("doc_id").cast("string")
+    html = F.concat(
+        F.lit("<html><head><title>T"), did,
+        F.lit(
+            "</title><style>p{color:red}</style><script>var x=1;"
+            "</script></head><body><h1>Doc "
+        ),
+        did, F.lit("</h1><p>"), F.substring("text", 1, 80),
+        F.lit("</p><!-- hidden --><p>B &amp; C &lt;i&gt;</p></body></html>"),
+    )
+    staged = d.select("doc_id", html.alias("_html"))
+    ext = html_to_text(F.col("_html"))
+    return staged.select(
+        "doc_id",
+        ext.alias("text"),
+        F.size(TX.tokens(ext)).cast("long").alias("n_tokens"),
+    )
+
+
+def _sql_html_extract() -> str:
+    from .functions.web import sql_html_to_text
+
+    html = (
+        "'<html><head><title>T' || CAST(doc_id AS VARCHAR) || "
+        "'</title><style>p{color:red}</style><script>var x=1;"
+        "</script></head><body><h1>Doc ' || CAST(doc_id AS VARCHAR) || "
+        "'</h1><p>' || substr(text, 1, 80) || "
+        "'</p><!-- hidden --><p>B &amp; C &lt;i&gt;</p></body></html>'"
+    )
+    return f"""
+WITH h AS (SELECT doc_id, {html} AS html FROM documents),
+e AS (SELECT doc_id, {sql_html_to_text('html')} AS text FROM h)
+SELECT doc_id, text, CAST(len({_toks('text')}) AS BIGINT) AS n_tokens FROM e
+"""
+
+
 #: PageRank sweeps for the near-dup-graph centrality query (fixed so
 #: the oracle can unroll the same number of CTE layers)
 PAGERANK_ITERS = 3
@@ -4336,6 +4383,7 @@ QUERIES: dict[str, QueryFn] = {
     "doc_sample_by_lang": q_doc_sample_by_lang,
     "doc_url_normalize": q_doc_url_normalize,
     "doc_mixture_weights": q_doc_mixture_weights,
+    "doc_html_extract": q_doc_html_extract,
 }
 
 
@@ -4441,4 +4489,5 @@ def build_oracles() -> dict[str, str]:
         "doc_url_normalize": _sql_url_normalize(),
         "doc_mixture_weights": _sql_mixture_weights(),
         "neardup_pagerank": _sql_neardup_pagerank(),
+        "doc_html_extract": _sql_html_extract(),
     }

@@ -160,21 +160,34 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
     return files.mapInPandas(batches, WARC_RECORD_SCHEMA)
 
 
-def warc_responses_as_documents(records: DataFrame) -> DataFrame:
+def warc_responses_as_documents(
+    records: DataFrame, extract_text: bool = False
+) -> DataFrame:
     """Project HTTP 200 response records into the repo's ``documents``
-    shape: (doc_id = record_id, text = latin-1-decoded body, source =
-    shard) — the bridge from crawl ingest to every text operator
-    (dedup, quality gates, lang-ID). Real pipelines plug charset
-    detection in here; latin-1 is the lossless byte-preserving default."""
+    shape: (doc_id = record_id, text, uri, source = shard) — the bridge
+    from crawl ingest to every text operator (dedup, quality gates,
+    lang-ID). ``extract_text=True`` additionally runs
+    functions.web.html_to_text over HTML bodies (non-HTML bodies pass
+    through raw) — the full crawl→corpus path in one map-only plan.
+    Real pipelines plug charset detection in here; latin-1 is the
+    lossless byte-preserving default decode."""
     from pyspark.sql import functions as F
 
+    text = F.decode(F.col("body"), "ISO-8859-1")
+    if extract_text:
+        from ..functions.web import html_to_text
+
+        is_html = F.lower(F.coalesce(F.col("http_content_type"), F.lit(""))).contains(
+            "text/html"
+        )
+        text = F.when(is_html, html_to_text(text)).otherwise(text)
     return (
         records.where(
             (F.col("warc_type") == "response") & (F.col("http_status") == 200)
         )
         .select(
             F.col("record_id").alias("doc_id"),
-            F.decode(F.col("body"), "ISO-8859-1").alias("text"),
+            text.alias("text"),
             F.col("target_uri").alias("uri"),
             F.col("shard").alias("source"),
         )

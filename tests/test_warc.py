@@ -110,3 +110,18 @@ def test_read_warc_distributed_and_documents_bridge(spark, tmp_path):
         "shard-00000.warc.gz",
         "shard-00001.warc",
     }
+
+
+def test_documents_bridge_with_text_extraction(spark, tmp_path):
+    from kyiv_traffic_bigdata_spark.sources.warc import (
+        read_warc,
+        warc_responses_as_documents,
+    )
+
+    d = tmp_path / "crawl2"
+    d.mkdir()
+    (d / "s.warc").write_bytes(_shard())
+    recs = read_warc(spark, str(d))
+    docs = warc_responses_as_documents(recs, extract_text=True).collect()
+    assert len(docs) == 1
+    assert docs[0].text == "hello corpus"  # tags stripped, whitespace collapsed

@@ -47,3 +47,46 @@ def test_sql_normalize_url_matches_spark_on_cases():
             f"SELECT {sql_normalize_url('u')} FROM (SELECT ? AS u)", params=[u]
         ).fetchone()[0]
         assert got == want, f"{u!r}: {got!r} != {want!r}"
+
+
+def test_html_to_text_rules(spark):
+    from pyspark.sql import functions as F
+
+    from kyiv_traffic_bigdata_spark.functions.web import html_to_text
+
+    cases = [
+        # blocks drop wholesale, incl. attributes + newlines inside
+        ("<p>keep</p><script type='x'>\nvar a = '<p>no</p>';\n</script><b>this</b>",
+         "keep this"),
+        ("<style>\nbody { color: red }\n</style>ok", "ok"),
+        ("before<!-- secret\nstuff -->after", "before after"),
+        # entities decode AFTER tags strip: encoded markup survives as text
+        ("&lt;i&gt;literal&lt;/i&gt; &amp; co &nbsp;x &quot;q&quot; &#39;a&#39;",
+         "<i>literal</i> & co x \"q\" 'a'"),
+        # double-encoded &amp;lt; ends as the literal string "&lt;"
+        ("a &amp;lt; b", "a &lt; b"),
+        ("  plain   text\twith\nspaces  ", "plain text with spaces"),
+    ]
+    df = spark.createDataFrame([(i, h) for i, (h, _) in enumerate(cases)], "i long, h string")
+    got = {r.i: r.t for r in df.select("i", html_to_text(F.col("h")).alias("t")).collect()}
+    for i, (h, want) in enumerate(cases):
+        assert got[i] == want, f"{h!r}: {got[i]!r} != {want!r}"
+
+
+def test_sql_html_to_text_matches_spark_on_cases():
+    import duckdb
+
+    from kyiv_traffic_bigdata_spark.functions.web import sql_html_to_text
+
+    con = duckdb.connect()
+    cases = [
+        "<p>keep</p><script>var a='<p>no</p>';</script><b>this</b>",
+        "&lt;i&gt;x&lt;/i&gt; &amp; &amp;lt; &quot;q&quot;",
+        "<style>a{b:c}</style><!-- z -->ok   done",
+    ]
+    expected = ["keep this", '<i>x</i> & &lt; "q"', "ok done"]
+    for h, want in zip(cases, expected):
+        got = con.sql(
+            f"SELECT {sql_html_to_text('h')} FROM (SELECT ? AS h)", params=[h]
+        ).fetchone()[0]
+        assert got == want, f"{h!r}: {got!r} != {want!r}"
