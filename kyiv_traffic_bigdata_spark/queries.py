@@ -4277,8 +4277,11 @@ WHERE o.doc_id IS NULL OR n.doc_id IS NULL OR old_fp <> new_fp
 # queries that had never received a driver row (rounds 2-3 extension
 # surface: emb_*, doc_* curation ops, the TPC-H shapes), plus the
 # flagship `geo_trajectory` (= driver entry()) and this round's new
-# queries. The 49 queries that went driver-green in rounds 1-3 ride on
-# their local sf0.001 oracle replica (tests/test_oracle.py) this round.
+# queries (doc_pii_scrub, doc_version_diff, emb_decontaminate,
+# neardup_pagerank). Everything below the window marker rides on the
+# local oracle replica (tests/test_oracle.py, run at sf0.001/0.01/0.1
+# this round) — the already-driver-green rounds-1-3 set plus round 4's
+# remaining additions — and rotates into the window next round.
 QUERIES: dict[str, QueryFn] = {
     "doc_hash_sample": q_doc_hash_sample,
     "doc_tfidf_terms": q_doc_tfidf_terms,
