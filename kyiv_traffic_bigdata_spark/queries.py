@@ -3920,6 +3920,48 @@ FROM p
 """
 
 
+def q_doc_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc n-gram novelty: the fraction of a doc's distinct word
+    3-grams that appear in NO other document — the inter-document
+    complement of doc_repetition_filter (intra-doc spam) and the
+    memorization-risk / contribution signal curation runs rank docs by
+    (a doc of all-unique grams adds new text; a doc of common grams is
+    boilerplate). Shape: one shingle explode, one gram-df aggregate,
+    one join back, one per-doc aggregate — exactly the
+    ngram-inverted-index cost already paid by the dedup family, no
+    pair production. The 0/1 mean sums small integers exactly in
+    double, so no decimal staging is needed — only the final rational
+    gets the portable floor-round."""
+    d = _docs_with_tokens(spark, sf_dir)
+    g = d.select(
+        "doc_id",
+        F.explode(TX.word_ngrams(TX.tokens(F.col("text")), 3)).alias("g"),
+    )
+    dfreq = g.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        g.join(dfreq, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            round6(F.avg((F.col("df") == 1).cast("double"))).alias("novelty"),
+        )
+    )
+
+
+def _sql_doc_novelty() -> str:
+    shingles = _SHINGLES.format(t=_toks("text"))
+    return f"""
+WITH g AS (
+  SELECT doc_id, unnest({shingles}) AS g FROM documents
+),
+dfq AS (SELECT g, COUNT(*) AS df FROM g GROUP BY g)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+       {SQL_ROUND6.format(x='AVG(CASE WHEN df = 1 THEN 1.0 ELSE 0.0 END)')} AS novelty
+FROM g JOIN dfq USING (g)
+GROUP BY doc_id
+"""
+
+
 def q_doc_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HTML→text extraction (functions.web.html_to_text) — the step
     between WARC crawl ingest (sources.warc) and the text operators.
@@ -4387,6 +4429,7 @@ QUERIES: dict[str, QueryFn] = {
     "doc_url_normalize": q_doc_url_normalize,
     "doc_mixture_weights": q_doc_mixture_weights,
     "doc_html_extract": q_doc_html_extract,
+    "doc_novelty": q_doc_novelty,
 }
 
 
@@ -4493,4 +4536,5 @@ def build_oracles() -> dict[str, str]:
         "doc_mixture_weights": _sql_mixture_weights(),
         "neardup_pagerank": _sql_neardup_pagerank(),
         "doc_html_extract": _sql_html_extract(),
+        "doc_novelty": _sql_doc_novelty(),
     }
