@@ -3920,6 +3920,132 @@ FROM p
 """
 
 
+#: logistic-regression hyperparameters for the classifier query —
+#: fixed so the oracle can unroll the same number of GD layers
+LOGREG_ITERS = 10
+LOGREG_LR = 8.0
+
+
+def q_doc_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier TRAINING as a query (operators.logreg): full-batch
+    logistic regression distilling a noisy rule-based quality gate into
+    a linear scorer — the quality-filter training workload
+    (fastText-style) as DataFrame aggregates. The driver's synthetic
+    corpus has no learnable natural label (lang/source are uncorrelated
+    with text, verified), so the ground truth is a DETERMINISTIC noisy
+    linear rule over raw text statistics (3·distinct_ratio +
+    5·stopword_ratio + 0.4·hash_noise > 2.0 — ~43% positive, learnable
+    to ~88%, not memorizable thanks to the hash-noise term); what the
+    query demonstrates is the distributed trainer: ten GD passes with
+    decimal-summed, 6-decimal-quantized gradients whose learned weights
+    — and every per-doc probability — are bit-identical to the
+    oracle's ten unrolled CTE layers. Output per doc: label, predicted
+    probability, ≥ 0.5 decision."""
+    from .operators.logreg import logistic_regression_gd, predict_proba
+    from .operators.staging import stage
+
+    d = _docs_with_tokens(spark, sf_dir)
+    t = TX.tokens(F.col("text"))
+    staged = d.select("doc_id", t.alias("_t"))
+    nt = F.size("_t")
+    distinct_ratio = F.when(nt == 0, F.lit(0.0)).otherwise(
+        F.size(F.array_distinct("_t")) / nt
+    )
+    sw_ratio = TX.stopword_ratio(F.col("_t"))
+    u = TX.portable_hash(F.col("doc_id").cast("string")) / F.lit(4294967296.0)
+    label_score = (
+        F.lit(3.0) * distinct_ratio + F.lit(5.0) * sw_ratio + F.lit(0.4) * u
+    )
+    # the narrow feature frame is staged once: training runs
+    # LOGREG_ITERS aggregate passes over it, and re-deriving the token
+    # lambdas per pass would dominate
+    f = stage(
+        staged.select(
+            "doc_id",
+            F.when(label_score > 2.0, F.lit(1.0)).otherwise(F.lit(0.0)).alias("y"),
+            F.lit(1.0).alias("f0"),
+            round6(F.least(nt / F.lit(100.0), F.lit(1.0))).alias("f1"),
+            round6(distinct_ratio).alias("f2"),
+            round6(sw_ratio).alias("f3"),
+        )
+    )
+    cols = ["f0", "f1", "f2", "f3"]
+    w, _ = logistic_regression_gd(f, cols, "y", n_iter=LOGREG_ITERS, lr=LOGREG_LR)
+    p = predict_proba(cols, w)
+    return f.select(
+        "doc_id",
+        F.col("y").alias("label"),
+        p.alias("prob"),
+        (p >= 0.5).alias("predicted"),
+    )
+
+
+def _sql_quality_classifier() -> str:
+    toks = _toks("text")
+    r6 = SQL_ROUND6
+    d = 4
+    sw = _sw_sql(TX.QUALITY_STOPWORDS)
+    dr = (
+        "(CASE WHEN len(t) = 0 THEN 0.0 ELSE "
+        "CAST(len(list_distinct(t)) AS DOUBLE) / len(t) END)"
+    )
+    swr = (
+        "(CASE WHEN len(t) = 0 THEN 0.0 ELSE "
+        f"CAST(len(list_filter(t, x -> list_contains({sw}, x))) AS DOUBLE)"
+        " / len(t) END)"
+    )
+    u = f"({_PORTABLE_HASH.format(s='CAST(doc_id AS VARCHAR)')} / 4294967296.0)"
+    label = f"CASE WHEN 3.0 * {dr} + 5.0 * {swr} + 0.4 * {u} > 2.0 THEN 1.0 ELSE 0.0 END"
+    feat_exprs = [
+        "1.0 AS f0",
+        f"{r6.format(x='least(CAST(len(t) AS DOUBLE) / 100.0, 1.0)')} AS f1",
+        f"{r6.format(x=dr)} AS f2",
+        f"{r6.format(x=swr)} AS f3",
+    ]
+
+    def z() -> str:
+        e = "0.0"
+        for j in range(d):
+            e = f"{e} + w.w{j} * f.f{j}"
+        return e
+
+    def sig() -> str:
+        return f"1.0 / (1.0 + exp(-({z()})))"
+
+    layers = [
+        f"toks AS (SELECT doc_id, {toks} AS t FROM documents)",
+        f"f AS (SELECT doc_id, {label} AS y, "
+        + ", ".join(feat_exprs)
+        + " FROM toks)",
+        "n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM f)",
+        "w0 AS (SELECT " + ", ".join(f"0.0 AS w{j}" for j in range(d)) + ")",
+    ]
+    for i in range(1, LOGREG_ITERS + 1):
+        perr = f"({r6.format(x=sig())} - f.y)"
+        gsel = ", ".join(
+            "CAST(CAST(SUM(CAST("
+            + r6.format(x=f"{perr} * f.f{j}")
+            + f" AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS g{j}"
+            for j in range(d)
+        )
+        layers.append(f"g{i} AS (SELECT {gsel} FROM f CROSS JOIN w{i - 1} w)")
+        wsel = ", ".join(
+            r6.format(x=f"w.w{j} - {LOGREG_LR!r} * " + r6.format(x=f"g.g{j} / n.n"))
+            + f" AS w{j}"
+            for j in range(d)
+        )
+        layers.append(
+            f"w{i} AS (SELECT {wsel} FROM w{i - 1} w CROSS JOIN g{i} g CROSS JOIN n)"
+        )
+    prob = r6.format(x=sig())
+    return (
+        "WITH "
+        + ",\n".join(layers)
+        + f"\nSELECT f.doc_id, f.y AS label, {prob} AS prob,"
+        + f" {prob} >= 0.5 AS predicted FROM f CROSS JOIN w{LOGREG_ITERS} w"
+    )
+
+
 def q_doc_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc n-gram novelty: the fraction of a doc's distinct word
     3-grams that appear in NO other document — the inter-document
@@ -4430,6 +4556,7 @@ QUERIES: dict[str, QueryFn] = {
     "doc_mixture_weights": q_doc_mixture_weights,
     "doc_html_extract": q_doc_html_extract,
     "doc_novelty": q_doc_novelty,
+    "doc_quality_classifier": q_doc_quality_classifier,
 }
 
 
@@ -4537,4 +4664,5 @@ def build_oracles() -> dict[str, str]:
         "neardup_pagerank": _sql_neardup_pagerank(),
         "doc_html_extract": _sql_html_extract(),
         "doc_novelty": _sql_doc_novelty(),
+        "doc_quality_classifier": _sql_quality_classifier(),
     }
