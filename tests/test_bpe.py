@@ -211,3 +211,30 @@ def test_encode_tokens_is_map_only(spark):
     docs = spark.createDataFrame([(1, "p q p q")], "doc_id long, text string")
     plan = encode_tokens(docs, [("p", "q", 2)])._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan  # encoding never shuffles
+
+
+def test_bpe_incremental_matches_reference_on_random_corpora(spark):
+    """Randomized (but seeded/deterministic) corpora over a tiny
+    alphabet — maximal merge interaction: overlap runs, a==b merges,
+    merged products re-merging. Few examples because each runs a full
+    Spark training loop; the fixed fixtures above cover the named edge
+    cases, this sweeps the space."""
+    import random
+
+    rng = random.Random(20260814)
+    for case in range(3):
+        texts = [
+            " ".join(rng.choice("ppqr") for _ in range(rng.randint(0, 18)))
+            for _ in range(4)
+        ]
+        docs = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+        merges, toks = bpe_merges_mod(docs, n_merges=5, checkpoint_every=2)
+        ref_merges, ref_toks = _ref_bpe(texts, 5)
+        assert merges == ref_merges, (case, texts)
+        rows = {r.id: list(r.t) for r in toks.collect()}
+        assert [rows[i] for i in range(len(texts))] == ref_toks, (case, texts)
+
+
+from kyiv_traffic_bigdata_spark.operators.bpe import bpe_merges as bpe_merges_mod  # noqa: E402
