@@ -74,10 +74,17 @@ def has_adjacent_pair(tokens: Column, a: str, b: str) -> Column:
     Cheap array_contains pre-gate short-circuits the positional scan for
     the (common) rows that lack one of the tokens entirely."""
     la, lb = F.lit(a), F.lit(b)
+    # Totality must not depend on Catalyst preserving the size>=2
+    # conjunct's evaluation order: clamp the sequence bound to ≥1 (an
+    # unclamped F.sequence(1, size-1) on 0/1-token arrays is DESCENDING
+    # through 0, and index 0 always throws INVALID_INDEX_OF_ZERO), and
+    # use try_element_at, since under ANSI mode (Spark 4 default) plain
+    # element_at throws on the now-possible out-of-range index instead
+    # of returning null.
     positional = F.exists(
-        F.sequence(F.lit(1), F.size(tokens) - 1),
-        lambda i: (F.element_at(tokens, i) == la)
-        & (F.element_at(tokens, i + 1) == lb),
+        F.sequence(F.lit(1), F.greatest(F.size(tokens) - 1, F.lit(1))),
+        lambda i: (F.try_element_at(tokens, i) == la)
+        & (F.try_element_at(tokens, i + 1) == lb),
     )
     return (
         (F.size(tokens) >= 2)

@@ -63,8 +63,25 @@ def stage(df: DataFrame, eager: bool = True) -> DataFrame:
     if _MODE == "reliable":
         sc = df.sparkSession.sparkContext
         if sc._jsc.sc().getCheckpointDir().isEmpty():
-            sc.setCheckpointDir(
-                os.path.join(tempfile.gettempdir(), "spark_graft_ckpt")
+            fallback = os.path.join(tempfile.gettempdir(), "spark_graft_ckpt")
+            if not sc.master.startswith("local"):
+                # Reliable checkpoints into node-local temp dir do NOT
+                # survive executor loss on a real cluster — the mode's
+                # guarantee would silently not hold. Fail loudly.
+                raise RuntimeError(
+                    "staging mode 'reliable' on a non-local master requires "
+                    "a shared checkpoint dir: call "
+                    "SparkContext.setCheckpointDir('<hdfs/s3 path>') first "
+                    f"(refusing node-local fallback {fallback!r})"
+                )
+            import warnings
+
+            warnings.warn(
+                "staging 'reliable': no checkpoint dir set; falling back to "
+                f"node-local {fallback!r} — valid ONLY for single-node "
+                "local[*] runs",
+                stacklevel=2,
             )
+            sc.setCheckpointDir(fallback)
         return df.checkpoint(eager=eager)
     return df.localCheckpoint(eager=eager)

@@ -41,10 +41,9 @@ operators.maintenance.compact_parquet's job.
 
 from __future__ import annotations
 
-import glob
-import os
+import posixpath
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
@@ -52,12 +51,31 @@ from ..operators import dedup as DD
 from ..operators.staging import stage
 
 
-def _committed_batch_dirs(store_dir: str) -> list[str]:
-    return sorted(
-        d
-        for d in glob.glob(os.path.join(store_dir, "b*"))
-        if os.path.exists(os.path.join(d, "_SUCCESS"))
-    )
+def _hadoop_fs(spark: SparkSession, path_str: str):
+    """Resolve (FileSystem, Path) via the Hadoop FS API so the commit
+    protocol works against ANY store URI (local, hdfs://, s3a://) — a
+    python-glob protocol silently sees zero committed batches on a
+    non-local store, which means silently missed cross-batch near-dups,
+    not an error."""
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(path_str)
+    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, path
+
+
+def _committed_batch_dirs(spark: SparkSession, store_dir: str) -> list[str]:
+    fs, root = _hadoop_fs(spark, store_dir)
+    if not fs.exists(root):
+        return []
+    jvm = spark._jvm
+    out = []
+    for st in fs.listStatus(root):
+        p = st.getPath()
+        name = p.getName()
+        if st.isDirectory() and name.startswith("b"):
+            if fs.exists(jvm.org.apache.hadoop.fs.Path(p, "_SUCCESS")):
+                out.append(p.toString())
+    return sorted(out)
 
 
 def neardup_batch_handler(
@@ -69,23 +87,23 @@ def neardup_batch_handler(
 ):
     """The foreachBatch callable — exposed for direct unit testing of
     the replay/idempotency contract."""
-    os.makedirs(store_dir, exist_ok=True)
-    os.makedirs(out_dir, exist_ok=True)
 
     def apply(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        bdir = os.path.join(store_dir, f"b{batch_id}")
-        if os.path.exists(os.path.join(bdir, "_SUCCESS")):
-            return  # replayed, already committed
         spark = batch_df.sparkSession
+        fs, _ = _hadoop_fs(spark, store_dir)
+        jvm = spark._jvm
+        bdir = posixpath.join(store_dir, f"b{batch_id}")
+        if fs.exists(jvm.org.apache.hadoop.fs.Path(bdir, "_SUCCESS")):
+            return  # replayed, already committed
         docs = batch_df.select(
             F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
         )
         # staged once: the bucket frame feeds three consumers below
         nb = stage(DD.lsh_buckets(DD.minhash_signatures(docs, ngram=ngram)))
 
-        prior = _committed_batch_dirs(store_dir)
+        prior = _committed_batch_dirs(spark, store_dir)
         dup_sets = []
         if prior:
             store = spark.read.parquet(*prior)
@@ -113,7 +131,7 @@ def neardup_batch_handler(
             )
         )
         decisions.write.mode("overwrite").parquet(
-            os.path.join(out_dir, f"b{batch_id}")
+            posixpath.join(out_dir, f"b{batch_id}")
         )
         # bucket append commits LAST — its _SUCCESS is the batch marker
         nb.join(dups, "doc_id", "left_anti").write.mode("overwrite").parquet(bdir)

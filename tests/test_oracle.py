@@ -1,23 +1,32 @@
 """Local replica of the driver's DuckDB-oracle correctness gate.
 
-For every ``queries()`` entry with an ``oracle_sql()`` twin: run both at
-sf0.001, compare row count, column names, and an order-insensitive value
-comparison (rows sorted by all columns, exact equality on ints/strings,
-exact on doubles too — our queries are engineered to be bit-identical
-across engines; any drift is a bug to fix at the query level, not with a
-tolerance here).
+Canonicalization is DRIVER-FAITHFUL (the round-4 lesson): both result
+sets are round-tripped through pandas (Spark via ``toPandas()``, DuckDB
+via ``rel.df()``), columns sorted by name, rows via pandas
+``sort_values`` over all columns, cells stringified, and the stringified
+frames hash-compared.  That reproduces the two failure classes the old
+tuple-based canon missed for two rounds:
+
+* array/struct cells → pandas ``sort_values`` raises
+  ``TypeError: unhashable type: 'list'`` (r4 ``emb_quantized``/``emb_pq``
+  ERR);
+* DuckDB HUGEINT (``SUM`` over integer columns) → pandas float64 →
+  ``"3000000000.0"`` vs Spark bigint ``"3000000000"`` (r4
+  ``doc_pack_windows`` hash mismatch with value-identical rows).
+
+A separate registry assertion bans array/struct/map-typed output columns
+outright so the first class can never be registered again.
 """
 
 from __future__ import annotations
 
-import math
+import hashlib
+import os
 
 import duckdb
 import pytest
 
 from __spark_entry__ import oracle_sql, queries
-
-import os
 
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
 
@@ -46,29 +55,21 @@ def duck():
     con.close()
 
 
-def _normalize(rows, columns):
-    """Sort columns by name, then rows by value — driver-compare shape."""
-    order = sorted(range(len(columns)), key=lambda i: columns[i])
-
-    def key(row):
-        out = []
-        for i in order:
-            v = row[i]
-            out.append((v is None, str(type(v)), str(v)))
-        return out
-
-    return sorted([tuple(row[i] for i in order) for row in rows], key=lambda r: key(list(r)))
+def _canon(pdf):
+    """Driver-shape canonical frame: name-sorted columns, pandas
+    ``sort_values`` over ALL columns (raises on unhashable cells — that
+    is the point), every cell stringified via ``astype(str)``."""
+    pdf = pdf[sorted(pdf.columns)]
+    if len(pdf.columns):
+        pdf = pdf.sort_values(by=list(pdf.columns), kind="mergesort")
+    return pdf.reset_index(drop=True).astype(str)
 
 
-def _values_equal(a, b) -> bool:
-    if a is None or b is None:
-        return a is None and b is None
-    if isinstance(a, float) or isinstance(b, float):
-        if isinstance(a, float) and isinstance(b, float):
-            if math.isnan(a) and math.isnan(b):
-                return True
-        return a == b
-    return a == b
+def _value_hash(canon_pdf) -> str:
+    h = hashlib.sha256()
+    for row in canon_pdf.itertuples(index=False, name=None):
+        h.update(("\x1f".join(row) + "\x1e").encode("utf-8", "replace"))
+    return h.hexdigest()
 
 
 ORACLES = oracle_sql()
@@ -79,32 +80,59 @@ QUERY_NAMES = [n for n in queries() if n in ORACLES]
 def test_query_matches_oracle(spark, duck, name):
     qfn = queries()[name]
     sdf = qfn(spark, SF_DIR)
-    spark_cols = sdf.columns
-    spark_rows = [tuple(r) for r in sdf.collect()]
+    spark_pdf = sdf.toPandas()
 
     rel = duck.sql(ORACLES[name])
-    duck_cols = rel.columns
-    duck_rows = rel.fetchall()
+    duck_pdf = rel.df()
 
-    assert sorted(spark_cols) == sorted(duck_cols), (
-        f"{name}: column mismatch spark={spark_cols} duck={duck_cols}"
+    assert sorted(spark_pdf.columns) == sorted(duck_pdf.columns), (
+        f"{name}: column mismatch spark={list(spark_pdf.columns)} "
+        f"duck={list(duck_pdf.columns)}"
     )
-    assert len(spark_rows) == len(duck_rows), (
-        f"{name}: row count spark={len(spark_rows)} duck={len(duck_rows)}"
+    assert len(spark_pdf) == len(duck_pdf), (
+        f"{name}: row count spark={len(spark_pdf)} duck={len(duck_pdf)}"
     )
 
-    s_norm = _normalize(spark_rows, spark_cols)
-    d_norm = _normalize(duck_rows, duck_cols)
+    # sort_values may raise TypeError on unhashable cells — let it
+    # propagate: the driver's canonicalizer dies the same way.
+    s_canon = _canon(spark_pdf)
+    d_canon = _canon(duck_pdf)
+    if _value_hash(s_canon) == _value_hash(d_canon):
+        return
+
+    # Hash mismatch: surface the first few differing stringified cells
+    # so the fix is obvious (value drift vs representation drift).
     mismatches = []
-    for i, (sr, dr) in enumerate(zip(s_norm, d_norm)):
-        for j, (sv, dv) in enumerate(zip(sr, dr)):
-            if not _values_equal(sv, dv):
-                mismatches.append((i, sorted(spark_cols)[j], sv, dv))
+    cols = list(s_canon.columns)
+    for i in range(len(s_canon)):
+        for c in cols:
+            sv, dv = s_canon.at[i, c], d_canon.at[i, c]
+            if sv != dv:
+                mismatches.append((i, c, sv, dv))
                 if len(mismatches) >= 5:
                     break
         if len(mismatches) >= 5:
             break
-    assert not mismatches, f"{name}: value mismatches (row, col, spark, duck): {mismatches}"
+    raise AssertionError(
+        f"{name}: canonical hash mismatch; first stringified diffs "
+        f"(row, col, spark, duck): {mismatches}"
+    )
+
+
+def test_no_array_or_struct_output_columns(spark):
+    """Registry-level ban: the driver's pandas canonicalizer cannot hash
+    list/dict cells, so no query may emit array/struct/map columns —
+    serialize (array_join) or explode instead."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    offenders = []
+    for name, fn in queries().items():
+        for f in fn(spark, SF_DIR).schema.fields:
+            if isinstance(f.dataType, (ArrayType, MapType, StructType)):
+                offenders.append((name, f.name, f.dataType.simpleString()))
+    assert not offenders, (
+        f"array/struct/map output columns break the driver canonicalizer: {offenders}"
+    )
 
 
 def test_every_query_has_rows_or_is_known_empty(spark):
