@@ -234,10 +234,10 @@ def extract_media_features(media: DataFrame) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Resize / frame-sample — the remaining multimodal pipeline stages.
 # Real where stdlib byte math suffices (uncompressed 24-bit BMP resize,
-# GIF LZW frame decode/resize/sampling, WAV PCM windowing);
-# `needs_codec` status for PNG/JPEG, whose entropy coding requires a
-# codec library — the plumbing (schema, Arrow batching, partitioning)
-# is identical either way, so swapping a real decoder in is local.
+# GIF LZW frame decode/resize/sampling, PNG zlib+unfilter decode, WAV
+# PCM windowing); `needs_codec` only for JPEG (DCT entropy coding) when
+# the optional codec probe (Pillow) finds nothing — the plumbing
+# (schema, Arrow batching, partitioning) is identical either way.
 # ---------------------------------------------------------------------------
 
 RESIZED_IMAGE_SCHEMA = T.StructType(
@@ -254,8 +254,8 @@ RESIZED_IMAGE_SCHEMA = T.StructType(
 # ---------------------------------------------------------------------------
 # GIF87a/89a pixel decode — pure stdlib LZW (the GIF variant: variable
 # code width starting at min_code_size+1, clear/end codes, 12-bit cap).
-# With this, of the five header-parseable formats only the entropy-coded
-# ones (PNG deflate+filters, JPEG DCT) still need a codec library.
+# With this plus the PNG decoder below, of the five header-parseable
+# formats only JPEG (DCT) still needs a codec library — probed for.
 # ---------------------------------------------------------------------------
 
 
@@ -517,12 +517,182 @@ def _resize_gif_first_frame(b: bytes, out_w: int, out_h: int) -> bytes | None:
     return _rgb_to_bmp24(arr[ys][:, xs], out_w, out_h)
 
 
+# ---------------------------------------------------------------------------
+# PNG pixel decode — REAL and pure stdlib: IDAT is plain DEFLATE
+# (zlib module) and the five scanline filters are byte math. With this,
+# JPEG is the only format whose pixel decode needs a codec library
+# (DCT entropy coding) — and even that is probed for below.
+# ---------------------------------------------------------------------------
+
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def decode_png_pixels(
+    payload: bytes, max_pixels: int = 1 << 22
+) -> tuple[int, int, bytes] | None:
+    """Real PNG pixel decode (zlib IDAT inflate + Sub/Up/Average/Paeth
+    unfilters), returning ``(width, height, rgb24 bytes)``. Supports
+    8-bit depth, color types 0/2/3/4/6 (gray/RGB/palette/gray+alpha/
+    RGBA; alpha dropped), non-interlaced. Returns None for 16-bit,
+    Adam7, or corrupt data — callers fall back to ``needs_codec``.
+    ``max_pixels`` bounds memory (the unfilter loop is Python-level, so
+    the cap is also the CPU bound per row)."""
+    import zlib
+
+    if len(payload) < 8 or payload[:8] != b"\x89PNG\r\n\x1a\n":
+        return None
+    i, n = 8, len(payload)
+    ihdr: bytes | None = None
+    plte: bytes | None = None
+    idat = bytearray()
+    while i + 8 <= n:
+        ln = int.from_bytes(payload[i : i + 4], "big")
+        typ = payload[i + 4 : i + 8]
+        data = payload[i + 8 : i + 8 + ln]
+        if len(data) < ln:
+            return None
+        if typ == b"IHDR":
+            ihdr = data
+        elif typ == b"PLTE":
+            plte = data
+        elif typ == b"IDAT":
+            idat.extend(data)
+        elif typ == b"IEND":
+            break
+        i += 12 + ln
+    if ihdr is None or len(ihdr) < 13:
+        return None
+    w = int.from_bytes(ihdr[0:4], "big")
+    h = int.from_bytes(ihdr[4:8], "big")
+    depth, ctype, comp, filt, interlace = ihdr[8:13]
+    channels = _PNG_CHANNELS.get(ctype)
+    if depth != 8 or comp != 0 or filt != 0 or interlace != 0 or channels is None:
+        return None
+    if w <= 0 or h <= 0 or w * h > max_pixels:
+        return None
+    if ctype == 3 and plte is None:
+        return None
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except Exception:  # noqa: BLE001 — corrupt deflate stream
+        return None
+    stride = w * channels
+    if len(raw) < h * (stride + 1):
+        return None
+    bpp = channels
+    recon = bytearray(h * stride)
+    pos = 0
+    for y in range(h):
+        f = raw[pos]
+        line = raw[pos + 1 : pos + 1 + stride]
+        pos += 1 + stride
+        ro = y * stride
+        po = ro - stride
+        if f == 0:
+            recon[ro : ro + stride] = line
+        elif f == 1:  # Sub
+            for x in range(stride):
+                left = recon[ro + x - bpp] if x >= bpp else 0
+                recon[ro + x] = (line[x] + left) & 0xFF
+        elif f == 2:  # Up
+            for x in range(stride):
+                up = recon[po + x] if y else 0
+                recon[ro + x] = (line[x] + up) & 0xFF
+        elif f == 3:  # Average
+            for x in range(stride):
+                left = recon[ro + x - bpp] if x >= bpp else 0
+                up = recon[po + x] if y else 0
+                recon[ro + x] = (line[x] + ((left + up) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            for x in range(stride):
+                a = recon[ro + x - bpp] if x >= bpp else 0
+                b = recon[po + x] if y else 0
+                c = recon[po + x - bpp] if (y and x >= bpp) else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                recon[ro + x] = (line[x] + pred) & 0xFF
+        else:
+            return None
+    import numpy as np
+
+    arr = np.frombuffer(bytes(recon), dtype=np.uint8).reshape(h, w, channels)
+    if ctype == 2:
+        rgb = arr
+    elif ctype == 6:
+        rgb = arr[:, :, :3]
+    elif ctype == 0:
+        rgb = np.repeat(arr, 3, axis=2)
+    elif ctype == 4:
+        rgb = np.repeat(arr[:, :, :1], 3, axis=2)
+    else:  # palette
+        pal = np.frombuffer(plte, dtype=np.uint8)
+        pal = pal[: (len(pal) // 3) * 3].reshape(-1, 3)
+        idxs = arr[:, :, 0]
+        if len(pal) == 0 or int(idxs.max()) >= len(pal):
+            return None
+        rgb = pal[idxs]
+    return w, h, np.ascontiguousarray(rgb).tobytes()
+
+
+def _resize_rgb_nearest(rgb: bytes, w: int, h: int, out_w: int, out_h: int) -> bytes:
+    """Nearest-neighbor resize of a raw rgb24 buffer into a 24-bit BMP —
+    the shared tail of the GIF/PNG/codec resize paths."""
+    import numpy as np
+
+    arr = np.frombuffer(rgb, dtype=np.uint8).reshape(h, w, 3)
+    ys = (np.arange(out_h) * h) // out_h
+    xs = (np.arange(out_w) * w) // out_w
+    return _rgb_to_bmp24(arr[ys][:, xs], out_w, out_h)
+
+
+_CODEC_PROBE: list | None = None
+
+
+def optional_image_codec():
+    """Probe once for an optional image codec library (Pillow). Returns
+    the ``PIL.Image`` module or None. The stdlib paths (BMP/GIF/PNG)
+    never use it; JPEG decode flips from ``needs_codec`` to real when
+    the library happens to be installed — import-gated, never required
+    (this container ships no codec libs, so the probe returning None is
+    the tested default)."""
+    global _CODEC_PROBE
+    if _CODEC_PROBE is None:
+        try:
+            from PIL import Image  # type: ignore[import-not-found]
+
+            _CODEC_PROBE = [Image]
+        except Exception:  # noqa: BLE001 — any import failure → no codec
+            _CODEC_PROBE = [None]
+    return _CODEC_PROBE[0]
+
+
+def _resize_with_codec(b: bytes, out_w: int, out_h: int) -> bytes | None:
+    """Decode-and-resize via the optional codec library (JPEG path)."""
+    img_mod = optional_image_codec()
+    if img_mod is None:
+        return None
+    import io
+
+    import numpy as np
+
+    try:
+        with img_mod.open(io.BytesIO(b)) as im:
+            rgb = np.asarray(im.convert("RGB"), dtype=np.uint8)
+    except Exception:  # noqa: BLE001 — undecodable despite the codec
+        return None
+    h, w = rgb.shape[:2]
+    return _resize_rgb_nearest(rgb.tobytes(), w, h, out_w, out_h)
+
+
 def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
     """Arrow-batched image resize stage. Per row: a real resized BMP
-    (status ``resized`` — uncompressed BMPs AND GIFs, whose LZW frames
-    decode with pure stdlib), ``needs_codec`` for the entropy-coded
-    formats (PNG/JPEG), ``unsupported`` otherwise — log-and-continue,
-    never a failed batch."""
+    (status ``resized`` — uncompressed BMPs, GIFs via stdlib LZW, PNGs
+    via stdlib zlib+unfilter, and JPEGs when an optional codec library
+    is importable), ``needs_codec`` for entropy-coded payloads no
+    available decoder handles (JPEG without Pillow; 16-bit/Adam7 PNG),
+    ``unsupported`` otherwise — log-and-continue, never a failed
+    batch."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -532,6 +702,11 @@ def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
                 resized = resize_bmp_nearest(b, width, height)
                 if resized is None:
                     resized = _resize_gif_first_frame(b, width, height)
+                if resized is None and (png := decode_png_pixels(b)) is not None:
+                    pw, ph, rgb = png
+                    resized = _resize_rgb_nearest(rgb, pw, ph, width, height)
+                if resized is None:
+                    resized = _resize_with_codec(b, width, height)
                 if resized is not None:
                     status = "resized"
                 elif (hdr := try_decode_header(b)) is not None and hdr["format"] in (
@@ -539,7 +714,7 @@ def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
                     "gif",
                     "jpeg",
                 ):
-                    # gif lands here only when its pixel stream is corrupt
+                    # gif/png land here only on corrupt/exotic streams
                     status = "needs_codec"
                 else:
                     status = "unsupported"

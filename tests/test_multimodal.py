@@ -410,3 +410,144 @@ def test_gif_decoder_never_raises_on_malformed_input():
                 assert frames and all(len(f["rgb"]) == 3 * f["width"] * f["height"] for f in frames)
 
     check()
+
+
+# ---------------------------------------------------------------------------
+# Real PNG pixel decode (stdlib zlib + unfilters) and the codec probe
+# ---------------------------------------------------------------------------
+
+
+def _chunk(typ: bytes, data: bytes) -> bytes:
+    import zlib as _z
+
+    return (
+        len(data).to_bytes(4, "big") + typ + data
+        + _z.crc32(typ + data).to_bytes(4, "big")
+    )
+
+
+def _png_full(w, h, ctype, raw_rows, plte=None):
+    """Encode a complete PNG: raw_rows = list of (filter_byte, filtered
+    scanline bytes) — lets tests exercise each filter explicitly."""
+    import zlib as _z
+
+    ihdr = (
+        w.to_bytes(4, "big") + h.to_bytes(4, "big")
+        + bytes([8, ctype, 0, 0, 0])
+    )
+    body = b"".join(bytes([f]) + ln for f, ln in raw_rows)
+    out = b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", ihdr)
+    if plte is not None:
+        out += _chunk(b"PLTE", plte)
+    return out + _chunk(b"IDAT", _z.compress(body)) + _chunk(b"IEND", b"")
+
+
+def _filter_rows(pixels, channels, filters):
+    """Apply PNG filters to reference pixel rows (h x stride bytes) so
+    the decoder's unfilter path is verified against a forward model."""
+    h = len(pixels)
+    stride = len(pixels[0])
+    bpp = channels
+    rows = []
+    for y in range(h):
+        f = filters[y % len(filters)]
+        cur, prev = pixels[y], (pixels[y - 1] if y else bytes(stride))
+        ln = bytearray()
+        for x in range(stride):
+            a = cur[x - bpp] if x >= bpp else 0
+            b = prev[x]
+            c = prev[x - bpp] if x >= bpp else 0
+            if f == 0:
+                pred = 0
+            elif f == 1:
+                pred = a
+            elif f == 2:
+                pred = b
+            elif f == 3:
+                pred = (a + b) >> 1
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            ln.append((cur[x] - pred) & 0xFF)
+        rows.append((f, bytes(ln)))
+    return rows
+
+
+def test_decode_png_pixels_all_filters_and_color_types():
+    from kyiv_traffic_bigdata_spark.operators.multimodal import decode_png_pixels
+
+    import random
+
+    rng = random.Random(55)
+    w, h = 5, 6
+    # RGB truth image, every filter type across the rows
+    px = [bytes(rng.randrange(256) for _ in range(w * 3)) for _ in range(h)]
+    png = _png_full(w, h, 2, _filter_rows(px, 3, [0, 1, 2, 3, 4, 4]))
+    got = decode_png_pixels(png)
+    assert got is not None and got[0] == w and got[1] == h
+    assert got[2] == b"".join(px)
+
+    # grayscale -> replicated channels
+    g = [bytes(rng.randrange(256) for _ in range(w)) for _ in range(h)]
+    png_g = _png_full(w, h, 0, _filter_rows(g, 1, [0, 1, 2, 3, 4]))
+    got_g = decode_png_pixels(png_g)
+    assert got_g[2] == b"".join(bytes(v for v in row for _ in range(3)) for row in g)
+
+    # RGBA -> alpha dropped
+    rgba = [bytes(rng.randrange(256) for _ in range(w * 4)) for _ in range(h)]
+    got_a = decode_png_pixels(_png_full(w, h, 6, _filter_rows(rgba, 4, [4, 3, 2, 1, 0])))
+    expect = b"".join(
+        bytes(row[i] for i in range(len(row)) if i % 4 != 3) for row in rgba
+    )
+    assert got_a[2] == expect
+
+    # palette
+    pal = bytes(range(30))  # 10 RGB entries
+    idx = [bytes(rng.randrange(10) for _ in range(w)) for _ in range(h)]
+    got_p = decode_png_pixels(_png_full(w, h, 3, _filter_rows(idx, 1, [0]), plte=pal))
+    expect_p = b"".join(bytes(pal[3 * v + k] for v in row for k in range(3)) for row in idx)
+    assert got_p[2] == expect_p
+
+    # refusals: 16-bit, interlaced, corrupt deflate, truncated chunk
+    bad16 = _png_full(w, h, 2, _filter_rows(px, 3, [0]))
+    bad16 = bad16.replace(bytes([8, 2]), bytes([16, 2]), 1)
+    assert decode_png_pixels(bad16) is None
+    assert decode_png_pixels(png[:40]) is None
+    assert decode_png_pixels(png.replace(b"IDAT", b"IDAT", 1)[: len(png) - 20] + b"x" * 20) is None
+
+
+def test_resize_images_decodes_png_for_real(spark):
+    from kyiv_traffic_bigdata_spark.operators.multimodal import (
+        resize_images,
+        try_decode_header,
+    )
+
+    # 2x2 quadrant colors, RGB rows unfiltered
+    px = [bytes([10, 11, 12, 200, 201, 202]), bytes([50, 51, 52, 90, 91, 92])]
+    png = _png_full(2, 2, 2, [(0, px[0]), (0, px[1])])
+    df = spark.createDataFrame([(7, bytearray(png))], "media_id long, payload binary")
+    row = resize_images(df, 1, 1).collect()[0]
+    assert row.status == "resized"
+    bmp = bytes(row.payload)
+    meta = try_decode_header(bmp)
+    assert meta["format"] == "bmp" and meta["width"] == 1 and meta["height"] == 1
+    # nearest-neighbor at 1x1 picks the top-left pixel; BMP rows are
+    # bottom-up BGR with 4-byte row padding (1 px row = 3 B + 1 pad)
+    assert bmp[-4:-1] == bytes([12, 11, 10])
+
+
+def test_optional_codec_probe_default_absent():
+    """In this container no codec library ships: the probe returns None,
+    JPEG stays needs_codec — and the probe result is cached."""
+    import importlib.util
+
+    from kyiv_traffic_bigdata_spark.operators import multimodal as M
+
+    if importlib.util.find_spec("PIL") is not None:
+        import pytest
+
+        pytest.skip("Pillow unexpectedly present; probe exercises real codec")
+    assert M.optional_image_codec() is None
+    assert M.optional_image_codec() is None  # cached second call
+    assert M._resize_with_codec(b"\xff\xd8\xff\xe0junk", 2, 2) is None

@@ -125,3 +125,67 @@ def test_documents_bridge_with_text_extraction(spark, tmp_path):
     docs = warc_responses_as_documents(recs, extract_text=True).collect()
     assert len(docs) == 1
     assert docs[0].text == "hello corpus"  # tags stripped, whitespace collapsed
+
+
+def test_body_cap_truncates_and_flags():
+    """Per-record memory guard: bodies past max_body_bytes are dropped,
+    the flag is set, and content_length keeps the true size."""
+    from kyiv_traffic_bigdata_spark.sources.warc import parse_warc_records
+
+    big = _http_response(b"x" * 5000)
+    shard = _record("response", big, uri="http://a.example/big", rid="<urn:uuid:9>") + _record(
+        "response", _http_response(b"small"), rid="<urn:uuid:10>"
+    )
+    recs = parse_warc_records(shard, max_body_bytes=256)
+    assert len(recs) == 2
+    r0, r1 = recs
+    assert r0["body_truncated"] is True
+    assert r0["content_length"] == len(big)
+    # kept bytes = cap minus the HTTP header prefix the split consumed
+    assert 0 < len(r0["body"]) <= 256
+    assert r0["body"] == b"x" * len(r0["body"])  # a clean prefix
+    # parsing continues PAST a truncated record — the cap drops bytes,
+    # not framing (stream position still advances by content_length)
+    assert r1["body"] == b"small" and r1["body_truncated"] is False
+    # uncapped parse of the same shard is byte-complete
+    full = parse_warc_records(shard)
+    assert full[0]["body"] == b"x" * 5000 and full[0]["body_truncated"] is False
+
+
+def test_read_warc_skips_oversized_shard(spark, tmp_path):
+    """Shard-size guard: a rogue shard past max_shard_bytes yields no
+    rows (skip-with-log), the rest of the crawl parses normally."""
+    from kyiv_traffic_bigdata_spark.sources.warc import read_warc
+
+    d = tmp_path / "crawl3"
+    d.mkdir()
+    (d / "ok.warc").write_bytes(_shard())
+    (d / "huge.warc").write_bytes(_shard() + b"\r\n" * 4096)
+
+    all_rows = read_warc(spark, str(d), max_shard_bytes=None).collect()
+    assert len(all_rows) == 8
+    guarded = read_warc(spark, str(d), max_shard_bytes=1024).collect()
+    assert len(guarded) == 4
+    assert all(r.shard.endswith("ok.warc") for r in guarded)
+
+
+def test_parse_warc_stream_fuzz_never_raises():
+    """Fuzz the stream parser with corrupted/sliced shards: any byte
+    damage yields a (possibly empty) prefix, never an exception, and
+    memory stays bounded by the cap."""
+    import random
+
+    from kyiv_traffic_bigdata_spark.sources.warc import parse_warc_records
+
+    rng = random.Random(514)
+    base = _shard()
+    gz = gzip.compress(base)
+    for src in (base, gz):
+        for _ in range(60):
+            b = bytearray(src)
+            for _ in range(rng.randint(1, 5)):
+                b[rng.randrange(len(b))] = rng.randrange(256)
+            cut = rng.randrange(len(b) + 1)
+            recs = parse_warc_records(bytes(b[:cut]), max_body_bytes=128)
+            for r in recs:
+                assert len(r["body"]) <= 128
