@@ -104,6 +104,42 @@ def percent_rank_gate(
     )
 
 
+def percent_rank_all(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    tiebreak_col: str,
+    rank_alias: str = "q_rank",
+    decimals: int = 6,
+) -> DataFrame:
+    """Exact rounded percent_rank for EVERY row — the same three-phase
+    slab shape as :func:`percent_rank_gate` (bounded slab aggregate →
+    offsets over slabs → broadcast join + composite-key row_number), but
+    ungated: callers that need the rank as a feature (e.g. the
+    prototypicality prune flag) keep the full frame. Phase-2's early
+    slab drop doesn't apply, so cost is one extra broadcast of the full
+    slab table — still bounded by the value codomain, never row count."""
+    v = F.col(value_col)
+
+    slabs = df.groupBy(group_col, value_col).agg(F.count(F.lit(1)).alias("_cnt"))
+    wg = Window.partitionBy(group_col)
+    wcum = wg.orderBy(v.asc()).rowsBetween(Window.unboundedPreceding, -1)
+    slabs = (
+        slabs.withColumn("_n", F.sum("_cnt").over(wg))
+        .withColumn("_cum_before", F.coalesce(F.sum("_cnt").over(wcum), F.lit(0)))
+    )
+    joined = df.join(F.broadcast(slabs), on=[group_col, value_col], how="inner")
+    wrow = Window.partitionBy(group_col, value_col).orderBy(
+        F.col(tiebreak_col).asc()
+    )
+    rank = _rounded_rank(
+        F.col("_cum_before") + F.row_number().over(wrow) - 1,
+        F.col("_n"),
+        decimals,
+    )
+    return joined.withColumn(rank_alias, rank).drop("_cnt", "_n", "_cum_before")
+
+
 def _rounded_rank(rank_minus_1: Column, n: Column, decimals: int) -> Column:
     """round((rank-1)/(n-1), d) with the n==1 → 0.0 convention."""
     assert decimals == 6, "portable rounding is fixed at 6 decimals"

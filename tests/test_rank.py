@@ -65,3 +65,35 @@ def test_boundary_rounding_matches_window(spark):
     got = percent_rank_gate(df, "g", "v", "tb", 0.75)
     exp = _monolithic(df, 0.75)
     assert _rows(got.select("g", "v", "tb", "q_rank")) == _rows(exp)
+
+
+def test_percent_rank_all_matches_monolithic_everywhere(spark):
+    """The ungated variant must emit the exact monolithic rank for EVERY
+    row — same tie/single-row conventions, nothing dropped."""
+    from kyiv_traffic_bigdata_spark.operators.rank import percent_rank_all
+
+    data = (
+        [("a", 1.0, i) for i in range(3)]
+        + [("a", 2.0, i) for i in range(3)]
+        + [("a", 3.0, 0), ("a", 3.0, 1)]
+        + [("b", 5.0, 0), ("b", 6.0, 1), ("b", 7.0, 2)]
+        + [("c", 9.0, 0)]
+    )
+    df = spark.createDataFrame(data, "g string, v double, tb int")
+    got = percent_rank_all(df, "g", "v", "tb").select("g", "v", "tb", "q_rank")
+    exp = _monolithic(df, min_rank=-1.0)  # gate below 0 keeps everything
+    assert _rows(got) == _rows(exp)
+    assert got.count() == len(data)
+
+
+def test_percent_rank_all_avoids_per_group_fact_window(spark):
+    """Scale guard: the fact-row window must partition by the COMPOSITE
+    (group, value) key, never by group alone — a group-only window
+    would put a whole cluster's rows in one task at scale."""
+    from kyiv_traffic_bigdata_spark.operators.rank import percent_rank_all
+
+    df = spark.createDataFrame(
+        [("g", float(i % 7), i) for i in range(100)], "g string, v double, tb int"
+    )
+    plan = percent_rank_all(df, "g", "v", "tb")._jdf.queryExecution().executedPlan().toString()
+    assert "percent_rank" not in plan
