@@ -4731,6 +4731,137 @@ FROM ranked
 """
 
 
+#: C4-style token blocklist (stand-in for a curated badwords list —
+#: terms chosen to exist in the synthetic vocabulary) and the hit-share
+#: above which a doc is dropped.
+BLOCKLIST_TOKENS = ("slow", "dup", "error")
+BLOCKLIST_TAU = 0.06
+
+
+def q_doc_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style blocklist gate: per-doc count/share of blocklisted
+    tokens; docs whose hit share exceeds BLOCKLIST_TAU are flagged for
+    drop. Pure higher-order array expressions (filter + size), map-only
+    at any scale — the cheapest gate in the curation cascade, so it
+    runs first in pipeline order."""
+    d = _docs_with_tokens(spark, sf_dir)
+    t = TX.tokens(F.col("text"))
+    bl = F.array(*[F.lit(w) for w in BLOCKLIST_TOKENS])
+    staged = d.select(
+        "doc_id",
+        F.size(t).cast("long").alias("n_tokens"),
+        F.size(F.filter(t, lambda x: F.array_contains(bl, x)))
+        .cast("long")
+        .alias("n_hits"),
+    ).where(F.col("n_tokens") > 0)
+    ratio = round6(F.col("n_hits").cast("double") / F.col("n_tokens"))
+    return staged.select(
+        "doc_id",
+        "n_tokens",
+        "n_hits",
+        ratio.alias("hit_ratio"),
+        (ratio > BLOCKLIST_TAU).alias("blocked"),
+    )
+
+
+def _sql_blocklist_filter() -> str:
+    bl = ", ".join(f"'{w}'" for w in BLOCKLIST_TOKENS)
+    return f"""
+WITH t AS (
+  SELECT doc_id, {_toks('text')} AS toks FROM documents
+),
+c AS (
+  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+         CAST(len(list_filter(toks, x -> x IN ({bl}))) AS BIGINT) AS n_hits
+  FROM t WHERE len(toks) > 0
+)
+SELECT doc_id, n_tokens, n_hits,
+       (floor((CAST(n_hits AS DOUBLE) / n_tokens) * 1000000.0 + 0.5) / 1000000.0) AS hit_ratio,
+       ((floor((CAST(n_hits AS DOUBLE) / n_tokens) * 1000000.0 + 0.5) / 1000000.0) > {BLOCKLIST_TAU}) AS blocked
+FROM c
+"""
+
+
+#: Boilerplate segment removal (the C4/Dolma line-dedup rule, re-based
+#: on deterministic token segments because driver testdata has no
+#: newline structure): a segment is boilerplate when it appears in ≥
+#: BOILERPLATE_MIN_DF distinct docs.
+BOILERPLATE_SEG_TOKENS = 3
+BOILERPLATE_MIN_DF = 5
+
+
+def q_doc_boilerplate_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document boilerplate removal: segment every doc into
+    fixed 3-token windows, compute each segment's document frequency,
+    flag segments appearing in ≥ BOILERPLATE_MIN_DF docs (headers,
+    nav bars, cookie banners in a real crawl), and report per-doc
+    segment counts + the token mass that survives removal.
+
+    Scale: segmenting is a map-only array transform (no per-token
+    explode of the corpus — segments fan out at 1/3 token rate); the
+    df table is one hash aggregate over distinct (segment, doc) and is
+    re-joined pre-aggregated, so a viral segment contributes one row
+    per containing doc, never a cross product."""
+    d = _docs_with_tokens(spark, sf_dir)
+    seg_n = BOILERPLATE_SEG_TOKENS
+    t = F.col("_t")
+    nseg = F.ceil(F.size(t) / F.lit(seg_n)).cast("int")
+    segs = F.transform(
+        F.sequence(F.lit(0), nseg - 1),
+        lambda i: F.array_join(F.slice(t, i * seg_n + 1, seg_n), " "),
+    )
+    exploded = (
+        d.select("doc_id", TX.tokens(F.col("text")).alias("_t"))
+        .where(F.size("_t") > 0)
+        .select("doc_id", F.explode(segs).alias("seg"))
+    )
+    dfreq = (
+        exploded.select("doc_id", "seg")
+        .distinct()
+        .groupBy("seg")
+        .agg(F.count(F.lit(1)).alias("_df"))
+    )
+    j = exploded.join(dfreq, "seg")
+    is_boiler = F.col("_df") >= BOILERPLATE_MIN_DF
+    seg_tokens = F.size(F.split(F.col("seg"), " ")).cast("long")
+    return j.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_segments"),
+        F.sum(F.when(is_boiler, 1).otherwise(0)).cast("long").alias("n_boilerplate"),
+        round6(
+            F.sum(F.when(is_boiler, 1.0).otherwise(0.0)) / F.count(F.lit(1))
+        ).alias("boilerplate_share"),
+        F.sum(F.when(is_boiler, F.lit(0)).otherwise(seg_tokens))
+        .cast("long")
+        .alias("kept_tokens"),
+    )
+
+
+def _sql_boilerplate_segments() -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id, generate_subscripts({_toks('text')}, 1) AS i,
+         unnest({_toks('text')}) AS term
+  FROM documents
+),
+seg AS (
+  SELECT doc_id, (i - 1) // {BOILERPLATE_SEG_TOKENS} AS seg_idx,
+         string_agg(term, ' ' ORDER BY i) AS seg
+  FROM toks GROUP BY doc_id, seg_idx
+),
+dfreq AS (SELECT seg, COUNT(DISTINCT doc_id) AS df FROM seg GROUP BY seg),
+j AS (
+  SELECT s.doc_id, s.seg, (dfreq.df >= {BOILERPLATE_MIN_DF}) AS boiler
+  FROM seg s JOIN dfreq USING (seg)
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_segments,
+       CAST(SUM(CASE WHEN boiler THEN 1 ELSE 0 END) AS BIGINT) AS n_boilerplate,
+       (floor((SUM(CASE WHEN boiler THEN 1.0 ELSE 0.0 END) / COUNT(*)) * 1000000.0 + 0.5) / 1000000.0) AS boilerplate_share,
+       CAST(SUM(CASE WHEN boiler THEN 0 ELSE len(string_split(seg, ' ')) END) AS BIGINT) AS kept_tokens
+FROM j GROUP BY doc_id
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -4771,6 +4902,8 @@ QUERIES: dict[str, QueryFn] = {
     "doc_domain_quality": q_doc_domain_quality,
     "doc_neardup_keep": q_doc_neardup_keep,
     "emb_cluster_prune": q_emb_cluster_prune,
+    "doc_blocklist_filter": q_doc_blocklist_filter,
+    "doc_boilerplate_segments": q_doc_boilerplate_segments,
     # (d) round-robin re-verify (r1-r3 green, rotated out in r4)
     "pricing_summary": q_pricing_summary,
     "top_parts": q_top_parts,
@@ -4807,12 +4940,12 @@ QUERIES: dict[str, QueryFn] = {
     "doc_exact_dups": q_doc_exact_dups,
     "ngram_neardups": q_ngram_neardups,
     "minhash_signatures": q_minhash_signatures,
-    "minhash_lsh_pairs": q_minhash_lsh_pairs,
-    "simhash": q_simhash,
     # ---- slots above are inside the driver's 50-query verification
     # window; everything below earned a driver-green row in r4 (or
     # r2 for the first five) and rides the driver-faithful local
     # replica until its next rotation ----
+    "minhash_lsh_pairs": q_minhash_lsh_pairs,
+    "simhash": q_simhash,
     "simhash_neardups": q_simhash_neardups,
     "winnow_fingerprints": q_winnow_fingerprints,
     "winnow_overlap": q_winnow_overlap,
@@ -4986,4 +5119,6 @@ def build_oracles() -> dict[str, str]:
         "doc_domain_quality": _sql_domain_quality(),
         "doc_neardup_keep": _sql_neardup_keep(),
         "emb_cluster_prune": _sql_emb_cluster_prune(),
+        "doc_blocklist_filter": _sql_blocklist_filter(),
+        "doc_boilerplate_segments": _sql_boilerplate_segments(),
     }
