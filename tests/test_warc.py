@@ -189,3 +189,32 @@ def test_parse_warc_stream_fuzz_never_raises():
             recs = parse_warc_records(bytes(b[:cut]), max_body_bytes=128)
             for r in recs:
                 assert len(r["body"]) <= 128
+
+
+def test_per_record_gzip_members_stream():
+    """Common Crawl's actual layout is one gzip MEMBER per record in a
+    single .warc.gz; GzipFile must read across member boundaries so the
+    stream parser sees one continuous WARC stream."""
+    from kyiv_traffic_bigdata_spark.sources.warc import parse_warc_records
+
+    members = b"".join(
+        gzip.compress(rec)
+        for rec in (
+            _record("warcinfo", b"software: test\r\n"),
+            _record(
+                "response",
+                _http_response(b"<html>hello corpus</html>"),
+                uri="http://a.example/",
+                rid="<urn:uuid:2>",
+            ),
+            _record(
+                "response",
+                _http_response(b"gone", status=b"404 Not Found"),
+                rid="<urn:uuid:3>",
+            ),
+        )
+    )
+    recs = parse_warc_records(members)
+    assert [r["warc_type"] for r in recs] == ["warcinfo", "response", "response"]
+    assert recs[1]["body"] == b"<html>hello corpus</html>"
+    assert recs[2]["http_status"] == 404
