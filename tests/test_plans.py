@@ -403,3 +403,51 @@ def test_doc_version_diff_single_full_outer_join(plans):
     assert "FullOuter" in plan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
     assert "Window" not in plan
+
+
+def test_blocklist_filter_is_map_only(plans):
+    """The cheapest curation gate must stay shuffle-free: higher-order
+    array filter + size over the token array is per-row work."""
+    plan = plans("doc_blocklist_filter")
+    # the round-robin balance repartition from _docs_with_tokens is the
+    # only allowed exchange
+    assert exchange_count(plan) <= 1
+    assert "CartesianProduct" not in plan
+
+
+def test_domain_quality_single_domain_aggregate(plans):
+    """Domain gating = one map-only score pass + ONE hash aggregate
+    keyed by domain; no windows, no joins."""
+    plan = plans("doc_domain_quality")
+    assert exchange_count(plan) <= 2  # balance repartition + domain agg
+    assert sort_merge_join_count(plan) == 0
+    assert "Window" not in plan
+
+
+def test_neardup_keep_broadcasts_component_table(plans):
+    """The keep-list assignment must broadcast the (small) component
+    table onto the doc ids — a sort-merge left join here shuffles the
+    whole corpus for a table that only holds paired docs."""
+    plan = plans("doc_neardup_keep")
+    assert broadcast_join_count(plan) >= 1
+    # the LSH pair pipeline itself joins by shuffle; the outer keep-list
+    # join must not
+    assert "SortMergeJoin LeftOuter" not in plan
+
+
+def test_cluster_prune_no_per_cluster_fact_window(plans):
+    """Prototypicality pruning must not sort a whole cluster in one
+    task: no percent_rank window, and every window spec partitions by
+    the composite (cluster, distance) key or runs over the bounded slab
+    table."""
+    plan = plans("emb_cluster_prune")
+    assert "percent_rank" not in plan
+
+
+def test_boilerplate_df_table_preaggregated(plans):
+    """Boilerplate removal re-joins the segment df table PRE-AGGREGATED:
+    no cartesian, no nested loop; segment fan-out stays bounded by the
+    corpus segment count."""
+    plan = plans("doc_boilerplate_segments")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
