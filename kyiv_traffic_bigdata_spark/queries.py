@@ -4862,6 +4862,220 @@ FROM j GROUP BY doc_id
 """
 
 
+#: Q7/Q8 constants (values that exist in the driver testdata dims).
+TRADE_NATION_A = "NATION_3"
+TRADE_NATION_B = "NATION_7"
+SHARE_REGION = "EUROPE"
+SHARE_NATION = "NATION_5"
+
+
+def q_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q7-shaped bilateral trade volume: revenue shipped between
+    two specific nations (both directions), by supplier nation ×
+    customer nation × ship year. Nation dims broadcast twice under
+    different aliases; the nation-pair predicate lands as a residual on
+    the broadcast joins so the fact shuffle only carries surviving
+    rows. Decimal-stable revenue sum."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    n1 = nat.select(
+        F.col("n_nationkey").alias("_sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nat.select(
+        F.col("n_nationkey").alias("_cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    a, b = F.lit(TRADE_NATION_A), F.lit(TRADE_NATION_B)
+    revenue = (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).cast(
+        DEC
+    )
+    j = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n1), supp.s_nationkey == F.col("_sn_key"))
+        .join(F.broadcast(n2), cust.c_nationkey == F.col("_cn_key"))
+        .where(
+            ((F.col("supp_nation") == a) & (F.col("cust_nation") == b))
+            | ((F.col("supp_nation") == b) & (F.col("cust_nation") == a))
+        )
+    )
+    return (
+        j.groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+    )
+
+
+SQL_NATION_TRADE_VOLUME = f"""
+SELECT supp_nation, cust_nation, l_year,
+       {_ssum('volume')} AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(year(l_shipdate) AS BIGINT) AS l_year,
+         l_extendedprice * (1.0 - l_discount) AS volume
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE (n1.n_name = '{TRADE_NATION_A}' AND n2.n_name = '{TRADE_NATION_B}')
+     OR (n1.n_name = '{TRADE_NATION_B}' AND n2.n_name = '{TRADE_NATION_A}')
+) shipping
+GROUP BY supp_nation, cust_nation, l_year
+"""
+
+
+def q_nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q8-shaped market share: per order year, the share of one
+    region's customer revenue supplied by one nation. One pass — the
+    conditional share numerator rides the same aggregate as the total
+    (CASE-inside-sum, the Q14 trick applied to Q8), so no self-join
+    and no second scan. Share = ratio of two decimal sums, rounded
+    portably."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region").where(
+        F.col("r_name") == SHARE_REGION
+    )
+    nc = nat.select(
+        F.col("n_nationkey").alias("_cn_key"), F.col("n_regionkey").alias("_cr_key")
+    )
+    ns = nat.select(
+        F.col("n_nationkey").alias("_sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    vol = (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).cast(DEC)
+    j = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nc), cust.c_nationkey == F.col("_cn_key"))
+        .join(F.broadcast(reg), F.col("_cr_key") == reg.r_regionkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(ns), supp.s_nationkey == F.col("_sn_key"))
+    )
+    share_vol = F.when(F.col("supp_nation") == SHARE_NATION, vol).otherwise(
+        F.lit(0.0).cast(DEC)
+    )
+    agg = j.groupBy(F.year("o_orderdate").cast("long").alias("o_year")).agg(
+        F.sum(vol).cast("double").alias("total_revenue"),
+        F.sum(share_vol).cast("double").alias("nation_revenue"),
+    )
+    return agg.select(
+        "o_year",
+        "total_revenue",
+        "nation_revenue",
+        round6(F.col("nation_revenue") / F.col("total_revenue")).alias("mkt_share"),
+    )
+
+
+SQL_NATION_MARKET_SHARE = f"""
+WITH base AS (
+  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         l_extendedprice * (1.0 - l_discount) AS volume,
+         n2.n_name AS supp_nation
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN region ON n1.n_regionkey = r_regionkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  WHERE r_name = '{SHARE_REGION}'
+),
+agg AS (
+  SELECT o_year,
+         {_ssum('volume')} AS total_revenue,
+         {_ssum(f"CASE WHEN supp_nation = '{SHARE_NATION}' THEN volume ELSE 0.0 END")} AS nation_revenue
+  FROM base GROUP BY o_year
+)
+SELECT o_year, total_revenue, nation_revenue,
+       (floor((nation_revenue / total_revenue) * 1000000.0 + 0.5) / 1000000.0) AS mkt_share
+FROM agg
+"""
+
+
+def q_product_line_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q9-shaped product-line profit (adapted: testdata has no
+    partsupp, so revenue stands in for profit): per supplier nation ×
+    order year, revenue over parts whose name carries the product-line
+    marker. The selective part filter is pushed to the part scan and
+    that side seeds the join order; nation broadcasts."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    supp = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    part = load_table(spark, sf_dir, "part").where(
+        F.col("p_name").contains("widget")
+    )
+    vol = (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).cast(DEC)
+    j = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+    )
+    return (
+        j.groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(F.sum(vol).cast("double").alias("sum_profit"))
+    )
+
+
+SQL_PRODUCT_LINE_PROFIT = f"""
+SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       {_ssum('l_extendedprice * (1.0 - l_discount)')} AS sum_profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+WHERE contains(p_name, 'widget')
+GROUP BY n_name, CAST(year(o_orderdate) AS BIGINT)
+"""
+
+
+def q_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q13-shaped order-count distribution: how many customers
+    placed exactly k orders, INCLUDING the zero-order customers the
+    left join preserves. Two-level aggregate — per-customer count, then
+    the count-of-counts — both co-keyed hash aggregates with map-side
+    partials; the second input is bounded by the distinct order-count
+    codomain."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+    )
+
+
+SQL_CUSTOMER_ORDER_DISTRIBUTION = """
+WITH c_orders AS (
+  SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey
+)
+SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+FROM c_orders GROUP BY c_count
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -4904,6 +5118,10 @@ QUERIES: dict[str, QueryFn] = {
     "emb_cluster_prune": q_emb_cluster_prune,
     "doc_blocklist_filter": q_doc_blocklist_filter,
     "doc_boilerplate_segments": q_doc_boilerplate_segments,
+    "nation_trade_volume": q_nation_trade_volume,
+    "nation_market_share": q_nation_market_share,
+    "product_line_profit": q_product_line_profit,
+    "customer_order_distribution": q_customer_order_distribution,
     # (d) round-robin re-verify (r1-r3 green, rotated out in r4)
     "pricing_summary": q_pricing_summary,
     "top_parts": q_top_parts,
@@ -4944,6 +5162,10 @@ QUERIES: dict[str, QueryFn] = {
     # window; everything below earned a driver-green row in r4 (or
     # r2 for the first five) and rides the driver-faithful local
     # replica until its next rotation ----
+    "winnow_fingerprints": q_winnow_fingerprints,
+    "winnow_overlap": q_winnow_overlap,
+    "cosine_topk": q_cosine_topk,
+    "minhash_signatures": q_minhash_signatures,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "simhash": q_simhash,
     "simhash_neardups": q_simhash_neardups,
@@ -5121,4 +5343,8 @@ def build_oracles() -> dict[str, str]:
         "emb_cluster_prune": _sql_emb_cluster_prune(),
         "doc_blocklist_filter": _sql_blocklist_filter(),
         "doc_boilerplate_segments": _sql_boilerplate_segments(),
+        "nation_trade_volume": SQL_NATION_TRADE_VOLUME,
+        "nation_market_share": SQL_NATION_MARKET_SHARE,
+        "product_line_profit": SQL_PRODUCT_LINE_PROFIT,
+        "customer_order_distribution": SQL_CUSTOMER_ORDER_DISTRIBUTION,
     }

@@ -451,3 +451,32 @@ def test_boilerplate_df_table_preaggregated(plans):
     plan = plans("doc_boilerplate_segments")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoop" not in plan
+
+
+def test_trade_volume_broadcasts_both_nation_aliases(plans):
+    """Q7 shape: both nation alias joins must broadcast; the fact side
+    never sort-merges against a kilobyte dim."""
+    plan = plans("nation_trade_volume")
+    assert broadcast_join_count(plan) >= 2
+
+
+def test_market_share_single_pass_no_self_join(plans):
+    """Q8 shape: numerator and denominator ride ONE aggregate — a
+    second lineitem scan or a self-join is a regression."""
+    plan = plans("nation_market_share")
+    assert len(re.findall(r"Scan parquet[^\n]*lineitem", plan)) <= 1
+
+
+def test_product_line_filter_pushed_to_part_scan(plans):
+    """Q9 shape: the product-line predicate must reach the part scan
+    (contains → Filter directly over the scan, before any join)."""
+    plan = plans("product_line_profit")
+    assert "widget" in plan
+    assert broadcast_join_count(plan) >= 1
+
+
+def test_order_distribution_two_level_aggregate(plans):
+    """Q13 shape: two hash aggregates (per-customer count, then
+    count-of-counts), each with map-side partials."""
+    plan = plans("customer_order_distribution")
+    assert len(re.findall(r"\(\d+\) HashAggregate", plan)) >= 4  # 2 levels x partial+final
