@@ -181,6 +181,53 @@ def cmd_query(args: argparse.Namespace) -> int:
     return 0
 
 
+# ---------------------------------------------------------------------------
+# curate — end-to-end corpus curation run (the artifact a training-data
+# engineer publishes: kept corpus + per-doc lineage audit + summary)
+# ---------------------------------------------------------------------------
+
+def cmd_curate(args: argparse.Namespace) -> int:
+    import os
+
+    from pyspark.sql import functions as F
+
+    from .queries import QUERIES
+    from .tables import load_table
+
+    spark = _spark("curate")
+    lineage = QUERIES["doc_curation_pipeline"](spark, args.sf_dir)
+    lineage_path = os.path.join(args.out, "lineage")
+    corpus_path = os.path.join(args.out, "corpus")
+    lineage.write.mode("overwrite").parquet(lineage_path)
+    lineage = spark.read.parquet(lineage_path)  # reuse, don't recompute
+    docs = load_table(spark, args.sf_dir, "documents")
+    kept = docs.join(
+        lineage.where(F.col("kept")).select("doc_id"), "doc_id"
+    )
+    kept.write.mode("overwrite").parquet(corpus_path)
+    stats = lineage.agg(
+        F.count(F.lit(1)).alias("docs_in"),
+        F.sum(F.col("kept").cast("long")).alias("docs_kept"),
+        F.sum((~F.col("gopher_ok")).cast("long")).alias("dropped_quality"),
+        F.sum((~F.col("is_canonical")).cast("long")).alias("dropped_neardup"),
+        F.sum((~F.col("sampled")).cast("long")).alias("dropped_sample"),
+    ).collect()[0]
+    print(
+        json.dumps(
+            {
+                "docs_in": stats.docs_in,
+                "docs_kept": stats.docs_kept,
+                "dropped_quality": stats.dropped_quality,
+                "dropped_neardup": stats.dropped_neardup,
+                "dropped_sample": stats.dropped_sample,
+                "corpus": corpus_path,
+                "lineage": lineage_path,
+            }
+        )
+    )
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="kyiv_traffic_bigdata_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -230,6 +277,13 @@ def build_parser() -> argparse.ArgumentParser:
     q.add_argument("--show", type=int, default=20)
     q.add_argument("--out", default=None)
     q.set_defaults(fn=cmd_query)
+
+    c = sub.add_parser(
+        "curate", help="end-to-end corpus curation -> kept corpus + lineage"
+    )
+    c.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    c.add_argument("--out", required=True)
+    c.set_defaults(fn=cmd_curate)
 
     return p
 

@@ -108,3 +108,22 @@ def test_weather_from_file(spark, tmp_path):
     got = spark.read.parquet(out)
     assert got.count() == 2
     assert set(got.columns) == {"time", *WEATHER_HOURLY_FIELDS}
+
+
+def test_curate_command_publishes_corpus_and_lineage(spark, tmp_path, capsys):
+    out = str(tmp_path / "curated")
+    rc = main(["curate", "--sf-dir", "/root/testdata/sf0.001", "--out", out])
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    lineage = spark.read.parquet(os.path.join(out, "lineage"))
+    corpus = spark.read.parquet(os.path.join(out, "corpus"))
+    assert summary["docs_in"] == lineage.count() == 500
+    assert summary["docs_kept"] == corpus.count() > 0
+    # the kept corpus is exactly the lineage's kept set, with full text
+    assert set(corpus.columns) >= {"doc_id", "text", "lang", "source"}
+    kept_ids = {r.doc_id for r in lineage.where("kept").select("doc_id").collect()}
+    assert {r.doc_id for r in corpus.select("doc_id").collect()} == kept_ids
+    # drop accounting covers every non-kept doc (gates may overlap)
+    assert summary["docs_kept"] + summary["dropped_quality"] >= 500 - (
+        summary["dropped_neardup"] + summary["dropped_sample"]
+    )
