@@ -120,6 +120,45 @@ def hyperplane_sign_bits(v: Column, dim: int, n_planes: int, seed: str = "rp") -
     )
 
 
+def sign_words(v: Column) -> Column:
+    """Binary (sign-bit) signature as ``array<bigint>`` of 32-bit words:
+    bit j of word w is set iff ``x[32w + j] > 0`` — the 1-bit-per-dim
+    quantization whose Hamming distance approximates angular distance
+    (the random-hyperplane bound with identity hyperplanes). A 64-dim
+    float32 vector (256 B) compresses to two words (8 B of payload):
+    the ANN shortlist scans 32× fewer bytes and compares with XOR +
+    popcount, both whole-stage-codegen integer ops.
+
+    Word construction folds bits HIGH→LOW (acc*2 + bit) — plain integer
+    arithmetic, so any engine reproduces the exact words; trailing
+    dims past the vector length contribute 0 bits (try_element_at)."""
+    d = as_double(v)
+    n_words = F.ceil(F.size(d) / F.lit(32)).cast("int")
+    return F.transform(
+        F.sequence(F.lit(0), F.greatest(n_words - 1, F.lit(0))),
+        lambda w: F.aggregate(
+            F.sequence(F.lit(0), F.lit(31)),
+            F.lit(0).cast("long"),
+            lambda acc, j: acc * 2
+            + F.when(
+                F.try_element_at(d, w * 32 + (F.lit(31) - j) + 1) > 0,
+                F.lit(1).cast("long"),
+            ).otherwise(F.lit(0).cast("long")),
+        ),
+    )
+
+
+def hamming_distance(a: Column, b: Column) -> Column:
+    """Hamming distance between two equal-length ``array<bigint>``
+    signatures: Σ popcount(xor(word_a, word_b)) — exact, integer-only,
+    codegen-friendly."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: F.bit_count(x.bitwiseXOR(y))),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
 def quantize_scale(v: Column) -> Column:
     """Per-vector symmetric int8 quantization scale: 127 / max|x| (0.0
     for the all-zero vector, whose quantized form is all zeros)."""

@@ -475,6 +475,47 @@ def ann_lsh_topk(
     )
 
 
+def hamming_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+) -> DataFrame:
+    """Exact top-k by Hamming distance over binary sign signatures —
+    the 4th ANN scale path (next to LSH buckets, IVF cells, PQ codes):
+    compress every vector to 1 bit/dim (functions.vector.sign_words)
+    and rank by XOR+popcount. Unlike LSH/IVF this shortlist is EXACT
+    for its (binary) metric, so it carries a full differential oracle.
+
+    Scale: signatures are computed map-only on both sides; the query
+    side (a literal-scale frame) broadcasts, the corpus never shuffles
+    except the final per-query top-k; per-pair work is n_words integer
+    XOR+popcounts — a 64-dim float corpus is scanned at 8 B/row instead
+    of 256 B. Production flow reranks the shortlist with exact cosine
+    (cosine_topk) — composable here the same way."""
+    from ..functions.vector import hamming_distance, sign_words
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"), sign_words(F.col(vec_col)).alias("_qs")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), sign_words(F.col(vec_col)).alias("_cs")
+    )
+    scored = c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id")).select(
+        "query_id",
+        "neighbor_id",
+        hamming_distance(F.col("_qs"), F.col("_cs")).alias("hamming"),
+    )
+    ranked = top_k_per_group(
+        scored,
+        ["query_id"],
+        [F.col("hamming").asc(), F.col("neighbor_id").asc()],
+        k,
+    )
+    return ranked.select("query_id", "neighbor_id", "hamming")
+
+
 def semdedup(
     corpus: DataFrame,
     centroids: list[list[float]],

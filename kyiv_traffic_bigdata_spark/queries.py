@@ -5076,6 +5076,82 @@ FROM c_orders GROUP BY c_count
 """
 
 
+#: ann_hamming: every 100th vector queries the corpus; exact top-k.
+HAMMING_QUERY_MOD = 100
+HAMMING_TOPK = 10
+
+
+def q_emb_signbits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary (1-bit/dim) embedding quantization: the 32× compression
+    that lets an ANN shortlist scan 8 B signatures instead of 256 B
+    floats (functions.vector.sign_words). Map-only. Output is the two
+    32-bit words plus the set-bit count — scalar columns, exact integer
+    arithmetic on any engine."""
+    from .functions.vector import sign_words
+
+    emb = _emb(spark, sf_dir)
+    sig = sign_words(F.col("embedding"))
+    return emb.select(
+        "vec_id",
+        F.element_at(sig, 1).alias("sig_lo"),
+        F.element_at(sig, 2).alias("sig_hi"),
+        (
+            F.bit_count(F.element_at(sig, 1)) + F.bit_count(F.element_at(sig, 2))
+        ).cast("long").alias("n_bits_set"),
+    )
+
+
+def _sql_sign_word(offset: int) -> str:
+    """SUM of 2^j over set sign bits for dims offset+1 .. offset+32."""
+    terms = " + ".join(
+        f"(CASE WHEN CAST(embedding[{offset + j + 1}] AS DOUBLE) > 0 "
+        f"THEN CAST({1 << j} AS BIGINT) ELSE 0 END)"
+        for j in range(32)
+    )
+    return f"({terms})"
+
+
+def _sql_emb_signbits() -> str:
+    lo, hi = _sql_sign_word(0), _sql_sign_word(32)
+    return f"""
+WITH s AS (SELECT vec_id, {lo} AS sig_lo, {hi} AS sig_hi FROM embeddings)
+SELECT vec_id, sig_lo, sig_hi,
+       CAST(bit_count(sig_lo) + bit_count(sig_hi) AS BIGINT) AS n_bits_set
+FROM s
+"""
+
+
+def q_ann_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Hamming top-k over binary signatures
+    (operators.similarity.hamming_topk) — the 4th ANN path, and the one
+    whose shortlist is exact for its metric, so it runs under the full
+    differential oracle (LSH/IVF/PQ are recall-pinned instead)."""
+    emb = _emb(spark, sf_dir)
+    qs = emb.where(F.col("vec_id") % HAMMING_QUERY_MOD == 0)
+    return SIM.hamming_topk(qs, emb, k=HAMMING_TOPK)
+
+
+def _sql_ann_hamming() -> str:
+    lo, hi = _sql_sign_word(0), _sql_sign_word(32)
+    return f"""
+WITH sig AS (SELECT vec_id, {lo} AS lo, {hi} AS hi FROM embeddings),
+pairs AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         CAST(bit_count(xor(q.lo, c.lo)) + bit_count(xor(q.hi, c.hi)) AS BIGINT) AS hamming
+  FROM sig q JOIN sig c ON c.vec_id <> q.vec_id
+  WHERE q.vec_id % {HAMMING_QUERY_MOD} = 0
+),
+ranked AS (
+  SELECT query_id, neighbor_id, hamming,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY hamming ASC, neighbor_id ASC
+         ) AS rn
+  FROM pairs
+)
+SELECT query_id, neighbor_id, hamming FROM ranked WHERE rn <= {HAMMING_TOPK}
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -5122,6 +5198,8 @@ QUERIES: dict[str, QueryFn] = {
     "nation_market_share": q_nation_market_share,
     "product_line_profit": q_product_line_profit,
     "customer_order_distribution": q_customer_order_distribution,
+    "emb_signbits": q_emb_signbits,
+    "ann_hamming": q_ann_hamming,
     # (d) round-robin re-verify (r1-r3 green, rotated out in r4)
     "pricing_summary": q_pricing_summary,
     "top_parts": q_top_parts,
@@ -5152,16 +5230,16 @@ QUERIES: dict[str, QueryFn] = {
     "sales_cube": q_sales_cube,
     "top_orders_per_priority": q_top_orders_per_priority,
     "salted_supplier_stats": q_salted_supplier_stats,
+    # ---- slots above are inside the driver's 50-query verification
+    # window; everything below earned a driver-green row in r4 (or
+    # r2 for the first five) and rides the driver-faithful local
+    # replica until its next rotation ----
     "value_percentiles": q_value_percentiles,
     "doc_stats": q_doc_stats,
     "doc_lang_token_stats": q_doc_lang_token_stats,
     "doc_exact_dups": q_doc_exact_dups,
     "ngram_neardups": q_ngram_neardups,
     "minhash_signatures": q_minhash_signatures,
-    # ---- slots above are inside the driver's 50-query verification
-    # window; everything below earned a driver-green row in r4 (or
-    # r2 for the first five) and rides the driver-faithful local
-    # replica until its next rotation ----
     "winnow_fingerprints": q_winnow_fingerprints,
     "winnow_overlap": q_winnow_overlap,
     "cosine_topk": q_cosine_topk,
@@ -5347,4 +5425,6 @@ def build_oracles() -> dict[str, str]:
         "nation_market_share": SQL_NATION_MARKET_SHARE,
         "product_line_profit": SQL_PRODUCT_LINE_PROFIT,
         "customer_order_distribution": SQL_CUSTOMER_ORDER_DISTRIBUTION,
+        "emb_signbits": _sql_emb_signbits(),
+        "ann_hamming": _sql_ann_hamming(),
     }

@@ -282,3 +282,77 @@ def test_probe_max_sim_engines_bit_identical(spark):
     assert a.keys() == e.keys() and len(a) > 100
     assert all(a[k] == e[k] for k in a), "engines diverged"
     assert a[999999] == 0.0  # zero vector -> defined 0.0, not NaN
+
+
+def test_sign_words_bit_layout_and_hamming(spark):
+    """Pin the signature contract against a Python reference: bit j of
+    word w set iff x[32w+j] > 0 (zeros are NOT set), words exact
+    integers, odd dims pad with 0 bits; Hamming = popcount of xor."""
+    from kyiv_traffic_bigdata_spark.functions.vector import (
+        hamming_distance,
+        sign_words,
+    )
+    from pyspark.sql import functions as F
+
+    import random
+
+    rng = random.Random(99)
+    vecs = [
+        [rng.choice([-1.5, -0.1, 0.0, 0.2, 3.0]) for _ in range(d)]
+        for d in (64, 64, 40, 7)
+    ]
+
+    def ref_words(v):
+        words = [0] * ((len(v) + 31) // 32)
+        for i, x in enumerate(v):
+            if x > 0:
+                words[i // 32] |= 1 << (i % 32)
+        return words
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], "vec_id long, embedding array<double>"
+    )
+    got = {
+        r.vec_id: list(r.sig)
+        for r in df.select("vec_id", sign_words(F.col("embedding")).alias("sig")).collect()
+    }
+    for i, v in enumerate(vecs):
+        assert got[i] == ref_words(v), (i, v)
+
+    # hamming vs python popcount on the 64-dim pair
+    a, b = ref_words(vecs[0]), ref_words(vecs[1])
+    expect = sum(bin(x ^ y).count("1") for x, y in zip(a, b))
+    pair = spark.createDataFrame(
+        [(vecs[0], vecs[1])], "va array<double>, vb array<double>"
+    )
+    ham = pair.select(
+        hamming_distance(sign_words(F.col("va")), sign_words(F.col("vb"))).alias("h")
+    ).collect()[0].h
+    assert ham == expect
+
+
+def test_hamming_topk_matches_bruteforce(spark, emb):
+    """hamming_topk's shortlist must equal the per-query brute-force
+    ranking by (hamming asc, id asc)."""
+    from kyiv_traffic_bigdata_spark.functions.vector import sign_words
+    from kyiv_traffic_bigdata_spark.operators.similarity import hamming_topk
+    from pyspark.sql import functions as F
+
+    qs = emb.where(F.col("vec_id") % 50 == 0)
+    got = hamming_topk(qs, emb, k=5).collect()
+    sigs = {
+        r.vec_id: list(r.s)
+        for r in emb.select("vec_id", sign_words(F.col("embedding")).alias("s")).collect()
+    }
+
+    def ham(a, b):
+        return sum(bin(x ^ y).count("1") for x, y in zip(a, b))
+
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.query_id, []).append((r.hamming, r.neighbor_id))
+    for qid, rows in by_q.items():
+        brute = sorted(
+            (ham(sigs[qid], s), nid) for nid, s in sigs.items() if nid != qid
+        )[:5]
+        assert sorted(rows) == brute, qid

@@ -480,3 +480,12 @@ def test_order_distribution_two_level_aggregate(plans):
     count-of-counts), each with map-side partials."""
     plan = plans("customer_order_distribution")
     assert len(re.findall(r"\(\d+\) HashAggregate", plan)) >= 4  # 2 levels x partial+final
+
+
+def test_ann_hamming_broadcasts_queries(plans):
+    """Hamming ANN: the query side must broadcast; the corpus never
+    shuffles except the final per-query top-k."""
+    plan = plans("ann_hamming")
+    assert broadcast_join_count(plan) >= 1
+    assert sort_merge_join_count(plan) == 0
+    assert "CartesianProduct" not in plan
