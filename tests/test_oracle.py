@@ -148,3 +148,21 @@ def test_every_query_has_rows_or_is_known_empty(spark):
         if n == 0:
             empties.append(name)
     assert not empties, f"queries returned 0 rows at sf0.001: {empties}"
+
+
+def test_driver_window_fully_oracle_checkable():
+    """Registry invariant: the driver verifies the FIRST 50 registered
+    queries only — every one of those slots must carry an oracle twin
+    (a no-oracle query in the window burns a verification slot on a
+    permanent `no_oracle` row). No-oracle approximates belong at the
+    tail."""
+    names = list(queries())
+    window = names[:50]
+    missing = [n for n in window if n not in ORACLES]
+    assert not missing, f"window slots without an oracle: {missing}"
+    # and the documented no-oracle set sits at the very tail
+    no_oracle = [n for n in names if n not in ORACLES]
+    assert names[-len(no_oracle):] == no_oracle, (
+        f"no-oracle queries must be the registry tail, got {no_oracle} "
+        f"vs tail {names[-len(no_oracle):]}"
+    )
