@@ -489,11 +489,18 @@ def hamming_topk(
     for its (binary) metric, so it carries a full differential oracle.
 
     Scale: signatures are computed map-only on both sides; the query
-    side (a literal-scale frame) broadcasts, the corpus never shuffles
-    except the final per-query top-k; per-pair work is n_words integer
-    XOR+popcounts — a 64-dim float corpus is scanned at 8 B/row instead
-    of 256 B. Production flow reranks the shortlist with exact cosine
-    (cosine_topk) — composable here the same way."""
+    side (a literal-scale frame) broadcasts; per-pair work is n_words
+    integer XOR+popcounts — a 64-dim float corpus is scanned at 8 B/row
+    instead of 256 B. The top-k itself exploits Hamming's BOUNDED
+    codomain (0..n_bits): a per-(query, distance) slab count finds each
+    query's cutoff distance, non-contributing slabs are dropped in
+    bulk, and the only per-row window partitions by the composite
+    (query, distance) key — never "one query = one task sorting the
+    whole corpus" (the percent_rank_all discipline, see
+    operators/rank.py). Production flow reranks the shortlist with
+    exact cosine (cosine_topk) — composable here the same way."""
+    from pyspark.sql import Window
+
     from ..functions.vector import hamming_distance, sign_words
 
     q = queries.select(
@@ -507,12 +514,28 @@ def hamming_topk(
         "neighbor_id",
         hamming_distance(F.col("_qs"), F.col("_cs")).alias("hamming"),
     )
-    ranked = top_k_per_group(
-        scored,
-        ["query_id"],
-        [F.col("hamming").asc(), F.col("neighbor_id").asc()],
-        k,
+    # Phase 1: bounded slab counts — ≤ n_bits+1 rows per query, ever.
+    slabs = scored.groupBy("query_id", "hamming").agg(
+        F.count(F.lit(1)).alias("_cnt")
     )
+    wq = Window.partitionBy("query_id").orderBy(F.col("hamming").asc())
+    slabs = slabs.withColumn(
+        "_cum_before",
+        F.coalesce(
+            F.sum("_cnt").over(wq.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ),
+    ).where(F.col("_cum_before") < k)
+    # Phase 2: only contributing slabs survive the (broadcast) join; the
+    # per-row window ranks within (query, distance) — skew bounded by
+    # the largest single-distance tie set, not corpus size.
+    survivors = scored.join(F.broadcast(slabs), ["query_id", "hamming"])
+    wrow = Window.partitionBy("query_id", "hamming").orderBy(
+        F.col("neighbor_id").asc()
+    )
+    ranked = survivors.withColumn(
+        "_pos", F.col("_cum_before") + F.row_number().over(wrow)
+    ).where(F.col("_pos") <= k)
     return ranked.select("query_id", "neighbor_id", "hamming")
 
 

@@ -489,3 +489,17 @@ def test_ann_hamming_broadcasts_queries(plans):
     assert broadcast_join_count(plan) >= 1
     assert sort_merge_join_count(plan) == 0
     assert "CartesianProduct" not in plan
+
+
+def test_ann_hamming_no_per_query_corpus_sort(plans):
+    """The hamming top-k must never sort a query's whole corpus in one
+    window partition: the per-row window partitions by the composite
+    (query, distance) key (slab discipline)."""
+    plan = plans("ann_hamming")
+    import re as _re
+
+    # every row_number window spec must carry BOTH partition keys
+    specs = _re.findall(r"row_number\(\) windowspecdefinition\(([^,]+, [^,]+),", plan)
+    assert specs, "expected a row_number window in the hamming plan"
+    for spec in specs:
+        assert "hamming" in spec, spec
