@@ -1,0 +1,356 @@
+"""Baseline JPEG pixel decode — pure stdlib + numpy, no codec library.
+
+Closes the last ``needs_codec`` gap in the multimodal pipeline
+(operators/multimodal.py): PNG was already real (zlib + unfilters), GIF
+real (LZW); this module decodes baseline sequential DCT JPEG (SOF0,
+8-bit, the overwhelmingly dominant variant in web crawls) end-to-end:
+
+* marker/segment walk (DQT, DHT, SOF0, SOS, DRI; APPn/COM skipped),
+* canonical Huffman entropy decode with 0xFF00 byte-stuffing and
+  restart-marker (RSTn) handling,
+* dequantize → de-zigzag → batched 8×8 IDCT (one numpy einsum over all
+  blocks of a component — the hot loop is C-side),
+* chroma upsampling for any (h, v) sampling factors (nearest), JFIF
+  full-range YCbCr→RGB (BT.601) with clamp.
+
+Out of scope (returns None, callers fall back to ``needs_codec``):
+progressive (SOF2), arithmetic coding, hierarchical, 12-bit precision,
+>4 components. ``max_pixels`` bounds memory/CPU per payload — the same
+guard contract as decode_png_pixels/decode_gif_frames.
+
+Reference parity note: the reference repo ships no image codecs (its
+multimodal surface is this repo's extension); the decoder exists so the
+Spark-side media plumbing is real in codec-less environments. Verified
+by a self-contained baseline ENCODER in tests/test_jpeg.py (spec Annex K
+tables) via decode(encode(img)) error bounds plus numpy-reference IDCT
+and bit-reader unit tests — encoder and decoder share no code paths
+beyond the tables' spec values.
+"""
+
+from __future__ import annotations
+
+import struct
+
+#: zigzag index: ZIGZAG[i] = natural position of the i-th zigzag coef
+ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+
+class _BitReader:
+    """MSB-first bit reader over entropy-coded JPEG data with 0xFF00
+    stuffing; stops at any real marker (0xFF xx, xx not 0x00). Restart
+    markers are consumed by the caller via ``sync_restart``."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.bitbuf = 0
+        self.nbits = 0
+
+    def _fill(self) -> bool:
+        d, n = self.data, len(self.data)
+        if self.pos >= n:
+            return False
+        b = d[self.pos]
+        if b == 0xFF:
+            if self.pos + 1 < n and d[self.pos + 1] == 0x00:
+                self.pos += 2
+            else:
+                return False  # a real marker — entropy data ends here
+        else:
+            self.pos += 1
+        self.bitbuf = (self.bitbuf << 8) | b
+        self.nbits += 8
+        return True
+
+    def read_bit(self) -> int | None:
+        if self.nbits == 0 and not self._fill():
+            return None
+        self.nbits -= 1
+        return (self.bitbuf >> self.nbits) & 1
+
+    def read_bits(self, n: int) -> int | None:
+        v = 0
+        for _ in range(n):
+            b = self.read_bit()
+            if b is None:
+                return None
+            v = (v << 1) | b
+        return v
+
+    def align(self) -> None:
+        self.nbits = 0
+        self.bitbuf = 0
+
+    def at_marker(self) -> int | None:
+        """The marker byte at the current (aligned) position, if any."""
+        d, n = self.data, len(self.data)
+        if self.pos + 1 < n and d[self.pos] == 0xFF and d[self.pos + 1] != 0x00:
+            return d[self.pos + 1]
+        return None
+
+    def sync_restart(self) -> bool:
+        """Consume an RSTn marker at an MCU-restart boundary."""
+        self.align()
+        m = self.at_marker()
+        if m is not None and 0xD0 <= m <= 0xD7:
+            self.pos += 2
+            return True
+        return False
+
+
+def _build_huffman(counts: list[int], symbols: bytes) -> dict[tuple[int, int], int]:
+    """Canonical Huffman: {(length, code) -> symbol}."""
+    table: dict[tuple[int, int], int] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(counts[length - 1]):
+            table[(length, code)] = symbols[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _decode_symbol(br: _BitReader, table: dict[tuple[int, int], int]) -> int | None:
+    code = 0
+    for length in range(1, 17):
+        b = br.read_bit()
+        if b is None:
+            return None
+        code = (code << 1) | b
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    return None
+
+
+def _extend(v: int, size: int) -> int:
+    """JPEG EXTEND: map ``size`` magnitude bits to a signed value."""
+    if size == 0:
+        return 0
+    if v < (1 << (size - 1)):
+        return v - (1 << size) + 1
+    return v
+
+
+def _idct_blocks(blocks):
+    """Batched 8×8 IDCT (DCT-III with JPEG normalization) over an
+    (n, 8, 8) coefficient array — one einsum, all blocks at once."""
+    import numpy as np
+
+    k = np.arange(8)
+    # C[u, x] = c(u)/2 * cos((2x+1)uπ/16)
+    c = np.cos((2 * k[None, :] + 1) * k[:, None] * np.pi / 16) / 2.0
+    c[0, :] *= 1 / np.sqrt(2)
+    # spatial = Cᵀ · coef · C
+    return np.einsum("ux,nuv,vy->nxy", c, blocks, c, optimize=True)
+
+
+def decode_jpeg_pixels(
+    payload: bytes, max_pixels: int = 1 << 22
+) -> tuple[int, int, bytes] | None:
+    """Decode a baseline JPEG into ``(width, height, rgb24 bytes)``, or
+    None for non-baseline/corrupt/oversized input (never raises — the
+    log-and-continue parser stance, fuzz-pinned)."""
+    try:
+        return _decode_jpeg(payload, max_pixels)
+    except (struct.error, IndexError, ValueError):
+        return None
+
+
+def _decode_jpeg(
+    payload: bytes, max_pixels: int
+) -> tuple[int, int, bytes] | None:
+    import numpy as np
+
+    if len(payload) < 4 or payload[:2] != b"\xff\xd8":
+        return None
+    qt: dict[int, list[int]] = {}
+    huff_dc: dict[int, dict] = {}
+    huff_ac: dict[int, dict] = {}
+    comps: list[dict] = []
+    w = h = 0
+    restart_interval = 0
+    i, n = 2, len(payload)
+    sos_at = -1
+    scan_comps: list[dict] = []
+    while i + 4 <= n:
+        if payload[i] != 0xFF:
+            return None
+        marker = payload[i + 1]
+        if marker == 0xD8:
+            i += 2
+            continue
+        if marker == 0xD9:
+            break
+        (seglen,) = struct.unpack(">H", payload[i + 2 : i + 4])
+        seg = payload[i + 4 : i + 2 + seglen]
+        if len(seg) < seglen - 2:
+            return None
+        if marker == 0xDB:  # DQT
+            j = 0
+            while j < len(seg):
+                pq, tq = seg[j] >> 4, seg[j] & 0x0F
+                j += 1
+                if pq == 0:
+                    vals = list(seg[j : j + 64])
+                    j += 64
+                else:
+                    vals = [
+                        struct.unpack(">H", seg[j + 2 * t : j + 2 * t + 2])[0]
+                        for t in range(64)
+                    ]
+                    j += 128
+                if len(vals) < 64:
+                    return None
+                qt[tq] = vals
+        elif marker == 0xC4:  # DHT
+            j = 0
+            while j + 17 <= len(seg):
+                tc, th = seg[j] >> 4, seg[j] & 0x0F
+                counts = list(seg[j + 1 : j + 17])
+                total = sum(counts)
+                symbols = seg[j + 17 : j + 17 + total]
+                if len(symbols) < total:
+                    return None
+                (huff_dc if tc == 0 else huff_ac)[th] = _build_huffman(
+                    counts, symbols
+                )
+                j += 17 + total
+        elif marker == 0xC0:  # SOF0 baseline
+            if seg[0] != 8:
+                return None  # 12-bit precision unsupported
+            h, w = struct.unpack(">HH", seg[1:5])
+            nc = seg[5]
+            if nc == 0 or nc > 4 or w == 0 or h == 0 or w * h > max_pixels:
+                return None
+            comps = []
+            for ci in range(nc):
+                cid, samp, tq = seg[6 + 3 * ci : 9 + 3 * ci]
+                comps.append(
+                    {"id": cid, "h": samp >> 4, "v": samp & 0x0F, "tq": tq}
+                )
+                if comps[-1]["h"] not in (1, 2, 4) or comps[-1]["v"] not in (1, 2, 4):
+                    return None
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            return None  # non-baseline SOF (progressive etc.)
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack(">H", seg[0:2])
+        elif marker == 0xDA:  # SOS
+            ns = seg[0]
+            scan_comps = []
+            for s in range(ns):
+                cs, tds = seg[1 + 2 * s], seg[2 + 2 * s]
+                comp = next((c for c in comps if c["id"] == cs), None)
+                if comp is None:
+                    return None
+                scan_comps.append(
+                    {**comp, "dc": tds >> 4, "ac": tds & 0x0F}
+                )
+            sos_at = i + 2 + seglen
+            break
+        i += 2 + seglen
+    if sos_at < 0 or not comps or not scan_comps or w == 0:
+        return None
+    if len(scan_comps) != len(comps):
+        return None  # multi-scan baseline not supported
+
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+
+    for c in scan_comps:
+        if c["tq"] not in qt or c["dc"] not in huff_dc or c["ac"] not in huff_ac:
+            return None
+        c["qtab"] = qt[c["tq"]]
+        c["bw"] = mcux * c["h"]  # blocks across
+        c["bh"] = mcuy * c["v"]
+        c["coef"] = []  # list of 64-coef blocks in MCU-interleaved order
+        c["pred"] = 0
+
+    br = _BitReader(payload, sos_at)
+    mcu_count = 0
+    for _ in range(mcux * mcuy):
+        if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+            if not br.sync_restart():
+                return None
+            for c in scan_comps:
+                c["pred"] = 0
+        for c in scan_comps:
+            for _ in range(c["h"] * c["v"]):
+                block = [0] * 64
+                s = _decode_symbol(br, huff_dc[c["dc"]])
+                if s is None:
+                    return None
+                bits = br.read_bits(s) if s else 0
+                if bits is None:
+                    return None
+                c["pred"] += _extend(bits, s)
+                block[0] = c["pred"] * c["qtab"][0]
+                kpos = 1
+                while kpos < 64:
+                    sym = _decode_symbol(br, huff_ac[c["ac"]])
+                    if sym is None:
+                        return None
+                    if sym == 0x00:  # EOB
+                        break
+                    run, size = sym >> 4, sym & 0x0F
+                    if size == 0:
+                        if run != 15:
+                            return None
+                        kpos += 16  # ZRL
+                        continue
+                    kpos += run
+                    if kpos > 63:
+                        return None
+                    bits = br.read_bits(size)
+                    if bits is None:
+                        return None
+                    block[ZIGZAG[kpos]] = _extend(bits, size) * c["qtab"][kpos]
+                    kpos += 1
+                c["coef"].append(block)
+        mcu_count += 1
+
+    # batched IDCT per component, then assemble plane from MCU order
+    planes = []
+    for c in scan_comps:
+        blocks = np.array(c["coef"], dtype=np.float64).reshape(-1, 8, 8)
+        spatial = _idct_blocks(blocks) + 128.0
+        plane = np.zeros((c["bh"] * 8, c["bw"] * 8), dtype=np.float64)
+        bi = 0
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        y0 = (my * c["v"] + by) * 8
+                        x0 = (mx * c["h"] + bx) * 8
+                        plane[y0 : y0 + 8, x0 : x0 + 8] = spatial[bi]
+                        bi += 1
+        # upsample to full resolution (nearest) and crop
+        ry, rx = vmax // c["v"], hmax // c["h"]
+        if ry > 1 or rx > 1:
+            plane = np.repeat(np.repeat(plane, ry, axis=0), rx, axis=1)
+        planes.append(plane[:h, :w])
+
+    if len(planes) == 1:
+        ycc = np.clip(planes[0], 0, 255)
+        rgb = np.repeat(ycc[:, :, None], 3, axis=2)
+    elif len(planes) == 3:
+        y, cb, cr = planes
+        r = y + 1.402 * (cr - 128.0)
+        g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+        b = y + 1.772 * (cb - 128.0)
+        rgb = np.stack(
+            [np.clip(r, 0, 255), np.clip(g, 0, 255), np.clip(b, 0, 255)], axis=2
+        )
+    else:
+        return None  # CMYK/4-component not supported
+    return w, h, np.round(rgb).astype(np.uint8).tobytes()

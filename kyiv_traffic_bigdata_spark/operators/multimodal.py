@@ -263,7 +263,10 @@ def _lzw_decode(min_code_size: int, data: bytes, max_pixels: int) -> bytes | Non
     """GIF-flavored LZW decode of a de-sub-blocked code stream.
     Returns the color-index bytes (truncated to ``max_pixels``), or None
     on a corrupt stream. Codes are packed little-endian, LSB-first."""
-    if not 2 <= min_code_size <= 11 or not data:
+    # GIF LZW min code size is 2..8 (palette ≤ 256 entries); a larger
+    # value is a corrupt stream — and would overflow the byte-valued
+    # root table below (hypothesis-found crash, not just invalidity).
+    if not 2 <= min_code_size <= 8 or not data:
         return None
     clear = 1 << min_code_size
     end = clear + 1
@@ -688,11 +691,13 @@ def _resize_with_codec(b: bytes, out_w: int, out_h: int) -> bytes | None:
 def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
     """Arrow-batched image resize stage. Per row: a real resized BMP
     (status ``resized`` — uncompressed BMPs, GIFs via stdlib LZW, PNGs
-    via stdlib zlib+unfilter, and JPEGs when an optional codec library
-    is importable), ``needs_codec`` for entropy-coded payloads no
-    available decoder handles (JPEG without Pillow; 16-bit/Adam7 PNG),
+    via stdlib zlib+unfilter, baseline JPEGs via the stdlib+numpy
+    decoder in operators/jpeg.py), ``needs_codec`` only for the exotic
+    residue no available decoder handles (progressive/12-bit JPEG
+    without Pillow; 16-bit/Adam7 PNG; corrupt entropy streams),
     ``unsupported`` otherwise — log-and-continue, never a failed
     batch."""
+    from .jpeg import decode_jpeg_pixels
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -705,6 +710,9 @@ def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
                 if resized is None and (png := decode_png_pixels(b)) is not None:
                     pw, ph, rgb = png
                     resized = _resize_rgb_nearest(rgb, pw, ph, width, height)
+                if resized is None and (jpg := decode_jpeg_pixels(b)) is not None:
+                    jw, jh, rgb = jpg
+                    resized = _resize_rgb_nearest(rgb, jw, jh, width, height)
                 if resized is None:
                     resized = _resize_with_codec(b, width, height)
                 if resized is not None:

@@ -1,0 +1,403 @@
+"""Baseline JPEG decoder tests (operators/jpeg.py).
+
+Verification strategy (no codec library exists in this container to
+produce fixtures): a self-contained baseline ENCODER lives here in the
+test — forward DCT + quantization + canonical Huffman + byte stuffing —
+sharing nothing with the decoder beyond the file format itself. The
+decoder is then checked three ways:
+
+1. unit: bit reader (stuffing, marker stop), IDCT vs a naive-loop
+   DCT-III reference;
+2. round-trip: decode(encode(img)) within quantization-derived error
+   bounds on flat / gradient / random images, grayscale and 4:2:0,
+   odd (non-MCU-aligned) sizes, and restart intervals;
+3. refusal: progressive SOF2, truncated streams, oversized dims.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from kyiv_traffic_bigdata_spark.operators.jpeg import (
+    ZIGZAG,
+    _BitReader,
+    _build_huffman,
+    _idct_blocks,
+    decode_jpeg_pixels,
+)
+
+# ---------------------------------------------------------------------------
+# Minimal baseline encoder (test-only). Tables are deliberately NOT the
+# spec's Annex K set: DC symbols 0..11 all at code length 8, AC symbols
+# (EOB, ZRL, every (run, size) run 0..15 size 1..10) all at length 12 —
+# valid canonical tables that exercise the decoder's generic machinery.
+# ---------------------------------------------------------------------------
+
+_DC_SYMBOLS = bytes(range(12))
+_DC_COUNTS = [0] * 16
+_DC_COUNTS[7] = 12  # 12 codes of length 8
+_AC_SYMBOLS = bytes(
+    [0x00, 0xF0] + [(run << 4) | size for run in range(16) for size in range(1, 11)]
+)
+_AC_COUNTS = [0] * 16
+_AC_COUNTS[11] = len(_AC_SYMBOLS)  # all codes at length 12
+
+
+def _codes(counts, symbols):
+    out = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(counts[length - 1]):
+            out[symbols[k]] = (length, code)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+_DC_CODES = _codes(_DC_COUNTS, _DC_SYMBOLS)
+_AC_CODES = _codes(_AC_COUNTS, _AC_SYMBOLS)
+
+
+def _dct_matrix():
+    k = np.arange(8)
+    c = np.cos((2 * k[None, :] + 1) * k[:, None] * np.pi / 16) / 2.0
+    c[0, :] *= 1 / np.sqrt(2)
+    return c
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, value, nbits):
+        for i in range(nbits - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((value >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)  # byte stuffing
+                self.acc = 0
+                self.n = 0
+
+    def flush(self):
+        if self.n:
+            self.put((1 << (8 - self.n)) - 1, 8 - self.n)  # pad with 1s
+
+
+def _magnitude(v):
+    """(size, bits) JPEG magnitude coding of a signed value."""
+    if v == 0:
+        return 0, 0
+    size = int(v if v > 0 else -v).bit_length()
+    bits = v if v > 0 else v + (1 << size) - 1
+    return size, bits
+
+
+def _encode_block(bw, block_zz, pred):
+    """Entropy-encode one quantized block (zigzag order); returns new DC
+    predictor."""
+    diff = block_zz[0] - pred
+    size, bits = _magnitude(diff)
+    ln, code = _DC_CODES[size]
+    bw.put(code, ln)
+    if size:
+        bw.put(bits, size)
+    run = 0
+    last_nz = 0
+    for k in range(1, 64):
+        if block_zz[k]:
+            last_nz = k
+    for k in range(1, last_nz + 1):
+        v = block_zz[k]
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            ln, code = _AC_CODES[0xF0]
+            bw.put(code, ln)
+            run -= 16
+        size, bits = _magnitude(v)
+        ln, code = _AC_CODES[(run << 4) | size]
+        bw.put(code, ln)
+        bw.put(bits, size)
+        run = 0
+    if last_nz < 63:
+        ln, code = _AC_CODES[0x00]
+        bw.put(code, ln)
+    return block_zz[0]
+
+
+def encode_baseline_jpeg(rgb, q=4, subsample=False, gray=False, restart=0):
+    """rgb: (h, w, 3) uint8 -> baseline JPEG bytes. Flat quant table q.
+    subsample=True -> 4:2:0 (callers should use constant-chroma images
+    for exact chroma round-trips). gray -> single component."""
+    h, w = rgb.shape[:2]
+    C = _dct_matrix()
+    qtab = [q] * 64
+
+    r = rgb[:, :, 0].astype(np.float64)
+    g = rgb[:, :, 1].astype(np.float64)
+    b = rgb[:, :, 2].astype(np.float64)
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+
+    if gray:
+        comps = [{"plane": y, "h": 1, "v": 1}]
+    elif subsample:
+        comps = [
+            {"plane": y, "h": 2, "v": 2},
+            {"plane": cb[::2, ::2], "h": 1, "v": 1},
+            {"plane": cr[::2, ::2], "h": 1, "v": 1},
+        ]
+    else:
+        comps = [
+            {"plane": y, "h": 1, "v": 1},
+            {"plane": cb, "h": 1, "v": 1},
+            {"plane": cr, "h": 1, "v": 1},
+        ]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+
+    for c in comps:
+        pw, ph = 8 * mcux * c["h"], 8 * mcuy * c["v"]
+        plane = np.full((ph, pw), 128.0)
+        src = c["plane"]
+        plane[: src.shape[0], : src.shape[1]] = src
+        # edge-replicate padding keeps high-frequency energy (and hence
+        # quantization error) low at the borders
+        plane[src.shape[0]:, : src.shape[1]] = src[-1:, :]
+        plane[:, src.shape[1]:] = plane[:, src.shape[1] - 1 : src.shape[1]]
+        c["padded"] = plane
+        c["pred"] = 0
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + struct.pack(">H", 2 + 1 + 64) + bytes([0]) + bytes(qtab)
+    nc = len(comps)
+    sof = struct.pack(">BHHB", 8, h, w, nc)
+    for idx, c in enumerate(comps):
+        sof += bytes([idx + 1, (c["h"] << 4) | c["v"], 0])
+    out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+    for tc in (0, 1):
+        counts = _DC_COUNTS if tc == 0 else _AC_COUNTS
+        symbols = _DC_SYMBOLS if tc == 0 else _AC_SYMBOLS
+        seg = bytes([tc << 4]) + bytes(counts) + symbols
+        out += b"\xff\xc4" + struct.pack(">H", 2 + len(seg)) + seg
+    if restart:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart)
+    sos = bytes([nc])
+    for idx in range(nc):
+        sos += bytes([idx + 1, 0x00])
+    sos += bytes([0, 63, 0])
+    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+
+    bw = _BitWriter()
+    mcu_i = 0
+    rst = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart and mcu_i and mcu_i % restart == 0:
+                bw.flush()
+                bw.out += bytes([0xFF, 0xD0 + (rst % 8)])
+                rst += 1
+                for c in comps:
+                    c["pred"] = 0
+            for c in comps:
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        y0 = (my * c["v"] + by) * 8
+                        x0 = (mx * c["h"] + bx) * 8
+                        blk = c["padded"][y0 : y0 + 8, x0 : x0 + 8] - 128.0
+                        coef = C @ blk @ C.T
+                        zz = [
+                            int(np.round(coef.flat[ZIGZAG[k]] / qtab[k]))
+                            for k in range(64)
+                        ]
+                        c["pred"] = _encode_block(bw, zz, c["pred"])
+            mcu_i += 1
+    bw.flush()
+    out += bw.out + b"\xff\xd9"
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# unit tests
+# ---------------------------------------------------------------------------
+
+
+def test_bitreader_stuffing_and_marker_stop():
+    # 0xFF 0x00 is a stuffed literal 0xFF byte; 0xFF 0xD9 is a marker
+    br = _BitReader(bytes([0b10101010, 0xFF, 0x00, 0xFF, 0xD9]), 0)
+    assert br.read_bits(8) == 0b10101010
+    assert br.read_bits(8) == 0xFF
+    assert br.read_bit() is None  # stopped at the real marker
+    assert br.at_marker() == 0xD9
+
+
+def test_huffman_canonical_roundtrip():
+    table = _build_huffman(_DC_COUNTS, _DC_SYMBOLS)
+    # every symbol decodable from its own code
+    for sym, (ln, code) in _DC_CODES.items():
+        data = bytes([(code << (8 - ln)) & 0xFF]) if ln <= 8 else None
+        br = _BitReader(data, 0)
+        got = None
+        c = 0
+        for length in range(1, ln + 1):
+            c = (c << 1) | br.read_bit()
+            if (length, c) in table:
+                got = table[(length, c)]
+                break
+        assert got == sym
+
+
+def test_idct_matches_naive_reference():
+    rng = np.random.default_rng(7)
+    blocks = rng.integers(-512, 512, size=(5, 8, 8)).astype(np.float64)
+
+    def naive(block):
+        out = np.zeros((8, 8))
+        for x in range(8):
+            for yy in range(8):
+                s = 0.0
+                for u in range(8):
+                    for v in range(8):
+                        cu = 1 / np.sqrt(2) if u == 0 else 1.0
+                        cv = 1 / np.sqrt(2) if v == 0 else 1.0
+                        s += (
+                            cu * cv / 4.0 * block[u, v]
+                            * np.cos((2 * x + 1) * u * np.pi / 16)
+                            * np.cos((2 * yy + 1) * v * np.pi / 16)
+                        )
+                out[x, yy] = s
+        return out
+
+    fast = _idct_blocks(blocks)
+    for i in range(len(blocks)):
+        assert np.allclose(fast[i], naive(blocks[i]), atol=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# round-trips
+# ---------------------------------------------------------------------------
+
+
+def _decode_to_array(payload):
+    got = decode_jpeg_pixels(payload)
+    assert got is not None
+    w, h, rgb = got
+    return np.frombuffer(rgb, dtype=np.uint8).reshape(h, w, 3)
+
+
+def test_flat_color_roundtrip_tight():
+    img = np.full((16, 24, 3), 0, np.uint8)
+    img[:, :] = (200, 80, 40)
+    out = _decode_to_array(encode_baseline_jpeg(img, q=4))
+    assert out.shape == (16, 24, 3)
+    assert int(np.abs(out.astype(int) - img.astype(int)).max()) <= 2
+
+
+def test_gradient_and_random_roundtrip_bounded():
+    yy, xx = np.mgrid[0:24, 0:32]
+    grad = np.stack([(xx * 8) % 256, (yy * 8) % 256, ((xx + yy) * 4) % 256], 2).astype(
+        np.uint8
+    )
+    q = 4
+    out = _decode_to_array(encode_baseline_jpeg(grad, q=q))
+    err = np.abs(out.astype(int) - grad.astype(int))
+    assert err.mean() < 3.0 and err.max() <= 8 * q
+
+    rng = np.random.default_rng(11)
+    noise = rng.integers(0, 256, size=(16, 16, 3)).astype(np.uint8)
+    out = _decode_to_array(encode_baseline_jpeg(noise, q=q))
+    err = np.abs(out.astype(int) - noise.astype(int))
+    assert err.max() <= 8 * q  # quantization-bounded, never structural
+
+
+def test_grayscale_single_component():
+    yy = (np.arange(16)[:, None] * 16).astype(np.uint8)
+    img = np.repeat(np.repeat(yy[:, :, None], 16, axis=1), 3, axis=2)
+    out = _decode_to_array(encode_baseline_jpeg(img, q=2, gray=True))
+    # grayscale decode replicates Y into all channels
+    assert np.abs(out[:, :, 0].astype(int) - img[:, :, 0].astype(int)).max() <= 4
+    assert (out[:, :, 0] == out[:, :, 1]).all() and (out[:, :, 0] == out[:, :, 2]).all()
+
+
+def test_subsampled_420_constant_chroma():
+    img = np.zeros((24, 24, 3), np.uint8)
+    # constant chroma (one hue), varying luma: 2x2 downsample is exact
+    for i in range(24):
+        v = 40 + 7 * i
+        img[i, :, :] = (v, v, v)
+    out = _decode_to_array(encode_baseline_jpeg(img, q=4, subsample=True))
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 8
+
+
+def test_odd_dimensions_cropped():
+    img = np.full((11, 13, 3), 99, np.uint8)
+    out = _decode_to_array(encode_baseline_jpeg(img, q=4))
+    assert out.shape == (11, 13, 3)
+    assert np.abs(out.astype(int) - 99).max() <= 2
+
+
+def test_restart_markers():
+    yy, xx = np.mgrid[0:16, 0:40]
+    img = np.stack([(xx * 6) % 256] * 3, 2).astype(np.uint8)
+    out = _decode_to_array(encode_baseline_jpeg(img, q=4, restart=2))
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 32
+
+
+def test_refusals():
+    img = np.full((8, 8, 3), 10, np.uint8)
+    good = encode_baseline_jpeg(img, q=4)
+    # progressive: flip SOF0 marker to SOF2
+    prog = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    assert decode_jpeg_pixels(prog) is None
+    assert decode_jpeg_pixels(good[:20]) is None
+    assert decode_jpeg_pixels(b"\xff\xd8junk") is None
+    assert decode_jpeg_pixels(good, max_pixels=16) is None
+
+
+def test_fuzz_never_raises():
+    import random
+
+    rng = random.Random(21)
+    img = np.full((16, 16, 3), 120, np.uint8)
+    base = encode_baseline_jpeg(img, q=4)
+    for _ in range(80):
+        b = bytearray(base)
+        for _ in range(rng.randint(1, 6)):
+            b[rng.randrange(len(b))] = rng.randrange(256)
+        cut = rng.randrange(len(b) + 1)
+        try:
+            decode_jpeg_pixels(bytes(b[:cut]))
+        except Exception as exc:  # noqa: BLE001
+            pytest.fail(f"decoder raised on fuzzed input: {exc!r}")
+
+
+def test_resize_images_decodes_jpeg_for_real(spark):
+    from kyiv_traffic_bigdata_spark.operators.multimodal import (
+        resize_images,
+        try_decode_header,
+    )
+
+    img = np.zeros((8, 8, 3), np.uint8)
+    img[:4, :4] = (200, 50, 50)
+    img[4:, 4:] = (50, 200, 50)
+    payload = encode_baseline_jpeg(img, q=2)
+    df = spark.createDataFrame(
+        [(1, bytearray(payload))], "media_id long, payload binary"
+    )
+    row = resize_images(df, 2, 2).collect()[0]
+    assert row.status == "resized"
+    meta = try_decode_header(bytes(row.payload))
+    assert meta["format"] == "bmp" and meta["width"] == 2 and meta["height"] == 2
