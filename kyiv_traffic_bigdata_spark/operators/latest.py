@@ -60,3 +60,25 @@ def dedup_exact(df: DataFrame, key_cols: list[str], tiebreak: str) -> DataFrame:
         F.min_by(F.struct(*payload), F.col(tiebreak)).alias("_first")
     )
     return agg.select(*key_cols, *[F.col(f"_first.{c}").alias(c) for c in payload])
+
+
+def apply_changelog(
+    df: DataFrame,
+    key_cols: list[str],
+    order_cols: list[str],
+    op_col: str,
+    payload_cols: list[str],
+    delete_op: str = "D",
+) -> DataFrame:
+    """CDC changelog application: materialize current table state from an
+    insert/update/delete stream — latest record per key wins, a delete
+    tombstone as the latest record removes the key entirely (the Debezium
+    / Kafka-compacted-topic semantic).
+
+    Same single-aggregate shape as :func:`latest_per_key` (``max_by`` over
+    a total order, map-side partials, no window): the op column rides the
+    payload struct and the tombstone filter runs on the one-row-per-key
+    result — at 100 TB the changelog shuffles once, keyed, and nothing
+    else."""
+    latest = latest_per_key(df, key_cols, order_cols, [op_col, *payload_cols])
+    return latest.where(F.col(op_col) != delete_op).drop(op_col)

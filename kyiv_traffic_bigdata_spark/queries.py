@@ -5247,6 +5247,123 @@ SELECT query_id, neighbor_id, hamming, cosine_sim FROM rranked WHERE rn <= {HAMM
 """
 
 
+def q_events_changelog_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC changelog application (operators.latest.apply_changelog):
+    the events stream read as a per-user changelog — ``error`` events
+    are delete tombstones, everything else upserts (event_id, value).
+    Output = current table state: one row per surviving user, the
+    Debezium/compacted-topic semantic.
+
+    Scale: ONE keyed hash aggregate (max_by over the total
+    (ts_us, event_id) order, map-side partials) + a map-side tombstone
+    filter — no window, no second shuffle."""
+    from .operators.latest import apply_changelog
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "ts_us",
+        F.when(F.col("event_type") == "error", F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+        round6(F.col("value")).alias("value"),
+    )
+    return apply_changelog(
+        ev, ["user_id"], ["ts_us", "event_id"], "op", ["event_id", "ts_us", "value"]
+    )
+
+
+SQL_CHANGELOG_STATE = """
+WITH log AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+         CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+         (floor(value * 1000000.0 + 0.5) / 1000000.0) AS value
+  FROM events
+),
+ranked AS (
+  SELECT user_id, event_id, ts_us, op, value,
+         row_number() OVER (
+           PARTITION BY user_id ORDER BY ts_us DESC, event_id DESC
+         ) AS rn
+  FROM log
+)
+SELECT user_id, event_id, ts_us, value
+FROM ranked WHERE rn = 1 AND op <> 'D'
+"""
+
+
+def q_doc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 history build: three deterministic crawl versions of
+    every doc (v2 edits every 5th, v3 edits every 7th) collapse into
+    validity intervals — a new interval only where the content
+    fingerprint actually changed, ``valid_to`` = the next change's
+    version, open (NULL) on the current row. The dimension-history
+    table every warehouse publishes.
+
+    Scale: per-key windows ordered by version — group size is the
+    VERSION COUNT (3 here, tens in practice), never corpus-bounded, so
+    the lag/lead windows are safe at any doc count."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    versions = []
+    for ver, edit_mod in ((1, None), (2, 5), (3, 7)):
+        t = F.col("text")
+        if edit_mod is not None:
+            t = F.when(
+                F.col("doc_id") % edit_mod == 0,
+                F.concat(F.col("text"), F.lit(f" rev{ver}")),
+            ).otherwise(F.col("text"))
+        versions.append(
+            d.select(
+                "doc_id",
+                F.lit(ver).cast("long").alias("version"),
+                F.md5(t).alias("fp"),
+            )
+        )
+    hist = versions[0]
+    for v in versions[1:]:
+        hist = hist.unionByName(v)
+    w = Window.partitionBy("doc_id").orderBy("version")
+    changed = hist.withColumn("_prev", F.lag("fp").over(w)).where(
+        F.col("_prev").isNull() | (F.col("_prev") != F.col("fp"))
+    )
+    w2 = Window.partitionBy("doc_id").orderBy("valid_from")
+    return (
+        changed.select("doc_id", "fp", F.col("version").alias("valid_from"))
+        .withColumn("valid_to", F.lead("valid_from").over(w2))
+        .withColumn("is_current", F.col("valid_to").isNull())
+    )
+
+
+SQL_DOC_SCD2 = """
+WITH hist AS (
+  SELECT doc_id, CAST(1 AS BIGINT) AS version, md5(text) AS fp FROM documents
+  UNION ALL
+  SELECT doc_id, 2,
+         md5(CASE WHEN doc_id % 5 = 0 THEN text || ' rev2' ELSE text END)
+  FROM documents
+  UNION ALL
+  SELECT doc_id, 3,
+         md5(CASE WHEN doc_id % 7 = 0 THEN text || ' rev3' ELSE text END)
+  FROM documents
+),
+changed AS (
+  SELECT doc_id, version, fp,
+         lag(fp) OVER (PARTITION BY doc_id ORDER BY version) AS prev_fp
+  FROM hist
+),
+intervals AS (
+  SELECT doc_id, fp, version AS valid_from
+  FROM changed WHERE prev_fp IS NULL OR prev_fp <> fp
+)
+SELECT doc_id, fp, valid_from,
+       lead(valid_from) OVER (PARTITION BY doc_id ORDER BY valid_from) AS valid_to,
+       (lead(valid_from) OVER (PARTITION BY doc_id ORDER BY valid_from) IS NULL) AS is_current
+FROM intervals
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -5296,6 +5413,8 @@ QUERIES: dict[str, QueryFn] = {
     "emb_signbits": q_emb_signbits,
     "ann_hamming": q_ann_hamming,
     "ann_hamming_rerank": q_ann_hamming_rerank,
+    "events_changelog_state": q_events_changelog_state,
+    "doc_scd2_history": q_doc_scd2_history,
     # (d) round-robin re-verify (r1-r3 green, rotated out in r4)
     "pricing_summary": q_pricing_summary,
     "top_parts": q_top_parts,
@@ -5323,12 +5442,12 @@ QUERIES: dict[str, QueryFn] = {
     "geo_nearby_events": q_geo_nearby_events,
     "emb_cosine_neardups": q_emb_cosine_neardups,
     "sales_rollup": q_sales_rollup,
-    "sales_cube": q_sales_cube,
-    "top_orders_per_priority": q_top_orders_per_priority,
     # ---- slots above are inside the driver's 50-query verification
     # window; everything below earned a driver-green row in r4 (or
     # r2 for the first five) and rides the driver-faithful local
     # replica until its next rotation ----
+    "sales_cube": q_sales_cube,
+    "top_orders_per_priority": q_top_orders_per_priority,
     "salted_supplier_stats": q_salted_supplier_stats,
     "value_percentiles": q_value_percentiles,
     "doc_stats": q_doc_stats,
@@ -5524,4 +5643,6 @@ def build_oracles() -> dict[str, str]:
         "emb_signbits": _sql_emb_signbits(),
         "ann_hamming": _sql_ann_hamming(),
         "ann_hamming_rerank": _sql_ann_hamming_rerank(),
+        "events_changelog_state": SQL_CHANGELOG_STATE,
+        "doc_scd2_history": SQL_DOC_SCD2,
     }

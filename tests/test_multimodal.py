@@ -551,3 +551,27 @@ def test_optional_codec_probe_default_absent():
     assert M.optional_image_codec() is None
     assert M.optional_image_codec() is None  # cached second call
     assert M._resize_with_codec(b"\xff\xd8\xff\xe0junk", 2, 2) is None
+
+
+def test_png_decoder_fuzz_never_raises():
+    """Same never-raise contract as the GIF/JPEG decoders: byte damage
+    or truncation yields None or a decoded image, never an exception."""
+    import random
+
+    from kyiv_traffic_bigdata_spark.operators.multimodal import decode_png_pixels
+
+    rng = random.Random(31)
+    px = [bytes(rng.randrange(256) for _ in range(6 * 3)) for _ in range(5)]
+    base = _png_full(6, 5, 2, _filter_rows(px, 3, [0, 1, 2, 3, 4]))
+    for _ in range(120):
+        b = bytearray(base)
+        for _ in range(rng.randint(1, 6)):
+            b[rng.randrange(len(b))] = rng.randrange(256)
+        cut = rng.randrange(len(b) + 1)
+        try:
+            out = decode_png_pixels(bytes(b[:cut]))
+        except Exception as exc:  # noqa: BLE001
+            raise AssertionError(f"decoder raised on fuzzed input: {exc!r}")
+        if out is not None:
+            w, h, rgb = out
+            assert len(rgb) == w * h * 3

@@ -503,3 +503,11 @@ def test_ann_hamming_no_per_query_corpus_sort(plans):
     assert specs, "expected a row_number window in the hamming plan"
     for spec in specs:
         assert "hamming" in spec, spec
+
+
+def test_changelog_state_single_aggregate_no_window(plans):
+    """CDC apply must stay the max_by single-aggregate shape: no window
+    function, exactly one keyed exchange."""
+    plan = plans("events_changelog_state")
+    assert "Window" not in plan
+    assert exchange_count(plan) == 1
