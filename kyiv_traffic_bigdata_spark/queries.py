@@ -5364,6 +5364,63 @@ FROM intervals
 """
 
 
+def q_neardup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle participation over the near-dup graph — the clustering-
+    coefficient signal that separates clique-like duplicate groups
+    (template families) from chains (drifting revisions). Per node: how
+    many triangles it belongs to; nodes in no triangle are omitted.
+
+    Scale: the classic ordered-wedge plan — every edge is oriented
+    low→high, wedges join edge×edge on the middle vertex, and the
+    closing edge check is one more equi-join — ALL joins run on the
+    (small) verified near-dup pair list, never on the corpus; wedge
+    volume is Σ deg², bounded because LSH verification caps the edge
+    list. No cartesian anywhere."""
+    pairs = DD.minhash_lsh_pairs(_docs_with_tokens(spark, sf_dir), threshold=0.2)
+    e = pairs.select(
+        F.col("id_a").alias("lo"), F.col("id_b").alias("hi")
+    )  # already lo < hi
+    w = (
+        e.alias("e1")
+        .join(e.alias("e2"), F.col("e1.hi") == F.col("e2.lo"))
+        .select(
+            F.col("e1.lo").alias("a"),
+            F.col("e1.hi").alias("b"),
+            F.col("e2.hi").alias("c"),
+        )
+    )
+    tri = w.join(
+        e.select(F.col("lo").alias("a"), F.col("hi").alias("c")),
+        ["a", "c"],
+    )
+    per_node = (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    return per_node
+
+
+def _sql_neardup_triangles() -> str:
+    return f"""
+WITH pairs AS (SELECT id_a AS lo, id_b AS hi FROM ({_sql_minhash_lsh()}) q),
+wedges AS (
+  SELECT e1.lo AS a, e1.hi AS b, e2.hi AS c
+  FROM pairs e1 JOIN pairs e2 ON e1.hi = e2.lo
+),
+tri AS (
+  SELECT w.a, w.b, w.c FROM wedges w JOIN pairs e ON e.lo = w.a AND e.hi = w.c
+),
+nodes AS (
+  SELECT a AS doc_id FROM tri
+  UNION ALL SELECT b FROM tri
+  UNION ALL SELECT c FROM tri
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_triangles
+FROM nodes GROUP BY doc_id
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -5415,6 +5472,7 @@ QUERIES: dict[str, QueryFn] = {
     "ann_hamming_rerank": q_ann_hamming_rerank,
     "events_changelog_state": q_events_changelog_state,
     "doc_scd2_history": q_doc_scd2_history,
+    "neardup_triangles": q_neardup_triangles,
     # (d) round-robin re-verify (r1-r3 green, rotated out in r4)
     "pricing_summary": q_pricing_summary,
     "top_parts": q_top_parts,
@@ -5441,11 +5499,11 @@ QUERIES: dict[str, QueryFn] = {
     "events_asof_error": q_events_asof_error,
     "geo_nearby_events": q_geo_nearby_events,
     "emb_cosine_neardups": q_emb_cosine_neardups,
-    "sales_rollup": q_sales_rollup,
     # ---- slots above are inside the driver's 50-query verification
     # window; everything below earned a driver-green row in r4 (or
     # r2 for the first five) and rides the driver-faithful local
     # replica until its next rotation ----
+    "sales_rollup": q_sales_rollup,
     "sales_cube": q_sales_cube,
     "top_orders_per_priority": q_top_orders_per_priority,
     "salted_supplier_stats": q_salted_supplier_stats,
@@ -5645,4 +5703,5 @@ def build_oracles() -> dict[str, str]:
         "ann_hamming_rerank": _sql_ann_hamming_rerank(),
         "events_changelog_state": SQL_CHANGELOG_STATE,
         "doc_scd2_history": SQL_DOC_SCD2,
+        "neardup_triangles": _sql_neardup_triangles(),
     }
