@@ -5421,6 +5421,101 @@ FROM nodes GROUP BY doc_id
 """
 
 
+#: BM25 retrieval: fixed query terms (present in the synthetic vocab)
+#: and the standard Robertson parameters.
+BM25_QUERY_TERMS = ("spark", "join", "stream")
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOPN = 20
+
+
+def q_doc_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval scoring — the standard search ranking function
+    (Robertson/Spärck Jones), scoring every doc against a fixed query
+    term set and returning the top matches. The retrieval complement of
+    the tf-idf term profile (doc_tfidf_terms scores terms per doc; this
+    scores docs per query).
+
+    Scale: per-(doc, term) tf for the QUERY TERMS ONLY (the filter
+    pushes into the explode), df/avgdl ride a 1-row broadcast, and the
+    score sum spans ≤ |query| rows per doc — decimal-summed with
+    per-term round6 (ln quarantine), so the ranking is engine- and
+    order-independent. Final top-N is a TakeOrdered, not a sort."""
+    d = _docs_with_tokens(spark, sf_dir)
+    terms = [t for t in BM25_QUERY_TERMS]
+    tok = d.select(
+        "doc_id", F.explode(TX.tokens(F.col("text"))).alias("term")
+    )
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    qtok = tok.where(F.col("term").isin(*terms))
+    tf = qtok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    totals = dl.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("dl").alias("_dl_sum"),
+    )
+    j = (
+        tf.join(F.broadcast(df_), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(totals))
+    )
+    avgdl = F.col("_dl_sum") / F.col("_n")
+    idf = F.log(
+        (F.col("_n") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    denom = F.col("tf") + F.lit(BM25_K1) * (
+        F.lit(1.0) - F.lit(BM25_B) + F.lit(BM25_B) * F.col("dl") / avgdl
+    )
+    contrib = round6(idf * (F.col("tf") * F.lit(BM25_K1 + 1.0)) / denom)
+    scored = j.groupBy("doc_id").agg(
+        F.round(F.sum(contrib.cast(DEC)).cast("double"), 6).alias("bm25"),
+        F.count(F.lit(1)).alias("n_matched_terms"),
+    )
+    from .operators.topk import top_k
+
+    return top_k(
+        scored, [F.col("bm25").desc(), F.col("doc_id").asc()], BM25_TOPN
+    ).select("doc_id", "bm25", F.col("n_matched_terms").cast("long").alias("n_matched_terms"))
+
+
+def _sql_doc_bm25() -> str:
+    terms = ", ".join(f"'{t}'" for t in BM25_QUERY_TERMS)
+    r6 = "(floor(({x}) * 1000000.0 + 0.5) / 1000000.0)"
+    idf = "ln((n - df + 0.5) / (df + 0.5) + 1.0)"
+    denom = f"(tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * dl / avgdl))"
+    contrib = r6.format(x=f"{idf} * (tf * {BM25_K1 + 1.0}) / {denom}")
+    return f"""
+WITH toks AS (SELECT doc_id, unnest({_toks('text')}) AS term FROM documents),
+dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM toks GROUP BY doc_id),
+tf AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM toks WHERE term IN ({terms}) GROUP BY doc_id, term
+),
+dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+  FROM dl
+),
+j AS (
+  SELECT tf.doc_id, tf.tf, dfreq.df, dl.dl, tot.n, tot.avgdl
+  FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN tot
+),
+scored AS (
+  SELECT doc_id, round({_ssum(contrib)}, 6) AS bm25,
+         CAST(COUNT(*) AS BIGINT) AS n_matched_terms
+  FROM j GROUP BY doc_id
+),
+ranked AS (
+  SELECT doc_id, bm25, n_matched_terms,
+         row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS rn
+  FROM scored
+)
+SELECT doc_id, bm25, n_matched_terms FROM ranked WHERE rn <= {BM25_TOPN}
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -5473,6 +5568,7 @@ QUERIES: dict[str, QueryFn] = {
     "events_changelog_state": q_events_changelog_state,
     "doc_scd2_history": q_doc_scd2_history,
     "neardup_triangles": q_neardup_triangles,
+    "doc_bm25_topk": q_doc_bm25_topk,
     # (d) round-robin re-verify (r1-r3 green, rotated out in r4)
     "pricing_summary": q_pricing_summary,
     "top_parts": q_top_parts,
@@ -5498,11 +5594,11 @@ QUERIES: dict[str, QueryFn] = {
     "event_union": q_event_union,
     "events_asof_error": q_events_asof_error,
     "geo_nearby_events": q_geo_nearby_events,
-    "emb_cosine_neardups": q_emb_cosine_neardups,
     # ---- slots above are inside the driver's 50-query verification
     # window; everything below earned a driver-green row in r4 (or
     # r2 for the first five) and rides the driver-faithful local
     # replica until its next rotation ----
+    "emb_cosine_neardups": q_emb_cosine_neardups,
     "sales_rollup": q_sales_rollup,
     "sales_cube": q_sales_cube,
     "top_orders_per_priority": q_top_orders_per_priority,
@@ -5704,4 +5800,5 @@ def build_oracles() -> dict[str, str]:
         "events_changelog_state": SQL_CHANGELOG_STATE,
         "doc_scd2_history": SQL_DOC_SCD2,
         "neardup_triangles": _sql_neardup_triangles(),
+        "doc_bm25_topk": _sql_doc_bm25(),
     }
