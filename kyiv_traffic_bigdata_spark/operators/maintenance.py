@@ -154,3 +154,41 @@ def snapshot_diff(
         .where(F.col("change_type").isNotNull())
         .select(*key_cols, "change_type", "old_fp", "new_fp")
     )
+
+
+def prune_snapshots(store_dir: str, keep: int = 3) -> list[str]:
+    """Warehouse GC for the versioned-snapshot store
+    (streaming/analytics.start_dimension_upsert_sink layout:
+    ``v{batch_id}/`` dirs + an atomic ``_CURRENT`` pointer): delete all
+    but the newest ``keep`` version dirs. The pointed-at version is
+    NEVER deleted regardless of age — readers resolving the pointer
+    mid-prune always find their snapshot. Returns the removed names.
+
+    Local-filesystem store, consistent with the sink it maintains (the
+    documented posture there); at 100 TB the same ordering rule applies
+    through the object-store API, and the pointer-protection invariant
+    is what makes the prune safe to run concurrently with readers."""
+    import os
+    import re
+    import shutil
+
+    if keep < 1:
+        raise ValueError("keep must be >= 1")
+    current = None
+    ptr = os.path.join(store_dir, "_CURRENT")
+    if os.path.exists(ptr):
+        with open(ptr, encoding="utf-8") as f:
+            current = f.read().strip() or None
+    versions = sorted(
+        (
+            d
+            for d in os.listdir(store_dir)
+            if re.fullmatch(r"v\d+", d)
+            and os.path.isdir(os.path.join(store_dir, d))
+        ),
+        key=lambda d: int(d[1:]),
+    )
+    doomed = [d for d in versions[:-keep] if d != current]
+    for d in doomed:
+        shutil.rmtree(os.path.join(store_dir, d))
+    return doomed

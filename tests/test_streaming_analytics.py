@@ -357,3 +357,31 @@ def test_stream_static_enrich_end_to_end(spark, tmp_path):
     rows = {r.vehicle_id: r for r in spark.sql("select * from enriched").collect()}
     assert rows[1].route_type == "Bus" and rows[1].number == "42"
     assert rows[2].route_type is None  # left join keeps unmatched
+
+
+def test_prune_snapshots_keeps_current_and_newest(tmp_path):
+    """Retention GC: newest `keep` versions survive, the _CURRENT target
+    survives regardless of age, everything else is removed."""
+    import os
+
+    from kyiv_traffic_bigdata_spark.operators.maintenance import prune_snapshots
+
+    store = tmp_path / "dim"
+    store.mkdir()
+    for b in (1, 2, 3, 7, 10):
+        d = store / f"v{b}"
+        d.mkdir()
+        (d / "part-0.parquet").write_bytes(b"x")
+    # pointer pinned to an OLD version (reader lag scenario)
+    (store / "_CURRENT").write_text("v2")
+
+    removed = prune_snapshots(str(store), keep=2)
+    assert sorted(removed) == ["v1", "v3"]
+    left = sorted(p.name for p in store.iterdir() if p.is_dir())
+    assert left == ["v10", "v2", "v7"]  # newest 2 + the pinned current
+    assert (store / "_CURRENT").read_text() == "v2"
+
+    # pruning again is a no-op; keep=1 drops v7 but never the current
+    assert prune_snapshots(str(store), keep=2) == []
+    assert prune_snapshots(str(store), keep=1) == ["v7"]
+    assert sorted(p.name for p in store.iterdir() if p.is_dir()) == ["v10", "v2"]
