@@ -5516,6 +5516,65 @@ SELECT doc_id, bm25, n_matched_terms FROM ranked WHERE rn <= {BM25_TOPN}
 """
 
 
+def q_event_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: P(next_type | type), the behavioral model behind
+    next-action prediction and anomalous-session scoring. Consecutive
+    pairs come from a per-user lag window ordered by the total
+    (ts_us, event_id) key; probabilities are row-normalized counts.
+
+    Scale: the window partitions by user (bounded per-user history —
+    the safe window axis), the matrix aggregate is |types|² rows, and
+    the normalizing row totals ride a broadcast join of that bounded
+    matrix — corpus size only adds map tasks to the pair stage."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts_us", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts_us").asc(), F.col("event_id").asc()
+    )
+    pairs = (
+        ev.withColumn("next_type", F.lead("event_type").over(w))
+        .where(F.col("next_type").isNotNull())
+        .select(F.col("event_type").alias("from_type"), "next_type")
+    )
+    m = pairs.groupBy("from_type", "next_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    totals = m.groupBy("from_type").agg(F.sum("n").alias("_row_n"))
+    return (
+        m.join(F.broadcast(totals), "from_type")
+        .select(
+            "from_type",
+            "next_type",
+            F.col("n").cast("long").alias("n"),
+            round6(F.col("n") / F.col("_row_n")).alias("p"),
+        )
+    )
+
+
+SQL_MARKOV_TRANSITIONS = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (
+           PARTITION BY user_id ORDER BY epoch_us(ts) ASC, event_id ASC
+         ) AS next_type
+  FROM events
+),
+m AS (
+  SELECT event_type AS from_type, next_type, CAST(COUNT(*) AS BIGINT) AS n
+  FROM seq WHERE next_type IS NOT NULL
+  GROUP BY 1, 2
+),
+tot AS (SELECT from_type, CAST(SUM(n) AS BIGINT) AS row_n FROM m GROUP BY from_type)
+SELECT m.from_type, m.next_type, m.n,
+       (floor((CAST(m.n AS DOUBLE) / tot.row_n) * 1000000.0 + 0.5) / 1000000.0) AS p
+FROM m JOIN tot USING (from_type)
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -5569,6 +5628,7 @@ QUERIES: dict[str, QueryFn] = {
     "doc_scd2_history": q_doc_scd2_history,
     "neardup_triangles": q_neardup_triangles,
     "doc_bm25_topk": q_doc_bm25_topk,
+    "event_markov_transitions": q_event_markov_transitions,
     # (d) round-robin re-verify (r1-r3 green, rotated out in r4)
     "pricing_summary": q_pricing_summary,
     "top_parts": q_top_parts,
@@ -5593,11 +5653,11 @@ QUERIES: dict[str, QueryFn] = {
     "active_customers": q_active_customers,
     "event_union": q_event_union,
     "events_asof_error": q_events_asof_error,
-    "geo_nearby_events": q_geo_nearby_events,
     # ---- slots above are inside the driver's 50-query verification
     # window; everything below earned a driver-green row in r4 (or
     # r2 for the first five) and rides the driver-faithful local
     # replica until its next rotation ----
+    "geo_nearby_events": q_geo_nearby_events,
     "emb_cosine_neardups": q_emb_cosine_neardups,
     "sales_rollup": q_sales_rollup,
     "sales_cube": q_sales_cube,
@@ -5801,4 +5861,5 @@ def build_oracles() -> dict[str, str]:
         "doc_scd2_history": SQL_DOC_SCD2,
         "neardup_triangles": _sql_neardup_triangles(),
         "doc_bm25_topk": _sql_doc_bm25(),
+        "event_markov_transitions": SQL_MARKOV_TRANSITIONS,
     }
