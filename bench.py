@@ -79,6 +79,32 @@ def main() -> None:
     except Exception as exc:  # noqa: BLE001
         errors["warmup:arrow"] = str(exc).splitlines()[0][:300]
 
+    # BASELINE.md comparison: the reference's only published numbers are
+    # WS ingest rates (16.7 sustained / 24.4 burst positions/s). Replay
+    # its own shipped capture through the full S1 parse (envelope JSONL →
+    # schema'd explode → fix rows) and report engine positions/s on the
+    # identical data. Measured BEFORE the query loop: after ~250 query
+    # executions the JVM's accumulated GC/broadcast-cleanup state was
+    # depressing this one-shot timing by up to 2× as the registry grew —
+    # the steady-state parse rate is a property of the parse path, not
+    # of how many unrelated queries ran first. Best-of-N like the
+    # queries, for the same run-to-run noise reason.
+    ingest_stats: dict[str, float] = {}
+    ref_pos = "/root/reference/data/kpt_positions_20260207.jsonl"
+    if os.path.exists(ref_pos):
+        try:
+            from kyiv_traffic_bigdata_spark.sources.kpt import read_positions
+
+            read_positions(spark, ref_pos).count()  # warm scan + codegen
+            rates = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                n = read_positions(spark, ref_pos).count()
+                rates.append(n / (time.perf_counter() - t0))
+            ingest_stats["ingest_positions_per_sec"] = round(max(rates), 1)
+        except Exception as exc:  # noqa: BLE001
+            errors["ingest_throughput"] = str(exc).splitlines()[0][:300]
+
     # Best-of-N per query: local[32] shows ±10-20% run-to-run noise, so a
     # single sample makes round-over-round comparisons noise artifacts.
     # The first run also pays that query's codegen/broadcast warmup; min
@@ -112,33 +138,17 @@ def main() -> None:
         "runs_per_query": runs,
         "agg": "min",
     }
-
-    # BASELINE.md comparison: the reference's only published numbers are
-    # WS ingest rates (16.7 sustained / 24.4 burst positions/s). Replay
-    # its own shipped capture through the full S1 parse (envelope JSONL →
-    # schema'd explode → fix rows) and report engine positions/s on the
-    # identical data.
-    ref_pos = "/root/reference/data/kpt_positions_20260207.jsonl"
-    if os.path.exists(ref_pos):
-        try:
-            from kyiv_traffic_bigdata_spark.sources.kpt import read_positions
-
-            read_positions(spark, ref_pos).count()  # warm scan + codegen
-            t0 = time.perf_counter()
-            n = read_positions(spark, ref_pos).count()
-            dt = time.perf_counter() - t0
-            out["ingest_positions_per_sec"] = round(n / dt, 1)
-            # NB: the reference's published 16.7/s is its LIVE, network-
-            # bound WebSocket receive rate; our number is an offline
-            # replay parse of the same capture — engine throughput, not a
-            # like-for-like "N× faster" claim.
-            out["reference_live_ingest_rate_per_sec"] = 16.7
-            out["ingest_note"] = (
-                "reference rate is network-bound live WS receive; "
-                "engine rate is offline replay parse of the same capture"
-            )
-        except Exception as exc:  # noqa: BLE001
-            errors["ingest_throughput"] = str(exc).splitlines()[0][:300]
+    if ingest_stats:
+        out.update(ingest_stats)
+        # NB: the reference's published 16.7/s is its LIVE, network-
+        # bound WebSocket receive rate; ours is an offline replay parse
+        # of the same capture — engine throughput, not a like-for-like
+        # "N× faster" claim.
+        out["reference_live_ingest_rate_per_sec"] = 16.7
+        out["ingest_note"] = (
+            "reference rate is network-bound live WS receive; "
+            "engine rate is offline replay parse of the same capture"
+        )
 
     if errors:
         out["n_errors"] = len(errors)
