@@ -166,3 +166,32 @@ def test_driver_window_fully_oracle_checkable():
         f"no-oracle queries must be the registry tail, got {no_oracle} "
         f"vs tail {names[-len(no_oracle):]}"
     )
+
+
+def test_canonicalizer_properties():
+    """Meta-test of the gate itself: the hash must be insensitive to row
+    and column order, sensitive to any value change, and — by driver
+    design — sensitive to numeric REPRESENTATION (int64 '3' vs float64
+    '3.0'), which is exactly the HUGEINT trap the oracles CAST around."""
+    import pandas as pd
+
+    a = pd.DataFrame({"y": [2, 1, 2], "x": ["p", "q", "p"]})
+    b = pd.DataFrame({"x": ["q", "p", "p"], "y": [1, 2, 2]})  # permuted
+    assert _value_hash(_canon(a)) == _value_hash(_canon(b))
+
+    c = pd.DataFrame({"y": [2, 1, 3], "x": ["p", "q", "p"]})  # one value
+    assert _value_hash(_canon(a)) != _value_hash(_canon(c))
+
+    ints = pd.DataFrame({"v": pd.array([3, 4], dtype="int64")})
+    floats = pd.DataFrame({"v": pd.array([3.0, 4.0], dtype="float64")})
+    assert _value_hash(_canon(ints)) != _value_hash(_canon(floats))
+
+    # list cells crash the MULTI-column sort (pandas lexsort factorizes
+    # object columns — the r4 ERR class the registry bans). NB a
+    # single-column list frame sorts fine via "<", which is why the
+    # array ban is schema-level, not crash-detection-level.
+    import pytest as _pytest
+
+    bad = pd.DataFrame({"v": [[1, 2], [3]], "w": [1, 2]})
+    with _pytest.raises(TypeError):
+        _canon(bad)
