@@ -228,6 +228,19 @@ def cmd_curate(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_sql(args: argparse.Namespace) -> int:
+    from .tables import run_sql
+
+    spark = _spark("sql")
+    df = run_sql(spark, args.sf_dir, args.query)
+    if args.out:
+        df.write.mode("overwrite").parquet(args.out)
+        print(f"wrote {args.out}")
+    else:
+        df.show(args.show, truncate=False)
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="kyiv_traffic_bigdata_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -284,6 +297,13 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("--sf-dir", default="/root/testdata/sf0.001")
     c.add_argument("--out", required=True)
     c.set_defaults(fn=cmd_curate)
+
+    sq = sub.add_parser("sql", help="ad-hoc SQL over the registered tables")
+    sq.add_argument("--query", required=True)
+    sq.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    sq.add_argument("--show", type=int, default=20)
+    sq.add_argument("--out", default=None)
+    sq.set_defaults(fn=cmd_sql)
 
     return p
 

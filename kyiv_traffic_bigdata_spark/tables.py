@@ -73,3 +73,23 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {n: load_table(spark, sf_dir, n) for n in TABLE_NAMES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> list[str]:
+    """Register every testdata table as a temp view (normalized schema —
+    events carries ts/ts_us/ts_ns like every registered query sees it)
+    so users can drive the engine with plain ``spark.sql``. Returns the
+    view names. Views are lazy: registration costs one schema resolve
+    per table, no data motion."""
+    for n in TABLE_NAMES:
+        load_table(spark, sf_dir, n).createOrReplaceTempView(n)
+    return list(TABLE_NAMES)
+
+
+def run_sql(spark: SparkSession, sf_dir: str, query: str) -> DataFrame:
+    """The engine's ad-hoc SQL surface: registered views + one
+    ``spark.sql`` call — Catalyst plans it like any registered query
+    (same pushdown/broadcast/AQE posture, since the views resolve to
+    the identical loader frames)."""
+    register_views(spark, sf_dir)
+    return spark.sql(query)

@@ -127,3 +127,32 @@ def test_curate_command_publishes_corpus_and_lineage(spark, tmp_path, capsys):
     assert summary["docs_kept"] + summary["dropped_quality"] >= 500 - (
         summary["dropped_neardup"] + summary["dropped_sample"]
     )
+
+
+def test_sql_command_runs_adhoc_query(spark, tmp_path):
+    out = str(tmp_path / "sql.parquet")
+    rc = main(
+        [
+            "sql",
+            "--query",
+            "SELECT l_returnflag, COUNT(*) AS n FROM lineitem GROUP BY l_returnflag",
+            "--sf-dir",
+            "/root/testdata/sf0.001",
+            "--out",
+            out,
+        ]
+    )
+    assert rc == 0
+    got = {r.l_returnflag: r.n for r in spark.read.parquet(out).collect()}
+    assert set(got) == {"A", "N", "R"} and sum(got.values()) > 0
+
+
+def test_sql_views_expose_normalized_events(spark):
+    from kyiv_traffic_bigdata_spark.tables import run_sql
+
+    df = run_sql(
+        spark,
+        "/root/testdata/sf0.001",
+        "SELECT COUNT(*) AS n FROM events WHERE ts_us IS NOT NULL AND ts IS NOT NULL",
+    )
+    assert df.collect()[0].n > 0
