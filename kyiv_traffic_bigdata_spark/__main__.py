@@ -168,6 +168,14 @@ def cmd_weather(args: argparse.Namespace) -> int:
 def cmd_query(args: argparse.Namespace) -> int:
     from .queries import QUERIES
 
+    if args.list:
+        for name, fn in QUERIES.items():
+            doc = (fn.__doc__ or "").strip().splitlines()
+            print(f"{name}: {doc[0] if doc else ''}")
+        return 0
+    if args.name is None:
+        print("one of --name or --list is required", file=sys.stderr)
+        return 2
     if args.name not in QUERIES:
         print(f"unknown query {args.name!r}; one of {sorted(QUERIES)}", file=sys.stderr)
         return 2
@@ -285,7 +293,8 @@ def build_parser() -> argparse.ArgumentParser:
     w.set_defaults(fn=cmd_weather)
 
     q = sub.add_parser("query", help="run a registered analytics query")
-    q.add_argument("--name", required=True)
+    q.add_argument("--name", default=None)
+    q.add_argument("--list", action="store_true", help="list registered queries")
     q.add_argument("--sf-dir", default="/root/testdata/sf0.001")
     q.add_argument("--show", type=int, default=20)
     q.add_argument("--out", default=None)

@@ -156,3 +156,12 @@ def test_sql_views_expose_normalized_events(spark):
         "SELECT COUNT(*) AS n FROM events WHERE ts_us IS NOT NULL AND ts IS NOT NULL",
     )
     assert df.collect()[0].n > 0
+
+
+def test_query_list_flag(capsys):
+    assert main(["query", "--list"]) == 0
+    out = capsys.readouterr().out
+    assert "geo_trajectory:" in out and "doc_bm25_topk:" in out
+    assert len(out.strip().splitlines()) >= 120
+    # neither --name nor --list is an error
+    assert main(["query"]) == 2
