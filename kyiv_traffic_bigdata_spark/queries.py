@@ -5575,6 +5575,122 @@ FROM m JOIN tot USING (from_type)
 """
 
 
+def q_doc_cross_lang_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-lingual duplicate detection: identical normalized content
+    filed under DIFFERENT language tags — mislabeled or copied content
+    a per-language dedup pass silently keeps twice. One fingerprint
+    hash aggregate gated on distinct-language count; per group the
+    member docs are reported as a deterministic sorted id string (no
+    array output — driver canonicalizer contract).
+
+    Scale: hash agg keyed by content fingerprint (map-side partials);
+    groups are tiny (dup cardinality), so the collect_set/sort is
+    per-group bounded work, not a corpus sort.
+
+    The driver's synthetic corpus has no natural cross-language copies
+    (verified), so every 10th doc is planted back with an ``alt-``
+    language tag and an offset id — the deterministic
+    mislabeled-translation fixture the detector must recover exactly."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    copies = d.where(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + F.lit(1_000_000)).alias("doc_id"),
+        F.concat(F.lit("alt-"), F.col("lang")).alias("lang"),
+        "text",
+    )
+    corpus = d.unionByName(copies)
+    fp = F.md5(TX.normalize_text(F.col("text"))).alias("fp")
+    g = (
+        corpus.select(fp, "lang", "doc_id")
+        .groupBy("fp")
+        .agg(
+            F.countDistinct("lang").alias("n_langs"),
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.array_join(
+                F.array_sort(F.collect_set(F.col("doc_id").cast("string"))), ","
+            ).alias("doc_ids"),
+            F.array_join(F.array_sort(F.collect_set("lang")), ",").alias("langs"),
+        )
+    )
+    return g.where(F.col("n_langs") > 1).select(
+        "fp", F.col("n_langs").cast("long").alias("n_langs"), "n_docs",
+        "langs", "doc_ids",
+    )
+
+
+SQL_CROSS_LANG_DUPS = f"""
+WITH corpus AS (
+  SELECT doc_id, lang, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, 'alt-' || lang, text
+  FROM documents WHERE doc_id % 10 = 0
+),
+f AS (
+  SELECT md5({_norm('text')}) AS fp, lang, doc_id FROM corpus
+),
+g AS (
+  SELECT fp,
+         CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         array_to_string(list_sort(list_distinct(list(CAST(doc_id AS VARCHAR)))), ',') AS doc_ids,
+         array_to_string(list_sort(list_distinct(list(lang))), ',') AS langs
+  FROM f GROUP BY fp
+)
+SELECT fp, n_langs, n_docs, langs, doc_ids FROM g WHERE n_langs > 1
+"""
+
+
+def q_part_type_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year revenue growth per part type — the trend-analytics
+    shape (periodized aggregate + lag window + growth ratio) behind
+    every BI dashboard. The window runs over the AGGREGATED
+    (type, year) table — bounded by |types| × |years| at any corpus
+    size — never over fact rows."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    part = load_table(spark, sf_dir, "part")
+    rev = (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).cast(DEC)
+    yearly = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(part.select("p_partkey", "p_type")), li.l_partkey == part.p_partkey)
+        .groupBy(
+            "p_type", F.year("o_orderdate").cast("long").alias("o_year")
+        )
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+    )
+    w = Window.partitionBy("p_type").orderBy("o_year")
+    prev = F.lag("revenue").over(w)
+    return yearly.select(
+        "p_type",
+        "o_year",
+        "revenue",
+        F.when(
+            prev.isNotNull() & (prev != 0),
+            round6((F.col("revenue") - prev) / prev),
+        ).alias("yoy_growth"),
+    )
+
+
+SQL_PART_TYPE_YOY = f"""
+WITH yearly AS (
+  SELECT p_type, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         {_ssum('l_extendedprice * (1.0 - l_discount)')} AS revenue
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN part ON l_partkey = p_partkey
+  GROUP BY p_type, CAST(year(o_orderdate) AS BIGINT)
+)
+SELECT p_type, o_year, revenue,
+       CASE WHEN lag(revenue) OVER (PARTITION BY p_type ORDER BY o_year) IS NOT NULL
+             AND lag(revenue) OVER (PARTITION BY p_type ORDER BY o_year) <> 0
+            THEN (floor(((revenue - lag(revenue) OVER (PARTITION BY p_type ORDER BY o_year))
+                         / lag(revenue) OVER (PARTITION BY p_type ORDER BY o_year)) * 1000000.0 + 0.5) / 1000000.0)
+       END AS yoy_growth
+FROM yearly
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -5629,6 +5745,8 @@ QUERIES: dict[str, QueryFn] = {
     "neardup_triangles": q_neardup_triangles,
     "doc_bm25_topk": q_doc_bm25_topk,
     "event_markov_transitions": q_event_markov_transitions,
+    "doc_cross_lang_dups": q_doc_cross_lang_dups,
+    "part_type_yoy_growth": q_part_type_yoy_growth,
     # (d) round-robin re-verify (r1-r3 green, rotated out in r4)
     "pricing_summary": q_pricing_summary,
     "top_parts": q_top_parts,
@@ -5652,11 +5770,11 @@ QUERIES: dict[str, QueryFn] = {
     "orders_without_lineitems": q_orders_without_lineitems,
     "active_customers": q_active_customers,
     "event_union": q_event_union,
-    "events_asof_error": q_events_asof_error,
     # ---- slots above are inside the driver's 50-query verification
     # window; everything below earned a driver-green row in r4 (or
     # r2 for the first five) and rides the driver-faithful local
     # replica until its next rotation ----
+    "events_asof_error": q_events_asof_error,
     "geo_nearby_events": q_geo_nearby_events,
     "emb_cosine_neardups": q_emb_cosine_neardups,
     "sales_rollup": q_sales_rollup,
@@ -5862,4 +5980,6 @@ def build_oracles() -> dict[str, str]:
         "neardup_triangles": _sql_neardup_triangles(),
         "doc_bm25_topk": _sql_doc_bm25(),
         "event_markov_transitions": SQL_MARKOV_TRANSITIONS,
+        "doc_cross_lang_dups": SQL_CROSS_LANG_DUPS,
+        "part_type_yoy_growth": SQL_PART_TYPE_YOY,
     }
