@@ -168,6 +168,43 @@ def test_driver_window_fully_oracle_checkable():
     )
 
 
+def test_registry_window_marker_and_no_duplicate_keys():
+    """Bookkeeping invariants the dict literal cannot enforce itself:
+
+    1. The `slots above are inside the driver's 50-query verification
+       window` marker comment in queries.py must sit exactly after the
+       50th entry — otherwise the round's coverage notes silently lie
+       about which queries earned driver rows (r5 had it at 51).
+    2. The QUERIES literal must not contain duplicate keys: Python
+       dedupes them silently (first insertion wins), which corrupts the
+       window bookkeeping without any behavioral signal.
+    """
+    import re
+    from pathlib import Path
+
+    import kyiv_traffic_bigdata_spark.queries as qmod
+
+    src = Path(qmod.__file__).read_text()
+    m = re.search(r"QUERIES: dict\[str, QueryFn\] = \{(.*?)\n\}", src, re.S)
+    assert m, "QUERIES literal not found"
+    body = m.group(1)
+    keys = re.findall(r'^\s*"(\w+)":', body, re.M)
+    dups = sorted({k for k in keys if keys.count(k) > 1})
+    assert not dups, f"duplicate keys in QUERIES literal: {dups}"
+
+    n_before_marker = None
+    seen = 0
+    for line in body.split("\n"):
+        if re.match(r'\s*"(\w+)":', line):
+            seen += 1
+        if "slots above are inside" in line:
+            n_before_marker = seen
+            break
+    assert n_before_marker == 50, (
+        f"window marker sits after entry {n_before_marker}, expected 50"
+    )
+
+
 def test_canonicalizer_properties():
     """Meta-test of the gate itself: the hash must be insensitive to row
     and column order, sensitive to any value change, and — by driver
