@@ -284,3 +284,27 @@ def test_clip_spans_surgery_exact(spark):
     assert rows[2].clipped_text == "cdefgh" and rows[2].n_clipped_chars == 4
     assert rows[3].clipped_text == "" and rows[3].n_clipped_chars == 10
     assert rows[4].clipped_text == "untouched" and rows[4].n_clipped_chars == 0
+
+
+def test_cross_lang_dups_detector_is_corpus_pure(spark):
+    """r5 VERDICT ask #5: the detector must operate on whatever corpus
+    it is given — no fixture planting inside. A genuine cross-language
+    copy is flagged; a same-language duplicate pair and singletons are
+    not; normalization (case/whitespace) still groups variants."""
+    from kyiv_traffic_bigdata_spark.queries import cross_lang_dups
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "en", "Shared   Text"),
+            (2, "uk", "shared text"),      # same content, other lang
+            (3, "en", "same lang dup"),
+            (4, "en", "same lang dup"),    # dup but one lang -> dropped
+            (5, "de", "unique content"),
+        ],
+        "doc_id long, lang string, text string",
+    )
+    rows = cross_lang_dups(corpus).collect()
+    assert len(rows) == 1
+    (r,) = rows
+    assert r.n_langs == 2 and r.n_docs == 2
+    assert r.langs == "en,uk" and r.doc_ids == "1,2"
