@@ -58,6 +58,12 @@ DEFAULT_MAX_BODY_BYTES = 1 << 20
 #: OOM. ``None`` disables the guard.
 DEFAULT_MAX_SHARD_BYTES = 4 << 30
 
+#: read_warc flushes an Arrow batch to Spark once either threshold is
+#: hit mid-shard, so task memory is bounded by the flush size plus one
+#: capped record — never by the decompressed shard contents.
+FLUSH_ROWS = 2_000
+FLUSH_BYTES = 64 << 20
+
 #: Output schema of :func:`read_warc` — one row per WARC record.
 WARC_RECORD_SCHEMA = T.StructType(
     [
@@ -250,38 +256,67 @@ def read_warc(
     """Distributed WARC reader: ``binaryFile`` lists/distributes the
     shards (one task per shard — the gzip-member layout forbids byte
     splitting) but only ``path``/``length`` are read (content pruned),
-    and each task STREAM-parses its shard via ``mapInPandas`` — peak
-    task memory is O(max_body_bytes), a 10 GB rogue shard cannot OOM a
+    and each task STREAM-parses its shard via ``mapInPandas``, flushing
+    an Arrow batch every ``FLUSH_ROWS`` records or ``FLUSH_BYTES`` of
+    body bytes — peak task memory is O(flush threshold + max_body_bytes),
+    NOT O(decompressed shard), so a legitimate ~1 GB crawl shard streams
+    through in bounded batches and a 10 GB rogue shard cannot OOM a
     task (skipped with a logged warning past ``max_shard_bytes``).
     Zero shuffle; crawl size only adds map tasks."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            rows = []
-            for path_, size in zip(pdf["path"], pdf["length"]):
-                if max_shard_bytes is not None and size > max_shard_bytes:
-                    logger.warning(
-                        "skipping oversized WARC shard %s (%d bytes > cap %d)",
-                        path_,
-                        size,
-                        max_shard_bytes,
-                    )
-                    continue
-                try:
-                    with _open_shard(str(path_)) as raw:
-                        stream = _record_stream(raw)
-                        for idx, rec in enumerate(
-                            parse_warc_stream(stream, max_body_bytes=max_body_bytes)
-                        ):
-                            rows.append({"shard": path_, "record_idx": idx, **rec})
-                except Exception:  # noqa: BLE001 — corrupt shard → prefix kept
-                    logger.warning("WARC shard %s ended early (corrupt?)", path_)
-            yield pd.DataFrame(
-                rows, columns=[f.name for f in WARC_RECORD_SCHEMA.fields]
+            yield from _shard_record_batches(
+                zip(pdf["path"], pdf["length"]),
+                max_body_bytes=max_body_bytes,
+                max_shard_bytes=max_shard_bytes,
             )
 
     files = spark.read.format("binaryFile").load(path).select("path", "length")
     return files.mapInPandas(batches, WARC_RECORD_SCHEMA)
+
+
+def _shard_record_batches(
+    shards,
+    max_body_bytes: int | None,
+    max_shard_bytes: int | None,
+    flush_rows: int | None = None,
+    flush_bytes: int | None = None,
+) -> Iterator[pd.DataFrame]:
+    """Stream-parse ``(path, size)`` shards, yielding a bounded pandas
+    batch every ``flush_rows`` records or ``flush_bytes`` of body bytes
+    (defaults: module FLUSH_ROWS / FLUSH_BYTES). This is what bounds
+    read_warc task memory: a shard never materializes all its records
+    at once, only the current flush window."""
+    flush_rows = FLUSH_ROWS if flush_rows is None else flush_rows
+    flush_bytes = FLUSH_BYTES if flush_bytes is None else flush_bytes
+    cols = [f.name for f in WARC_RECORD_SCHEMA.fields]
+    rows: list[dict] = []
+    pending_bytes = 0
+    for path_, size in shards:
+        if max_shard_bytes is not None and size > max_shard_bytes:
+            logger.warning(
+                "skipping oversized WARC shard %s (%d bytes > cap %d)",
+                path_,
+                size,
+                max_shard_bytes,
+            )
+            continue
+        try:
+            with _open_shard(str(path_)) as raw:
+                stream = _record_stream(raw)
+                for idx, rec in enumerate(
+                    parse_warc_stream(stream, max_body_bytes=max_body_bytes)
+                ):
+                    rows.append({"shard": path_, "record_idx": idx, **rec})
+                    pending_bytes += len(rec.get("body") or b"")
+                    if len(rows) >= flush_rows or pending_bytes >= flush_bytes:
+                        yield pd.DataFrame(rows, columns=cols)
+                        rows, pending_bytes = [], 0
+        except Exception:  # noqa: BLE001 — corrupt shard → prefix kept
+            logger.warning("WARC shard %s ended early (corrupt?)", path_)
+    if rows:
+        yield pd.DataFrame(rows, columns=cols)
 
 
 def warc_responses_as_documents(

@@ -112,6 +112,55 @@ def test_read_warc_distributed_and_documents_bridge(spark, tmp_path):
     }
 
 
+def test_shard_record_batches_flushes_incrementally(tmp_path):
+    """Task-memory bound (r5 ADVICE): a shard's records must stream out
+    in bounded batches, not accumulate into one shard-sized list. With
+    flush_rows=3, an 8-record shard yields ceil(8/3) batches whose
+    concatenation equals the single-flush parse."""
+    import pandas as pd
+
+    from kyiv_traffic_bigdata_spark.sources.warc import _shard_record_batches
+
+    shard = b"".join(
+        _record("response", _http_response(b"body %d" % i), uri="http://a.example/%d" % i, rid="<urn:uuid:%d>" % i)
+        for i in range(8)
+    )
+    p = tmp_path / "many.warc"
+    p.write_bytes(shard)
+
+    batches = list(
+        _shard_record_batches(
+            [(str(p), p.stat().st_size)],
+            max_body_bytes=None,
+            max_shard_bytes=None,
+            flush_rows=3,
+        )
+    )
+    assert [len(b) for b in batches] == [3, 3, 2]
+    merged = pd.concat(batches, ignore_index=True)
+
+    single = list(
+        _shard_record_batches(
+            [(str(p), p.stat().st_size)],
+            max_body_bytes=None,
+            max_shard_bytes=None,
+        )
+    )
+    assert len(single) == 1
+    assert merged.equals(single[0])
+
+    # byte-based flush: tiny threshold forces one record per batch
+    by_bytes = list(
+        _shard_record_batches(
+            [(str(p), p.stat().st_size)],
+            max_body_bytes=None,
+            max_shard_bytes=None,
+            flush_bytes=1,
+        )
+    )
+    assert [len(b) for b in by_bytes] == [1] * 8
+
+
 def test_documents_bridge_with_text_extraction(spark, tmp_path):
     from kyiv_traffic_bigdata_spark.sources.warc import (
         read_warc,
