@@ -61,6 +61,12 @@ def percent_rank_gate(
 
     Single-row groups get rank 0.0 (Spark/DuckDB ``percent_rank``
     convention) and therefore fail any positive gate.
+
+    NULL handling: rows with a NULL ``value_col`` (or group) are kept —
+    the slab join is null-safe — and rank FIRST within their group
+    (Spark's ``ASC NULLS FIRST`` window default; an oracle twin with
+    NULLs present must spell ``ORDER BY v ASC NULLS FIRST``). A NULL
+    therefore fails any positive gate unless the whole group is NULL.
     """
     g, v = F.col(group_col), F.col(value_col)
 
@@ -86,9 +92,7 @@ def percent_rank_gate(
     # Phase 3: slabs are bounded metadata — broadcast them back onto the
     # fact rows (an inner join doubles as the bulk filter), then rank
     # within the composite (group, value) key only.
-    survivors = df.join(
-        F.broadcast(slabs), on=[group_col, value_col], how="inner"
-    )
+    survivors = _slab_join(df, slabs, group_col, value_col)
     wrow = Window.partitionBy(group_col, value_col).orderBy(
         F.col(tiebreak_col).asc()
     )
@@ -118,7 +122,13 @@ def percent_rank_all(
     ungated: callers that need the rank as a feature (e.g. the
     prototypicality prune flag) keep the full frame. Phase-2's early
     slab drop doesn't apply, so cost is one extra broadcast of the full
-    slab table — still bounded by the value codomain, never row count."""
+    slab table — still bounded by the value codomain, never row count.
+
+    NULL handling (keep-the-full-frame contract): rows with a NULL
+    ``value_col`` (or group) are NOT dropped — the slab join is
+    null-safe — and rank FIRST within their group, matching Spark's
+    ``ASC NULLS FIRST`` window default (oracle twins with NULLs must
+    spell ``ORDER BY v ASC NULLS FIRST``)."""
     v = F.col(value_col)
 
     slabs = df.groupBy(group_col, value_col).agg(F.count(F.lit(1)).alias("_cnt"))
@@ -128,7 +138,7 @@ def percent_rank_all(
         slabs.withColumn("_n", F.sum("_cnt").over(wg))
         .withColumn("_cum_before", F.coalesce(F.sum("_cnt").over(wcum), F.lit(0)))
     )
-    joined = df.join(F.broadcast(slabs), on=[group_col, value_col], how="inner")
+    joined = _slab_join(df, slabs, group_col, value_col)
     wrow = Window.partitionBy(group_col, value_col).orderBy(
         F.col(tiebreak_col).asc()
     )
@@ -138,6 +148,23 @@ def percent_rank_all(
         decimals,
     )
     return joined.withColumn(rank_alias, rank).drop("_cnt", "_n", "_cum_before")
+
+
+def _slab_join(
+    df: DataFrame, slabs: DataFrame, group_col: str, value_col: str
+) -> DataFrame:
+    """Broadcast the slab table back onto the fact rows with NULL-SAFE
+    key equality: a plain ``on=[group, value]`` equi-join silently drops
+    every NULL-valued row (NULL = NULL is never true), which broke the
+    keep-the-full-frame contract (r5 ADVICE). ``eqNullSafe`` keys keep
+    Spark's broadcast-hash strategy (<=> hashes like =)."""
+    fact, slab = df.alias("_fact"), slabs.alias("_slab")
+    cond = F.col(f"_fact.{group_col}").eqNullSafe(
+        F.col(f"_slab.{group_col}")
+    ) & F.col(f"_fact.{value_col}").eqNullSafe(F.col(f"_slab.{value_col}"))
+    return fact.join(F.broadcast(slab), cond, "inner").select(
+        "_fact.*", "_slab._cnt", "_slab._n", "_slab._cum_before"
+    )
 
 
 def _rounded_rank(rank_minus_1: Column, n: Column, decimals: int) -> Column:

@@ -86,6 +86,42 @@ def test_percent_rank_all_matches_monolithic_everywhere(spark):
     assert got.count() == len(data)
 
 
+def test_percent_rank_all_keeps_null_values_ranked_first(spark):
+    """r5 ADVICE: NULL-valued rows must not vanish through the slab join
+    (keep-the-full-frame contract). Convention: NULLs rank FIRST within
+    their group — identical to Spark's monolithic ASC NULLS FIRST
+    window, which is the documented oracle spelling."""
+    from kyiv_traffic_bigdata_spark.operators.rank import percent_rank_all
+
+    data = [
+        ("a", None, 0),
+        ("a", None, 1),
+        ("a", 1.0, 2),
+        ("a", 2.0, 3),
+        ("b", None, 0),  # all-NULL group: ranks 0.0 (single slab)
+        (None, 3.0, 0),  # NULL group key survives too
+    ]
+    df = spark.createDataFrame(data, "g string, v double, tb int")
+    got = percent_rank_all(df, "g", "v", "tb").select("g", "v", "tb", "q_rank")
+    assert got.count() == len(data)
+    exp = _monolithic(df, min_rank=-1.0)
+
+    def rows_nullsafe(frame):
+        return sorted(
+            (tuple(r) for r in frame.collect()),
+            key=lambda t: tuple((x is None, x) for x in t),
+        )
+
+    assert rows_nullsafe(got) == rows_nullsafe(exp)
+    by_key = {(r["g"], r["tb"]): r["q_rank"] for r in got.collect()}
+    # NULLs first: the two NULL rows of group a take ranks 0 and 1/3
+    assert by_key[("a", 0)] == 0.0
+    assert round(by_key[("a", 1)], 6) == round(1 / 3, 6)
+    assert by_key[("a", 3)] == 1.0
+    assert by_key[("b", 0)] == 0.0
+    assert by_key[(None, 0)] == 0.0
+
+
 def test_percent_rank_all_avoids_per_group_fact_window(spark):
     """Scale guard: the fact-row window must partition by the COMPOSITE
     (group, value) key, never by group alone — a group-only window
