@@ -94,8 +94,12 @@ class _BitReader:
         return None
 
     def sync_restart(self) -> bool:
-        """Consume an RSTn marker at an MCU-restart boundary."""
+        """Consume an RSTn marker at an MCU-restart boundary (skipping
+        any legal 0xFF fill bytes preceding it, spec B.1.1.2)."""
         self.align()
+        d, n = self.data, len(self.data)
+        while self.pos + 1 < n and d[self.pos] == 0xFF and d[self.pos + 1] == 0xFF:
+            self.pos += 1
         m = self.at_marker()
         if m is not None and 0xD0 <= m <= 0xD7:
             self.pos += 2
@@ -184,6 +188,9 @@ def _decode_jpeg(
         if payload[i] != 0xFF:
             return None
         marker = payload[i + 1]
+        if marker == 0xFF:  # legal fill byte before a marker (B.1.1.2)
+            i += 1
+            continue
         if marker == 0xD8:
             i += 2
             continue
@@ -266,74 +273,106 @@ def _decode_jpeg(
     vmax = max(c["v"] for c in comps)
     mcux = (w + 8 * hmax - 1) // (8 * hmax)
     mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    # A single-component scan is NON-INTERLEAVED per the spec (A.2.2):
+    # the MCU is one 8×8 block and blocks run in raster order over the
+    # component's own ceil(cw/8) × ceil(ch/8) grid — no dummy blocks,
+    # regardless of the declared sampling factors (r5 ADVICE: the old
+    # interleaved layout garbled lone components with sampling > 1).
+    non_interleaved = len(scan_comps) == 1
 
     for c in scan_comps:
         if c["tq"] not in qt or c["dc"] not in huff_dc or c["ac"] not in huff_ac:
             return None
         c["qtab"] = qt[c["tq"]]
-        c["bw"] = mcux * c["h"]  # blocks across
-        c["bh"] = mcuy * c["v"]
-        c["coef"] = []  # list of 64-coef blocks in MCU-interleaved order
+        if non_interleaved:
+            cw = (w * c["h"] + hmax - 1) // hmax  # component resolution
+            ch = (h * c["v"] + vmax - 1) // vmax
+            c["bw"] = (cw + 7) // 8
+            c["bh"] = (ch + 7) // 8
+        else:
+            c["bw"] = mcux * c["h"]  # blocks across (MCU-padded)
+            c["bh"] = mcuy * c["v"]
+        c["coef"] = []  # list of 64-coef blocks in scan order
         c["pred"] = 0
+
+    def decode_block(c) -> bool:
+        block = [0] * 64
+        s = _decode_symbol(br, huff_dc[c["dc"]])
+        if s is None:
+            return False
+        bits = br.read_bits(s) if s else 0
+        if bits is None:
+            return False
+        c["pred"] += _extend(bits, s)
+        block[0] = c["pred"] * c["qtab"][0]
+        kpos = 1
+        while kpos < 64:
+            sym = _decode_symbol(br, huff_ac[c["ac"]])
+            if sym is None:
+                return False
+            if sym == 0x00:  # EOB
+                break
+            run, size = sym >> 4, sym & 0x0F
+            if size == 0:
+                if run != 15:
+                    return False
+                kpos += 16  # ZRL
+                continue
+            kpos += run
+            if kpos > 63:
+                return False
+            bits = br.read_bits(size)
+            if bits is None:
+                return False
+            block[ZIGZAG[kpos]] = _extend(bits, size) * c["qtab"][kpos]
+            kpos += 1
+        c["coef"].append(block)
+        return True
 
     br = _BitReader(payload, sos_at)
     mcu_count = 0
-    for _ in range(mcux * mcuy):
+    if non_interleaved:
+        c0 = scan_comps[0]
+        n_units = c0["bw"] * c0["bh"]  # MCU = one block here
+    else:
+        n_units = mcux * mcuy
+    for _ in range(n_units):
         if restart_interval and mcu_count and mcu_count % restart_interval == 0:
             if not br.sync_restart():
                 return None
             for c in scan_comps:
                 c["pred"] = 0
-        for c in scan_comps:
-            for _ in range(c["h"] * c["v"]):
-                block = [0] * 64
-                s = _decode_symbol(br, huff_dc[c["dc"]])
-                if s is None:
-                    return None
-                bits = br.read_bits(s) if s else 0
-                if bits is None:
-                    return None
-                c["pred"] += _extend(bits, s)
-                block[0] = c["pred"] * c["qtab"][0]
-                kpos = 1
-                while kpos < 64:
-                    sym = _decode_symbol(br, huff_ac[c["ac"]])
-                    if sym is None:
+        if non_interleaved:
+            if not decode_block(scan_comps[0]):
+                return None
+        else:
+            for c in scan_comps:
+                for _ in range(c["h"] * c["v"]):
+                    if not decode_block(c):
                         return None
-                    if sym == 0x00:  # EOB
-                        break
-                    run, size = sym >> 4, sym & 0x0F
-                    if size == 0:
-                        if run != 15:
-                            return None
-                        kpos += 16  # ZRL
-                        continue
-                    kpos += run
-                    if kpos > 63:
-                        return None
-                    bits = br.read_bits(size)
-                    if bits is None:
-                        return None
-                    block[ZIGZAG[kpos]] = _extend(bits, size) * c["qtab"][kpos]
-                    kpos += 1
-                c["coef"].append(block)
         mcu_count += 1
 
-    # batched IDCT per component, then assemble plane from MCU order
+    # batched IDCT per component, then assemble plane from scan order
     planes = []
     for c in scan_comps:
         blocks = np.array(c["coef"], dtype=np.float64).reshape(-1, 8, 8)
         spatial = _idct_blocks(blocks) + 128.0
         plane = np.zeros((c["bh"] * 8, c["bw"] * 8), dtype=np.float64)
         bi = 0
-        for my in range(mcuy):
-            for mx in range(mcux):
-                for by in range(c["v"]):
-                    for bx in range(c["h"]):
-                        y0 = (my * c["v"] + by) * 8
-                        x0 = (mx * c["h"] + bx) * 8
-                        plane[y0 : y0 + 8, x0 : x0 + 8] = spatial[bi]
-                        bi += 1
+        if non_interleaved:  # raster block order
+            for by in range(c["bh"]):
+                for bx in range(c["bw"]):
+                    plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = spatial[bi]
+                    bi += 1
+        else:  # MCU-interleaved block order
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            y0 = (my * c["v"] + by) * 8
+                            x0 = (mx * c["h"] + bx) * 8
+                            plane[y0 : y0 + 8, x0 : x0 + 8] = spatial[bi]
+                            bi += 1
         # upsample to full resolution (nearest) and crop
         ry, rx = vmax // c["v"], hmax // c["h"]
         if ry > 1 or rx > 1:

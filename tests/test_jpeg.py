@@ -135,10 +135,14 @@ def _encode_block(bw, block_zz, pred):
     return block_zz[0]
 
 
-def encode_baseline_jpeg(rgb, q=4, subsample=False, gray=False, restart=0):
+def encode_baseline_jpeg(rgb, q=4, subsample=False, gray=False, restart=0,
+                         gray_samp=(1, 1)):
     """rgb: (h, w, 3) uint8 -> baseline JPEG bytes. Flat quant table q.
     subsample=True -> 4:2:0 (callers should use constant-chroma images
-    for exact chroma round-trips). gray -> single component."""
+    for exact chroma round-trips). gray -> single component, whose
+    declared sampling factors ``gray_samp`` may exceed (1,1): the spec
+    makes a lone-component scan NON-INTERLEAVED (raster block order,
+    no dummy blocks), so the entropy stream is written accordingly."""
     h, w = rgb.shape[:2]
     C = _dct_matrix()
     qtab = [q] * 64
@@ -151,7 +155,7 @@ def encode_baseline_jpeg(rgb, q=4, subsample=False, gray=False, restart=0):
     cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
 
     if gray:
-        comps = [{"plane": y, "h": 1, "v": 1}]
+        comps = [{"plane": y, "h": gray_samp[0], "v": gray_samp[1]}]
     elif subsample:
         comps = [
             {"plane": y, "h": 2, "v": 2},
@@ -202,29 +206,42 @@ def encode_baseline_jpeg(rgb, q=4, subsample=False, gray=False, restart=0):
     out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
 
     bw = _BitWriter()
+
+    def emit(c, y0, x0):
+        blk = c["padded"][y0 : y0 + 8, x0 : x0 + 8] - 128.0
+        coef = C @ blk @ C.T
+        zz = [int(np.round(coef.flat[ZIGZAG[k]] / qtab[k])) for k in range(64)]
+        c["pred"] = _encode_block(bw, zz, c["pred"])
+
     mcu_i = 0
     rst = 0
-    for my in range(mcuy):
-        for mx in range(mcux):
-            if restart and mcu_i and mcu_i % restart == 0:
-                bw.flush()
-                bw.out += bytes([0xFF, 0xD0 + (rst % 8)])
-                rst += 1
-                for c in comps:
-                    c["pred"] = 0
+
+    def maybe_restart():
+        nonlocal rst
+        if restart and mcu_i and mcu_i % restart == 0:
+            bw.flush()
+            bw.out += bytes([0xFF, 0xD0 + (rst % 8)])
+            rst += 1
             for c in comps:
-                for by in range(c["v"]):
-                    for bx in range(c["h"]):
-                        y0 = (my * c["v"] + by) * 8
-                        x0 = (mx * c["h"] + bx) * 8
-                        blk = c["padded"][y0 : y0 + 8, x0 : x0 + 8] - 128.0
-                        coef = C @ blk @ C.T
-                        zz = [
-                            int(np.round(coef.flat[ZIGZAG[k]] / qtab[k]))
-                            for k in range(64)
-                        ]
-                        c["pred"] = _encode_block(bw, zz, c["pred"])
-            mcu_i += 1
+                c["pred"] = 0
+
+    if nc == 1:
+        # non-interleaved: raster over the component's own block grid
+        c = comps[0]
+        for byi in range((h + 7) // 8):
+            for bxi in range((w + 7) // 8):
+                maybe_restart()
+                emit(c, byi * 8, bxi * 8)
+                mcu_i += 1
+    else:
+        for my in range(mcuy):
+            for mx in range(mcux):
+                maybe_restart()
+                for c in comps:
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            emit(c, (my * c["v"] + by) * 8, (mx * c["h"] + bx) * 8)
+                mcu_i += 1
     bw.flush()
     out += bw.out + b"\xff\xd9"
     return bytes(out)
@@ -330,6 +347,38 @@ def test_grayscale_single_component():
     # grayscale decode replicates Y into all channels
     assert np.abs(out[:, :, 0].astype(int) - img[:, :, 0].astype(int)).max() <= 4
     assert (out[:, :, 0] == out[:, :, 1]).all() and (out[:, :, 0] == out[:, :, 2]).all()
+
+
+def test_grayscale_sampling_gt1_decodes_non_interleaved():
+    """r5 ADVICE: a lone-component scan is non-interleaved per spec
+    A.2.2 — raster block order, no dummy blocks — whatever the declared
+    sampling factors. A gray image declared (2,2) must decode to the
+    exact same pixels as the same image declared (1,1); the old
+    interleaved layout garbled it (or returned None)."""
+    yy = (np.arange(24)[:, None] * 7 % 256).astype(np.uint8)
+    img = np.repeat(np.repeat(yy[:, :, None], 20, axis=1), 3, axis=2)
+    plain = encode_baseline_jpeg(img, q=2, gray=True)
+    sampled = encode_baseline_jpeg(img, q=2, gray=True, gray_samp=(2, 2))
+    out_plain = _decode_to_array(plain)
+    out_sampled = _decode_to_array(sampled)
+    assert (out_plain == out_sampled).all()
+    # restart markers count non-interleaved MCUs (= blocks)
+    rst = encode_baseline_jpeg(img, q=2, gray=True, gray_samp=(2, 2), restart=3)
+    assert (_decode_to_array(rst) == out_plain).all()
+
+
+def test_fill_bytes_before_markers_are_skipped():
+    """Spec B.1.1.2: any number of 0xFF fill bytes may precede a marker.
+    Insert one before a header marker and before an RST marker; decode
+    must be unchanged (the old walk returned None)."""
+    yy, xx = np.mgrid[0:16, 0:40]
+    img = np.stack([(xx * 6) % 256] * 3, 2).astype(np.uint8)
+    base = encode_baseline_jpeg(img, q=4, restart=2)
+    ref = _decode_to_array(base)
+    padded = base.replace(b"\xff\xc4", b"\xff\xff\xc4", 1)  # before DHT
+    assert (_decode_to_array(padded) == ref).all()
+    padded_rst = base.replace(b"\xff\xd0", b"\xff\xff\xd0", 1)  # before RST0
+    assert (_decode_to_array(padded_rst) == ref).all()
 
 
 def test_subsampled_420_constant_chroma():
