@@ -251,6 +251,78 @@ def ngram_jaccard_pairs(
     )
 
 
+def containment_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram: int = 3,
+    threshold: float = 0.5,
+    max_doc_freq: int = NGRAM_MAX_DOC_FREQ,
+) -> DataFrame:
+    """Near-dup pairs by n-gram CONTAINMENT — the asymmetric measure
+    ``C(A→B) = |A∩B| / |A|`` that catches sub-document duplication
+    (a short doc copied inside a long one) which symmetric Jaccard
+    dilutes to ~|A|/|B| and misses entirely.
+
+    Same skew-safe two-phase shape as ngram_jaccard_pairs: candidates
+    from the rare-shingle (df ≤ ``max_doc_freq``) inverted-index
+    self-join — bounded by cap·|index|, never the df² of a boilerplate
+    phrase — then the EXACT full-set intersection computed only for
+    candidates (candidates ⋈ index ⋈ index, jaccard_verify's join
+    discipline). Emits one row per unordered pair (id_a < id_b) whose
+    max directed containment ≥ ``threshold``, with both directions.
+    Recall loss: only pairs sharing exclusively hot shingles (which
+    carry no dup signal by construction).
+    """
+    idx = shingle_index(docs, id_col, text_col, ngram).transform(stage)
+    dfreq = idx.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+    rare = dfreq.where(F.col("_df") <= max_doc_freq).select("shingle")
+    pruned = idx.join(rare, "shingle")
+    a, b = pruned.alias("a"), pruned.alias("b")
+    candidates = (
+        a.join(b, "shingle")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
+    )
+    sizes = idx.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    ia, ib = idx.alias("ia"), idx.alias("ib")
+    inter = (
+        candidates.join(ia, F.col("id_a") == F.col("ia.doc_id"))
+        .join(
+            ib,
+            (F.col("id_b") == F.col("ib.doc_id"))
+            & (F.col("ia.shingle") == F.col("ib.shingle")),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    scored = (
+        inter.join(sizes.withColumnRenamed("doc_id", "id_a"), "id_a")
+        .withColumnRenamed("n_shingles", "n_a")
+        .join(
+            sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed(
+                "n_shingles", "n_b"
+            ),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.col("n_inter").cast("long").alias("n_inter"),
+            round6(F.col("n_inter") / F.col("n_a").cast("double")).alias(
+                "c_a_in_b"
+            ),
+            round6(F.col("n_inter") / F.col("n_b").cast("double")).alias(
+                "c_b_in_a"
+            ),
+        )
+    )
+    return scored.where(
+        F.greatest(F.col("c_a_in_b"), F.col("c_b_in_a")) >= F.lit(threshold)
+    )
+
+
 def minhash_signatures(
     docs: DataFrame,
     id_col: str = "doc_id",

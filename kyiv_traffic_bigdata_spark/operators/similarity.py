@@ -119,6 +119,49 @@ def probe_max_sim(
     )
 
 
+def cosine_range_search(
+    queries: DataFrame,
+    corpus: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All corpus neighbors within a cosine radius of each query vector
+    (range query — the similarity-search complement of
+    :func:`cosine_topk`'s top-k: "everything at least this similar",
+    unbounded result count per query).
+
+    Same scale posture as cosine_topk: ``broadcast(queries) × corpus``,
+    the corpus never shuffles, one codegen'd dot product per pair, and
+    the threshold filter runs inside the same projected stage so
+    non-neighbors never leave the task. Self-matches excluded; scores
+    rounded to 6 decimals for cross-engine stability."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        norm(F.col(vec_col)).alias("_qn"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cvec"),
+        norm(F.col(vec_col)).alias("_cn"),
+    )
+    denom = F.col("_qn") * F.col("_cn")
+    sim = F.when(denom == 0, F.lit(0.0)).otherwise(
+        dot(F.col("qvec"), F.col("cvec")) / denom
+    )
+    return (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", sim.alias("_sim"))
+        .where(F.col("_sim") >= F.lit(threshold))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(F.col("_sim"), 6).alias("cosine_sim"),
+        )
+    )
+
+
 def cosine_topk(
     queries: DataFrame,
     corpus: DataFrame,

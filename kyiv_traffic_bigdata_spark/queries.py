@@ -5454,7 +5454,17 @@ def q_doc_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     qtok = d.select(
         "doc_id", F.explode(TX.tokens(F.col("text"))).alias("term")
     ).where(F.col("term").isin(*terms))
-    tf = qtok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    from .operators.staging import stage
+
+    # tf feeds BOTH the df aggregate and the scoring join; without
+    # staging the corpus-wide explode subtree executes twice (verified:
+    # no AQE exchange reuse here). The staged frame is ≤ |matching
+    # docs| × |query terms| rows — bounded metadata, not corpus-sized.
+    tf = (
+        qtok.groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .transform(stage)
+    )
     df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     totals = dl.agg(
         F.count(F.lit(1)).alias("_n"),
@@ -5712,6 +5722,657 @@ FROM yearly
 """
 
 
+#: Constants for the six remaining TPC-H shapes (Q2/Q11/Q12/Q16/Q20/Q21),
+#: adapted to the testdata star schema: there is NO partsupp table, so
+#: supply facts (cost, quantity, the part↔supplier relation) derive from
+#: lineitem aggregates, and lineitem carries only l_shipdate, so
+#: lateness derives from (l_shipdate - o_orderdate). Values chosen to be
+#: non-empty across sf0.001..0.1 (probed).
+MINCOST_REGION = "EUROPE"
+MINCOST_PTYPE = "PROMO"
+MINCOST_TOPN = 100
+IMPORTANT_REGION = "EUROPE"
+#: A part is "important" when its value exceeds this multiple of the
+#: AVERAGE per-part value. TPC-H Q11's absolute fraction (0.0001/SF)
+#: must shrink with scale or the result empties out — the
+#: above-average multiple is the scale-stable equivalent (same fix as
+#: DOMINANT_FAIR_MULTIPLE; probed non-empty at sf0.001/0.01/0.1).
+IMPORTANT_AVG_MULTIPLE = 1.5
+LATE_SHIP_YEAR = 1997
+VARIETY_EXCL_BRAND = "Brand#13"
+VARIETY_EXCL_TYPE = "PROMO"
+VARIETY_SIZES = (1, 3, 5, 7)
+VARIETY_MIN_ACCTBAL = 1000.0
+DOMINANT_PART_MARKER = "rod"
+#: A supplier "dominates" a part when its shipped-quantity share exceeds
+#: this multiple of the fair share (1 / n suppliers of the part). An
+#: absolute share threshold (TPC-H Q20's 50%) empties out as SF grows —
+#: more lineitems per part flatten the shares — while the fair-share
+#: multiple stays scale-stable (probed non-empty at sf0.001/0.01/0.1).
+DOMINANT_FAIR_MULTIPLE = 1.5
+DOMINANT_REGION = "EUROPE"
+WAITING_LATE_DAYS = 80
+WAITING_TOPN = 100
+
+
+def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q2-shaped minimum-cost supplier (adapted: supply cost =
+    min unit price ``l_extendedprice / l_quantity`` per (part, supplier)
+    from lineitem — no partsupp in the testdata). For every part of one
+    type, among one region's suppliers, keep the supplier row(s) hitting
+    the part's minimum cost — the correlated-scalar-min + join-back
+    shape — top 100 by account balance.
+
+    Scale: the (part, supplier) cost table is ONE hash aggregate over
+    lineitem (map-side partials); the per-part min runs over that
+    aggregated table, never fact rows; nation/region and the filtered
+    part dim broadcast; final cut is a TakeOrdered, not a sort."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region").where(
+        F.col("r_name") == MINCOST_REGION
+    )
+    partf = load_table(spark, sf_dir, "part").where(
+        F.col("p_type") == MINCOST_PTYPE
+    ).select("p_partkey", "p_brand")
+    cost = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("_cost")
+    )
+    rs = (
+        supp.join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    j = (
+        cost.join(rs, cost.l_suppkey == rs.s_suppkey)
+        .join(F.broadcast(partf), cost.l_partkey == partf.p_partkey)
+    )
+    minc = j.groupBy("p_partkey").agg(F.min("_cost").alias("_minc"))
+    out = (
+        j.join(minc, "p_partkey")
+        .where(F.col("_cost") == F.col("_minc"))
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_brand",
+            round6(F.col("_cost")).alias("unit_cost"),
+        )
+    )
+    return top_k(
+        out,
+        [
+            F.col("s_acctbal").desc(),
+            F.col("n_name").asc(),
+            F.col("s_name").asc(),
+            F.col("p_partkey").asc(),
+        ],
+        MINCOST_TOPN,
+    )
+
+
+SQL_MIN_COST_SUPPLIER = f"""
+WITH cost AS (
+  SELECT l_partkey, l_suppkey, MIN(l_extendedprice / l_quantity) AS _cost
+  FROM lineitem GROUP BY 1, 2
+),
+rs AS (
+  SELECT s_suppkey, s_name, s_acctbal, n_name
+  FROM supplier
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = '{MINCOST_REGION}'
+),
+j AS (
+  SELECT p_partkey, p_brand, s_name, s_acctbal, n_name, _cost
+  FROM cost
+  JOIN rs ON l_suppkey = s_suppkey
+  JOIN part ON l_partkey = p_partkey
+  WHERE p_type = '{MINCOST_PTYPE}'
+),
+m AS (SELECT p_partkey, MIN(_cost) AS _minc FROM j GROUP BY 1),
+ranked AS (
+  SELECT j.s_acctbal, j.s_name, j.n_name, j.p_partkey, j.p_brand,
+         {SQL_ROUND6.format(x='_cost')} AS unit_cost,
+         row_number() OVER (
+           ORDER BY s_acctbal DESC, n_name ASC, s_name ASC, j.p_partkey ASC
+         ) AS rn
+  FROM j JOIN m ON j.p_partkey = m.p_partkey AND j._cost = m._minc
+)
+SELECT s_acctbal, s_name, n_name, p_partkey, p_brand, unit_cost
+FROM ranked WHERE rn <= {MINCOST_TOPN}
+"""
+
+
+def q_important_part_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q11-shaped important stock (adapted: part "value" = summed
+    extended price of one region's suppliers' lineitems — no partsupp):
+    keep parts whose value exceeds {IMPORTANT_AVG_MULTIPLE}× the
+    average per-part value (Q11's absolute fraction empties out at
+    scale; see IMPORTANT_AVG_MULTIPLE).
+
+    Scale: one hash aggregate per part; the corpus total AND part count
+    ride a 1-ROW broadcast (crossJoin of an aggregate — never a second
+    scan, never a driver collect); the gate is a map-only filter."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region").where(
+        F.col("r_name") == IMPORTANT_REGION
+    )
+    rs = (
+        supp.join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .select("s_suppkey")
+    )
+    vals = (
+        li.join(rs, li.l_suppkey == rs.s_suppkey)
+        .groupBy("l_partkey")
+        .agg(F.sum(dec("l_extendedprice")).alias("_val"))
+    )
+    total = vals.agg(
+        F.sum("_val").alias("_total"), F.count(F.lit(1)).alias("_nparts")
+    )
+    return (
+        vals.crossJoin(F.broadcast(total))
+        .where(
+            F.col("_val").cast("double") * F.col("_nparts").cast("double")
+            > F.lit(IMPORTANT_AVG_MULTIPLE) * F.col("_total").cast("double")
+        )
+        .select(
+            "l_partkey",
+            F.col("_val").cast("double").alias("value"),
+            round6(
+                F.col("_val").cast("double") / F.col("_total").cast("double")
+            ).alias("share"),
+        )
+    )
+
+
+SQL_IMPORTANT_PART_VALUE = f"""
+WITH rs AS (
+  SELECT s_suppkey FROM supplier
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = '{IMPORTANT_REGION}'
+),
+vals AS (
+  SELECT l_partkey, {_ssum('l_extendedprice')} AS value
+  FROM lineitem JOIN rs ON l_suppkey = s_suppkey
+  GROUP BY 1
+),
+tot AS (
+  SELECT {_ssum('l_extendedprice')} AS total,
+         CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS nparts
+  FROM lineitem JOIN rs ON l_suppkey = s_suppkey
+)
+SELECT l_partkey, value,
+       {SQL_ROUND6.format(x='value / total')} AS share
+FROM vals CROSS JOIN tot
+WHERE value * CAST(nparts AS DOUBLE) > {IMPORTANT_AVG_MULTIPLE} * total
+"""
+
+
+def q_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q12-shaped priority-by-shipping-speed (adapted: no
+    l_shipmode/receiptdate in the testdata, so lines bucket by the
+    order→ship delay instead): for one ship year, count urgent/high
+    vs lower-priority lineitems per delay bucket — the CASE-inside-sum
+    single-pass shape.
+
+    Scale: year filter pushes to the lineitem scan; ONE hash aggregate
+    over 3 bucket groups; orders joins on the shuffled key pair only."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.year("l_shipdate") == LATE_SHIP_YEAR
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    delay = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    bucket = (
+        F.when(delay >= 120, F.lit("slow"))
+        .when(delay >= 30, F.lit("medium"))
+        .otherwise(F.lit("fast"))
+    )
+    is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(bucket.alias("ship_bucket"))
+        .agg(
+            F.sum(F.when(is_high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(is_high, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+SQL_LATE_SHIPMENT_PRIORITY = f"""
+SELECT CASE WHEN date_diff('day', o_orderdate, l_shipdate) >= 120 THEN 'slow'
+            WHEN date_diff('day', o_orderdate, l_shipdate) >= 30 THEN 'medium'
+            ELSE 'fast' END AS ship_bucket,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE year(l_shipdate) = {LATE_SHIP_YEAR}
+GROUP BY 1
+"""
+
+
+def q_supplier_part_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q16-shaped supplier variety (adapted: the part↔supplier
+    relation = DISTINCT (l_partkey, l_suppkey) from lineitem — no
+    partsupp; the "complaint" supplier exclusion = account balance
+    below a threshold — no s_comment): distinct supplier count per
+    (brand, type, size) over an IN-list of sizes, excluding one brand,
+    one type, and blocklisted suppliers via LEFT ANTI join.
+
+    Scale: the pair-distinct is one shuffle on the composite key; the
+    filtered part dim broadcasts; the supplier blocklist is an anti
+    broadcast join; the final count-distinct groups a bounded
+    (brand, type, size) codomain."""
+    li = load_table(spark, sf_dir, "lineitem")
+    partf = load_table(spark, sf_dir, "part").where(
+        (F.col("p_brand") != VARIETY_EXCL_BRAND)
+        & (F.col("p_type") != VARIETY_EXCL_TYPE)
+        & F.col("p_size").isin(*VARIETY_SIZES)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    bad = load_table(spark, sf_dir, "supplier").where(
+        F.col("s_acctbal") < VARIETY_MIN_ACCTBAL
+    ).select("s_suppkey")
+    pairs = li.select("l_partkey", "l_suppkey").distinct()
+    j = (
+        pairs.join(F.broadcast(partf), pairs.l_partkey == partf.p_partkey)
+        .join(
+            F.broadcast(bad),
+            pairs.l_suppkey == bad.s_suppkey,
+            "left_anti",
+        )
+    )
+    return j.groupBy("p_brand", "p_type", "p_size").agg(
+        F.countDistinct("l_suppkey").alias("supplier_cnt")
+    )
+
+
+SQL_SUPPLIER_PART_VARIETY = f"""
+SELECT p_brand, p_type, p_size,
+       CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> '{VARIETY_EXCL_BRAND}'
+  AND p_type <> '{VARIETY_EXCL_TYPE}'
+  AND p_size IN ({', '.join(str(s) for s in VARIETY_SIZES)})
+  AND l_suppkey NOT IN (
+    SELECT s_suppkey FROM supplier WHERE s_acctbal < {VARIETY_MIN_ACCTBAL}
+  )
+GROUP BY p_brand, p_type, p_size
+"""
+
+
+def q_dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q20-shaped promotion candidates (adapted: "availability"
+    = shipped quantity per (supplier, part) from lineitem — no
+    partsupp): suppliers in one region whose shipped share of any
+    marker-part exceeds {DOMINANT_FAIR_MULTIPLE}× the fair share — the
+    nested semi-join + correlated threshold-sum shape (Q20's absolute
+    50% empties out at scale; see DOMINANT_FAIR_MULTIPLE).
+
+    Scale: both quantity aggregates are hash aggs over the
+    part-filtered fact slice (the selective marker filter broadcasts
+    into the scan side); the dominance test joins two AGGREGATED
+    tables on partkey; suppliers then semi-join the small dominant
+    set."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region").where(
+        F.col("r_name") == DOMINANT_REGION
+    )
+    partf = load_table(spark, sf_dir, "part").where(
+        F.col("p_name").contains(DOMINANT_PART_MARKER)
+    ).select("p_partkey")
+    sq = (
+        li.join(F.broadcast(partf), li.l_partkey == partf.p_partkey)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(dec("l_quantity")).alias("_q"))
+    )
+    tot = sq.groupBy("l_partkey").agg(
+        F.sum("_q").alias("_qt"), F.count(F.lit(1)).alias("_ns")
+    )
+    dom = sq.join(tot, "l_partkey").where(
+        F.col("_q").cast("double") * F.col("_ns").cast("double")
+        > F.lit(DOMINANT_FAIR_MULTIPLE) * F.col("_qt").cast("double")
+    )
+    per_supp = dom.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).alias("n_dominated_parts")
+    )
+    return (
+        supp.join(per_supp, supp.s_suppkey == per_supp.l_suppkey)
+        .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .select("s_suppkey", "s_name", "n_name", "n_dominated_parts")
+    )
+
+
+SQL_DOMINANT_PART_SUPPLIERS = f"""
+WITH sq AS (
+  SELECT l_partkey, l_suppkey, SUM(CAST(l_quantity AS {DEC})) AS _q
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE contains(p_name, '{DOMINANT_PART_MARKER}')
+  GROUP BY 1, 2
+),
+tot AS (
+  SELECT l_partkey, SUM(_q) AS _qt, CAST(COUNT(*) AS BIGINT) AS _ns
+  FROM sq GROUP BY 1
+),
+dom AS (
+  SELECT sq.l_suppkey, CAST(COUNT(*) AS BIGINT) AS n_dominated_parts
+  FROM sq JOIN tot ON sq.l_partkey = tot.l_partkey
+  WHERE CAST(CAST(sq._q AS VARCHAR) AS DOUBLE) * CAST(tot._ns AS DOUBLE)
+        > {DOMINANT_FAIR_MULTIPLE} * CAST(CAST(tot._qt AS VARCHAR) AS DOUBLE)
+  GROUP BY 1
+)
+SELECT s_suppkey, s_name, n_name, n_dominated_parts
+FROM supplier
+JOIN dom ON s_suppkey = dom.l_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = '{DOMINANT_REGION}'
+"""
+
+
+def q_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q21-shaped "suppliers who kept orders waiting" (adapted:
+    lateness = ship delay beyond {WAITING_LATE_DAYS} days past the order
+    date — no receipt/commit dates): on finalized multi-supplier orders
+    where EXACTLY ONE supplier was late, count per supplier how many
+    orders it alone held up.
+
+    Scale: the textbook double EXISTS/NOT-EXISTS self-join collapses
+    into ONE aggregate per order (distinct suppliers, distinct late
+    suppliers) — a single orderkey shuffle — plus one join of the late
+    lines back to the qualifying orders and a supplier-key count.
+    Top-N is a TakeOrdered."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderstatus") == "F"
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    j = li.join(orders, li.l_orderkey == orders.o_orderkey)
+    late = F.datediff(F.col("l_shipdate"), F.col("o_orderdate")) > WAITING_LATE_DAYS
+    per_order = j.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("_ns"),
+        F.countDistinct(F.when(late, F.col("l_suppkey"))).alias("_nl"),
+    )
+    waiting = per_order.where((F.col("_ns") > 1) & (F.col("_nl") == 1)).select(
+        "l_orderkey"
+    )
+    culprits = (
+        j.where(late)
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+        .join(waiting, "l_orderkey")
+    )
+    numwait = culprits.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).alias("numwait")
+    )
+    out = (
+        supp.join(numwait, supp.s_suppkey == numwait.l_suppkey)
+        .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .select("s_name", "n_name", "numwait")
+    )
+    return top_k(
+        out, [F.col("numwait").desc(), F.col("s_name").asc()], WAITING_TOPN
+    )
+
+
+SQL_SUPPLIERS_KEPT_WAITING = f"""
+WITH j AS (
+  SELECT l_orderkey, l_suppkey,
+         date_diff('day', o_orderdate, l_shipdate) > {WAITING_LATE_DAYS} AS late
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'
+),
+per_order AS (
+  SELECT l_orderkey,
+         COUNT(DISTINCT l_suppkey) AS ns,
+         COUNT(DISTINCT CASE WHEN late THEN l_suppkey END) AS nl
+  FROM j GROUP BY 1
+),
+waiting AS (SELECT l_orderkey FROM per_order WHERE ns > 1 AND nl = 1),
+culprits AS (
+  SELECT DISTINCT j.l_orderkey, j.l_suppkey
+  FROM j JOIN waiting ON j.l_orderkey = waiting.l_orderkey
+  WHERE late
+),
+numwait AS (
+  SELECT l_suppkey, CAST(COUNT(*) AS BIGINT) AS numwait
+  FROM culprits GROUP BY 1
+),
+ranked AS (
+  SELECT s_name, n_name, numwait,
+         row_number() OVER (ORDER BY numwait DESC, s_name ASC) AS rn
+  FROM supplier
+  JOIN numwait ON s_suppkey = l_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+)
+SELECT s_name, n_name, numwait FROM ranked WHERE rn <= {WAITING_TOPN}
+"""
+
+
+def q_doc_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document unigram (Shannon) entropy + type-token ratio — the
+    information-density quality signal (low entropy = repetitive/
+    degenerate text, a core LLM-corpus filter next to the repetition
+    and Gopher gates).
+
+    Scale: one (doc, term) hash aggregate + one per-doc aggregate, both
+    with map-side partials. Per-term entropy contributions are round6'd
+    (ln quarantine) then decimal-summed, so the result is engine- and
+    order-independent — the BM25/logprob discipline."""
+    d = _docs_with_tokens(spark, sf_dir)
+    tok = d.select("doc_id", F.explode(TX.tokens(F.col("text"))).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("_tf"))
+    per_doc = tf.groupBy("doc_id").agg(
+        F.sum("_tf").alias("_n"), F.count(F.lit(1)).alias("_d")
+    )
+    p = F.col("_tf").cast("double") / F.col("_n").cast("double")
+    term_h = round6(-(p * F.log(p)))
+    return (
+        tf.join(per_doc, "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            F.max("_n").cast("long").alias("n_tokens"),
+            F.max("_d").cast("long").alias("n_distinct"),
+            F.round(F.sum(term_h.cast(DEC)).cast("double"), 6).alias("entropy"),
+            round6(
+                F.max("_d").cast("double") / F.max("_n").cast("double")
+            ).alias("ttr"),
+        )
+    )
+
+
+def _sql_doc_token_entropy() -> str:
+    p = "(CAST(_tf AS DOUBLE) / _n)"
+    term_h = SQL_ROUND6.format(x=f"-({p} * ln({p}))")
+    return f"""
+WITH toks AS (SELECT doc_id, unnest({_toks('text')}) AS term FROM documents),
+tf AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS _tf
+  FROM toks GROUP BY 1, 2
+),
+per_doc AS (
+  SELECT doc_id, CAST(SUM(_tf) AS BIGINT) AS _n,
+         CAST(COUNT(*) AS BIGINT) AS _d
+  FROM tf GROUP BY 1
+)
+SELECT tf.doc_id,
+       MAX(_n) AS n_tokens,
+       MAX(_d) AS n_distinct,
+       round({_ssum(term_h)}, 6) AS entropy,
+       {SQL_ROUND6.format(x='CAST(MAX(_d) AS DOUBLE) / MAX(_n)')} AS ttr
+FROM tf JOIN per_doc ON tf.doc_id = per_doc.doc_id
+GROUP BY tf.doc_id
+"""
+
+
+#: Containment threshold for doc_containment_dups.
+CONTAINMENT_THRESHOLD = 0.5
+
+
+def q_doc_containment_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed n-gram containment pairs (operators.dedup
+    .containment_pairs): |A∩B|/|A| — the asymmetric near-dup measure
+    that catches a short doc copied INSIDE a long one, which symmetric
+    Jaccard dilutes away. Rare-shingle candidate generation (df-capped,
+    skew-safe) + exact candidate-bounded intersection."""
+    return DD.containment_pairs(
+        _docs_with_tokens(spark, sf_dir),
+        threshold=CONTAINMENT_THRESHOLD,
+        max_doc_freq=NGRAM_QUERY_MAX_DOC_FREQ,
+    )
+
+
+SQL_DOC_CONTAINMENT = f"""
+WITH toks AS (SELECT doc_id, {_toks('text')} AS t FROM documents),
+grams AS (SELECT doc_id, unnest({_SHINGLES.format(t='t')}) AS g FROM toks),
+dfreq AS (SELECT g, COUNT(*) AS df FROM grams GROUP BY g),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM grams a
+  JOIN dfreq d ON d.g = a.g AND d.df <= {DD.NGRAM_MAX_DOC_FREQ}
+  JOIN grams b ON b.g = a.g AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM grams GROUP BY doc_id),
+inter AS (
+  SELECT c.id_a, c.id_b, CAST(COUNT(*) AS BIGINT) AS n_inter
+  FROM cand c
+  JOIN grams ga ON ga.doc_id = c.id_a
+  JOIN grams gb ON gb.doc_id = c.id_b AND gb.g = ga.g
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT id_a, id_b, n_inter,
+         {SQL_ROUND6.format(x='CAST(n_inter AS DOUBLE) / sa.n')} AS c_a_in_b,
+         {SQL_ROUND6.format(x='CAST(n_inter AS DOUBLE) / sb.n')} AS c_b_in_a
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+)
+SELECT * FROM scored
+WHERE GREATEST(c_a_in_b, c_b_in_a) >= {CONTAINMENT_THRESHOLD}
+"""
+
+
+#: Burst detection parameters: BURST_K events inside BURST_WINDOW_S.
+BURST_K = 3
+BURST_WINDOW_S = 14400
+
+
+def q_event_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user burst detection: an event is "bursty" when it is the
+    ``BURST_K``-th event of its user within ``BURST_WINDOW_S`` seconds
+    (lag-window formulation — anomalous activity / rate-spike
+    detection, the streaming-abuse signal computed in batch).
+
+    Scale: one per-user window (lag K-1 over ts), then a per-user hash
+    aggregate; no self-join, no per-user sort beyond the keyed window."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts_us").asc(), F.col("event_id").asc()
+    )
+    span_start = F.lag("ts_us", BURST_K - 1).over(w)
+    is_burst = (
+        span_start.isNotNull()
+        & (F.col("ts_us") - span_start <= F.lit(BURST_WINDOW_S * 1_000_000))
+    )
+    flagged = ev.select(
+        "user_id", is_burst.cast("int").alias("_b")
+    )
+    return (
+        flagged.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("_b").cast("long").alias("n_burst_events"),
+        )
+        .where(F.col("n_burst_events") > 0)
+    )
+
+
+SQL_EVENT_BURSTS = f"""
+WITH lagged AS (
+  SELECT user_id,
+         epoch_us(ts) - lag(epoch_us(ts), {BURST_K - 1}) OVER (
+           PARTITION BY user_id ORDER BY epoch_us(ts) ASC, event_id ASC
+         ) AS span
+  FROM events
+),
+flagged AS (
+  SELECT user_id,
+         CASE WHEN span IS NOT NULL
+                   AND span <= CAST({BURST_WINDOW_S} AS BIGINT) * 1000000
+              THEN 1 ELSE 0 END AS b
+  FROM lagged
+)
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(b) AS BIGINT) AS n_burst_events
+FROM flagged GROUP BY user_id
+HAVING SUM(b) > 0
+"""
+
+
+#: Range-search parameters: all neighbors of the first RANGE_N_QUERIES
+#: vectors within cosine >= RANGE_TAU.
+RANGE_N_QUERIES = 3
+RANGE_TAU = 0.2
+
+
+def q_emb_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine RANGE search (operators.similarity.cosine_range_search):
+    every corpus vector within a similarity radius of each query — the
+    "everything at least this similar" retrieval complement of top-k
+    (duplicate sweeps, recall-first retrieval). Broadcast queries ×
+    corpus, corpus never shuffles, threshold filtered in-stage."""
+    emb = _emb(spark, sf_dir)
+    q = load_table(spark, sf_dir, "embeddings").where(
+        F.col("vec_id") < RANGE_N_QUERIES
+    )
+    return SIM.cosine_range_search(q, emb, threshold=RANGE_TAU)
+
+
+SQL_EMB_RANGE_SEARCH = f"""
+WITH qe AS (
+  SELECT vec_id AS qid, generate_subscripts(embedding, 1) AS i,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings WHERE vec_id < {RANGE_N_QUERIES}
+),
+ce AS (
+  SELECT vec_id AS nid, generate_subscripts(embedding, 1) AS i,
+         CAST(unnest(embedding) AS DOUBLE) AS y
+  FROM embeddings
+),
+norms AS (SELECT nid, SUM(y * y) AS n2 FROM ce GROUP BY nid),
+dots AS (
+  SELECT qid, nid, SUM(x * y) AS d
+  FROM qe JOIN ce USING (i) GROUP BY qid, nid
+),
+cos AS (
+  SELECT qid, dots.nid AS nid,
+         CASE WHEN sqrt(nq.n2) * sqrt(nc.n2) = 0 THEN 0.0
+              ELSE d / (sqrt(nq.n2) * sqrt(nc.n2)) END AS sim
+  FROM dots
+  JOIN norms nq ON nq.nid = dots.qid
+  JOIN norms nc ON nc.nid = dots.nid
+  WHERE qid != dots.nid
+)
+SELECT qid AS query_id, nid AS neighbor_id, round(sim, 6) AS cosine_sim
+FROM cos WHERE sim >= {RANGE_TAU}
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -5719,35 +6380,119 @@ FROM yearly
 # Registration order is load-bearing: the driver's CORRECTNESS harness
 # verifies the FIRST 50 entries only (proven by the r2→r3 coverage
 # diff), so the first 50 slots are rotated each round toward the
-# queries with the least hard driver evidence. Round 5 rotation:
-# (a) the 5 round-4 additions that have never had a driver row
-#     (doc_url_normalize .. doc_quality_classifier, r4 tail);
-# (b) the 3 r4-red queries after their output/oracle fixes
-#     (emb_quantized, emb_pq, doc_pack_windows) so the green rows land;
-# (c) the flagship `geo_trajectory` (= driver entry()), kept in-window
+# queries with the least hard driver evidence. Round 6 rotation
+# (r5 VERDICT ask #1 — maximize re-verification of stale evidence):
+# (a) the flagship `geo_trajectory` (= driver entry()), in-window
 #     every round;
-# (d) 21 round-robin re-verification slots for the rounds-1-3 §2 set
-#     that was rotated OUT in r4 — regressions in old operators must
-#     not hide behind the rotation (VERDICT r4 ask #6).
-# Below the marker: the r4-driver-green set rides the local replica
-# (tests/test_oracle.py, now canonicalizing exactly like the driver),
-# and the 5 no-oracle approximates (ann_lsh/ann_ivf/ann_pq/
-# approx_event_stats/emb_pca) sit at the very tail so no window slot
-# is spent on a permanent `no_oracle` row.
+# (b) the 10 round-6 additions, which have never had a driver row;
+# (c) all 25 queries whose latest driver row is r03 (the dedup/
+#     similarity family that was three rounds stale);
+# (d) 14 of the 44 r04-stale queries (alphabetical prefix; the other
+#     30 sit directly below the marker and rotate in next round).
+# Below the marker: the remaining r04 set, then the r05-green set,
+# then the 5 no-oracle approximates (ann_lsh/ann_ivf/ann_pq/
+# approx_event_stats/emb_pca) at the very tail so no window slot is
+# spent on a permanent `no_oracle` row. tests/test_oracle.py enforces
+# marker position, no duplicate keys, and all-window-slots-oracled.
 QUERIES: dict[str, QueryFn] = {
-    # (a) never driver-checked
+    # (a) flagship — in-window every round
+    "geo_trajectory": q_geo_trajectory,
+    # (b) round-6 additions (first driver rows): the six remaining
+    #     TPC-H shapes (Q2/Q11/Q12/Q16/Q20/Q21, partsupp-less
+    #     adaptations) + entropy/containment/burst/range-search
+    "min_cost_supplier": q_min_cost_supplier,
+    "important_part_value": q_important_part_value,
+    "late_shipment_priority": q_late_shipment_priority,
+    "supplier_part_variety": q_supplier_part_variety,
+    "dominant_part_suppliers": q_dominant_part_suppliers,
+    "suppliers_kept_waiting": q_suppliers_kept_waiting,
+    "doc_token_entropy": q_doc_token_entropy,
+    "doc_containment_dups": q_doc_containment_dups,
+    "event_bursts": q_event_bursts,
+    "emb_range_search": q_emb_range_search,
+    # (c) r03-stale re-verification (last driver row three rounds old)
+    "cosine_topk": q_cosine_topk,
+    "doc_exact_dups": q_doc_exact_dups,
+    "doc_lang_token_stats": q_doc_lang_token_stats,
+    "doc_sample_by_lang": q_doc_sample_by_lang,
+    "doc_stats": q_doc_stats,
+    "emb_cosine_neardups": q_emb_cosine_neardups,
+    "embedding_norms": q_embedding_norms,
+    "event_union": q_event_union,
+    "events_asof_error": q_events_asof_error,
+    "geo_nearby_events": q_geo_nearby_events,
+    "minhash_lsh_pairs": q_minhash_lsh_pairs,
+    "minhash_signatures": q_minhash_signatures,
+    "multimodal_features": q_multimodal_features,
+    "neardup_components": q_neardup_components,
+    "ngram_neardups": q_ngram_neardups,
+    "sales_cube": q_sales_cube,
+    "sales_rollup": q_sales_rollup,
+    "salted_supplier_stats": q_salted_supplier_stats,
+    "simhash": q_simhash,
+    "simhash_neardups": q_simhash_neardups,
+    "top_orders_per_priority": q_top_orders_per_priority,
+    "value_percentiles": q_value_percentiles,
+    "weather_pivot": q_weather_pivot,
+    "winnow_fingerprints": q_winnow_fingerprints,
+    "winnow_overlap": q_winnow_overlap,
+    # (d) r04-stale re-verification (first 14 alphabetically; the
+    #     remaining 30 rotate in next round)
+    "ann_index_stats": q_ann_index_stats,
+    "brand_discount_revenue": q_brand_discount_revenue,
+    "clicks_after_error": q_clicks_after_error,
+    "doc_chunks": q_doc_chunks,
+    "doc_clip_repeated": q_doc_clip_repeated,
+    "doc_corpus_mix": q_doc_corpus_mix,
+    "doc_curation_pipeline": q_doc_curation_pipeline,
+    "doc_data_card": q_doc_data_card,
+    "doc_decontaminate": q_doc_decontaminate,
+    "doc_gopher_quality": q_doc_gopher_quality,
+    "doc_hash_sample": q_doc_hash_sample,
+    "doc_langid_confusion": q_doc_langid_confusion,
+    "doc_pii_scrub": q_doc_pii_scrub,
+    "doc_quality_filter": q_doc_quality_filter,
+    # ---- slots above are inside the driver's 50-query verification
+    # window; everything below holds an r04/r05 driver-green row and
+    # rides the driver-faithful local replica until its next rotation ----
+    "doc_repeated_spans": q_doc_repeated_spans,
+    "doc_repetition_filter": q_doc_repetition_filter,
+    "doc_source_drift": q_doc_source_drift,
+    "doc_splits": q_doc_splits,
+    "doc_subword_stats": q_doc_subword_stats,
+    "doc_tfidf_terms": q_doc_tfidf_terms,
+    "doc_token_pair_stats": q_doc_token_pair_stats,
+    "doc_unigram_logprob": q_doc_unigram_logprob,
+    "doc_upsample_mix": q_doc_upsample_mix,
+    "doc_version_diff": q_doc_version_diff,
+    "doc_vocab_coverage": q_doc_vocab_coverage,
+    "emb_decontaminate": q_emb_decontaminate,
+    "emb_kmeans": q_emb_kmeans,
+    "emb_semdedup": q_emb_semdedup,
+    "event_anomaly_profile": q_event_anomaly_profile,
+    "event_audience_overlap": q_event_audience_overlap,
+    "event_funnel": q_event_funnel,
+    "event_gap_fill": q_event_gap_fill,
+    "event_pivot_roundtrip": q_event_pivot_roundtrip,
+    "forecast_revenue": q_forecast_revenue,
+    "idle_rich_customers": q_idle_rich_customers,
+    "large_orders": q_large_orders,
+    "local_supplier_volume": q_local_supplier_volume,
+    "neardup_pagerank": q_neardup_pagerank,
+    "priority_count": q_priority_count,
+    "promo_revenue": q_promo_revenue,
+    "returned_items": q_returned_items,
+    "shipping_priority": q_shipping_priority,
+    "small_quantity_revenue": q_small_quantity_revenue,
+    "top_revenue_supplier": q_top_revenue_supplier,
     "doc_url_normalize": q_doc_url_normalize,
     "doc_mixture_weights": q_doc_mixture_weights,
     "doc_html_extract": q_doc_html_extract,
     "doc_novelty": q_doc_novelty,
     "doc_quality_classifier": q_doc_quality_classifier,
-    # (b) r4-red, fixed this round
     "emb_quantized": q_emb_quantized,
     "emb_pq": q_emb_pq,
     "doc_pack_windows": q_doc_pack_windows,
-    # (c) flagship
-    "geo_trajectory": q_geo_trajectory,
-    # (new this round — need their first driver rows)
     "doc_bigram_logprob": q_doc_bigram_logprob,
     "doc_domain_quality": q_doc_domain_quality,
     "doc_neardup_keep": q_doc_neardup_keep,
@@ -5768,7 +6513,6 @@ QUERIES: dict[str, QueryFn] = {
     "event_markov_transitions": q_event_markov_transitions,
     "doc_cross_lang_dups": q_doc_cross_lang_dups,
     "part_type_yoy_growth": q_part_type_yoy_growth,
-    # (d) round-robin re-verify (r1-r3 green, rotated out in r4)
     "pricing_summary": q_pricing_summary,
     "top_parts": q_top_parts,
     "lineitem_enriched": q_lineitem_enriched,
@@ -5790,79 +6534,6 @@ QUERIES: dict[str, QueryFn] = {
     "geo_region_counts": q_geo_region_counts,
     "orders_without_lineitems": q_orders_without_lineitems,
     "active_customers": q_active_customers,
-    # ---- slots above are inside the driver's 50-query verification
-    # window; everything below earned a driver-green row in r4 (or
-    # r2 for the first five) and rides the driver-faithful local
-    # replica until its next rotation ----
-    "event_union": q_event_union,
-    "events_asof_error": q_events_asof_error,
-    "geo_nearby_events": q_geo_nearby_events,
-    "emb_cosine_neardups": q_emb_cosine_neardups,
-    "sales_rollup": q_sales_rollup,
-    "sales_cube": q_sales_cube,
-    "top_orders_per_priority": q_top_orders_per_priority,
-    "salted_supplier_stats": q_salted_supplier_stats,
-    "value_percentiles": q_value_percentiles,
-    "doc_stats": q_doc_stats,
-    "doc_lang_token_stats": q_doc_lang_token_stats,
-    "doc_exact_dups": q_doc_exact_dups,
-    "ngram_neardups": q_ngram_neardups,
-    "minhash_signatures": q_minhash_signatures,
-    "winnow_fingerprints": q_winnow_fingerprints,
-    "winnow_overlap": q_winnow_overlap,
-    "cosine_topk": q_cosine_topk,
-    "minhash_lsh_pairs": q_minhash_lsh_pairs,
-    "simhash": q_simhash,
-    "simhash_neardups": q_simhash_neardups,
-    "embedding_norms": q_embedding_norms,
-    "multimodal_features": q_multimodal_features,
-    "weather_pivot": q_weather_pivot,
-    "neardup_components": q_neardup_components,
-    "doc_sample_by_lang": q_doc_sample_by_lang,
-    "doc_hash_sample": q_doc_hash_sample,
-    "doc_tfidf_terms": q_doc_tfidf_terms,
-    "clicks_after_error": q_clicks_after_error,
-    "doc_corpus_mix": q_doc_corpus_mix,
-    "doc_quality_filter": q_doc_quality_filter,
-    "doc_gopher_quality": q_doc_gopher_quality,
-    "doc_repetition_filter": q_doc_repetition_filter,
-    "doc_decontaminate": q_doc_decontaminate,
-    "emb_kmeans": q_emb_kmeans,
-    "doc_vocab_coverage": q_doc_vocab_coverage,
-    "event_funnel": q_event_funnel,
-    "doc_data_card": q_doc_data_card,
-    "event_gap_fill": q_event_gap_fill,
-    "event_pivot_roundtrip": q_event_pivot_roundtrip,
-    "shipping_priority": q_shipping_priority,
-    "local_supplier_volume": q_local_supplier_volume,
-    "returned_items": q_returned_items,
-    "forecast_revenue": q_forecast_revenue,
-    "priority_count": q_priority_count,
-    "promo_revenue": q_promo_revenue,
-    "top_revenue_supplier": q_top_revenue_supplier,
-    "small_quantity_revenue": q_small_quantity_revenue,
-    "large_orders": q_large_orders,
-    "brand_discount_revenue": q_brand_discount_revenue,
-    "idle_rich_customers": q_idle_rich_customers,
-    "emb_semdedup": q_emb_semdedup,
-    "doc_chunks": q_doc_chunks,
-    "doc_subword_stats": q_doc_subword_stats,
-    "doc_token_pair_stats": q_doc_token_pair_stats,
-    "doc_upsample_mix": q_doc_upsample_mix,
-    "event_audience_overlap": q_event_audience_overlap,
-    "doc_repeated_spans": q_doc_repeated_spans,
-    "doc_clip_repeated": q_doc_clip_repeated,
-    "doc_splits": q_doc_splits,
-    "doc_langid_confusion": q_doc_langid_confusion,
-    "event_anomaly_profile": q_event_anomaly_profile,
-    "ann_index_stats": q_ann_index_stats,
-    "doc_source_drift": q_doc_source_drift,
-    "doc_unigram_logprob": q_doc_unigram_logprob,
-    "doc_curation_pipeline": q_doc_curation_pipeline,
-    "doc_pii_scrub": q_doc_pii_scrub,
-    "doc_version_diff": q_doc_version_diff,
-    "emb_decontaminate": q_emb_decontaminate,
-    "neardup_pagerank": q_neardup_pagerank,
     # ---- no-oracle approximates: permanently at the tail so they
     # never occupy a driver verification slot (accuracy pinned by
     # recall/error tests, not a SQL twin) ----
@@ -5876,6 +6547,16 @@ QUERIES: dict[str, QueryFn] = {
 
 def build_oracles() -> dict[str, str]:
     return {
+        "min_cost_supplier": SQL_MIN_COST_SUPPLIER,
+        "important_part_value": SQL_IMPORTANT_PART_VALUE,
+        "late_shipment_priority": SQL_LATE_SHIPMENT_PRIORITY,
+        "supplier_part_variety": SQL_SUPPLIER_PART_VARIETY,
+        "dominant_part_suppliers": SQL_DOMINANT_PART_SUPPLIERS,
+        "suppliers_kept_waiting": SQL_SUPPLIERS_KEPT_WAITING,
+        "doc_token_entropy": _sql_doc_token_entropy(),
+        "doc_containment_dups": SQL_DOC_CONTAINMENT,
+        "event_bursts": SQL_EVENT_BURSTS,
+        "emb_range_search": SQL_EMB_RANGE_SEARCH,
         "pricing_summary": SQL_PRICING,
         "top_parts": SQL_TOP_PARTS,
         "lineitem_enriched": SQL_ENRICHED,

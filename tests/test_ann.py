@@ -356,3 +356,46 @@ def test_hamming_topk_matches_bruteforce(spark, emb):
             (ham(sigs[qid], s), nid) for nid, s in sigs.items() if nid != qid
         )[:5]
         assert sorted(rows) == brute, qid
+
+
+def test_cosine_range_search_matches_bruteforce(spark):
+    """Range search must return EXACTLY the corpus vectors whose cosine
+    to the query clears the threshold (no ranking truncation), scores
+    matching cosine_topk's for the shared pairs."""
+    import numpy as np
+
+    from kyiv_traffic_bigdata_spark.operators.similarity import (
+        cosine_range_search,
+        cosine_topk,
+    )
+
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(40, 8)).astype("float32")
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = emb.where("vec_id < 2")
+
+    tau = 0.3
+    got = {
+        (r.query_id, r.neighbor_id): r.cosine_sim
+        for r in cosine_range_search(q, emb, threshold=tau).collect()
+    }
+    # numpy brute force
+    x = vecs.astype("float64")
+    norms = np.linalg.norm(x, axis=1)
+    exp = {}
+    for qi in (0, 1):
+        sims = (x @ x[qi]) / (norms * norms[qi])
+        for ni, s in enumerate(sims):
+            if ni != qi and s >= tau:
+                exp[(qi, ni)] = round(float(s), 6)
+    assert set(got) == set(exp)
+    for k in exp:
+        assert abs(got[k] - exp[k]) <= 1e-6
+    # consistency with top-k scores on the overlap
+    topk = {
+        (r.query_id, r.neighbor_id): r.cosine_sim
+        for r in cosine_topk(q, emb, k=40).collect()
+    }
+    for k, v in got.items():
+        assert topk[k] == v

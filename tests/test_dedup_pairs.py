@@ -308,3 +308,42 @@ def test_cross_lang_dups_detector_is_corpus_pure(spark):
     (r,) = rows
     assert r.n_langs == 2 and r.n_docs == 2
     assert r.langs == "en,uk" and r.doc_ids == "1,2"
+
+
+def test_containment_pairs_detects_subdocument_copy(spark):
+    """Containment must flag a short doc fully embedded in a long one
+    (where Jaccard ≈ |A|/|B| stays below any sane threshold), report
+    both directions, and skip unrelated docs."""
+    from kyiv_traffic_bigdata_spark.operators.dedup import containment_pairs
+
+    short = "alpha beta gamma delta epsilon zeta"
+    filler = " ".join(f"w{i} x{i} y{i}" for i in range(30))
+    docs = spark.createDataFrame(
+        [
+            (1, short),                      # fully contained in 2
+            (2, short + " " + filler),       # superset
+            (3, "totally different words here none shared at all ok"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = containment_pairs(docs, threshold=0.9).collect()
+    assert len(rows) == 1
+    (r,) = rows
+    assert (r.id_a, r.id_b) == (1, 2)
+    assert r.c_a_in_b == 1.0          # all of doc 1's shingles in doc 2
+    assert r.c_b_in_a < 0.2           # but doc 2 barely contained in 1
+    # jaccard for the same pair would be ~n_inter/n_b — below 0.2 — so
+    # a symmetric threshold of 0.9 would never have surfaced this pair
+
+
+def test_containment_pairs_respects_doc_freq_cap(spark):
+    """Candidate generation must ignore shingles above the df cap: two
+    docs sharing ONLY a boilerplate shingle (df > cap) produce no pair."""
+    from kyiv_traffic_bigdata_spark.operators.dedup import containment_pairs
+
+    boiler = "same old footer text"
+    docs = spark.createDataFrame(
+        [(i, f"unique{i} filler{i} words{i} " + boiler) for i in range(6)],
+        "doc_id long, text string",
+    )
+    assert containment_pairs(docs, threshold=0.1, max_doc_freq=2).count() == 0

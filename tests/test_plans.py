@@ -511,3 +511,123 @@ def test_changelog_state_single_aggregate_no_window(plans):
     plan = plans("events_changelog_state")
     assert "Window" not in plan
     assert exchange_count(plan) == 1
+
+
+def test_triangles_wedge_join_no_cartesian(plans):
+    """Triangle counting must stay the ordered-wedge plan on the
+    verified pair list: equi-joins only, no cartesian/nested-loop over
+    pairs."""
+    plan = plans("neardup_triangles")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_yoy_growth_window_over_aggregated_table_only(plans):
+    """Q-YoY: the lag window must run over the AGGREGATED (type, year)
+    table — exactly one window, positioned above the final aggregate,
+    and the fact scan feeds a partial aggregate first."""
+    plan = plans("part_type_yoy_growth")
+    assert len(re.findall(r"\(\d+\) Window", plan)) == 1
+    assert "partial_sum" in plan
+
+
+def test_bm25_takeordered_and_no_explode_for_doclength(plans):
+    """BM25: final top-N is a TakeOrdered (never a global sort), totals
+    ride a broadcast, document length is MAP-ONLY (the only documents
+    scan in the final plan feeds the size() projection — no Generate),
+    and the tf explode sits behind the staged frame so the corpus
+    explode runs exactly once."""
+    plan = plans("doc_bm25_topk")
+    assert "TakeOrderedAndProject" in plan
+    assert broadcast_join_count(plan) >= 1
+    # the tf subtree is staged (checkpoint scan); a Generate in the
+    # final plan means the dl aggregate regressed to the exploded shape
+    assert len(re.findall(r"\(\d+\) Generate", plan)) == 0
+    assert len(re.findall(r"Scan parquet[^\n]*documents", plan)) <= 1
+
+
+def test_markov_transitions_bounded_window_and_aggregate(plans):
+    """Markov transitions: every window partitions by user (the safe
+    axis — per-user history is bounded); no fact self-join. The static
+    plan shows the matrix subtree twice (totals + join branch) but AQE
+    deduplicates it at runtime via ReusedExchange — pinned in
+    test_markov_runtime_reuses_fact_exchange."""
+    plan = plans("event_markov_transitions")
+    for spec in re.findall(r"windowspecdefinition\(([^,]+),", plan):
+        assert "user_id" in spec, spec
+    assert sort_merge_join_count(plan) == 0
+    assert "CartesianProduct" not in plan
+
+
+def test_markov_runtime_reuses_fact_exchange(spark, sf_dir):
+    """The duplicated matrix subtree must collapse to ONE fact pass at
+    runtime: the executed (AQE-final) plan carries a ReusedExchange."""
+    df = QUERIES["event_markov_transitions"](spark, sf_dir)
+    df.collect()
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in executed
+
+
+def test_min_cost_supplier_broadcast_dims_and_takeordered(plans):
+    """Q2 shape: nation/region/filtered-part dims broadcast; the
+    correlated min runs over the aggregated cost table; final top-100
+    is a TakeOrdered, not a global sort."""
+    plan = plans("min_cost_supplier")
+    assert broadcast_join_count(plan) >= 3
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_important_part_value_single_fact_pass_per_side(plans):
+    """Q11 shape: the corpus total rides a broadcast join (1-row
+    aggregate) — never a driver collect; per-part values map-side
+    combine."""
+    plan = plans("important_part_value")
+    assert broadcast_join_count(plans("important_part_value")) >= 1
+    assert "partial_sum" in plan
+
+
+def test_supplier_part_variety_anti_join_broadcast(plans):
+    """Q16 shape: the blocklist exclusion must be a broadcast ANTI
+    join and the part dim a broadcast join — no sort-merge against
+    dims."""
+    plan = plans("supplier_part_variety")
+    assert re.search(r"BroadcastHashJoin.*LeftAnti", plan)
+    assert sort_merge_join_count(plan) == 0
+
+
+def test_suppliers_kept_waiting_no_fact_self_join(plans):
+    """Q21 shape: the EXISTS/NOT-EXISTS reformulation must keep a
+    single lineitem⋈orders scan pair feeding one per-order aggregate —
+    two lineitem scans would mean the textbook double self-join came
+    back."""
+    plan = plans("suppliers_kept_waiting")
+    assert len(re.findall(r"Scan parquet[^\n]*lineitem", plan)) <= 2
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_event_bursts_single_user_window(plans):
+    """Burst detection: one per-user window (lag) + one hash aggregate;
+    no self-join of events against events."""
+    plan = plans("event_bursts")
+    assert len(re.findall(r"\(\d+\) Window", plan)) == 1
+    assert sort_merge_join_count(plan) == 0
+    assert "CartesianProduct" not in plan
+
+
+def test_emb_range_search_broadcasts_queries_corpus_never_shuffles(plans):
+    """Range search: query side broadcasts; the corpus is scanned once
+    with zero exchanges (the filter runs in-stage)."""
+    plan = plans("emb_range_search")
+    assert broadcast_join_count(plan) >= 1
+    assert sort_merge_join_count(plan) == 0
+    assert exchange_count(plan) == 0
+
+
+def test_containment_pairs_no_cartesian(plans):
+    """Containment dedup: candidates come from the rare-shingle
+    equi-join; verification is candidate-bounded equi-joins — never a
+    cartesian over docs."""
+    plan = plans("doc_containment_dups")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
