@@ -2,28 +2,35 @@
 
 Closes the last ``needs_codec`` gap in the multimodal pipeline
 (operators/multimodal.py): PNG was already real (zlib + unfilters), GIF
-real (LZW); this module decodes baseline sequential DCT JPEG (SOF0,
-8-bit, the overwhelmingly dominant variant in web crawls) end-to-end:
+real (LZW); this module decodes baseline sequential DCT JPEG (SOF0) AND
+progressive DCT JPEG (SOF2) — together the overwhelming majority of web
+crawl images — end-to-end:
 
-* marker/segment walk (DQT, DHT, SOF0, SOS, DRI; APPn/COM skipped),
+* marker/segment walk (DQT, DHT, SOF0/SOF2, SOS, DRI; APPn/COM
+  skipped; 0xFF fill bytes tolerated),
 * canonical Huffman entropy decode with 0xFF00 byte-stuffing and
-  restart-marker (RSTn) handling,
+  restart-marker (RSTn) handling; non-interleaved block order for
+  single-component scans (A.2.2),
+* progressive multi-scan accumulation: spectral selection +
+  successive approximation, EOBRUN, refinement correction bits
+  (G.1.2 / the jdphuff algorithms) — see _decode_progressive,
 * dequantize → de-zigzag → batched 8×8 IDCT (one numpy einsum over all
   blocks of a component — the hot loop is C-side),
 * chroma upsampling for any (h, v) sampling factors (nearest), JFIF
   full-range YCbCr→RGB (BT.601) with clamp.
 
 Out of scope (returns None, callers fall back to ``needs_codec``):
-progressive (SOF2), arithmetic coding, hierarchical, 12-bit precision,
+arithmetic coding, hierarchical, lossless, 12-bit precision,
 >4 components. ``max_pixels`` bounds memory/CPU per payload — the same
 guard contract as decode_png_pixels/decode_gif_frames.
 
 Reference parity note: the reference repo ships no image codecs (its
 multimodal surface is this repo's extension); the decoder exists so the
 Spark-side media plumbing is real in codec-less environments. Verified
-by a self-contained baseline ENCODER in tests/test_jpeg.py (spec Annex K
-tables) via decode(encode(img)) error bounds plus numpy-reference IDCT
-and bit-reader unit tests — encoder and decoder share no code paths
+by self-contained baseline AND progressive ENCODERS in
+tests/test_jpeg.py (spec Annex K tables / G.1.2 scan scripts) via
+decode(encode(img)) equality and error bounds plus numpy-reference IDCT
+and bit-reader unit tests — encoders and decoder share no code paths
 beyond the tables' spec values.
 """
 
@@ -245,9 +252,11 @@ def _decode_jpeg(
                 )
                 if comps[-1]["h"] not in (1, 2, 4) or comps[-1]["v"] not in (1, 2, 4):
                     return None
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+        elif marker == 0xC2:  # SOF2: hand the whole payload to the
+            return _decode_progressive(payload, max_pixels)  # multi-scan path
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
-            return None  # non-baseline SOF (progressive etc.)
+            return None  # non-baseline SOF (arithmetic/hierarchical/lossless)
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", seg[0:2])
         elif marker == 0xDA:  # SOS
@@ -379,6 +388,14 @@ def _decode_jpeg(
             plane = np.repeat(np.repeat(plane, ry, axis=0), rx, axis=1)
         planes.append(plane[:h, :w])
 
+    return _planes_to_rgb(planes, w, h)
+
+
+def _planes_to_rgb(planes, w: int, h: int) -> tuple[int, int, bytes] | None:
+    """Shared color tail (baseline + progressive): gray replication or
+    JFIF full-range YCbCr→RGB (BT.601) with clamp."""
+    import numpy as np
+
     if len(planes) == 1:
         ycc = np.clip(planes[0], 0, 255)
         rgb = np.repeat(ycc[:, :, None], 3, axis=2)
@@ -393,3 +410,346 @@ def _decode_jpeg(
     else:
         return None  # CMYK/4-component not supported
     return w, h, np.round(rgb).astype(np.uint8).tobytes()
+
+
+def _decode_progressive(
+    payload: bytes, max_pixels: int
+) -> tuple[int, int, bytes] | None:
+    """Progressive (SOF2) decode: multi-scan spectral-selection +
+    successive-approximation entropy decoding (spec G.1.2 — EOBRUN,
+    refinement correction bits, interleaved DC / non-interleaved AC
+    block order, per-scan restart handling; algorithms follow the
+    spec's figures G.3-G.7, the same logic libjpeg's jdphuff
+    implements). Coefficients accumulate raw (point-transformed) per
+    component and are dequantized + IDCT'd once, at end of image.
+    Truncated files decode their scan prefix (log-and-continue
+    stance)."""
+    import numpy as np
+
+    qt: dict[int, list[int]] = {}
+    huff_dc: dict[int, dict] = {}
+    huff_ac: dict[int, dict] = {}
+    comps: list[dict] = []
+    state: dict[int, dict] = {}
+    w = h = 0
+    hmax = vmax = mcux = mcuy = 0
+    restart_interval = 0
+    i, n = 2, len(payload)
+
+    while i + 2 <= n:
+        if payload[i] != 0xFF:
+            return None
+        marker = payload[i + 1]
+        if marker == 0xFF:  # fill byte (B.1.1.2)
+            i += 1
+            continue
+        if marker == 0xD8:
+            i += 2
+            continue
+        if marker == 0xD9:  # EOI
+            break
+        if i + 4 > n:
+            break  # truncated mid-header: decode what we have
+        (seglen,) = struct.unpack(">H", payload[i + 2 : i + 4])
+        seg = payload[i + 4 : i + 2 + seglen]
+        if len(seg) < seglen - 2:
+            break
+        if marker == 0xDB:  # DQT (tables may arrive between scans)
+            j = 0
+            while j < len(seg):
+                pq, tq = seg[j] >> 4, seg[j] & 0x0F
+                j += 1
+                if pq == 0:
+                    vals = list(seg[j : j + 64])
+                    j += 64
+                else:
+                    vals = [
+                        struct.unpack(">H", seg[j + 2 * t : j + 2 * t + 2])[0]
+                        for t in range(64)
+                    ]
+                    j += 128
+                if len(vals) < 64:
+                    return None
+                qt[tq] = vals
+        elif marker == 0xC4:  # DHT
+            j = 0
+            while j + 17 <= len(seg):
+                tc, th = seg[j] >> 4, seg[j] & 0x0F
+                counts = list(seg[j + 1 : j + 17])
+                total = sum(counts)
+                symbols = seg[j + 17 : j + 17 + total]
+                if len(symbols) < total:
+                    return None
+                (huff_dc if tc == 0 else huff_ac)[th] = _build_huffman(
+                    counts, symbols
+                )
+                j += 17 + total
+        elif marker == 0xC2:  # SOF2
+            if seg[0] != 8:
+                return None  # 12-bit precision unsupported
+            h, w = struct.unpack(">HH", seg[1:5])
+            nc = seg[5]
+            if nc == 0 or nc > 4 or w == 0 or h == 0 or w * h > max_pixels:
+                return None
+            comps = []
+            for ci in range(nc):
+                cid, samp, tq = seg[6 + 3 * ci : 9 + 3 * ci]
+                comps.append(
+                    {"id": cid, "h": samp >> 4, "v": samp & 0x0F, "tq": tq}
+                )
+                if comps[-1]["h"] not in (1, 2, 4) or comps[-1]["v"] not in (1, 2, 4):
+                    return None
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            mcux = (w + 8 * hmax - 1) // (8 * hmax)
+            mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+            for ci, c in enumerate(comps):
+                bw, bh = mcux * c["h"], mcuy * c["v"]
+                cw = (w * c["h"] + hmax - 1) // hmax
+                ch = (h * c["v"] + vmax - 1) // vmax
+                state[ci] = {
+                    "bw": bw,  # MCU-padded block grid (interleaved order)
+                    "bh": bh,
+                    "bw_ni": (cw + 7) // 8,  # the component's own grid
+                    "bh_ni": (ch + 7) // 8,  # (non-interleaved scans)
+                    "coef": np.zeros((bw * bh, 64), dtype=np.int32),
+                }
+        elif marker in (0xC0, 0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                        0xCB, 0xCD, 0xCE, 0xCF):
+            return None  # a second, non-progressive SOF is malformed
+        elif marker == 0xDD:
+            (restart_interval,) = struct.unpack(">H", seg[0:2])
+        elif marker == 0xDA:  # SOS: entropy-decode one scan
+            if not comps:
+                return None
+            ns = seg[0]
+            scan = []
+            for s in range(ns):
+                cs, tds = seg[1 + 2 * s], seg[2 + 2 * s]
+                ci = next(
+                    (k for k, c in enumerate(comps) if c["id"] == cs), None
+                )
+                if ci is None:
+                    return None
+                scan.append((ci, tds >> 4, tds & 0x0F))
+            ss, se, a = seg[1 + 2 * ns], seg[2 + 2 * ns], seg[3 + 2 * ns]
+            ah, al = a >> 4, a & 0x0F
+            br = _BitReader(payload, i + 2 + seglen)
+            if not _progressive_scan(
+                br, comps, state, scan, ss, se, ah, al,
+                restart_interval, huff_dc, huff_ac, mcux, mcuy,
+            ):
+                return None
+            br.align()
+            i = br.pos  # resume the walk at the marker ending the scan
+            continue
+        i += 2 + seglen
+
+    if not comps or w == 0:
+        return None
+    planes = []
+    for ci, c in enumerate(comps):
+        if c["tq"] not in qt:
+            return None
+        st = state[ci]
+        qnat = np.zeros(64, dtype=np.int64)
+        for k in range(64):
+            qnat[ZIGZAG[k]] = qt[c["tq"]][k]
+        blocks = (st["coef"].astype(np.float64) * qnat).reshape(-1, 8, 8)
+        spatial = _idct_blocks(blocks) + 128.0
+        plane = np.zeros((st["bh"] * 8, st["bw"] * 8), dtype=np.float64)
+        for bi in range(st["bh"] * st["bw"]):
+            by, bx = divmod(bi, st["bw"])
+            plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = spatial[bi]
+        ry, rx = vmax // c["v"], hmax // c["h"]
+        if ry > 1 or rx > 1:
+            plane = np.repeat(np.repeat(plane, ry, axis=0), rx, axis=1)
+        planes.append(plane[:h, :w])
+    return _planes_to_rgb(planes, w, h)
+
+
+def _progressive_scan(
+    br, comps, state, scan, ss, se, ah, al,
+    restart_interval, huff_dc, huff_ac, mcux, mcuy,
+) -> bool:
+    """Entropy-decode one progressive scan into the per-component raw
+    coefficient arrays. Returns False on malformed data."""
+    interleaved = len(scan) > 1
+    if ss == 0 and se != 0:
+        return False  # a DC scan is exactly Ss=Se=0
+    if ss != 0 and interleaved:
+        return False  # AC scans are single-component (G.1.1.1.1)
+    preds = {ci: 0 for ci, _, _ in scan}
+    eobrun = 0
+
+    def dc_block(ci, td, bi) -> bool:
+        coef = state[ci]["coef"]
+        if ah == 0:  # first DC scan: huffman diff, scaled by 2^Al
+            table = huff_dc.get(td)
+            if table is None:
+                return False
+            s = _decode_symbol(br, table)
+            if s is None:
+                return False
+            bits = br.read_bits(s) if s else 0
+            if bits is None:
+                return False
+            preds[ci] += _extend(bits, s)
+            coef[bi, 0] = preds[ci] << al
+        else:  # refinement: one raw bit ORs into bit Al
+            bit = br.read_bit()
+            if bit is None:
+                return False
+            if bit:
+                coef[bi, 0] |= 1 << al
+        return True
+
+    def ac_block_first(ci, ta, bi) -> bool:
+        nonlocal eobrun
+        coef = state[ci]["coef"]
+        table = huff_ac.get(ta)
+        if table is None:
+            return False
+        if eobrun > 0:
+            eobrun -= 1
+            return True
+        k = ss
+        while k <= se:
+            sym = _decode_symbol(br, table)
+            if sym is None:
+                return False
+            r, s = sym >> 4, sym & 0x0F
+            if s == 0:
+                if r == 15:  # ZRL
+                    k += 16
+                    continue
+                eobrun = (1 << r) - 1  # current block is a member
+                if r:
+                    bits = br.read_bits(r)
+                    if bits is None:
+                        return False
+                    eobrun += bits
+                break
+            k += r
+            if k > se:
+                return False
+            bits = br.read_bits(s)
+            if bits is None:
+                return False
+            coef[bi, ZIGZAG[k]] = _extend(bits, s) << al
+            k += 1
+        return True
+
+    def ac_block_refine(ci, ta, bi) -> bool:
+        nonlocal eobrun
+        coef = state[ci]["coef"]
+        table = huff_ac.get(ta)
+        if table is None:
+            return False
+        p1 = 1 << al
+        m1 = -1 << al
+        k = ss
+
+        def refine_nonzero(idx) -> bool:
+            bit = br.read_bit()
+            if bit is None:
+                return False
+            c = int(coef[bi, idx])
+            if bit and (c & p1) == 0:
+                coef[bi, idx] = c + (p1 if c >= 0 else m1)
+            return True
+
+        if eobrun == 0:
+            while k <= se:
+                sym = _decode_symbol(br, table)
+                if sym is None:
+                    return False
+                r, s = sym >> 4, sym & 0x0F
+                val = 0
+                if s == 0:
+                    if r < 15:
+                        # refine-pass EOB counts the CURRENT block too:
+                        # the tail loop below refines it, then decrements
+                        eobrun = 1 << r
+                        if r:
+                            bits = br.read_bits(r)
+                            if bits is None:
+                                return False
+                            eobrun += bits
+                        break
+                    # r == 15 (ZRL): pass over 16 zero-history coefs
+                else:
+                    if s != 1:
+                        return False  # refine can only create ±1<<Al
+                    bit = br.read_bit()
+                    if bit is None:
+                        return False
+                    val = p1 if bit else m1
+                # advance: correction bits for nonzeros, count r zeros
+                while k <= se:
+                    idx = ZIGZAG[k]
+                    if coef[bi, idx] != 0:
+                        if not refine_nonzero(idx):
+                            return False
+                    else:
+                        if r == 0:
+                            break
+                        r -= 1
+                    k += 1
+                if val != 0:
+                    if k > se:
+                        return False
+                    coef[bi, ZIGZAG[k]] = val
+                k += 1
+        if eobrun > 0:
+            while k <= se:  # band remainder: refine existing nonzeros
+                idx = ZIGZAG[k]
+                if coef[bi, idx] != 0:
+                    if not refine_nonzero(idx):
+                        return False
+                k += 1
+            eobrun -= 1
+        return True
+
+    def decode_unit(unit_idx) -> bool:
+        if interleaved:  # DC scan over full MCUs, dummy blocks included
+            my, mx = divmod(unit_idx, mcux)
+            for ci, td, _ta in scan:
+                c = comps[ci]
+                bw = state[ci]["bw"]
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        bi = (my * c["v"] + by) * bw + (mx * c["h"] + bx)
+                        if not dc_block(ci, td, bi):
+                            return False
+            return True
+        # non-interleaved: raster over the component's OWN grid, mapped
+        # into the MCU-padded coefficient array
+        ci, td, ta = scan[0]
+        st = state[ci]
+        by, bx = divmod(unit_idx, st["bw_ni"])
+        bi = by * st["bw"] + bx
+        if ss == 0:
+            return dc_block(ci, td, bi)
+        if ah == 0:
+            return ac_block_first(ci, ta, bi)
+        return ac_block_refine(ci, ta, bi)
+
+    if interleaved:
+        n_units = mcux * mcuy
+    else:
+        st0 = state[scan[0][0]]
+        n_units = st0["bw_ni"] * st0["bh_ni"]
+
+    mcu_count = 0
+    for u in range(n_units):
+        if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+            if not br.sync_restart():
+                return False
+            for ci in preds:
+                preds[ci] = 0
+            eobrun = 0
+        if not decode_unit(u):
+            return False
+        mcu_count += 1
+    return True

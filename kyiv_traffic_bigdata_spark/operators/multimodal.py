@@ -235,9 +235,11 @@ def extract_media_features(media: DataFrame) -> DataFrame:
 # Resize / frame-sample — the remaining multimodal pipeline stages.
 # Real where stdlib byte math suffices (uncompressed 24-bit BMP resize,
 # GIF LZW frame decode/resize/sampling, PNG zlib+unfilter decode, WAV
-# PCM windowing); `needs_codec` only for JPEG (DCT entropy coding) when
-# the optional codec probe (Pillow) finds nothing — the plumbing
-# (schema, Arrow batching, partitioning) is identical either way.
+# PCM windowing, baseline AND progressive JPEG via operators/jpeg.py);
+# `needs_codec` only for the residue no shipped decoder handles
+# (arithmetic/12-bit JPEG, 16-bit/Adam7 PNG) when the optional codec
+# probe (Pillow) finds nothing — the plumbing (schema, Arrow batching,
+# partitioning) is identical either way.
 # ---------------------------------------------------------------------------
 
 RESIZED_IMAGE_SCHEMA = T.StructType(
@@ -691,12 +693,12 @@ def _resize_with_codec(b: bytes, out_w: int, out_h: int) -> bytes | None:
 def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
     """Arrow-batched image resize stage. Per row: a real resized BMP
     (status ``resized`` — uncompressed BMPs, GIFs via stdlib LZW, PNGs
-    via stdlib zlib+unfilter, baseline JPEGs via the stdlib+numpy
-    decoder in operators/jpeg.py), ``needs_codec`` only for the exotic
-    residue no available decoder handles (progressive/12-bit JPEG
-    without Pillow; 16-bit/Adam7 PNG; corrupt entropy streams),
-    ``unsupported`` otherwise — log-and-continue, never a failed
-    batch."""
+    via stdlib zlib+unfilter, baseline AND progressive JPEGs via the
+    stdlib+numpy decoder in operators/jpeg.py), ``needs_codec`` only
+    for the exotic residue no available decoder handles
+    (arithmetic/12-bit JPEG without Pillow; 16-bit/Adam7 PNG; corrupt
+    entropy streams), ``unsupported`` otherwise — log-and-continue,
+    never a failed batch."""
     from .jpeg import decode_jpeg_pixels
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

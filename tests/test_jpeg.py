@@ -450,3 +450,389 @@ def test_resize_images_decodes_jpeg_for_real(spark):
     assert row.status == "resized"
     meta = try_decode_header(bytes(row.payload))
     assert meta["format"] == "bmp" and meta["width"] == 2 and meta["height"] == 2
+
+
+# ---------------------------------------------------------------------------
+# progressive encoder (spec G.1.2 scan scripts; jcphuff's EOB-run and
+# buffered-correction-bit bookkeeping) — shares only the tables and the
+# bit-writer with the baseline encoder, nothing with the decoder.
+# ---------------------------------------------------------------------------
+
+#: Flat canonical AC table for progressive scans: Annex K's baseline AC
+#: table lacks the EOBn symbols ((r<<4)|0 for r>0), so cover every
+#: symbol a progressive AC scan can emit with 9-bit codes (208 < 512,
+#: no all-ones code).
+_PROG_AC_SYMBOLS = bytes(
+    [(r << 4) | s for r in range(16) for s in range(1, 13)]
+    + [(r << 4) for r in range(15)]
+    + [0xF0]
+)
+_PROG_AC_COUNTS = [0] * 8 + [len(_PROG_AC_SYMBOLS)] + [0] * 7
+_PROG_AC_CODES = _codes(_PROG_AC_COUNTS, _PROG_AC_SYMBOLS)
+
+
+class _ProgScanWriter:
+    """One progressive scan's emission state: huffman symbols, raw
+    bits, pending EOB run and its buffered correction bits."""
+
+    def __init__(self, bw):
+        self.bw = bw
+        self.eobrun = 0
+        self.be = []
+
+    def sym(self, s):
+        ln, code = _PROG_AC_CODES[s]
+        self.bw.put(code, ln)
+
+    def flush_eobrun(self):
+        if self.eobrun > 0:
+            nb = self.eobrun.bit_length() - 1
+            self.sym(nb << 4)
+            if nb:
+                self.bw.put(self.eobrun - (1 << nb), nb)
+            self.eobrun = 0
+        for b in self.be:
+            self.bw.put(b, 1)
+        self.be = []
+
+
+def encode_progressive_jpeg(
+    rgb, q=4, gray=False, subsample=False, restart=0,
+    dc_al=1, ac_al=1, bands=((1, 5), (6, 63)),
+):
+    """rgb (h, w, 3) uint8 -> PROGRESSIVE (SOF2) JPEG bytes.
+
+    Scan script: interleaved DC first (Al=dc_al) → per-component AC
+    first scans per spectral band (Al=ac_al) → DC refinement bit scans
+    down to bit 0 → AC refinement scans down to bit 0. With
+    dc_al=ac_al=0 this degenerates to spectral selection only. Since
+    every bit is eventually delivered, the decoded coefficients equal
+    the baseline encoder's — decode output must be IDENTICAL."""
+    h, w = rgb.shape[:2]
+    C = _dct_matrix()
+    qtab = [q] * 64
+
+    r_ = rgb[:, :, 0].astype(np.float64)
+    g_ = rgb[:, :, 1].astype(np.float64)
+    b_ = rgb[:, :, 2].astype(np.float64)
+    y = 0.299 * r_ + 0.587 * g_ + 0.114 * b_
+    cb = 128.0 - 0.168736 * r_ - 0.331264 * g_ + 0.5 * b_
+    cr = 128.0 + 0.5 * r_ - 0.418688 * g_ - 0.081312 * b_
+
+    if gray:
+        comps = [{"plane": y, "h": 1, "v": 1}]
+    elif subsample:
+        comps = [
+            {"plane": y, "h": 2, "v": 2},
+            {"plane": cb[::2, ::2], "h": 1, "v": 1},
+            {"plane": cr[::2, ::2], "h": 1, "v": 1},
+        ]
+    else:
+        comps = [
+            {"plane": y, "h": 1, "v": 1},
+            {"plane": cb, "h": 1, "v": 1},
+            {"plane": cr, "h": 1, "v": 1},
+        ]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+
+    for c in comps:
+        pw, ph = 8 * mcux * c["h"], 8 * mcuy * c["v"]
+        plane = np.full((ph, pw), 128.0)
+        src = c["plane"]
+        plane[: src.shape[0], : src.shape[1]] = src
+        plane[src.shape[0]:, : src.shape[1]] = src[-1:, :]
+        plane[:, src.shape[1]:] = plane[:, src.shape[1] - 1 : src.shape[1]]
+        bwb, bhb = pw // 8, ph // 8
+        zz = np.zeros((bhb * bwb, 64), dtype=np.int64)
+        for byi in range(bhb):
+            for bxi in range(bwb):
+                blk = plane[byi * 8 : byi * 8 + 8, bxi * 8 : bxi * 8 + 8] - 128.0
+                coefn = C @ blk @ C.T
+                zz[byi * bwb + bxi] = [
+                    int(np.round(coefn.flat[ZIGZAG[k]] / qtab[k]))
+                    for k in range(64)
+                ]
+        c["zz"], c["bw"], c["bh"] = zz, bwb, bhb
+        cw = (w * c["h"] + hmax - 1) // hmax
+        ch = (h * c["v"] + vmax - 1) // vmax
+        c["bw_ni"], c["bh_ni"] = (cw + 7) // 8, (ch + 7) // 8
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + struct.pack(">H", 2 + 1 + 64) + bytes([0]) + bytes(qtab)
+    nc = len(comps)
+    sof = struct.pack(">BHHB", 8, h, w, nc)
+    for idx, c in enumerate(comps):
+        sof += bytes([idx + 1, (c["h"] << 4) | c["v"], 0])
+    out += b"\xff\xc2" + struct.pack(">H", 2 + len(sof)) + sof
+    dcseg = bytes([0x00]) + bytes(_DC_COUNTS) + _DC_SYMBOLS
+    acseg = bytes([0x10]) + bytes(_PROG_AC_COUNTS) + _PROG_AC_SYMBOLS
+    out += b"\xff\xc4" + struct.pack(">H", 2 + len(dcseg)) + dcseg
+    out += b"\xff\xc4" + struct.pack(">H", 2 + len(acseg)) + acseg
+    if restart:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart)
+
+    def sos_header(comp_specs, ss, se, ah, al):
+        seg = bytes([len(comp_specs)])
+        for idx, td, ta in comp_specs:
+            seg += bytes([idx + 1, (td << 4) | ta])
+        seg += bytes([ss, se, (ah << 4) | al])
+        return b"\xff\xda" + struct.pack(">H", 2 + len(seg)) + seg
+
+    def dc_first_scan(al):
+        nonlocal out
+        out += sos_header([(i, 0, 0) for i in range(nc)], 0, 0, 0, al)
+        bw = _BitWriter()
+        preds = [0] * nc
+        rst = mcu_i = 0
+        for my in range(mcuy):
+            for mx in range(mcux):
+                if restart and mcu_i and mcu_i % restart == 0:
+                    bw.flush()
+                    bw.out += bytes([0xFF, 0xD0 + (rst % 8)])
+                    rst += 1
+                    preds = [0] * nc
+                for ci, c in enumerate(comps):
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            bi = (my * c["v"] + by) * c["bw"] + (mx * c["h"] + bx)
+                            dc = int(c["zz"][bi, 0]) >> al  # arithmetic
+                            diff = dc - preds[ci]
+                            preds[ci] = dc
+                            size, bits = _magnitude(diff)
+                            ln, code = _DC_CODES[size]
+                            bw.put(code, ln)
+                            if size:
+                                bw.put(bits, size)
+                mcu_i += 1
+        bw.flush()
+        out += bw.out
+
+    class _Restarter:
+        """DRI applies to EVERY scan: emit RSTn each `restart` MCUs
+        (flushing any pending EOB run + padding first)."""
+
+        def __init__(self, bw, sw=None):
+            self.bw, self.sw = bw, sw
+            self.mcu = 0
+            self.rst = 0
+
+        def tick(self):
+            if restart and self.mcu and self.mcu % restart == 0:
+                if self.sw is not None:
+                    self.sw.flush_eobrun()
+                self.bw.flush()
+                self.bw.out += bytes([0xFF, 0xD0 + (self.rst % 8)])
+                self.rst += 1
+                return True
+            return False
+
+        def advance(self):
+            self.mcu += 1
+
+    def dc_refine_scan(al):
+        nonlocal out
+        out += sos_header([(i, 0, 0) for i in range(nc)], 0, 0, al + 1, al)
+        bw = _BitWriter()
+        rs = _Restarter(bw)
+        for my in range(mcuy):
+            for mx in range(mcux):
+                rs.tick()
+                for c in comps:
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            bi = (my * c["v"] + by) * c["bw"] + (mx * c["h"] + bx)
+                            bw.put((int(c["zz"][bi, 0]) >> al) & 1, 1)
+                rs.advance()
+        bw.flush()
+        out += bw.out
+
+    def ac_first_scan(ci, ss, se, al):
+        nonlocal out
+        c = comps[ci]
+        out += sos_header([(ci, 0, 0)], ss, se, 0, al)
+        bw = _BitWriter()
+        sw = _ProgScanWriter(bw)
+        rs = _Restarter(bw, sw)
+        for byi in range(c["bh_ni"]):
+            for bxi in range(c["bw_ni"]):
+                rs.tick()
+                rs.advance()
+                zz = c["zz"][byi * c["bw"] + bxi]
+                r = 0
+                wrote = False
+                for k in range(ss, se + 1):
+                    v = int(zz[k])
+                    v = (abs(v) >> al) * (1 if v >= 0 else -1)  # point xform
+                    if v == 0:
+                        r += 1
+                        continue
+                    sw.flush_eobrun()
+                    while r > 15:
+                        sw.sym(0xF0)
+                        r -= 16
+                    size, bits = _magnitude(v)
+                    sw.sym((r << 4) | size)
+                    bw.put(bits, size)
+                    r = 0
+                    wrote = True
+                if r > 0 or not wrote:
+                    sw.eobrun += 1
+                    if sw.eobrun == 0x7FFF:
+                        sw.flush_eobrun()
+        sw.flush_eobrun()
+        bw.flush()
+        out += bw.out
+
+    def ac_refine_scan(ci, ss, se, al):
+        nonlocal out
+        c = comps[ci]
+        out += sos_header([(ci, 0, 0)], ss, se, al + 1, al)
+        bw = _BitWriter()
+        sw = _ProgScanWriter(bw)
+        rs = _Restarter(bw, sw)
+        for byi in range(c["bh_ni"]):
+            for bxi in range(c["bw_ni"]):
+                rs.tick()
+                rs.advance()
+                zz = c["zz"][byi * c["bw"] + bxi]
+                absv = [abs(int(zz[k])) >> al for k in range(64)]
+                eob_k = ss - 1  # index of last newly-nonzero coef
+                for k in range(ss, se + 1):
+                    if absv[k] == 1:
+                        eob_k = k
+                r = 0
+                br_bits = []
+                for k in range(ss, se + 1):
+                    t = absv[k]
+                    if t == 0:
+                        r += 1
+                        continue
+                    while r > 15 and k <= eob_k:
+                        sw.flush_eobrun()
+                        sw.sym(0xF0)
+                        r -= 16
+                        for b in br_bits:
+                            bw.put(b, 1)
+                        br_bits = []
+                    if t > 1:  # previously-significant: correction bit
+                        br_bits.append(t & 1)
+                        continue
+                    sw.flush_eobrun()
+                    sw.sym((r << 4) | 1)
+                    bw.put(1 if int(zz[k]) >= 0 else 0, 1)
+                    for b in br_bits:
+                        bw.put(b, 1)
+                    br_bits = []
+                    r = 0
+                if r > 0 or br_bits:
+                    sw.eobrun += 1
+                    sw.be.extend(br_bits)
+                    if sw.eobrun == 0x7FFF:
+                        sw.flush_eobrun()
+        sw.flush_eobrun()
+        bw.flush()
+        out += bw.out
+
+    dc_first_scan(dc_al)
+    for ci in range(nc):
+        for (ss, se) in bands:
+            ac_first_scan(ci, ss, se, ac_al)
+    for al in range(dc_al - 1, -1, -1):
+        dc_refine_scan(al)
+    for al in range(ac_al - 1, -1, -1):
+        for ci in range(nc):
+            for (ss, se) in bands:
+                ac_refine_scan(ci, ss, se, al)
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def test_progressive_spectral_selection_only_equals_baseline():
+    """Spectral selection without successive approximation: the decoded
+    pixels must be IDENTICAL to the baseline encode→decode of the same
+    image (same quantized coefficients, same IDCT)."""
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, size=(24, 20, 3)).astype(np.uint8)
+    base = _decode_to_array(encode_baseline_jpeg(img, q=4))
+    prog = _decode_to_array(
+        encode_progressive_jpeg(img, q=4, dc_al=0, ac_al=0)
+    )
+    assert (prog == base).all()
+
+
+def test_progressive_successive_approximation_equals_baseline():
+    """Full progressive (spectral selection + successive approximation
+    down to bit 0): every coefficient bit is eventually delivered, so
+    the decode must again be bit-identical to baseline."""
+    rng = np.random.default_rng(6)
+    img = rng.integers(0, 256, size=(17, 23, 3)).astype(np.uint8)
+    base = _decode_to_array(encode_baseline_jpeg(img, q=2))
+    prog = _decode_to_array(
+        encode_progressive_jpeg(img, q=2, dc_al=1, ac_al=1)
+    )
+    assert (prog == base).all()
+    # deeper approximation + single band
+    prog2 = _decode_to_array(
+        encode_progressive_jpeg(img, q=2, dc_al=2, ac_al=2, bands=((1, 63),))
+    )
+    assert (prog2 == base).all()
+
+
+def test_progressive_gray_subsampled_and_restart():
+    yy = (np.arange(24)[:, None] * 9 % 256).astype(np.uint8)
+    img = np.repeat(np.repeat(yy[:, :, None], 20, axis=1), 3, axis=2)
+    base = _decode_to_array(encode_baseline_jpeg(img, q=2, gray=True))
+    prog = _decode_to_array(encode_progressive_jpeg(img, q=2, gray=True))
+    assert (prog == base).all()
+
+    flat = np.zeros((24, 24, 3), np.uint8)
+    for i in range(24):
+        v = 40 + 7 * i
+        flat[i, :, :] = (v, v, v)
+    base420 = _decode_to_array(encode_baseline_jpeg(flat, q=4, subsample=True))
+    prog420 = _decode_to_array(
+        encode_progressive_jpeg(flat, q=4, subsample=True)
+    )
+    assert (prog420 == base420).all()
+
+    # restart markers in the interleaved DC scan
+    rst = _decode_to_array(encode_progressive_jpeg(img, q=2, gray=True, restart=2))
+    assert (rst == base).all()
+
+
+def test_progressive_truncation_and_fuzz_never_raise():
+    """Prefix decode: cutting a progressive file after any scan still
+    decodes (lower quality, never an exception); random byte damage
+    never raises (same contract as baseline)."""
+    import random
+
+    img = np.full((16, 16, 3), 120, np.uint8)
+    base = encode_progressive_jpeg(img, q=4)
+    rng = random.Random(33)
+    for _ in range(80):
+        b = bytearray(base)
+        for _ in range(rng.randint(1, 6)):
+            b[rng.randrange(len(b))] = rng.randrange(256)
+        cut = rng.randrange(len(b) + 1)
+        try:
+            decode_jpeg_pixels(bytes(b[:cut]))
+        except Exception as exc:  # noqa: BLE001
+            pytest.fail(f"decoder raised on fuzzed progressive input: {exc!r}")
+
+
+def test_progressive_flows_through_resize_images(spark):
+    """The multimodal pipeline upgrade: a progressive payload now
+    resizes for real instead of landing in needs_codec."""
+    from kyiv_traffic_bigdata_spark.operators.multimodal import resize_images
+
+    img = np.zeros((8, 8, 3), np.uint8)
+    img[:4, :4] = (200, 50, 50)
+    payload = encode_progressive_jpeg(img, q=2)
+    df = spark.createDataFrame(
+        [(1, bytearray(payload))], "media_id long, payload binary"
+    )
+    row = resize_images(df, 2, 2).collect()[0]
+    assert row.status == "resized"
