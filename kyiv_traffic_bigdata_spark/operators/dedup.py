@@ -264,41 +264,38 @@ def containment_pairs(
     (a short doc copied inside a long one) which symmetric Jaccard
     dilutes to ~|A|/|B| and misses entirely.
 
-    Same skew-safe two-phase shape as ngram_jaccard_pairs: candidates
-    from the rare-shingle (df ≤ ``max_doc_freq``) inverted-index
-    self-join — bounded by cap·|index|, never the df² of a boilerplate
-    phrase — then the EXACT full-set intersection computed only for
-    candidates (candidates ⋈ index ⋈ index, jaccard_verify's join
-    discipline). Emits one row per unordered pair (id_a < id_b) whose
-    max directed containment ≥ ``threshold``, with both directions.
-    Recall loss: only pairs sharing exclusively hot shingles (which
-    carry no dup signal by construction).
+    Same skew-safe single-pass shape as ngram_jaccard_pairs: the
+    rare-shingle (df ≤ ``max_doc_freq``) inverted-index self-join
+    counts each pair's rare intersection DIRECTLY (groupBy pair — no
+    distinct, no second join against the index), and exactness is
+    restored by hot-shingle completion (``n_inter = n_rare +
+    |hot_A ∩ hot_B|`` over tiny per-doc above-cap arrays). Join volume
+    is bounded by cap·|index|, never the df² of a boilerplate phrase.
+    Emits one row per unordered pair (id_a < id_b) whose max directed
+    containment ≥ ``threshold``, with both directions. Recall loss:
+    only pairs sharing exclusively hot shingles (which carry no dup
+    signal by construction).
     """
     idx = shingle_index(docs, id_col, text_col, ngram).transform(stage)
     dfreq = idx.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+    sizes = idx.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     rare = dfreq.where(F.col("_df") <= max_doc_freq).select("shingle")
+    hot_arrs = (
+        idx.join(dfreq.where(F.col("_df") > max_doc_freq).select("shingle"), "shingle")
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("shingle")).alias("hot"))
+    )
     pruned = idx.join(rare, "shingle")
     a, b = pruned.alias("a"), pruned.alias("b")
-    candidates = (
+    pairs = (
         a.join(b, "shingle")
         .where(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
-        .distinct()
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_rare"))
     )
-    sizes = idx.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
-    ia, ib = idx.alias("ia"), idx.alias("ib")
-    inter = (
-        candidates.join(ia, F.col("id_a") == F.col("ia.doc_id"))
-        .join(
-            ib,
-            (F.col("id_b") == F.col("ib.doc_id"))
-            & (F.col("ia.shingle") == F.col("ib.shingle")),
-        )
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
-    scored = (
-        inter.join(sizes.withColumnRenamed("doc_id", "id_a"), "id_a")
+    empty = F.array().cast("array<string>")
+    joined = (
+        pairs.join(sizes.withColumnRenamed("doc_id", "id_a"), "id_a")
         .withColumnRenamed("n_shingles", "n_a")
         .join(
             sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed(
@@ -306,16 +303,38 @@ def containment_pairs(
             ),
             "id_b",
         )
+        .join(
+            hot_arrs.withColumnRenamed("doc_id", "id_a").withColumnRenamed(
+                "hot", "hot_a"
+            ),
+            "id_a",
+            "left",
+        )
+        .join(
+            hot_arrs.withColumnRenamed("doc_id", "id_b").withColumnRenamed(
+                "hot", "hot_b"
+            ),
+            "id_b",
+            "left",
+        )
+        .withColumn("hot_a", F.coalesce(F.col("hot_a"), empty))
+        .withColumn("hot_b", F.coalesce(F.col("hot_b"), empty))
+    )
+    # upper bound prunes before the array intersect: containment is
+    # increasing in n_inter and n_inter <= n_rare + min(|hot_a|,|hot_b|)
+    ub = F.col("n_rare") + F.least(F.size("hot_a"), F.size("hot_b"))
+    ub_c = F.greatest(
+        ub / F.col("n_a").cast("double"), ub / F.col("n_b").cast("double")
+    )
+    n_inter = F.col("n_rare") + F.size(F.array_intersect("hot_a", "hot_b"))
+    scored = (
+        joined.where(ub_c >= F.lit(threshold))
         .select(
             "id_a",
             "id_b",
-            F.col("n_inter").cast("long").alias("n_inter"),
-            round6(F.col("n_inter") / F.col("n_a").cast("double")).alias(
-                "c_a_in_b"
-            ),
-            round6(F.col("n_inter") / F.col("n_b").cast("double")).alias(
-                "c_b_in_a"
-            ),
+            n_inter.cast("long").alias("n_inter"),
+            round6(n_inter / F.col("n_a").cast("double")).alias("c_a_in_b"),
+            round6(n_inter / F.col("n_b").cast("double")).alias("c_b_in_a"),
         )
     )
     return scored.where(
