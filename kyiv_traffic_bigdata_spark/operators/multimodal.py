@@ -9,15 +9,17 @@ row-at-a-time. Two decode tiers:
   dimensions, channels, sample rate, duration parsed from the container
   headers with pure stdlib byte math — PNG, BMP, GIF, JPEG, WAV need no
   codec library at all;
-* **real pixels/samples** where stdlib byte math suffices: uncompressed
-  24-bit BMP resize, GIF87a/89a LZW frame decode + resize + frame
-  sampling (:func:`decode_gif_frames`), WAV PCM windowing;
-* **stub** (:func:`fake_decode_features`): only the entropy-coded
-  formats (PNG deflate+filters, JPEG DCT) still need an actual codec
-  (not bundled here), so their pixel tier stays a clearly-marked
-  deterministic stand-in keeping the Spark-side contract (schema,
-  batching, partition behavior) real and tested — swapping in a real
-  decoder is a one-function change.
+* **real pixels/samples**: uncompressed 24-bit BMP resize, GIF87a/89a
+  LZW frame decode + resize + frame sampling
+  (:func:`decode_gif_frames`), PNG zlib+unfilter decode (8/16-bit,
+  non-interlaced + Adam7, :func:`decode_png_pixels`), baseline AND
+  progressive JPEG (operators/jpeg.py), WAV PCM windowing;
+* **stub** (:func:`fake_decode_features`): a clearly-marked
+  deterministic embedding stand-in for the feature-vector tier (no ML
+  model ships here), keeping the Spark-side contract (schema, batching,
+  partition behavior) real and tested — swapping in a real encoder is a
+  one-function change. The only pixel-tier residue left to an optional
+  codec is arithmetic-coded/12-bit JPEG and 1/2/4-bit PNG depths.
 """
 
 from __future__ import annotations
@@ -237,7 +239,7 @@ def extract_media_features(media: DataFrame) -> DataFrame:
 # GIF LZW frame decode/resize/sampling, PNG zlib+unfilter decode, WAV
 # PCM windowing, baseline AND progressive JPEG via operators/jpeg.py);
 # `needs_codec` only for the residue no shipped decoder handles
-# (arithmetic/12-bit JPEG, 16-bit/Adam7 PNG) when the optional codec
+# (arithmetic/12-bit JPEG, 1/2/4-bit PNG depths) when the optional codec
 # probe (Pillow) finds nothing — the plumbing (schema, Arrow batching,
 # partitioning) is identical either way.
 # ---------------------------------------------------------------------------
@@ -531,18 +533,71 @@ def _resize_gif_first_frame(b: bytes, out_w: int, out_h: int) -> bytes | None:
 
 _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
+#: Adam7 pass origins/steps: (x0, y0, dx, dy) per pass.
+_ADAM7 = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
+
+
+def _png_unfilter(raw: bytes, pos: int, width_bytes: int, rows: int, bpp: int):
+    """Unfilter ``rows`` scanlines of ``width_bytes`` each starting at
+    ``raw[pos]`` (Sub/Up/Average/Paeth). Returns (recon bytes, new pos)
+    or None on truncation/bad filter byte."""
+    if len(raw) - pos < rows * (width_bytes + 1):
+        return None
+    recon = bytearray(rows * width_bytes)
+    for y in range(rows):
+        f = raw[pos]
+        line = raw[pos + 1 : pos + 1 + width_bytes]
+        pos += 1 + width_bytes
+        ro = y * width_bytes
+        po = ro - width_bytes
+        if f == 0:
+            recon[ro : ro + width_bytes] = line
+        elif f == 1:  # Sub
+            for x in range(width_bytes):
+                left = recon[ro + x - bpp] if x >= bpp else 0
+                recon[ro + x] = (line[x] + left) & 0xFF
+        elif f == 2:  # Up
+            for x in range(width_bytes):
+                up = recon[po + x] if y else 0
+                recon[ro + x] = (line[x] + up) & 0xFF
+        elif f == 3:  # Average
+            for x in range(width_bytes):
+                left = recon[ro + x - bpp] if x >= bpp else 0
+                up = recon[po + x] if y else 0
+                recon[ro + x] = (line[x] + ((left + up) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            for x in range(width_bytes):
+                a = recon[ro + x - bpp] if x >= bpp else 0
+                b = recon[po + x] if y else 0
+                c = recon[po + x - bpp] if (y and x >= bpp) else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                recon[ro + x] = (line[x] + pred) & 0xFF
+        else:
+            return None
+    return bytes(recon), pos
+
 
 def decode_png_pixels(
     payload: bytes, max_pixels: int = 1 << 22
 ) -> tuple[int, int, bytes] | None:
     """Real PNG pixel decode (zlib IDAT inflate + Sub/Up/Average/Paeth
     unfilters), returning ``(width, height, rgb24 bytes)``. Supports
-    8-bit depth, color types 0/2/3/4/6 (gray/RGB/palette/gray+alpha/
-    RGBA; alpha dropped), non-interlaced. Returns None for 16-bit,
-    Adam7, or corrupt data — callers fall back to ``needs_codec``.
-    ``max_pixels`` bounds memory (the unfilter loop is Python-level, so
-    the cap is also the CPU bound per row)."""
+    8- and 16-bit depth (16-bit samples keep the high byte — the
+    standard 8-bit reduction), color types 0/2/3/4/6 (gray/RGB/palette/
+    gray+alpha/RGBA; alpha dropped), non-interlaced AND Adam7
+    interlaced (each pass unfiltered as its own sub-image, then
+    deinterlaced into the canvas). Returns None for 1/2/4-bit depths or
+    corrupt data — callers fall back to ``needs_codec``. ``max_pixels``
+    bounds memory (the unfilter loop is Python-level, so the cap is
+    also the CPU bound per row)."""
     import zlib
+
+    import numpy as np
 
     if len(payload) < 8 or payload[:8] != b"\x89PNG\r\n\x1a\n":
         return None
@@ -571,8 +626,12 @@ def decode_png_pixels(
     h = int.from_bytes(ihdr[4:8], "big")
     depth, ctype, comp, filt, interlace = ihdr[8:13]
     channels = _PNG_CHANNELS.get(ctype)
-    if depth != 8 or comp != 0 or filt != 0 or interlace != 0 or channels is None:
+    if depth not in (8, 16) or comp != 0 or filt != 0 or channels is None:
         return None
+    if interlace not in (0, 1):
+        return None
+    if depth == 16 and ctype == 3:
+        return None  # 16-bit palette indices are not legal PNG
     if w <= 0 or h <= 0 or w * h > max_pixels:
         return None
     if ctype == 3 and plte is None:
@@ -581,47 +640,32 @@ def decode_png_pixels(
         raw = zlib.decompress(bytes(idat))
     except Exception:  # noqa: BLE001 — corrupt deflate stream
         return None
-    stride = w * channels
-    if len(raw) < h * (stride + 1):
-        return None
-    bpp = channels
-    recon = bytearray(h * stride)
-    pos = 0
-    for y in range(h):
-        f = raw[pos]
-        line = raw[pos + 1 : pos + 1 + stride]
-        pos += 1 + stride
-        ro = y * stride
-        po = ro - stride
-        if f == 0:
-            recon[ro : ro + stride] = line
-        elif f == 1:  # Sub
-            for x in range(stride):
-                left = recon[ro + x - bpp] if x >= bpp else 0
-                recon[ro + x] = (line[x] + left) & 0xFF
-        elif f == 2:  # Up
-            for x in range(stride):
-                up = recon[po + x] if y else 0
-                recon[ro + x] = (line[x] + up) & 0xFF
-        elif f == 3:  # Average
-            for x in range(stride):
-                left = recon[ro + x - bpp] if x >= bpp else 0
-                up = recon[po + x] if y else 0
-                recon[ro + x] = (line[x] + ((left + up) >> 1)) & 0xFF
-        elif f == 4:  # Paeth
-            for x in range(stride):
-                a = recon[ro + x - bpp] if x >= bpp else 0
-                b = recon[po + x] if y else 0
-                c = recon[po + x - bpp] if (y and x >= bpp) else 0
-                p = a + b - c
-                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                recon[ro + x] = (line[x] + pred) & 0xFF
-        else:
-            return None
-    import numpy as np
+    sb = depth // 8  # bytes per sample
+    bpp = channels * sb
 
-    arr = np.frombuffer(bytes(recon), dtype=np.uint8).reshape(h, w, channels)
+    def to_8bit(buf: bytes, rows: int, cols: int):
+        a = np.frombuffer(buf, dtype=np.uint8).reshape(rows, cols, channels, sb)
+        return a[:, :, :, 0]  # high byte == the 8-bit reduction
+
+    if interlace == 0:
+        res = _png_unfilter(raw, 0, w * bpp, h, bpp)
+        if res is None:
+            return None
+        arr = to_8bit(res[0], h, w)
+    else:  # Adam7: seven independently-filtered sub-images
+        arr = np.zeros((h, w, channels), dtype=np.uint8)
+        pos = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            res = _png_unfilter(raw, pos, pw * bpp, ph, bpp)
+            if res is None:
+                return None
+            sub, pos = res
+            arr[y0:h:dy, x0:w:dx] = to_8bit(sub, ph, pw)
+
     if ctype == 2:
         rgb = arr
     elif ctype == 6:
@@ -696,8 +740,8 @@ def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
     via stdlib zlib+unfilter, baseline AND progressive JPEGs via the
     stdlib+numpy decoder in operators/jpeg.py), ``needs_codec`` only
     for the exotic residue no available decoder handles
-    (arithmetic/12-bit JPEG without Pillow; 16-bit/Adam7 PNG; corrupt
-    entropy streams), ``unsupported`` otherwise — log-and-continue,
+    (arithmetic/12-bit JPEG without Pillow; 1/2/4-bit PNG depths;
+    corrupt entropy streams), ``unsupported`` otherwise — log-and-continue,
     never a failed batch."""
     from .jpeg import decode_jpeg_pixels
 
