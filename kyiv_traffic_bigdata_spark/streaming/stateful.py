@@ -241,6 +241,96 @@ __all__ += ["streaming_sessionize", "make_session_fn", "SESSION_OUTPUT_SCHEMA"]
 
 
 # ---------------------------------------------------------------------------
+# Streaming burst detection (the incremental twin of queries.q_event_bursts)
+# ---------------------------------------------------------------------------
+
+BURST_OUTPUT_SCHEMA = "user_id long, ts_us long, span_us long"
+BURST_STATE_SCHEMA = "hist array<long>"
+
+
+def make_burst_fn(k: int = 3, window_s: int = 14400, state_ttl_s: int = 86400):
+    """Per-key burst detector: an event is BURSTY when it is the k-th
+    event of its user within ``window_s`` seconds — identical semantics
+    to the batch twin's ``lag(k-1)`` window (queries.q_event_bursts),
+    computed incrementally with O(k) state per user (the last k-1 event
+    timestamps).
+
+    Emits one row per burst event with the span back to the (k-1)-th
+    predecessor. State-TTL invariant: with ``state_ttl_s >= window_s``
+    an idle gap long enough to expire the state is also long enough
+    that no burst window can span it, so expiry never loses a burst —
+    the wrapper enforces the inequality.
+    """
+    if k < 2:
+        raise ValueError("k must be >= 2 (a 1-event burst is every event)")
+    if state_ttl_s < window_s:
+        raise ValueError("state_ttl_s must be >= window_s (burst-loss guard)")
+    window_us = window_s * 1_000_000
+
+    def fn(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()  # idle user: history can no longer matter
+            return
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        if rows.empty:
+            state.setTimeoutDuration(state_ttl_s * 1000)
+            return
+        hist = list(state.get[0]) if state.exists else []
+        new_ts = sorted(int(t) for t in rows["ts_us"].to_numpy())
+        chain = hist + new_ts
+        out_ts, out_span = [], []
+        for j in range(len(hist), len(chain)):
+            if j >= k - 1:
+                span = chain[j] - chain[j - (k - 1)]
+                if span <= window_us:
+                    out_ts.append(chain[j])
+                    out_span.append(span)
+        state.update((chain[-(k - 1):],))
+        state.setTimeoutDuration(state_ttl_s * 1000)
+        if out_ts:
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]] * len(out_ts),
+                    "ts_us": out_ts,
+                    "span_us": out_span,
+                }
+            )
+
+    return fn
+
+
+def streaming_event_bursts(
+    events: DataFrame, k: int = 3, window_s: int = 14400,
+    state_ttl_s: int = 86400,
+) -> DataFrame:
+    """Burst events over a STREAMING events frame (append mode — a
+    burst flag on an observed event never changes).
+
+    Input needs (user_id:long, ts_us:long). Caveat shared with
+    streaming_sessionize: events arriving across batches out of
+    timestamp order can flag differently from the batch twin's
+    full-history sort (within one batch they are sorted first).
+    """
+    from .state import configure_state_store
+
+    configure_state_store(events.sparkSession)
+    return events.groupBy("user_id").applyInPandasWithState(
+        make_burst_fn(k, window_s, state_ttl_s),
+        outputStructType=BURST_OUTPUT_SCHEMA,
+        stateStructType=BURST_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
+
+
+__all__ += ["streaming_event_bursts", "make_burst_fn", "BURST_OUTPUT_SCHEMA"]
+
+
+# ---------------------------------------------------------------------------
 # transformWithState twin (the Spark 4 StatefulProcessor API)
 # ---------------------------------------------------------------------------
 

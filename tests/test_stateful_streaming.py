@@ -387,3 +387,140 @@ def test_transform_with_state_matches_group_state_twin(spark, tmp_path):
     # same three pairs (incl. the cross-batch ones) as the GroupState twin
     assert set(rows) == {(1, 1060), (1, 1120), (2, 1060)}
     assert rows[(1, 1120)][0] == 60
+
+
+class _BurstFakeState:
+    def __init__(self, value=None):
+        self._v = value
+        self.hasTimedOut = False
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+
+    def setTimeoutDuration(self, _ms):
+        pass
+
+    def remove(self):
+        self._v = None
+
+
+def test_burst_fn_flags_cross_batch_bursts():
+    """k=3 within 600s: the third event arriving in a LATER batch must
+    still burst against the two remembered timestamps, and state keeps
+    exactly the last k-1."""
+    import pandas as pd
+
+    from kyiv_traffic_bigdata_spark.streaming.stateful import make_burst_fn
+
+    US = 1_000_000
+    fn = make_burst_fn(k=3, window_s=600, state_ttl_s=600)
+    state = _BurstFakeState()
+    out1 = list(
+        fn((7,), iter([pd.DataFrame({"ts_us": [1000 * US, 1100 * US]})]), state)
+    )
+    assert out1 == []  # only two events so far
+    assert list(state.get[0]) == [1000 * US, 1100 * US]
+
+    out2 = list(
+        fn((7,), iter([pd.DataFrame({"ts_us": [1200 * US, 9000 * US]})]), state)
+    )
+    (df,) = out2
+    assert list(df["ts_us"]) == [1200 * US]  # 1200-1000=200s <= 600s
+    assert list(df["span_us"]) == [200 * US]
+    # 9000s is 7800s after its 2-back predecessor: no burst; state slides
+    assert list(state.get[0]) == [1200 * US, 9000 * US]
+
+    # timeout clears history
+    state.hasTimedOut = True
+    assert list(fn((7,), iter([]), state)) == []
+    assert not state.exists
+
+
+def test_burst_fn_matches_batch_window_semantics():
+    """One-batch feed must reproduce the batch twin's lag(k-1) flags
+    exactly (same k/window as q_event_bursts)."""
+    import random
+
+    import pandas as pd
+
+    from kyiv_traffic_bigdata_spark.streaming.stateful import make_burst_fn
+
+    rng = random.Random(3)
+    US = 1_000_000
+    ts = sorted(rng.randrange(0, 100_000) * US for _ in range(60))
+    k, win = 3, 14400
+    fn = make_burst_fn(k=k, window_s=win, state_ttl_s=86400)
+    out = list(fn((1,), iter([pd.DataFrame({"ts_us": ts})]), _BurstFakeState()))
+    got = sorted(t for df in out for t in df["ts_us"])
+    exp = [
+        ts[j]
+        for j in range(len(ts))
+        if j >= k - 1 and ts[j] - ts[j - (k - 1)] <= win * US
+    ]
+    assert got == exp
+
+
+def test_burst_fn_guards():
+    import pytest
+
+    from kyiv_traffic_bigdata_spark.streaming.stateful import make_burst_fn
+
+    with pytest.raises(ValueError):
+        make_burst_fn(k=1)
+    with pytest.raises(ValueError):
+        make_burst_fn(k=3, window_s=600, state_ttl_s=300)
+
+
+def test_streaming_event_bursts_end_to_end(spark, tmp_path):
+    """Real streaming run: two micro-batches; the cross-batch third
+    event must emit a burst row through the full
+    applyInPandasWithState machinery."""
+    import json
+    import time
+
+    from kyiv_traffic_bigdata_spark.streaming.stateful import (
+        streaming_event_bursts,
+    )
+
+    US = 1_000_000
+    src = tmp_path / "src"
+    src.mkdir()
+
+    def write(name, rows):
+        (src / name).write_text(
+            "\n".join(json.dumps({"user_id": u, "ts_us": t}) for u, t in rows)
+        )
+
+    write("b1.json", [(1, 1000 * US), (1, 1100 * US), (2, 5000 * US)])
+    stream = spark.readStream.schema("user_id long, ts_us long").json(str(src))
+    q = (
+        streaming_event_bursts(stream, k=3, window_s=600, state_ttl_s=3600)
+        .writeStream.format("memory")
+        .queryName("bursts")
+        .option("checkpointLocation", str(tmp_path / "ckpt_bursts"))
+        .outputMode("append")
+        .trigger(processingTime="1 seconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 90
+        write("b2.json", [(1, 1200 * US), (2, 5100 * US)])
+        rows = []
+        while time.time() < deadline:
+            rows = spark.sql("SELECT * FROM bursts").collect()
+            if rows:
+                break
+            time.sleep(0.5)
+        assert [(r.user_id, r.ts_us, r.span_us) for r in rows] == [
+            (1, 1200 * US, 200 * US)
+        ]
+    finally:
+        q.stop()
