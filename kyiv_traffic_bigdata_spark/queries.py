@@ -5722,6 +5722,87 @@ FROM yearly
 """
 
 
+#: k-core parameters: peel nodes with degree < KCORE_K for KCORE_ROUNDS
+#: fixed rounds (unrolled in the oracle — the GD-classifier discipline).
+KCORE_K = 2
+KCORE_ROUNDS = 4
+
+
+def q_neardup_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core peel over the near-dup graph — the density signal that
+    separates tight template families (high-core nodes) from stragglers
+    LSH happened to brush against (peeled away). Complements
+    neardup_components (connectivity) and neardup_triangles (local
+    clustering) with the classic global-density decomposition.
+
+    Fixed ``KCORE_ROUNDS`` peel rounds, each removing nodes of degree
+    < ``KCORE_K`` and their edges — deterministic and SQL-unrollable
+    (the doc_quality_classifier discipline); on bounded-diameter dup
+    graphs the peel converges well inside the budget, and both engines
+    compute the identical fixed-depth result regardless.
+
+    Scale: every round is one count aggregate over the CURRENT edge
+    list plus two semi-join-shaped filters — all on the LSH-verified
+    pair list, never the corpus; edges shrink monotonically and each
+    round's frame is staged so the loop's plan stays flat."""
+    from .operators.staging import stage
+
+    pairs = DD.minhash_lsh_pairs(_docs_with_tokens(spark, sf_dir), threshold=0.2)
+    edges = pairs.select(
+        F.col("id_a").alias("lo"), F.col("id_b").alias("hi")
+    ).transform(stage)
+    for _ in range(KCORE_ROUNDS):
+        deg = (
+            edges.select(F.col("lo").alias("v"))
+            .unionAll(edges.select(F.col("hi").alias("v")))
+            .groupBy("v")
+            .agg(F.count(F.lit(1)).alias("_deg"))
+        )
+        keep = deg.where(F.col("_deg") >= KCORE_K).select("v")
+        edges = (
+            edges.join(keep.withColumnRenamed("v", "lo"), "lo")
+            .join(keep.withColumnRenamed("v", "hi"), "hi")
+            .select("lo", "hi")
+            .transform(stage)
+        )
+    return (
+        edges.select(F.col("lo").alias("doc_id"))
+        .unionAll(edges.select(F.col("hi").alias("doc_id")))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("core_deg"))
+    )
+
+
+def _sql_neardup_kcore() -> str:
+    # Each e{r} is referenced three times (degree count + two IN
+    # filters); AS MATERIALIZED stops DuckDB from inlining the chain,
+    # which would re-evaluate the LSH subquery ~3^rounds times.
+    parts = [
+        "WITH pairs AS MATERIALIZED "
+        f"(SELECT id_a AS lo, id_b AS hi FROM ({_sql_minhash_lsh()}) q)",
+        "e0 AS MATERIALIZED (SELECT lo, hi FROM pairs)",
+    ]
+    for r in range(KCORE_ROUNDS):
+        parts.append(
+            f"d{r} AS (SELECT v, COUNT(*) AS deg FROM "
+            f"(SELECT lo AS v FROM e{r} UNION ALL SELECT hi FROM e{r}) GROUP BY v)"
+        )
+        parts.append(f"k{r} AS MATERIALIZED (SELECT v FROM d{r} WHERE deg >= {KCORE_K})")
+        parts.append(
+            f"e{r + 1} AS MATERIALIZED (SELECT lo, hi FROM e{r} "
+            f"WHERE lo IN (SELECT v FROM k{r}) AND hi IN (SELECT v FROM k{r}))"
+        )
+    final = f"e{KCORE_ROUNDS}"
+    return (
+        ",\n".join(parts)
+        + f"""
+SELECT v AS doc_id, CAST(COUNT(*) AS BIGINT) AS core_deg
+FROM (SELECT lo AS v FROM {final} UNION ALL SELECT hi FROM {final})
+GROUP BY v
+"""
+    )
+
+
 #: Constants for the six remaining TPC-H shapes (Q2/Q11/Q12/Q16/Q20/Q21),
 #: adapted to the testdata star schema: there is NO partsupp table, so
 #: supply facts (cost, quantity, the part↔supplier relation) derive from
@@ -6410,6 +6491,7 @@ QUERIES: dict[str, QueryFn] = {
     "doc_containment_dups": q_doc_containment_dups,
     "event_bursts": q_event_bursts,
     "emb_range_search": q_emb_range_search,
+    "neardup_kcore": q_neardup_kcore,
     # (c) r03-stale re-verification (last driver row three rounds old)
     "cosine_topk": q_cosine_topk,
     "doc_exact_dups": q_doc_exact_dups,
@@ -6436,8 +6518,8 @@ QUERIES: dict[str, QueryFn] = {
     "weather_pivot": q_weather_pivot,
     "winnow_fingerprints": q_winnow_fingerprints,
     "winnow_overlap": q_winnow_overlap,
-    # (d) r04-stale re-verification (first 14 alphabetically; the
-    #     remaining 30 rotate in next round)
+    # (d) r04-stale re-verification (first 13 alphabetically; the
+    #     remaining 31 rotate in next round)
     "ann_index_stats": q_ann_index_stats,
     "brand_discount_revenue": q_brand_discount_revenue,
     "clicks_after_error": q_clicks_after_error,
@@ -6451,10 +6533,10 @@ QUERIES: dict[str, QueryFn] = {
     "doc_hash_sample": q_doc_hash_sample,
     "doc_langid_confusion": q_doc_langid_confusion,
     "doc_pii_scrub": q_doc_pii_scrub,
-    "doc_quality_filter": q_doc_quality_filter,
     # ---- slots above are inside the driver's 50-query verification
     # window; everything below holds an r04/r05 driver-green row and
     # rides the driver-faithful local replica until its next rotation ----
+    "doc_quality_filter": q_doc_quality_filter,
     "doc_repeated_spans": q_doc_repeated_spans,
     "doc_repetition_filter": q_doc_repetition_filter,
     "doc_source_drift": q_doc_source_drift,
@@ -6554,6 +6636,7 @@ def build_oracles() -> dict[str, str]:
         "dominant_part_suppliers": SQL_DOMINANT_PART_SUPPLIERS,
         "suppliers_kept_waiting": SQL_SUPPLIERS_KEPT_WAITING,
         "doc_token_entropy": _sql_doc_token_entropy(),
+        "neardup_kcore": _sql_neardup_kcore(),
         "doc_containment_dups": SQL_DOC_CONTAINMENT,
         "event_bursts": SQL_EVENT_BURSTS,
         "emb_range_search": SQL_EMB_RANGE_SEARCH,
