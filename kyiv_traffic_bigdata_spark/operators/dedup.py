@@ -251,6 +251,177 @@ def ngram_jaccard_pairs(
     )
 
 
+def prefix_filter_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """ALL pairs with exact shingle-set Jaccard ≥ ``threshold`` via
+    **lossless prefix filtering** (the AllPairs / PPJoin candidate rule).
+
+    Unlike :func:`ngram_jaccard_pairs` (whose df-cap trades recall on
+    pairs overlapping only in boilerplate) this operator is exact with
+    NO recall caveat: order the shingle universe globally by
+    (document-frequency asc, shingle asc) and keep only each doc's first
+    ``n - ceil(t·n) + 1`` shingles in that order (its *prefix*). Two
+    sets with Jaccard ≥ t must overlap in ≥ ceil(t·n) elements, so by
+    pigeonhole their prefixes share at least one shingle — joining on
+    prefix shingles alone loses nothing. Verification then computes the
+    exact Jaccard from the full sorted shingle arrays.
+
+    Scale shape: the self-join runs ONLY over prefix shingles, and the
+    rarest-first ordering means hot boilerplate shingles are the first
+    ones *excluded* from prefixes — candidate volume is Σ df_p² over
+    near-rarest shingles, the same skew-safety the df-cap buys, but
+    earned without giving up exactness. The per-doc ranking window
+    partitions by doc_id (bounded by doc length); full shingle arrays
+    ride two equi-joins exactly like ngram_jaccard_pairs' hot arrays.
+    """
+    from pyspark.sql.window import Window
+
+    idx = shingle_index(docs, id_col, text_col, ngram).transform(stage)
+    dfreq = idx.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+    arrs = idx.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("shingle")).alias("_arr"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("_df").asc(), F.col("shingle").asc())
+    ranked = (
+        idx.join(dfreq, "shingle")
+        .withColumn("_pos", F.row_number().over(w))
+        .join(arrs.select("doc_id", "_n"), "doc_id")
+    )
+    prefix = ranked.where(
+        F.col("_pos")
+        <= F.col("_n") - F.ceil(F.lit(threshold) * F.col("_n")).cast("long") + F.lit(1)
+    ).select("doc_id", "shingle")
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand = (
+        a.join(b, "shingle")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
+    )
+    n_inter = F.size(F.array_intersect("arr_a", "arr_b"))
+    return (
+        cand.join(
+            arrs.select(
+                F.col("doc_id").alias("id_a"),
+                F.col("_arr").alias("arr_a"),
+                F.col("_n").alias("n_a"),
+            ),
+            "id_a",
+        )
+        .join(
+            arrs.select(
+                F.col("doc_id").alias("id_b"),
+                F.col("_arr").alias("arr_b"),
+                F.col("_n").alias("n_b"),
+            ),
+            "id_b",
+        )
+        .withColumn(
+            "jaccard",
+            round6(
+                n_inter.cast("long")
+                / (F.col("n_a") + F.col("n_b") - n_inter).cast("double")
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def sorted_neighborhood_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram: int = 3,
+    window: int = 3,
+    threshold: float = 0.3,
+) -> DataFrame:
+    """Blocked **sorted-neighborhood** candidate pairs (the classic
+    entity-resolution blocking method): sort records within a blocking
+    key, slide a fixed window down the sort order, and score only
+    records that fall into the same window — O(n·w) comparisons instead
+    of O(n²).
+
+    Block = first token of the normalized text; sort key = the full
+    normalized text (doc_id tie-break, so the order — and therefore the
+    output — is deterministic). Each doc is paired with its next
+    ``window`` neighbors in sort order and scored with the exact
+    shingle-set Jaccard; pairs below ``threshold`` are dropped. This is
+    the *multi-pass blocking* variant: windows never span blocks, which
+    is exactly what makes it scale — the ranking window partitions by
+    block, never one global sort on a single task. Recall is bounded by
+    the blocking choice (documented, standard for the method); exact
+    near-dup recall is ngram_jaccard_pairs / prefix_filter_pairs' job.
+    """
+    from pyspark.sql.window import Window
+    from ..functions.text import normalize_text
+
+    idx = shingle_index(docs, id_col, text_col, ngram).transform(stage)
+    arrs = idx.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("shingle")).alias("_arr"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    base = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            normalize_text(F.col(text_col)).alias("_k"),
+        )
+        .withColumn("_blk", F.substring_index(F.col("_k"), " ", 1))
+        .join(arrs, "doc_id")
+    )
+    w = Window.partitionBy("_blk").orderBy(F.col("_k").asc(), F.col("doc_id").asc())
+    led = base.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("_arr").alias("arr_a"),
+        F.col("_n").alias("n_a"),
+        *[
+            c
+            for i in range(1, window + 1)
+            for c in (
+                F.lead("doc_id", i).over(w).alias(f"_id{i}"),
+                F.lead("_arr", i).over(w).alias(f"_ar{i}"),
+                F.lead("_n", i).over(w).alias(f"_nn{i}"),
+            )
+        ],
+    )
+    neigh = led.select(
+        "id_a",
+        "arr_a",
+        "n_a",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.col(f"_id{i}").alias("id_b"),
+                        F.col(f"_ar{i}").alias("arr_b"),
+                        F.col(f"_nn{i}").alias("n_b"),
+                        F.lit(i).cast("long").alias("gap"),
+                    )
+                    for i in range(1, window + 1)
+                ]
+            )
+        ).alias("nb"),
+    ).select("id_a", "arr_a", "n_a", "nb.*").where(F.col("id_b").isNotNull())
+    n_inter = F.size(F.array_intersect("arr_a", "arr_b"))
+    return (
+        neigh.withColumn(
+            "jaccard",
+            round6(
+                n_inter.cast("long")
+                / (F.col("n_a") + F.col("n_b") - n_inter).cast("double")
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "gap", "jaccard")
+    )
+
+
 def containment_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",

@@ -5803,6 +5803,126 @@ GROUP BY v
     )
 
 
+def q_neardup_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact set-similarity self-join via lossless prefix filtering
+    (AllPairs/PPJoin candidate rule) — ALL pairs with shingle Jaccard
+    ≥ 0.5, no df-cap recall caveat. The oracle is the NAIVE inverted
+    index + full Jaccard (a genuinely independent computation), which
+    the prefix-filtered plan must reproduce exactly."""
+    return DD.prefix_filter_pairs(_docs_with_tokens(spark, sf_dir), threshold=0.5)
+
+
+SQL_PREFIX_PAIRS = f"""
+WITH toks AS (SELECT doc_id, {_toks('text')} AS t FROM documents),
+grams AS (SELECT doc_id, unnest({_SHINGLES.format(t='t')}) AS g FROM toks),
+sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM grams GROUP BY doc_id),
+pr AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS n_inter
+  FROM grams a JOIN grams b ON b.g = a.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+jac AS (
+  SELECT id_a, id_b,
+         {SQL_ROUND6.format(x='CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter)')} AS jaccard
+  FROM pr JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+)
+SELECT * FROM jac WHERE jaccard >= 0.5
+"""
+
+
+def q_sorted_neighborhood_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked sorted-neighborhood entity-resolution candidates: sort
+    within a blocking key (first normalized token), compare each doc to
+    its next 3 neighbors in sort order, keep shingle-Jaccard ≥ 0.3 —
+    O(n·w) comparisons, window partitioned per block."""
+    return DD.sorted_neighborhood_pairs(
+        _docs_with_tokens(spark, sf_dir), window=3, threshold=0.3
+    )
+
+
+SQL_SORTED_NEIGHBORHOOD = f"""
+WITH toks AS (SELECT doc_id, {_toks('text')} AS t FROM documents),
+grams AS (SELECT doc_id, unnest({_SHINGLES.format(t='t')}) AS g FROM toks),
+arrs AS (
+  SELECT doc_id, list(g ORDER BY g) AS arr, CAST(COUNT(*) AS BIGINT) AS n
+  FROM grams GROUP BY doc_id
+),
+base AS (
+  SELECT doc_id, {_norm('text')} AS k,
+         string_split({_norm('text')}, ' ')[1] AS blk
+  FROM documents
+),
+rn AS (
+  -- neighborhood ranks are defined over docs WITH shingles (< n-gram
+  -- length docs have no set to score; the Spark side joins arrs before
+  -- ranking for the same reason)
+  SELECT doc_id, blk,
+         ROW_NUMBER() OVER (PARTITION BY blk ORDER BY k ASC, doc_id ASC) AS r
+  FROM base JOIN arrs USING (doc_id)
+),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(b.r - a.r AS BIGINT) AS gap
+  FROM rn a JOIN rn b ON b.blk = a.blk AND b.r BETWEEN a.r + 1 AND a.r + 3
+),
+jac AS (
+  SELECT id_a, id_b, gap,
+         {SQL_ROUND6.format(x='CAST(len(list_intersect(pa.arr, pb.arr)) AS DOUBLE) / (pa.n + pb.n - len(list_intersect(pa.arr, pb.arr)))')} AS jaccard
+  FROM pairs JOIN arrs pa ON pa.doc_id = id_a JOIN arrs pb ON pb.doc_id = id_b
+)
+SELECT * FROM jac WHERE jaccard >= 0.3
+"""
+
+
+def q_event_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 most common 3-step event paths (consecutive per-user
+    event-type trigrams) — the sequence-mining complement to the
+    first-order Markov matrix.
+
+    Scale: per-user lead window (the bounded axis), hash aggregate on
+    the ≤|types|³ path space, TakeOrderedAndProject for the top-k."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts_us", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts_us").asc(), F.col("event_id").asc()
+    )
+    tri = (
+        ev.withColumn("t1", F.lead("event_type", 1).over(w))
+        .withColumn("t2", F.lead("event_type", 2).over(w))
+        .where(F.col("t1").isNotNull() & F.col("t2").isNotNull())
+        .select(F.col("event_type").alias("t0"), "t1", "t2")
+    )
+    agg = tri.groupBy("t0", "t1", "t2").agg(F.count(F.lit(1)).alias("n_paths"))
+    return top_k(
+        agg,
+        [
+            F.col("n_paths").desc(),
+            F.col("t0").asc(),
+            F.col("t1").asc(),
+            F.col("t2").asc(),
+        ],
+        20,
+    )
+
+
+SQL_EVENT_TOP_PATHS = """
+WITH seq AS (
+  SELECT event_type AS t0,
+         lead(event_type, 1) OVER w AS t1,
+         lead(event_type, 2) OVER w AS t2
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts) ASC, event_id ASC)
+)
+SELECT t0, t1, t2, CAST(COUNT(*) AS BIGINT) AS n_paths
+FROM seq WHERE t1 IS NOT NULL AND t2 IS NOT NULL
+GROUP BY t0, t1, t2
+ORDER BY n_paths DESC, t0 ASC, t1 ASC, t2 ASC
+LIMIT 20
+"""
+
+
 #: Constants for the six remaining TPC-H shapes (Q2/Q11/Q12/Q16/Q20/Q21),
 #: adapted to the testdata star schema: there is NO partsupp table, so
 #: supply facts (cost, quantity, the part↔supplier relation) derive from
@@ -6492,6 +6612,9 @@ QUERIES: dict[str, QueryFn] = {
     "event_bursts": q_event_bursts,
     "emb_range_search": q_emb_range_search,
     "neardup_kcore": q_neardup_kcore,
+    "neardup_prefix_pairs": q_neardup_prefix_pairs,
+    "sorted_neighborhood_pairs": q_sorted_neighborhood_pairs,
+    "event_top_paths": q_event_top_paths,
     # (c) r03-stale re-verification (last driver row three rounds old)
     "cosine_topk": q_cosine_topk,
     "doc_exact_dups": q_doc_exact_dups,
@@ -6518,8 +6641,8 @@ QUERIES: dict[str, QueryFn] = {
     "weather_pivot": q_weather_pivot,
     "winnow_fingerprints": q_winnow_fingerprints,
     "winnow_overlap": q_winnow_overlap,
-    # (d) r04-stale re-verification (first 13 alphabetically; the
-    #     remaining 31 rotate in next round)
+    # (d) r04-stale re-verification (first 10 alphabetically; the
+    #     remaining 34 rotate in next round)
     "ann_index_stats": q_ann_index_stats,
     "brand_discount_revenue": q_brand_discount_revenue,
     "clicks_after_error": q_clicks_after_error,
@@ -6530,12 +6653,12 @@ QUERIES: dict[str, QueryFn] = {
     "doc_data_card": q_doc_data_card,
     "doc_decontaminate": q_doc_decontaminate,
     "doc_gopher_quality": q_doc_gopher_quality,
-    "doc_hash_sample": q_doc_hash_sample,
-    "doc_langid_confusion": q_doc_langid_confusion,
-    "doc_pii_scrub": q_doc_pii_scrub,
     # ---- slots above are inside the driver's 50-query verification
     # window; everything below holds an r04/r05 driver-green row and
     # rides the driver-faithful local replica until its next rotation ----
+    "doc_hash_sample": q_doc_hash_sample,
+    "doc_langid_confusion": q_doc_langid_confusion,
+    "doc_pii_scrub": q_doc_pii_scrub,
     "doc_quality_filter": q_doc_quality_filter,
     "doc_repeated_spans": q_doc_repeated_spans,
     "doc_repetition_filter": q_doc_repetition_filter,
@@ -6637,6 +6760,9 @@ def build_oracles() -> dict[str, str]:
         "suppliers_kept_waiting": SQL_SUPPLIERS_KEPT_WAITING,
         "doc_token_entropy": _sql_doc_token_entropy(),
         "neardup_kcore": _sql_neardup_kcore(),
+        "neardup_prefix_pairs": SQL_PREFIX_PAIRS,
+        "sorted_neighborhood_pairs": SQL_SORTED_NEIGHBORHOOD,
+        "event_top_paths": SQL_EVENT_TOP_PATHS,
         "doc_containment_dups": SQL_DOC_CONTAINMENT,
         "event_bursts": SQL_EVENT_BURSTS,
         "emb_range_search": SQL_EMB_RANGE_SEARCH,

@@ -631,3 +631,45 @@ def test_containment_pairs_no_cartesian(plans):
     plan = plans("doc_containment_dups")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_kcore_peel_equi_joins_only(plans):
+    """k-core: every peel round is a count aggregate + two semi-shaped
+    equi-joins on the staged edge list — no cartesian/nested-loop, and
+    no window at all (degree is an aggregate, not a rank)."""
+    plan = plans("neardup_kcore")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert len(re.findall(r"\(\d+\) Window", plan)) == 0
+
+
+def test_prefix_filter_ranking_window_per_doc_no_cartesian(plans):
+    """Prefix-filter join: the candidate join is an equi-join on prefix
+    shingles and the df-ranking window partitions by doc_id (bounded by
+    doc length) — never an unpartitioned global rank, never a cartesian
+    over docs."""
+    plan = plans("neardup_prefix_pairs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    specs = re.findall(r"windowspecdefinition\(([^,]+),", plan)
+    assert specs and all("doc_id" in s for s in specs), specs
+
+
+def test_sorted_neighborhood_windows_partition_by_block(plans):
+    """Sorted-neighborhood: every lead window partitions by the blocking
+    key — an empty partitionBy here would funnel the whole corpus into
+    one task (the classic global-sort-window scale bug)."""
+    plan = plans("sorted_neighborhood_pairs")
+    assert "CartesianProduct" not in plan
+    specs = re.findall(r"windowspecdefinition\(([^,]+),", plan)
+    assert specs and all("_blk" in s for s in specs), specs
+
+
+def test_top_paths_takeordered_and_per_user_window(plans):
+    """Path mining: the trigram leads run in ONE per-user window pass
+    and the top-20 is a TakeOrderedAndProject, never a global sort."""
+    plan = plans("event_top_paths")
+    assert "TakeOrderedAndProject" in plan
+    specs = re.findall(r"windowspecdefinition\(([^,]+),", plan)
+    assert specs and all("user_id" in s for s in specs), specs
+    assert len(re.findall(r"\(\d+\) Window", plan)) == 1
