@@ -150,6 +150,48 @@ def percent_rank_all(
     return joined.withColumn(rank_alias, rank).drop("_cnt", "_n", "_cum_before")
 
 
+def bottom_k_slab(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    k: int,
+    tiebreak_cols: list[str],
+    ascending: bool = True,
+    n_slabs: int = 32,
+    rank_alias: str = "_rk",
+) -> DataFrame:
+    """Exact per-group k smallest (``ascending``) or largest rows WITHOUT
+    the one-task-per-group global sort.
+
+    Two bounded phases: (1) rank within ``(group, slab)`` — slab = a hash
+    shard of the tiebreak — and keep each slab's best k (any row in the
+    group's true top-k is necessarily in its own slab's top-k, so the
+    prune is lossless); (2) rank the ≤ ``n_slabs·k`` survivors per group.
+    Phase-1 windows partition by the composite key (task size =
+    group/n_slabs), phase-2's input is k-bounded — group skew never
+    lands on one executor. Slab assignment only affects distribution,
+    never the result, so it may use Spark's native hash.
+
+    Backs the KMV distinct sketch and priority sampling queries; the
+    oracle twin is a plain ROW_NUMBER window (sf-small inputs make the
+    monolithic form fine there — this is the scale path)."""
+    order = [
+        (F.col(value_col).asc() if ascending else F.col(value_col).desc()),
+        *[F.col(t).asc() for t in tiebreak_cols],
+    ]
+    slabbed = df.withColumn("_slab", F.pmod(F.hash(*tiebreak_cols), F.lit(n_slabs)))
+    w1 = Window.partitionBy(*group_cols, "_slab").orderBy(*order)
+    survivors = (
+        slabbed.withColumn("_srk", F.row_number().over(w1))
+        .where(F.col("_srk") <= k)
+        .drop("_srk", "_slab")
+    )
+    w2 = Window.partitionBy(*group_cols).orderBy(*order)
+    return survivors.withColumn(rank_alias, F.row_number().over(w2)).where(
+        F.col(rank_alias) <= k
+    )
+
+
 def _slab_join(
     df: DataFrame, slabs: DataFrame, group_col: str, value_col: str
 ) -> DataFrame:

@@ -5923,6 +5923,130 @@ LIMIT 20
 """
 
 
+#: KMV sketch size. 64 keeps the estimator's relative error ~1/sqrt(62)
+#: ≈ 13% while the sketch stays a driver-metadata-sized row per group.
+KMV_K = 64
+
+#: Per-language priority-sample size.
+PRIORITY_K = 20
+
+
+def q_user_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values / bottom-k) distinct sketch of users per
+    event type — the mergeable distinct-count sketch behind
+    approx_count_distinct, made ORACLE-CHECKABLE by determinism: the
+    "randomness" is the portable md5 hash, so both engines materialize
+    the identical sketch and the identical estimate (est =
+    (k-1)·2³²/h_(k) for full sketches, exact count for partial ones).
+
+    Scale: one distinct hash-aggregate, then the slab bottom-k
+    (operators.rank.bottom_k_slab) — never a one-task-per-type sort;
+    the sketch itself is k rows per group (mergeable across shards by
+    construction: union → bottom-k again)."""
+    from .operators.rank import bottom_k_slab
+
+    hashed = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            TX.portable_hash(F.col("user_id").cast("string")).alias("h"),
+        )
+        .distinct()
+    )
+    kept = bottom_k_slab(hashed, ["event_type"], "h", KMV_K, ["h"])
+    n_kept = F.count(F.lit(1))
+    kth = F.max("h")
+    return kept.groupBy("event_type").agg(
+        n_kept.cast("long").alias("n_kept"),
+        kth.alias("kth_hash"),
+        F.when(n_kept < KMV_K, n_kept.cast("double"))
+        .otherwise(
+            round6(F.lit(float(KMV_K - 1)) * F.lit(4294967296.0) / kth.cast("double"))
+        )
+        .alias("est_users"),
+    )
+
+
+SQL_USER_DISTINCT_SKETCH = f"""
+WITH uh AS (
+  SELECT DISTINCT event_type,
+         {_PORTABLE_HASH.format(s='CAST(user_id AS VARCHAR)')} AS h
+  FROM events
+),
+rk AS (
+  SELECT event_type, h,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h ASC) AS rn
+  FROM uh
+),
+kept AS (SELECT event_type, h FROM rk WHERE rn <= {KMV_K})
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_kept, MAX(h) AS kth_hash,
+       CASE WHEN COUNT(*) < {KMV_K} THEN CAST(COUNT(*) AS DOUBLE)
+            ELSE {SQL_ROUND6.format(x=f'{float(KMV_K - 1)} * 4294967296.0 / CAST(MAX(h) AS DOUBLE)')}
+       END AS est_users
+FROM kept GROUP BY event_type
+"""
+
+
+def q_doc_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-proportional corpus subsample via **priority sampling**
+    (Duffield–Lund–Thorup): priority = weight/u with u the doc's
+    portable-hash uniform, keep the k largest per language. Longer docs
+    (weight = n_chars) are proportionally likelier to be kept, the
+    sample is deterministic/reproducible (hash-derived u, the repo's
+    content-hash sampling discipline), and — unlike ln/pow-based
+    Efraimidis–Spirakis keys — the priority is a pure integer rational,
+    so both engines compute bit-identical doubles.
+
+    Scale: map-only priority computation + the slab bottom-k; no
+    per-language global sort."""
+    from .operators.rank import bottom_k_slab
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        TX.portable_hash(F.col("doc_id").cast("string")).alias("_h"),
+    )
+    # priority = n_chars * 2^32 / (h+1); h+1 in [1, 2^32] keeps u in (0,1]
+    pr = (F.col("n_chars").cast("double") * F.lit(4294967296.0)) / (
+        F.col("_h") + F.lit(1)
+    ).cast("double")
+    ranked = bottom_k_slab(
+        d.withColumn("_pr", pr),
+        ["lang"],
+        "_pr",
+        PRIORITY_K,
+        ["doc_id"],
+        ascending=False,
+        rank_alias="rank_in_lang",
+    )
+    return ranked.select(
+        "lang",
+        F.col("rank_in_lang").cast("long").alias("rank_in_lang"),
+        "doc_id",
+        "n_chars",
+        round6(F.col("_pr")).alias("priority"),
+    )
+
+
+SQL_PRIORITY_SAMPLE = f"""
+WITH base AS (
+  SELECT doc_id, lang, n_chars,
+         CAST(n_chars AS DOUBLE) * 4294967296.0
+           / CAST({_PORTABLE_HASH.format(s='CAST(doc_id AS VARCHAR)')} + 1 AS DOUBLE) AS pr
+  FROM documents
+),
+rk AS (
+  SELECT lang, doc_id, n_chars, pr,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY pr DESC, doc_id ASC) AS rn
+  FROM base
+)
+SELECT lang, CAST(rn AS BIGINT) AS rank_in_lang, doc_id, n_chars,
+       {SQL_ROUND6.format(x='pr')} AS priority
+FROM rk WHERE rn <= {PRIORITY_K}
+"""
+
+
 #: Constants for the six remaining TPC-H shapes (Q2/Q11/Q12/Q16/Q20/Q21),
 #: adapted to the testdata star schema: there is NO partsupp table, so
 #: supply facts (cost, quantity, the part↔supplier relation) derive from
@@ -6615,6 +6739,8 @@ QUERIES: dict[str, QueryFn] = {
     "neardup_prefix_pairs": q_neardup_prefix_pairs,
     "sorted_neighborhood_pairs": q_sorted_neighborhood_pairs,
     "event_top_paths": q_event_top_paths,
+    "user_distinct_sketch": q_user_distinct_sketch,
+    "doc_priority_sample": q_doc_priority_sample,
     # (c) r03-stale re-verification (last driver row three rounds old)
     "cosine_topk": q_cosine_topk,
     "doc_exact_dups": q_doc_exact_dups,
@@ -6641,8 +6767,8 @@ QUERIES: dict[str, QueryFn] = {
     "weather_pivot": q_weather_pivot,
     "winnow_fingerprints": q_winnow_fingerprints,
     "winnow_overlap": q_winnow_overlap,
-    # (d) r04-stale re-verification (first 10 alphabetically; the
-    #     remaining 34 rotate in next round)
+    # (d) r04-stale re-verification (first 8 alphabetically; the
+    #     remaining 36 rotate in next round)
     "ann_index_stats": q_ann_index_stats,
     "brand_discount_revenue": q_brand_discount_revenue,
     "clicks_after_error": q_clicks_after_error,
@@ -6651,11 +6777,11 @@ QUERIES: dict[str, QueryFn] = {
     "doc_corpus_mix": q_doc_corpus_mix,
     "doc_curation_pipeline": q_doc_curation_pipeline,
     "doc_data_card": q_doc_data_card,
-    "doc_decontaminate": q_doc_decontaminate,
-    "doc_gopher_quality": q_doc_gopher_quality,
     # ---- slots above are inside the driver's 50-query verification
     # window; everything below holds an r04/r05 driver-green row and
     # rides the driver-faithful local replica until its next rotation ----
+    "doc_decontaminate": q_doc_decontaminate,
+    "doc_gopher_quality": q_doc_gopher_quality,
     "doc_hash_sample": q_doc_hash_sample,
     "doc_langid_confusion": q_doc_langid_confusion,
     "doc_pii_scrub": q_doc_pii_scrub,
@@ -6763,6 +6889,8 @@ def build_oracles() -> dict[str, str]:
         "neardup_prefix_pairs": SQL_PREFIX_PAIRS,
         "sorted_neighborhood_pairs": SQL_SORTED_NEIGHBORHOOD,
         "event_top_paths": SQL_EVENT_TOP_PATHS,
+        "user_distinct_sketch": SQL_USER_DISTINCT_SKETCH,
+        "doc_priority_sample": SQL_PRIORITY_SAMPLE,
         "doc_containment_dups": SQL_DOC_CONTAINMENT,
         "event_bursts": SQL_EVENT_BURSTS,
         "emb_range_search": SQL_EMB_RANGE_SEARCH,

@@ -673,3 +673,24 @@ def test_top_paths_takeordered_and_per_user_window(plans):
     specs = re.findall(r"windowspecdefinition\(([^,]+),", plan)
     assert specs and all("user_id" in s for s in specs), specs
     assert len(re.findall(r"\(\d+\) Window", plan)) == 1
+
+
+def test_kmv_sketch_slab_windows_and_single_distinct_aggregate(plans):
+    """KMV sketch: phase-1 rank partitions by (event_type, slab), only
+    the k-bounded phase 2 by event_type alone; candidate generation is
+    one distinct hash-aggregate (no join, no cartesian)."""
+    plan = plans("user_distinct_sketch")
+    specs = re.findall(r"windowspecdefinition\(([^)]*?)\bspecifiedwindowframe", plan)
+    assert len(specs) == 2
+    assert sum("_slab" in s for s in specs) == 1
+    assert "CartesianProduct" not in plan
+
+
+def test_priority_sample_map_only_plus_slab_rank(plans):
+    """Priority sampling: the priority is computed map-side (no join
+    anywhere in the plan) and ranking is the two slab windows."""
+    plan = plans("doc_priority_sample")
+    assert "Join" not in plan
+    specs = re.findall(r"windowspecdefinition\(([^)]*?)\bspecifiedwindowframe", plan)
+    assert len(specs) == 2
+    assert sum("_slab" in s for s in specs) == 1

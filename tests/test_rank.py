@@ -133,3 +133,46 @@ def test_percent_rank_all_avoids_per_group_fact_window(spark):
     )
     plan = percent_rank_all(df, "g", "v", "tb")._jdf.queryExecution().executedPlan().toString()
     assert "percent_rank" not in plan
+
+
+def test_bottom_k_slab_matches_monolithic_topk(spark):
+    """bottom_k_slab must equal the monolithic ROW_NUMBER window for both
+    directions, including value ties resolved by the tiebreak, k larger
+    than a group, and a group smaller than the slab count."""
+    from kyiv_traffic_bigdata_spark.operators.rank import bottom_k_slab
+
+    rows = [
+        ("a", v, i) for i, v in enumerate([5, 3, 3, 9, 1, 3, 7, 7, 2, 8] * 5)
+    ] + [("b", 4, 999), ("b", 4, 998)]
+    df = spark.createDataFrame(rows, "g string, v int, tb int")
+    for ascending in (True, False):
+        w = Window.partitionBy("g").orderBy(
+            F.col("v").asc() if ascending else F.col("v").desc(),
+            F.col("tb").asc(),
+        )
+        want = _rows(
+            df.withColumn("_rk", F.row_number().over(w))
+            .where(F.col("_rk") <= 7)
+            .select("g", "v", "tb", "_rk")
+        )
+        got = _rows(
+            bottom_k_slab(df, ["g"], "v", 7, ["tb"], ascending=ascending)
+            .select("g", "v", "tb", "_rk")
+        )
+        assert got == want, f"ascending={ascending}"
+
+
+def test_bottom_k_slab_windows_stay_composite_then_bounded(spark):
+    """Phase-1 windows must partition by (group, slab) — never group
+    alone over the full fact — and only phase 2 (over the k-bounded
+    survivors) may partition by group alone."""
+    from kyiv_traffic_bigdata_spark.operators.rank import bottom_k_slab
+    import re
+
+    df = spark.range(1000).selectExpr("id % 3 AS g", "id AS v", "id AS tb")
+    plan = bottom_k_slab(
+        df, ["g"], "v", 5, ["tb"]
+    )._jdf.queryExecution().optimizedPlan().toString()
+    specs = re.findall(r"row_number\(\) windowspecdefinition\(([^)]*)\)", plan)
+    assert len(specs) == 2
+    assert sum("_slab" in s for s in specs) == 1
