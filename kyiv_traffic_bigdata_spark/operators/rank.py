@@ -192,6 +192,45 @@ def bottom_k_slab(
     )
 
 
+def quantile_disc_slab(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    quantiles: list[tuple[str, int, int]],
+    count_alias: str = "n",
+) -> DataFrame:
+    """Exact per-group DISCRETE quantiles — the value whose 1-based
+    ascending rank is ceil(p·n) — without a per-group sort.
+
+    Same bounded-codomain discipline as :func:`percent_rank_gate`: one
+    hash aggregate to the (group, value) histogram, one cumulative
+    window over that histogram (≤ distinct-values rows per group,
+    regardless of corpus size), then the quantile is simply the
+    smallest value whose cumulative count reaches the target rank —
+    a conditional MIN, no selection pass over the fact.
+
+    ``quantiles`` are (alias, numerator, denominator) fractions;
+    the target rank ceil(num·n/den) is computed in INTEGER arithmetic
+    ((num·n + den − 1) div den), so both engines agree exactly — a
+    double ceil(0.9·n) rounds up spuriously whenever 0.9·n lands just
+    above an integer in binary."""
+    hist = df.groupBy(group_col, value_col).agg(F.count(F.lit(1)).alias("_c"))
+    wg = Window.partitionBy(group_col)
+    wcum = wg.orderBy(F.col(value_col).asc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = hist.withColumn("_n", F.sum("_c").over(wg)).withColumn(
+        "_cum", F.sum("_c").over(wcum)
+    )
+    aggs = [F.max("_n").cast("long").alias(count_alias)]
+    for alias, num, den in quantiles:
+        rank = F.expr(f"({num} * _n + {den - 1}) div {den}")
+        aggs.append(
+            F.min(F.when(F.col("_cum") >= rank, F.col(value_col))).alias(alias)
+        )
+    return cum.groupBy(group_col).agg(*aggs)
+
+
 def _slab_join(
     df: DataFrame, slabs: DataFrame, group_col: str, value_col: str
 ) -> DataFrame:

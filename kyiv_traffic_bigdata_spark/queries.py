@@ -6047,6 +6047,43 @@ FROM rk WHERE rn <= {PRIORITY_K}
 """
 
 
+def q_order_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact discrete p50/p90/p99 of order value per order priority —
+    the distributed-exact-quantile operator (operators.rank.
+    quantile_disc_slab): histogram aggregate + cumulative window over
+    the bounded (group, value) table, conditional MIN selects the
+    quantile. Integer-arithmetic target ranks keep both engines exact;
+    no per-group sort anywhere."""
+    from .operators.rank import quantile_disc_slab
+
+    return quantile_disc_slab(
+        load_table(spark, sf_dir, "orders").select("o_orderpriority", "o_totalprice"),
+        "o_orderpriority",
+        "o_totalprice",
+        [("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100)],
+        count_alias="n_orders",
+    )
+
+
+SQL_ORDER_PRICE_QUANTILES = """
+WITH h AS (
+  SELECT o_orderpriority AS g, o_totalprice AS v, COUNT(*) AS c
+  FROM orders GROUP BY 1, 2
+),
+cum AS (
+  SELECT g, v,
+         SUM(c) OVER (PARTITION BY g ORDER BY v ASC) AS cm,
+         SUM(c) OVER (PARTITION BY g) AS n
+  FROM h
+)
+SELECT g AS o_orderpriority, CAST(MAX(n) AS BIGINT) AS n_orders,
+       MIN(CASE WHEN cm >= (1 * n + 1) // 2 THEN v END) AS p50,
+       MIN(CASE WHEN cm >= (9 * n + 9) // 10 THEN v END) AS p90,
+       MIN(CASE WHEN cm >= (99 * n + 99) // 100 THEN v END) AS p99
+FROM cum GROUP BY g
+"""
+
+
 #: Constants for the six remaining TPC-H shapes (Q2/Q11/Q12/Q16/Q20/Q21),
 #: adapted to the testdata star schema: there is NO partsupp table, so
 #: supply facts (cost, quantity, the part↔supplier relation) derive from
@@ -6741,6 +6778,7 @@ QUERIES: dict[str, QueryFn] = {
     "event_top_paths": q_event_top_paths,
     "user_distinct_sketch": q_user_distinct_sketch,
     "doc_priority_sample": q_doc_priority_sample,
+    "order_price_quantiles": q_order_price_quantiles,
     # (c) r03-stale re-verification (last driver row three rounds old)
     "cosine_topk": q_cosine_topk,
     "doc_exact_dups": q_doc_exact_dups,
@@ -6767,8 +6805,8 @@ QUERIES: dict[str, QueryFn] = {
     "weather_pivot": q_weather_pivot,
     "winnow_fingerprints": q_winnow_fingerprints,
     "winnow_overlap": q_winnow_overlap,
-    # (d) r04-stale re-verification (first 8 alphabetically; the
-    #     remaining 36 rotate in next round)
+    # (d) r04-stale re-verification (first 7 alphabetically; the
+    #     remaining 37 rotate in next round)
     "ann_index_stats": q_ann_index_stats,
     "brand_discount_revenue": q_brand_discount_revenue,
     "clicks_after_error": q_clicks_after_error,
@@ -6776,7 +6814,6 @@ QUERIES: dict[str, QueryFn] = {
     "doc_clip_repeated": q_doc_clip_repeated,
     "doc_corpus_mix": q_doc_corpus_mix,
     "doc_curation_pipeline": q_doc_curation_pipeline,
-    "doc_data_card": q_doc_data_card,
     # ---- slots above are inside the driver's 50-query verification
     # window; everything below holds an r04/r05 driver-green row and
     # rides the driver-faithful local replica until its next rotation ----
@@ -6891,6 +6928,7 @@ def build_oracles() -> dict[str, str]:
         "event_top_paths": SQL_EVENT_TOP_PATHS,
         "user_distinct_sketch": SQL_USER_DISTINCT_SKETCH,
         "doc_priority_sample": SQL_PRIORITY_SAMPLE,
+        "order_price_quantiles": SQL_ORDER_PRICE_QUANTILES,
         "doc_containment_dups": SQL_DOC_CONTAINMENT,
         "event_bursts": SQL_EVENT_BURSTS,
         "emb_range_search": SQL_EMB_RANGE_SEARCH,

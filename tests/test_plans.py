@@ -694,3 +694,19 @@ def test_priority_sample_map_only_plus_slab_rank(plans):
     specs = re.findall(r"windowspecdefinition\(([^)]*?)\bspecifiedwindowframe", plan)
     assert len(specs) == 2
     assert sum("_slab" in s for s in specs) == 1
+
+
+def test_quantiles_window_over_histogram_only(plans):
+    """Exact quantiles: the cumulative windows run over the AGGREGATED
+    (group, value) histogram — the fact scan feeds a map-side partial
+    count first, reads only the two referenced columns, and no window
+    input is the raw fact."""
+    plan = plans("order_price_quantiles")
+    assert "partial_count" in plan
+    read_schema = re.search(r"ReadSchema: struct<([^>]*)>", plan).group(1)
+    assert set(read_schema.split(",")) <= {
+        "o_orderpriority:string",
+        "o_totalprice:double",
+    }
+    for spec in re.findall(r"windowspecdefinition\(([^,]+),", plan):
+        assert "o_orderpriority" in spec, spec
