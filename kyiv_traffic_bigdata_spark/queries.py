@@ -5987,6 +5987,136 @@ FROM kept GROUP BY event_type
 """
 
 
+def q_user_overlap_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV sketch SET ALGEBRA: for every event-type pair, estimate the
+    union size, intersection size and Jaccard of their user sets from
+    the two k=64 sketches alone — the mergeable-sketch property that
+    lets 1000 executors sketch shards independently and combine results
+    in driver-metadata space. Membership of a union-bottom-k hash in
+    each side's sketch is EXACT (h among the k smallest of A∪B and in A
+    ⟹ h among the k smallest of A), so the estimator is deterministic
+    and fully oracle-checkable.
+
+    Scale: sketches are k rows per group (bounded by construction);
+    everything after the corpus-side distinct aggregate operates on
+    |types|·k rows — equi-joins only, and the pair expansion is over
+    the bounded type dimension, never facts."""
+    from .operators.rank import bottom_k_slab
+
+    hashed = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            TX.portable_hash(F.col("user_id").cast("string")).alias("h"),
+        )
+        .distinct()
+    )
+    # The sketch is referenced three times (type dim + both join sides);
+    # stage it so the corpus-side distinct runs ONCE — the sketch itself
+    # is |types|·k rows, checkpointing it is free.
+    from .operators.staging import stage
+
+    sk = (
+        bottom_k_slab(hashed, ["event_type"], "h", KMV_K, ["h"])
+        .select("event_type", "h")
+        .transform(stage)
+    )
+    types = sk.select("event_type").distinct()
+    pairs = (
+        types.select(F.col("event_type").alias("type_a"))
+        .crossJoin(types.select(F.col("event_type").alias("type_b")))
+        .where(F.col("type_a") < F.col("type_b"))
+    )
+    a_part = pairs.join(
+        sk.withColumnRenamed("event_type", "type_a"), "type_a"
+    ).select("type_a", "type_b", "h", F.lit(1).alias("ia"), F.lit(0).alias("ib"))
+    b_part = pairs.join(
+        sk.withColumnRenamed("event_type", "type_b"), "type_b"
+    ).select("type_a", "type_b", "h", F.lit(0).alias("ia"), F.lit(1).alias("ib"))
+    ph = (
+        a_part.unionAll(b_part)
+        .groupBy("type_a", "type_b", "h")
+        .agg(F.max("ia").alias("in_a"), F.max("ib").alias("in_b"))
+    )
+    kept = bottom_k_slab(ph, ["type_a", "type_b"], "h", KMV_K, ["h"])
+    n_kept = F.count(F.lit(1))
+    agg = kept.groupBy("type_a", "type_b").agg(
+        n_kept.cast("long").alias("n_kept"),
+        F.sum(F.col("in_a") * F.col("in_b")).cast("long").alias("n_both"),
+        F.max("h").alias("_hk"),
+    )
+    est_union = F.when(
+        F.col("n_kept") < KMV_K, F.col("n_kept").cast("double")
+    ).otherwise(
+        round6(
+            F.lit(float(KMV_K - 1)) * F.lit(4294967296.0) / F.col("_hk").cast("double")
+        )
+    )
+    with_union = agg.withColumn("est_union", est_union)
+    rho = F.col("n_both").cast("double") / F.col("n_kept").cast("double")
+    return with_union.select(
+        "type_a",
+        "type_b",
+        "n_kept",
+        "n_both",
+        "est_union",
+        round6(rho).alias("jaccard_est"),
+        round6(rho * F.col("est_union")).alias("est_inter"),
+    )
+
+
+SQL_USER_OVERLAP_SKETCH = f"""
+WITH uh AS (
+  SELECT DISTINCT event_type,
+         {_PORTABLE_HASH.format(s='CAST(user_id AS VARCHAR)')} AS h
+  FROM events
+),
+sk AS (
+  SELECT event_type, h FROM (
+    SELECT event_type, h,
+           ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h ASC) AS rn
+    FROM uh
+  ) WHERE rn <= {KMV_K}
+),
+tp AS (SELECT DISTINCT event_type FROM sk),
+pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b
+  FROM tp a JOIN tp b ON a.event_type < b.event_type
+),
+ph AS (
+  SELECT type_a, type_b, h, MAX(ia) AS in_a, MAX(ib) AS in_b FROM (
+    SELECT p.type_a, p.type_b, s.h, 1 AS ia, 0 AS ib
+    FROM pairs p JOIN sk s ON s.event_type = p.type_a
+    UNION ALL
+    SELECT p.type_a, p.type_b, s.h, 0 AS ia, 1 AS ib
+    FROM pairs p JOIN sk s ON s.event_type = p.type_b
+  ) GROUP BY 1, 2, 3
+),
+kept AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY type_a, type_b ORDER BY h ASC) AS rn
+    FROM ph
+  ) WHERE rn <= {KMV_K}
+),
+agg AS (
+  SELECT type_a, type_b, CAST(COUNT(*) AS BIGINT) AS n_kept,
+         CAST(SUM(in_a * in_b) AS BIGINT) AS n_both, MAX(h) AS hk
+  FROM kept GROUP BY 1, 2
+),
+wu AS (
+  SELECT type_a, type_b, n_kept, n_both,
+         CASE WHEN n_kept < {KMV_K} THEN CAST(n_kept AS DOUBLE)
+              ELSE {SQL_ROUND6.format(x=f'{float(KMV_K - 1)} * 4294967296.0 / CAST(hk AS DOUBLE)')}
+         END AS est_union
+  FROM agg
+)
+SELECT type_a, type_b, n_kept, n_both, est_union,
+       {SQL_ROUND6.format(x='CAST(n_both AS DOUBLE) / CAST(n_kept AS DOUBLE)')} AS jaccard_est,
+       {SQL_ROUND6.format(x='CAST(n_both AS DOUBLE) / CAST(n_kept AS DOUBLE) * est_union')} AS est_inter
+FROM wu
+"""
+
+
 def q_doc_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weight-proportional corpus subsample via **priority sampling**
     (Duffield–Lund–Thorup): priority = weight/u with u the doc's
@@ -6779,6 +6909,7 @@ QUERIES: dict[str, QueryFn] = {
     "user_distinct_sketch": q_user_distinct_sketch,
     "doc_priority_sample": q_doc_priority_sample,
     "order_price_quantiles": q_order_price_quantiles,
+    "user_overlap_sketch": q_user_overlap_sketch,
     # (c) r03-stale re-verification (last driver row three rounds old)
     "cosine_topk": q_cosine_topk,
     "doc_exact_dups": q_doc_exact_dups,
@@ -6805,18 +6936,19 @@ QUERIES: dict[str, QueryFn] = {
     "weather_pivot": q_weather_pivot,
     "winnow_fingerprints": q_winnow_fingerprints,
     "winnow_overlap": q_winnow_overlap,
-    # (d) r04-stale re-verification (first 7 alphabetically; the
-    #     remaining 37 rotate in next round)
+    # (d) r04-stale re-verification (first 6 alphabetically; the
+    #     remaining 38 rotate in next round)
     "ann_index_stats": q_ann_index_stats,
     "brand_discount_revenue": q_brand_discount_revenue,
     "clicks_after_error": q_clicks_after_error,
     "doc_chunks": q_doc_chunks,
     "doc_clip_repeated": q_doc_clip_repeated,
     "doc_corpus_mix": q_doc_corpus_mix,
-    "doc_curation_pipeline": q_doc_curation_pipeline,
     # ---- slots above are inside the driver's 50-query verification
     # window; everything below holds an r04/r05 driver-green row and
     # rides the driver-faithful local replica until its next rotation ----
+    "doc_curation_pipeline": q_doc_curation_pipeline,
+    "doc_data_card": q_doc_data_card,
     "doc_decontaminate": q_doc_decontaminate,
     "doc_gopher_quality": q_doc_gopher_quality,
     "doc_hash_sample": q_doc_hash_sample,
@@ -6929,6 +7061,7 @@ def build_oracles() -> dict[str, str]:
         "user_distinct_sketch": SQL_USER_DISTINCT_SKETCH,
         "doc_priority_sample": SQL_PRIORITY_SAMPLE,
         "order_price_quantiles": SQL_ORDER_PRICE_QUANTILES,
+        "user_overlap_sketch": SQL_USER_OVERLAP_SKETCH,
         "doc_containment_dups": SQL_DOC_CONTAINMENT,
         "event_bursts": SQL_EVENT_BURSTS,
         "emb_range_search": SQL_EMB_RANGE_SEARCH,

@@ -710,3 +710,12 @@ def test_quantiles_window_over_histogram_only(plans):
     }
     for spec in re.findall(r"windowspecdefinition\(([^,]+),", plan):
         assert "o_orderpriority" in spec, spec
+
+
+def test_overlap_sketch_operates_on_staged_sketches_only(plans):
+    """KMV set algebra: the final plan must run entirely on the staged
+    |types|*k sketch table — zero parquet scans of the events fact (the
+    corpus-side distinct runs once, inside the checkpoint), and the only
+    pair expansion is over the bounded type dimension."""
+    plan = plans("user_overlap_sketch")
+    assert len(re.findall(r"Scan parquet[^\n]*events", plan)) == 0
