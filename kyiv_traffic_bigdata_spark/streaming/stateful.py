@@ -331,6 +331,84 @@ __all__ += ["streaming_event_bursts", "make_burst_fn", "BURST_OUTPUT_SCHEMA"]
 
 
 # ---------------------------------------------------------------------------
+# Streaming KMV distinct sketch (incremental twin of q_user_distinct_sketch)
+# ---------------------------------------------------------------------------
+
+KMV_OUTPUT_SCHEMA = "event_type string, n_kept long, kth_hash long, est_users double"
+KMV_STATE_SCHEMA = "hashes array<long>"
+
+
+def make_kmv_fn(k: int = 64):
+    """Per-key incremental KMV (bottom-k) distinct sketch — identical
+    estimates to the batch twin (queries.q_user_distinct_sketch) because
+    bottom-k-of-union is ASSOCIATIVE and COMMUTATIVE: merging batches in
+    any order and any grouping yields the same sketch as one batch over
+    the union. Unlike bursts/sessions there is NO cross-batch ordering
+    caveat — the parity is exact by construction.
+
+    State per key: the ≤ k smallest distinct hashes seen (O(k) longs).
+    No TTL: a distinct-count sketch is cumulative; expiring it would
+    silently reset the estimate. Emits the refreshed sketch row per
+    batch that touches the key (update semantics)."""
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    import math
+
+    def fn(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        if rows.empty:
+            return
+        cur = list(state.get[0]) if state.exists else []
+        merged = sorted(set(cur).union(int(h) for h in rows["h"]))[:k]
+        state.update((merged,))
+        n = len(merged)
+        kth = merged[-1]
+        if n < k:
+            est = float(n)
+        else:
+            # floor-form round6 — bit-identical to the batch twin's
+            # portable rounding of the rational (k-1)*2^32/kth
+            est = math.floor((k - 1) * 4294967296.0 / kth * 1e6 + 0.5) / 1e6
+        yield pd.DataFrame(
+            {
+                "event_type": [key[0]],
+                "n_kept": [n],
+                "kth_hash": [kth],
+                "est_users": [est],
+            }
+        )
+
+    return fn
+
+
+def streaming_user_distinct_sketch(events: DataFrame, k: int = 64) -> DataFrame:
+    """KMV distinct-users sketch over a STREAMING events frame (update
+    mode — the estimate for a type refreshes as batches arrive).
+
+    Input needs (event_type:string, h:long) where ``h`` is the portable
+    md5 hash of the user id, computed JVM-side BEFORE the stateful op
+    (functions.text.portable_hash) so the Python worker only merges
+    integers."""
+    from .state import configure_state_store
+
+    configure_state_store(events.sparkSession)
+    return events.groupBy("event_type").applyInPandasWithState(
+        make_kmv_fn(k),
+        outputStructType=KMV_OUTPUT_SCHEMA,
+        stateStructType=KMV_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+__all__ += ["streaming_user_distinct_sketch", "make_kmv_fn", "KMV_OUTPUT_SCHEMA"]
+
+
+# ---------------------------------------------------------------------------
 # transformWithState twin (the Spark 4 StatefulProcessor API)
 # ---------------------------------------------------------------------------
 

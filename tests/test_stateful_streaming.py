@@ -524,3 +524,120 @@ def test_streaming_event_bursts_end_to_end(spark, tmp_path):
         ]
     finally:
         q.stop()
+
+
+def _md5_hash(s):
+    import hashlib
+
+    return int(hashlib.md5(str(s).encode()).hexdigest()[:8], 16)
+
+
+def _kmv_expected(user_ids, k):
+    import math
+
+    hs = sorted({_md5_hash(u) for u in user_ids})[:k]
+    n, kth = len(hs), hs[-1]
+    est = (
+        float(n)
+        if n < k
+        else math.floor((k - 1) * 4294967296.0 / kth * 1e6 + 0.5) / 1e6
+    )
+    return n, kth, est
+
+
+def test_kmv_fn_order_independent_and_matches_batch_formula():
+    """Merging batches in any order must yield the identical sketch and
+    estimate as one batch over the union (bottom-k-of-union is
+    associative/commutative) — the exact-parity claim of the twin."""
+    import pandas as pd
+
+    from kyiv_traffic_bigdata_spark.streaming.stateful import make_kmv_fn
+
+    users = list(range(30))
+    hashes = [_md5_hash(u) for u in users]
+    k = 4
+    final = []
+    for order in (hashes, hashes[::-1], hashes[15:] + hashes[:15]):
+        fn = make_kmv_fn(k)
+        state = _BurstFakeState()
+        out = None
+        for chunk in (order[:10], order[10:11], order[11:]):
+            for df in fn(("click",), iter([pd.DataFrame({"h": chunk})]), state):
+                out = df
+        final.append(tuple(out.iloc[0][["n_kept", "kth_hash", "est_users"]]))
+    assert len(set(final)) == 1
+    n, kth, est = _kmv_expected(users, k)
+    assert final[0] == (n, kth, est)
+
+
+def test_kmv_fn_dedups_within_and_across_batches():
+    """Repeated users must not inflate the sketch: distinctness is a
+    set-union property of the state, not of any single batch."""
+    import pandas as pd
+
+    from kyiv_traffic_bigdata_spark.streaming.stateful import make_kmv_fn
+
+    fn = make_kmv_fn(8)
+    state = _BurstFakeState()
+    h = [_md5_hash(u) for u in (1, 2, 3)]
+    list(fn(("t",), iter([pd.DataFrame({"h": h + h})]), state))
+    (df,) = fn(("t",), iter([pd.DataFrame({"h": h})]), state)
+    assert df.iloc[0]["n_kept"] == 3
+    assert df.iloc[0]["est_users"] == 3.0
+
+
+def test_streaming_user_distinct_sketch_end_to_end(spark, tmp_path):
+    """Real streaming run: the second micro-batch's users must merge
+    into the first's sketch through the full applyInPandasWithState
+    machinery, reaching the exact batch-KMV estimate of the union."""
+    import json
+    import time
+
+    from kyiv_traffic_bigdata_spark.streaming.stateful import (
+        streaming_user_distinct_sketch,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+
+    def write(name, rows):
+        (src / name).write_text(
+            "\n".join(
+                json.dumps({"event_type": t, "h": _md5_hash(u)}) for t, u in rows
+            )
+        )
+
+    users1 = [("click", u) for u in range(4)]
+    users2 = [("click", u) for u in range(2, 8)]  # overlaps 2,3
+    write("b1.json", users1)
+    stream = spark.readStream.schema("event_type string, h long").json(str(src))
+    q = (
+        streaming_user_distinct_sketch(stream, k=4)
+        .writeStream.format("memory")
+        .queryName("kmv")
+        .option("checkpointLocation", str(tmp_path / "ckpt_kmv"))
+        .outputMode("update")
+        .trigger(processingTime="1 seconds")
+        .start()
+    )
+    try:
+        n_exp, kth_exp, est_exp = _kmv_expected(range(8), 4)
+        deadline = time.time() + 90
+        write("b2.json", users2)
+        got = None
+        while time.time() < deadline:
+            rows = spark.sql(
+                "SELECT * FROM kmv ORDER BY n_kept DESC, kth_hash ASC"
+            ).collect()
+            if rows and rows[0].kth_hash == kth_exp:
+                got = rows[0]
+                break
+            time.sleep(0.5)
+        assert got is not None, "merged sketch row never appeared"
+        assert (got.n_kept, got.kth_hash, got.est_users) == (
+            n_exp,
+            kth_exp,
+            est_exp,
+        )
+    finally:
+        q.stop()
