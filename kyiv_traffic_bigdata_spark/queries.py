@@ -6214,6 +6214,168 @@ FROM cum GROUP BY g
 """
 
 
+#: Fixed LPA rounds — unrolled in the oracle like KCORE_ROUNDS/the GD
+#: classifier; deterministic tie-break makes every round reproducible.
+LPA_ROUNDS = 4
+
+
+def q_neardup_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-synchronous LABEL PROPAGATION over the near-dup graph —
+    communities, not just connectivity: a node adopts the most frequent
+    label among its neighbors each round (ties → smallest label), so
+    dense template families separate even inside one connected
+    component. Fixed ``LPA_ROUNDS`` rounds with a deterministic
+    tie-break make both engines bit-equal (the kcore/GD-classifier
+    discipline).
+
+    Scale: each round is one equi-join (edges × labels) + one count
+    aggregate + one argmax — the argmax is a min-of-struct aggregate,
+    NOT a per-node window; labels are staged per round so the plan
+    stays flat. Edge list = the LSH-verified pairs, never the corpus."""
+    from .operators.staging import stage
+
+    pairs = DD.minhash_lsh_pairs(_docs_with_tokens(spark, sf_dir), threshold=0.2)
+    und = pairs.select(F.col("id_a").alias("s"), F.col("id_b").alias("d"))
+    edges = und.unionAll(
+        und.select(F.col("d").alias("s"), F.col("s").alias("d"))
+    ).transform(stage)
+    labels = edges.select(F.col("s").alias("v")).distinct().select(
+        "v", F.col("v").alias("label")
+    )
+    for _ in range(LPA_ROUNDS):
+        nbr = edges.join(
+            labels.withColumnRenamed("v", "s"), "s"
+        ).select(F.col("d").alias("v"), "label")
+        cnt = nbr.groupBy("v", "label").agg(F.count(F.lit(1)).alias("c"))
+        labels = (
+            cnt.groupBy("v")
+            .agg(
+                F.min(
+                    F.struct((-F.col("c")).alias("nc"), F.col("label").alias("lb"))
+                ).alias("_m")
+            )
+            .select("v", F.col("_m.lb").alias("label"))
+            .transform(stage)
+        )
+    return labels.select(
+        F.col("v").alias("doc_id"), F.col("label").cast("long").alias("community")
+    )
+
+
+def _sql_neardup_communities() -> str:
+    parts = [
+        "WITH pairs AS MATERIALIZED "
+        f"(SELECT id_a, id_b FROM ({_sql_minhash_lsh()}) q)",
+        "edges AS MATERIALIZED (SELECT id_a AS s, id_b AS d FROM pairs "
+        "UNION ALL SELECT id_b, id_a FROM pairs)",
+        "l0 AS (SELECT DISTINCT s AS v, s AS label FROM edges)",
+    ]
+    for r in range(LPA_ROUNDS):
+        parts.append(
+            f"c{r} AS (SELECT e.d AS v, l.label, COUNT(*) AS c "
+            f"FROM edges e JOIN l{r} l ON l.v = e.s GROUP BY 1, 2)"
+        )
+        parts.append(
+            f"l{r + 1} AS MATERIALIZED (SELECT v, label FROM ("
+            f"SELECT v, label, ROW_NUMBER() OVER ("
+            f"PARTITION BY v ORDER BY c DESC, label ASC) AS rn FROM c{r}"
+            f") WHERE rn = 1)"
+        )
+    return (
+        ",\n".join(parts)
+        + f"""
+SELECT v AS doc_id, CAST(label AS BIGINT) AS community FROM l{LPA_ROUNDS}
+"""
+    )
+
+
+#: Minimum co-occurrence count for the PMI table — keeps the output the
+#: statistically meaningful pairs (and bounded).
+PMI_MIN_PAIRS = 5
+
+
+def q_token_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information of token pairs co-occurring in
+    documents — the corpus-linguistics co-occurrence matrix behind
+    collocation mining and embedding pre-analysis.
+
+    ``pmi(a,b) = ln(n_ab·N / (n_a·n_b))`` over document frequencies,
+    with identical operation order in both engines and the
+    transcendental rounded to 6 (the haversine discipline).
+
+    Scale: the pair expansion is a self-join of the distinct
+    (doc, token) index ON doc_id — Σ per-doc vocab², bounded by
+    document length, never corpus²; marginals are one hash aggregate
+    and the corpus size is a 1-row broadcast."""
+    toks = (
+        _docs_with_tokens(spark, sf_dir)
+        .select("doc_id", F.explode(TX.tokens(F.col("text"))).alias("tok"))
+        .where(F.col("tok") != "")
+        .distinct()
+    )
+    from .operators.staging import stage
+
+    toks = toks.transform(stage)
+    n_docs = toks.select("doc_id").distinct().agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    dfreq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n_t"))
+    a, b = toks.alias("a"), toks.alias("b")
+    pairs = (
+        a.join(b, "doc_id")
+        .where(F.col("a.tok") < F.col("b.tok"))
+        .groupBy(
+            F.col("a.tok").alias("tok_a"), F.col("b.tok").alias("tok_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .where(F.col("n_ab") >= PMI_MIN_PAIRS)
+    )
+    return (
+        pairs.join(
+            F.broadcast(dfreq.withColumnRenamed("tok", "tok_a")), "tok_a"
+        )
+        .withColumnRenamed("n_t", "n_a")
+        .join(F.broadcast(dfreq.withColumnRenamed("tok", "tok_b")), "tok_b")
+        .withColumnRenamed("n_t", "n_b")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "tok_a",
+            "tok_b",
+            F.col("n_ab").cast("long").alias("n_ab"),
+            F.round(
+                F.log(
+                    (F.col("n_ab").cast("double") * F.col("n_docs"))
+                    / (F.col("n_a").cast("double") * F.col("n_b"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+
+
+SQL_TOKEN_PMI = f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, t.tok FROM (
+    SELECT doc_id, unnest({_toks('text')}) AS tok FROM documents
+  ) t WHERE t.tok <> ''
+),
+nd AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs FROM toks),
+dfreq AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS n_t FROM toks GROUP BY tok),
+pairs AS (
+  SELECT a.tok AS tok_a, b.tok AS tok_b, CAST(COUNT(*) AS BIGINT) AS n_ab
+  FROM toks a JOIN toks b ON b.doc_id = a.doc_id AND a.tok < b.tok
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= {PMI_MIN_PAIRS}
+)
+SELECT tok_a, tok_b, n_ab,
+       round(ln((CAST(n_ab AS DOUBLE) * n_docs) / (CAST(fa.n_t AS DOUBLE) * fb.n_t)), 6) AS pmi
+FROM pairs
+JOIN dfreq fa ON fa.tok = tok_a
+JOIN dfreq fb ON fb.tok = tok_b
+CROSS JOIN nd
+"""
+
+
 #: Constants for the six remaining TPC-H shapes (Q2/Q11/Q12/Q16/Q20/Q21),
 #: adapted to the testdata star schema: there is NO partsupp table, so
 #: supply facts (cost, quantity, the part↔supplier relation) derive from
@@ -6910,6 +7072,8 @@ QUERIES: dict[str, QueryFn] = {
     "doc_priority_sample": q_doc_priority_sample,
     "order_price_quantiles": q_order_price_quantiles,
     "user_overlap_sketch": q_user_overlap_sketch,
+    "neardup_communities": q_neardup_communities,
+    "token_pmi": q_token_pmi,
     # (c) r03-stale re-verification (last driver row three rounds old)
     "cosine_topk": q_cosine_topk,
     "doc_exact_dups": q_doc_exact_dups,
@@ -6936,17 +7100,17 @@ QUERIES: dict[str, QueryFn] = {
     "weather_pivot": q_weather_pivot,
     "winnow_fingerprints": q_winnow_fingerprints,
     "winnow_overlap": q_winnow_overlap,
-    # (d) r04-stale re-verification (first 6 alphabetically; the
-    #     remaining 38 rotate in next round)
+    # (d) r04-stale re-verification (first 4 alphabetically; the
+    #     remaining 40 rotate in next round)
     "ann_index_stats": q_ann_index_stats,
     "brand_discount_revenue": q_brand_discount_revenue,
     "clicks_after_error": q_clicks_after_error,
     "doc_chunks": q_doc_chunks,
-    "doc_clip_repeated": q_doc_clip_repeated,
-    "doc_corpus_mix": q_doc_corpus_mix,
     # ---- slots above are inside the driver's 50-query verification
     # window; everything below holds an r04/r05 driver-green row and
     # rides the driver-faithful local replica until its next rotation ----
+    "doc_clip_repeated": q_doc_clip_repeated,
+    "doc_corpus_mix": q_doc_corpus_mix,
     "doc_curation_pipeline": q_doc_curation_pipeline,
     "doc_data_card": q_doc_data_card,
     "doc_decontaminate": q_doc_decontaminate,
@@ -7062,6 +7226,8 @@ def build_oracles() -> dict[str, str]:
         "doc_priority_sample": SQL_PRIORITY_SAMPLE,
         "order_price_quantiles": SQL_ORDER_PRICE_QUANTILES,
         "user_overlap_sketch": SQL_USER_OVERLAP_SKETCH,
+        "neardup_communities": _sql_neardup_communities(),
+        "token_pmi": SQL_TOKEN_PMI,
         "doc_containment_dups": SQL_DOC_CONTAINMENT,
         "event_bursts": SQL_EVENT_BURSTS,
         "emb_range_search": SQL_EMB_RANGE_SEARCH,
