@@ -719,3 +719,27 @@ def test_overlap_sketch_operates_on_staged_sketches_only(plans):
     pair expansion is over the bounded type dimension."""
     plan = plans("user_overlap_sketch")
     assert len(re.findall(r"Scan parquet[^\n]*events", plan)) == 0
+
+
+def test_lpa_communities_argmax_aggregate_no_window_no_cartesian(plans):
+    """Label propagation: each round's label argmax is a min-of-struct
+    AGGREGATE, never a per-node window, and every join is an equi-join
+    on a vertex column — a window or cartesian here turns the per-round
+    step into a one-task-per-node (or all-pairs) plan. Rounds are staged,
+    so the final plan also never rescans the documents parquet."""
+    plan = plans("neardup_communities")
+    assert "windowspecdefinition" not in plan
+    assert "CartesianProduct" not in plan
+    assert len(re.findall(r"Scan parquet[^\n]*documents", plan)) == 0
+
+
+def test_token_pmi_equi_self_join_and_broadcast_marginals(plans):
+    """Token PMI: the pair expansion must be an equi-join ON doc_id
+    (per-doc vocab^2, bounded by document length — a cartesian would be
+    corpus-scale vocab^2), the token marginals and the 1-row corpus
+    count must ride broadcasts, and the pair aggregate must map-side
+    combine before its exchange."""
+    plan = plans("token_pmi")
+    assert "CartesianProduct" not in plan
+    assert broadcast_join_count(plan) >= 2
+    assert "partial_count" in plan
