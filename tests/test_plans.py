@@ -743,3 +743,16 @@ def test_token_pmi_equi_self_join_and_broadcast_marginals(plans):
     assert "CartesianProduct" not in plan
     assert broadcast_join_count(plan) >= 2
     assert "partial_count" in plan
+
+
+def test_link_prediction_wedge_plan_broadcast_degrees(plans):
+    """Adamic–Adar: wedges and the existing-edge exclusion are
+    equi-joins on the staged pair list (no cartesian, no window), the
+    degree table rides a broadcast, and nothing rescans the documents
+    parquet — a sort-merge join against the bounded degree table or a
+    per-pair window would poison the plan at scale."""
+    plan = plans("neardup_link_prediction")
+    assert "CartesianProduct" not in plan
+    assert "windowspecdefinition" not in plan
+    assert broadcast_join_count(plan) >= 1
+    assert len(re.findall(r"Scan parquet[^\n]*documents", plan)) == 0
