@@ -6454,6 +6454,127 @@ GROUP BY 1, 2
 """
 
 
+#: Minimum co-occurring users for an association rule — the standard
+#: absolute-support floor that keeps the rule table statistically
+#: meaningful (and bounded).
+ASSOC_MIN_USERS = 5
+
+
+def q_event_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules over user behavior — for each
+    ordered event-type pair (antecedent → consequent): support,
+    confidence and lift. The classic Apriori output at its useful
+    2-itemset depth, re-based on users-as-baskets.
+
+    Scale: the basket index is ONE distinct (user, type) hash
+    aggregate; the pair expansion self-joins that index ON user_id —
+    per-user |types|² with |types| bounded, never corpus²; marginals
+    and the 1-row user count ride broadcasts; both rule directions come
+    from re-selecting the same aggregated pair table (no second
+    shuffle). Ratios are plain double divisions round6'd — identical
+    in both engines."""
+    from .operators.staging import stage
+
+    base = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "event_type")
+        .distinct()
+        .transform(stage)
+    )
+    n_users = base.select("user_id").distinct().agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+    tcnt = base.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_t"))
+    a, b = base.alias("a"), base.alias("b")
+    pairs = (
+        a.join(b, "user_id")
+        .where(F.col("a.event_type") < F.col("b.event_type"))
+        .groupBy(
+            F.col("a.event_type").alias("t_a"),
+            F.col("b.event_type").alias("t_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .where(F.col("n_ab") >= ASSOC_MIN_USERS)
+        .join(
+            F.broadcast(
+                tcnt.select(F.col("event_type").alias("t_a"), F.col("n_t").alias("n_a"))
+            ),
+            "t_a",
+        )
+        .join(
+            F.broadcast(
+                tcnt.select(F.col("event_type").alias("t_b"), F.col("n_t").alias("n_b"))
+            ),
+            "t_b",
+        )
+        .crossJoin(F.broadcast(n_users))
+    )
+
+    def _dir(ante, cons, n_ante):
+        return pairs.select(
+            F.col(ante).alias("antecedent"),
+            F.col(cons).alias("consequent"),
+            F.col("n_ab").cast("long").alias("n_both"),
+            round6(F.col("n_ab") / F.col("n_users").cast("double")).alias(
+                "support"
+            ),
+            round6(F.col("n_ab") / F.col(n_ante).cast("double")).alias(
+                "confidence"
+            ),
+            round6(
+                (F.col("n_ab").cast("double") * F.col("n_users"))
+                / (F.col("n_a").cast("double") * F.col("n_b"))
+            ).alias("lift"),
+        )
+
+    return _dir("t_a", "t_b", "n_a").unionAll(_dir("t_b", "t_a", "n_b"))
+
+
+_SQL_ASSOC_RULE_DIR = """
+SELECT {ante} AS antecedent, {cons} AS consequent, n_ab AS n_both,
+       {support} AS support, {confidence} AS confidence, {lift} AS lift
+FROM enriched"""
+
+SQL_EVENT_ASSOC_RULES = f"""
+WITH base AS (SELECT DISTINCT user_id, event_type FROM events),
+nu AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users FROM base),
+tcnt AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_t
+         FROM base GROUP BY 1),
+pairs AS (
+  SELECT a.event_type AS t_a, b.event_type AS t_b,
+         CAST(COUNT(*) AS BIGINT) AS n_ab
+  FROM base a JOIN base b
+    ON b.user_id = a.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= {ASSOC_MIN_USERS}
+),
+enriched AS (
+  SELECT t_a, t_b, n_ab, fa.n_t AS n_a, fb.n_t AS n_b, n_users
+  FROM pairs
+  JOIN tcnt fa ON fa.event_type = t_a
+  JOIN tcnt fb ON fb.event_type = t_b
+  CROSS JOIN nu
+)
+{_SQL_ASSOC_RULE_DIR.format(
+    ante="t_a", cons="t_b",
+    support=SQL_ROUND6.format(x="n_ab / CAST(n_users AS DOUBLE)"),
+    confidence=SQL_ROUND6.format(x="n_ab / CAST(n_a AS DOUBLE)"),
+    lift=SQL_ROUND6.format(
+        x="(CAST(n_ab AS DOUBLE) * n_users) / (CAST(n_a AS DOUBLE) * n_b)"
+    ),
+)}
+UNION ALL
+{_SQL_ASSOC_RULE_DIR.format(
+    ante="t_b", cons="t_a",
+    support=SQL_ROUND6.format(x="n_ab / CAST(n_users AS DOUBLE)"),
+    confidence=SQL_ROUND6.format(x="n_ab / CAST(n_b AS DOUBLE)"),
+    lift=SQL_ROUND6.format(
+        x="(CAST(n_ab AS DOUBLE) * n_users) / (CAST(n_a AS DOUBLE) * n_b)"
+    ),
+)}
+"""
+
+
 #: Constants for the six remaining TPC-H shapes (Q2/Q11/Q12/Q16/Q20/Q21),
 #: adapted to the testdata star schema: there is NO partsupp table, so
 #: supply facts (cost, quantity, the part↔supplier relation) derive from
@@ -7153,6 +7274,7 @@ QUERIES: dict[str, QueryFn] = {
     "neardup_communities": q_neardup_communities,
     "token_pmi": q_token_pmi,
     "neardup_link_prediction": q_neardup_link_prediction,
+    "event_assoc_rules": q_event_assoc_rules,
     # (c) r03-stale re-verification (last driver row three rounds old)
     "cosine_topk": q_cosine_topk,
     "doc_exact_dups": q_doc_exact_dups,
@@ -7179,14 +7301,14 @@ QUERIES: dict[str, QueryFn] = {
     "weather_pivot": q_weather_pivot,
     "winnow_fingerprints": q_winnow_fingerprints,
     "winnow_overlap": q_winnow_overlap,
-    # (d) r04-stale re-verification (first 3 alphabetically; the
-    #     remaining 41 rotate in next round)
+    # (d) r04-stale re-verification (first 2 alphabetically; the
+    #     remaining 42 rotate in next round)
     "ann_index_stats": q_ann_index_stats,
     "brand_discount_revenue": q_brand_discount_revenue,
-    "clicks_after_error": q_clicks_after_error,
     # ---- slots above are inside the driver's 50-query verification
     # window; everything below holds an r04/r05 driver-green row and
     # rides the driver-faithful local replica until its next rotation ----
+    "clicks_after_error": q_clicks_after_error,
     "doc_chunks": q_doc_chunks,
     "doc_clip_repeated": q_doc_clip_repeated,
     "doc_corpus_mix": q_doc_corpus_mix,
@@ -7308,6 +7430,7 @@ def build_oracles() -> dict[str, str]:
         "neardup_communities": _sql_neardup_communities(),
         "token_pmi": SQL_TOKEN_PMI,
         "neardup_link_prediction": _sql_neardup_link_prediction(),
+        "event_assoc_rules": SQL_EVENT_ASSOC_RULES,
         "doc_containment_dups": SQL_DOC_CONTAINMENT,
         "event_bursts": SQL_EVENT_BURSTS,
         "emb_range_search": SQL_EMB_RANGE_SEARCH,

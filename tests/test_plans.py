@@ -756,3 +756,16 @@ def test_link_prediction_wedge_plan_broadcast_degrees(plans):
     assert "windowspecdefinition" not in plan
     assert broadcast_join_count(plan) >= 1
     assert len(re.findall(r"Scan parquet[^\n]*documents", plan)) == 0
+
+
+def test_assoc_rules_basket_self_join_and_broadcast_marginals(plans):
+    """Association rules: the pair expansion is an equi-join ON user_id
+    over the staged distinct (user, type) basket index (bounded per-user
+    fan-out — a cartesian would be |types|² × corpus), marginals and the
+    1-row user count ride broadcasts, and both rule directions re-select
+    ONE aggregated pair table (a second fact shuffle per direction would
+    double the cost for free)."""
+    plan = plans("event_assoc_rules")
+    assert "CartesianProduct" not in plan
+    assert broadcast_join_count(plan) >= 2
+    assert len(re.findall(r"Scan parquet[^\n]*events", plan)) == 0
