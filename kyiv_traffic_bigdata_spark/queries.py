@@ -6530,6 +6530,68 @@ def q_event_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _dir("t_a", "t_b", "n_a").unionAll(_dir("t_b", "t_a", "n_b"))
 
 
+#: EWMA smoothing factor — 0.25 so both α and 1−α are exactly
+#: representable binary fractions (the fold is then bit-identical in
+#: both engines with no rounding quarantine needed until the end).
+EWMA_ALPHA = 0.25
+
+
+def q_event_type_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of hourly event volume per
+    type — the classic smoothed-rate monitor behind alerting baselines
+    (the batch twin of what a streaming anomaly detector keeps as
+    state). EWMA is inherently sequential (``y_t = α·x_t + (1−α)·
+    y_{t−1}``), so both engines fold the per-type series in hour order
+    with α = 0.25 (α and 1−α exact binary fractions → bit-identical
+    doubles; final value round6'd only as belt-and-braces).
+
+    Scale: the fact collapses to a (type × hour) histogram with ONE
+    map-side-combined hash aggregate; the sequential fold runs on that
+    BOUNDED series (calendar hours, not events) via sort_array +
+    aggregate — per-group state is one double, and no raw event is ever
+    collected."""
+    hourly = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    a = 1.0 - EWMA_ALPHA
+    vals = (
+        "transform(sort_array(collect_list(struct(hour, cnt))),"
+        " s -> CAST(s.cnt AS DOUBLE))"
+    )
+    return hourly.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_hours"),
+        F.max("hour").alias("last_hour"),
+        round6(
+            F.expr(
+                f"aggregate(slice({vals}, 2, greatest(size({vals}) - 1, 0)),"
+                f" element_at({vals}, 1),"
+                f" (acc, x) -> {EWMA_ALPHA}D * x + {a}D * acc)"
+            )
+        ).alias("ewma"),
+    )
+
+
+SQL_EVENT_TYPE_EWMA = f"""
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_hours,
+       MAX(hour) AS last_hour,
+       {SQL_ROUND6.format(
+           x=f"list_reduce(list(CAST(cnt AS DOUBLE) ORDER BY hour),"
+             f" (acc, x) -> {EWMA_ALPHA}*CAST(x AS DOUBLE) + {1.0 - EWMA_ALPHA}*acc)"
+       )} AS ewma
+FROM hourly GROUP BY 1
+"""
+
+
 _SQL_ASSOC_RULE_DIR = """
 SELECT {ante} AS antecedent, {cons} AS consequent, n_ab AS n_both,
        {support} AS support, {confidence} AS confidence, {lift} AS lift
@@ -7275,6 +7337,7 @@ QUERIES: dict[str, QueryFn] = {
     "token_pmi": q_token_pmi,
     "neardup_link_prediction": q_neardup_link_prediction,
     "event_assoc_rules": q_event_assoc_rules,
+    "event_type_ewma": q_event_type_ewma,
     # (c) r03-stale re-verification (last driver row three rounds old)
     "cosine_topk": q_cosine_topk,
     "doc_exact_dups": q_doc_exact_dups,
@@ -7301,13 +7364,13 @@ QUERIES: dict[str, QueryFn] = {
     "weather_pivot": q_weather_pivot,
     "winnow_fingerprints": q_winnow_fingerprints,
     "winnow_overlap": q_winnow_overlap,
-    # (d) r04-stale re-verification (first 2 alphabetically; the
-    #     remaining 42 rotate in next round)
+    # (d) r04-stale re-verification (first 1 alphabetically; the
+    #     remaining 43 rotate in next round)
     "ann_index_stats": q_ann_index_stats,
-    "brand_discount_revenue": q_brand_discount_revenue,
     # ---- slots above are inside the driver's 50-query verification
     # window; everything below holds an r04/r05 driver-green row and
     # rides the driver-faithful local replica until its next rotation ----
+    "brand_discount_revenue": q_brand_discount_revenue,
     "clicks_after_error": q_clicks_after_error,
     "doc_chunks": q_doc_chunks,
     "doc_clip_repeated": q_doc_clip_repeated,
@@ -7431,6 +7494,7 @@ def build_oracles() -> dict[str, str]:
         "token_pmi": SQL_TOKEN_PMI,
         "neardup_link_prediction": _sql_neardup_link_prediction(),
         "event_assoc_rules": SQL_EVENT_ASSOC_RULES,
+        "event_type_ewma": SQL_EVENT_TYPE_EWMA,
         "doc_containment_dups": SQL_DOC_CONTAINMENT,
         "event_bursts": SQL_EVENT_BURSTS,
         "emb_range_search": SQL_EMB_RANGE_SEARCH,

@@ -769,3 +769,19 @@ def test_assoc_rules_basket_self_join_and_broadcast_marginals(plans):
     assert "CartesianProduct" not in plan
     assert broadcast_join_count(plan) >= 2
     assert len(re.findall(r"Scan parquet[^\n]*events", plan)) == 0
+
+
+def test_ewma_folds_over_aggregated_histogram_only(plans):
+    """EWMA: the sequential fold's collect_list runs over the (type ×
+    hour) HISTOGRAM — the fact scan feeds a map-side-combined partial
+    count reading exactly two columns, and no window function appears
+    (a per-event window or a raw-event collect would make per-group
+    state corpus-sized instead of calendar-sized)."""
+    plan = plans("event_type_ewma")
+    assert "partial_count" in plan
+    assert "windowspecdefinition" not in plan
+    read_schema = re.search(r"ReadSchema: struct<([^>]*)>", plan).group(1)
+    assert set(read_schema.split(",")) <= {
+        "ts:timestamp_ntz",
+        "event_type:string",
+    }
