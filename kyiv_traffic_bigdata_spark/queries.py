@@ -6592,6 +6592,107 @@ FROM hourly GROUP BY 1
 """
 
 
+#: Count-min sketch geometry + report size. Width is deliberately small
+#: relative to the user cardinality so bucket collisions (the thing the
+#: min-over-depth corrects for) actually occur at test scale.
+CMS_DEPTH = 4
+CMS_WIDTH = 256
+CMS_TOPN = 20
+
+
+def q_event_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch heavy hitters — per-user event frequencies
+    estimated from a fixed d×w counter matrix, reported for the top
+    users next to their exact counts (``cms_n ≥ exact_n`` always; the
+    overcount column is the visible collision error). Deterministic
+    because the d hash rows are the portable md5 hash with a row-index
+    prefix, so both engines build the identical sketch.
+
+    Scale: THE point of CMS — the shuffle out of the fact scan is
+    bounded by d·w counters per map task (map-side combine), not by
+    key cardinality; the finished 1024-cell sketch then rides a
+    broadcast against the distinct-key probe. The exact join is the
+    test-time comparison, itself one hash aggregate."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("k")
+    )
+
+    def _buckets(col):
+        return F.array(
+            *[
+                F.struct(
+                    F.lit(j).alias("j"),
+                    (
+                        TX.portable_hash(F.concat(F.lit(f"{j}:"), col))
+                        % CMS_WIDTH
+                    ).alias("b"),
+                )
+                for j in range(CMS_DEPTH)
+            ]
+        )
+
+    counters = (
+        ev.select(F.explode(_buckets(F.col("k"))).alias("s"))
+        .select("s.j", "s.b")
+        .groupBy("j", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    probe = (
+        ev.distinct()
+        .select("k", F.explode(_buckets(F.col("k"))).alias("s"))
+        .select("k", "s.j", "s.b")
+        .join(F.broadcast(counters), ["j", "b"])
+        .groupBy("k")
+        .agg(F.min("c").cast("long").alias("cms_n"))
+    )
+    exact = ev.groupBy("k").agg(F.count(F.lit(1)).alias("exact_n"))
+    res = (
+        probe.join(exact, "k")
+        .select(
+            F.col("k").cast("long").alias("user_id"),
+            F.col("exact_n").cast("long").alias("exact_n"),
+            "cms_n",
+            (F.col("cms_n") - F.col("exact_n")).cast("long").alias("overcount"),
+        )
+    )
+    return top_k(res, [F.col("cms_n").desc(), F.col("user_id").asc()], CMS_TOPN)
+
+
+def _sql_event_cms() -> str:
+    def bucket(j: int, key: str) -> str:
+        return f"({_PORTABLE_HASH.format(s=f_concat(j, key))} % {CMS_WIDTH})"
+
+    def f_concat(j: int, key: str) -> str:
+        return f"concat('{j}:', {key})"
+
+    expanded = " UNION ALL ".join(
+        f"SELECT {j} AS j, {bucket(j, 'k')} AS b FROM ev" for j in range(CMS_DEPTH)
+    )
+    probe = " UNION ALL ".join(
+        f"SELECT k, {j} AS j, {bucket(j, 'k')} AS b FROM keys"
+        for j in range(CMS_DEPTH)
+    )
+    return f"""
+WITH ev AS (SELECT CAST(user_id AS VARCHAR) AS k FROM events),
+expanded AS ({expanded}),
+counters AS (
+  SELECT j, b, CAST(COUNT(*) AS BIGINT) AS c FROM expanded GROUP BY 1, 2
+),
+keys AS (SELECT DISTINCT k FROM ev),
+probe AS ({probe}),
+est AS (
+  SELECT k, CAST(MIN(c) AS BIGINT) AS cms_n
+  FROM probe JOIN counters USING (j, b) GROUP BY k
+),
+exact AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS exact_n FROM ev GROUP BY k)
+SELECT CAST(k AS BIGINT) AS user_id, exact_n, cms_n,
+       cms_n - exact_n AS overcount
+FROM est JOIN exact USING (k)
+ORDER BY cms_n DESC, user_id ASC
+LIMIT {CMS_TOPN}
+"""
+
+
 _SQL_ASSOC_RULE_DIR = """
 SELECT {ante} AS antecedent, {cons} AS consequent, n_ab AS n_both,
        {support} AS support, {confidence} AS confidence, {lift} AS lift
@@ -7338,6 +7439,7 @@ QUERIES: dict[str, QueryFn] = {
     "neardup_link_prediction": q_neardup_link_prediction,
     "event_assoc_rules": q_event_assoc_rules,
     "event_type_ewma": q_event_type_ewma,
+    "event_cms_heavy_hitters": q_event_cms_heavy_hitters,
     # (c) r03-stale re-verification (last driver row three rounds old)
     "cosine_topk": q_cosine_topk,
     "doc_exact_dups": q_doc_exact_dups,
@@ -7364,12 +7466,12 @@ QUERIES: dict[str, QueryFn] = {
     "weather_pivot": q_weather_pivot,
     "winnow_fingerprints": q_winnow_fingerprints,
     "winnow_overlap": q_winnow_overlap,
-    # (d) r04-stale re-verification (first 1 alphabetically; the
-    #     remaining 43 rotate in next round)
-    "ann_index_stats": q_ann_index_stats,
+    # (d) r04-stale re-verification: the round-6 additions consumed all
+    #     round-robin slots; the full r04-stale set rotates next round
     # ---- slots above are inside the driver's 50-query verification
     # window; everything below holds an r04/r05 driver-green row and
     # rides the driver-faithful local replica until its next rotation ----
+    "ann_index_stats": q_ann_index_stats,
     "brand_discount_revenue": q_brand_discount_revenue,
     "clicks_after_error": q_clicks_after_error,
     "doc_chunks": q_doc_chunks,
@@ -7495,6 +7597,7 @@ def build_oracles() -> dict[str, str]:
         "neardup_link_prediction": _sql_neardup_link_prediction(),
         "event_assoc_rules": SQL_EVENT_ASSOC_RULES,
         "event_type_ewma": SQL_EVENT_TYPE_EWMA,
+        "event_cms_heavy_hitters": _sql_event_cms(),
         "doc_containment_dups": SQL_DOC_CONTAINMENT,
         "event_bursts": SQL_EVENT_BURSTS,
         "emb_range_search": SQL_EMB_RANGE_SEARCH,

@@ -785,3 +785,16 @@ def test_ewma_folds_over_aggregated_histogram_only(plans):
         "ts:timestamp_ntz",
         "event_type:string",
     }
+
+
+def test_cms_bounded_counter_shuffle_and_broadcast_sketch(plans):
+    """Count-min sketch: the counter build must map-side combine (the
+    shuffle out of the fact scan is bounded by d*w cells per task, not
+    key cardinality — CMS's whole point), the finished sketch must ride
+    a broadcast against the probe side, and the report must be a
+    TakeOrderedAndProject, never a global sort."""
+    plan = plans("event_cms_heavy_hitters")
+    assert "partial_count" in plan
+    assert broadcast_join_count(plan) >= 1
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
