@@ -5535,6 +5535,121 @@ SELECT doc_id, bm25, n_matched_terms FROM ranked WHERE rn <= {BM25_TOPN}
 """
 
 
+#: Reciprocal-rank-fusion constant (the standard 60 from Cormack et al.)
+RRF_K = 60
+
+
+def q_doc_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via reciprocal rank fusion — the standard way
+    to combine a lexical ranker (BM25 over the fixed query terms) with
+    a dense ranker (exact cosine against doc 0's embedding, vec_id ↔
+    doc_id aligned in the testdata): ``rrf = Σ_lists 1/(60 + rank)``,
+    absent lists contributing 0 and rank 0 in the report (no NULLs —
+    engine-portable canon).
+
+    Scale: fusion happens strictly on the two SHORTLISTS — each ranker
+    ends in TakeOrdered/top-k, so the rank windows and the full-outer
+    join touch ≤ 2·topN rows of driver-bounded metadata, never the
+    corpus. Both engines rank by the ROUNDED score with id tie-break,
+    so ranks are identical cross-engine."""
+    from pyspark.sql import Window
+
+    from .functions.vector import dot, norm
+
+    bm = q_doc_bm25_topk(spark, sf_dir)
+    emb = _emb(spark, sf_dir)
+    q = emb.where(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qvec"), norm(F.col("embedding")).alias("_qn")
+    )
+    c = emb.select(
+        F.col("vec_id").alias("doc_id"),
+        F.col("embedding").alias("cvec"),
+        norm(F.col("embedding")).alias("_cn"),
+    )
+    denom = F.col("_qn") * F.col("_cn")
+    sim = F.when(denom == 0, F.lit(0.0)).otherwise(
+        dot(F.col("qvec"), F.col("cvec")) / denom
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("doc_id") != 0)
+        .select("doc_id", sim.alias("_sim"))
+    )
+    short = top_k(
+        scored, [F.col("_sim").desc(), F.col("doc_id").asc()], BM25_TOPN
+    )
+    bmr = bm.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("bm25").desc(), F.col("doc_id").asc()))
+        .alias("bm25_rank"),
+    )
+    cr = short.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("_sim").desc(), F.col("doc_id").asc()))
+        .alias("cos_rank"),
+    )
+
+    def _term(rank_col):
+        return F.when(F.col(rank_col).isNull(), F.lit(0.0)).otherwise(
+            F.lit(1.0) / (F.lit(float(RRF_K)) + F.col(rank_col))
+        )
+
+    return bmr.join(cr, "doc_id", "full_outer").select(
+        "doc_id",
+        F.coalesce(F.col("bm25_rank"), F.lit(0)).cast("long").alias("bm25_rank"),
+        F.coalesce(F.col("cos_rank"), F.lit(0)).cast("long").alias("cos_rank"),
+        round6(_term("bm25_rank") + _term("cos_rank")).alias("rrf_score"),
+    )
+
+
+def _sql_doc_hybrid_rrf() -> str:
+    term = (
+        "(CASE WHEN {r} IS NULL THEN 0.0"
+        f" ELSE 1.0 / ({float(RRF_K)} + {{r}}) END)"
+    )
+    return f"""
+WITH bm AS MATERIALIZED ({_sql_doc_bm25()}),
+qe AS (
+  SELECT generate_subscripts(embedding, 1) AS i,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings WHERE vec_id = 0
+),
+ce AS (
+  SELECT vec_id AS nid, generate_subscripts(embedding, 1) AS i,
+         CAST(unnest(embedding) AS DOUBLE) AS y
+  FROM embeddings
+),
+norms AS (SELECT nid, SUM(y * y) AS n2 FROM ce GROUP BY nid),
+dots AS (
+  SELECT nid, SUM(x * y) AS d FROM qe JOIN ce USING (i) GROUP BY nid
+),
+cos AS (
+  SELECT dots.nid,
+         CASE WHEN sqrt(nq.n2) * sqrt(nc.n2) = 0 THEN 0.0
+              ELSE d / (sqrt(nq.n2) * sqrt(nc.n2)) END AS sim
+  FROM dots JOIN norms nq ON nq.nid = 0 JOIN norms nc ON nc.nid = dots.nid
+  WHERE dots.nid != 0
+),
+cr0 AS (
+  SELECT nid AS doc_id,
+         row_number() OVER (ORDER BY sim DESC, nid ASC) AS cos_rank
+  FROM cos
+),
+cr AS (SELECT doc_id, cos_rank FROM cr0 WHERE cos_rank <= {BM25_TOPN}),
+bmr AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS bm25_rank
+  FROM bm
+)
+SELECT COALESCE(bmr.doc_id, cr.doc_id) AS doc_id,
+       CAST(COALESCE(bm25_rank, 0) AS BIGINT) AS bm25_rank,
+       CAST(COALESCE(cos_rank, 0) AS BIGINT) AS cos_rank,
+       {SQL_ROUND6.format(x=term.format(r='bm25_rank') + ' + ' + term.format(r='cos_rank'))} AS rrf_score
+FROM bmr FULL OUTER JOIN cr ON bmr.doc_id = cr.doc_id
+"""
+
+
 def q_event_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-order Markov transition matrix over per-user event
     sequences: P(next_type | type), the behavioral model behind
@@ -7482,6 +7597,7 @@ QUERIES: dict[str, QueryFn] = {
     "doc_decontaminate": q_doc_decontaminate,
     "doc_gopher_quality": q_doc_gopher_quality,
     "doc_hash_sample": q_doc_hash_sample,
+    "doc_hybrid_rrf": q_doc_hybrid_rrf,
     "doc_langid_confusion": q_doc_langid_confusion,
     "doc_pii_scrub": q_doc_pii_scrub,
     "doc_quality_filter": q_doc_quality_filter,
@@ -7651,6 +7767,7 @@ def build_oracles() -> dict[str, str]:
         "neardup_components": _sql_neardup_components(),
         "doc_sample_by_lang": SQL_SAMPLE_BY_LANG,
         "doc_hash_sample": SQL_HASH_SAMPLE,
+        "doc_hybrid_rrf": _sql_doc_hybrid_rrf(),
         "doc_tfidf_terms": SQL_TFIDF,
         "emb_quantized": SQL_QUANTIZED,
         "clicks_after_error": SQL_CLICKS_AFTER_ERROR,

@@ -798,3 +798,16 @@ def test_cms_bounded_counter_shuffle_and_broadcast_sketch(plans):
     assert broadcast_join_count(plan) >= 1
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_hybrid_rrf_fuses_shortlists_only(plans):
+    """RRF hybrid retrieval: each ranker ends in TakeOrderedAndProject
+    BEFORE fusion, the dense side broadcasts the 1-row query vector
+    (corpus never shuffles for scoring), and the rank windows run on
+    the k-bounded shortlists — a global window over a corpus-sized
+    input would show up as a windowspec ordering raw scores without a
+    TakeOrdered upstream."""
+    plan = plans("doc_hybrid_rrf")
+    assert "TakeOrderedAndProject" in plan
+    assert broadcast_join_count(plan) >= 2
+    assert "CartesianProduct" not in plan
