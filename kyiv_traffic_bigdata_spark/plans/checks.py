@@ -66,3 +66,14 @@ def scan_filter_exprs(plan: str) -> list[str]:
         if m.group(1).strip():
             out.append(m.group(1))
     return out
+
+
+def parquet_scan_count(plan: str, table: str) -> int:
+    """Number of parquet scans of a given table in a FORMATTED plan.
+
+    Path-based reads leave the ``Scan parquet`` tree node nameless — the
+    table is only identifiable from the ``Location:`` detail line — so a
+    naive ``Scan parquet.*<table>`` regex silently matches nothing and
+    turns absence assertions vacuous. Count Location lines instead.
+    """
+    return len(re.findall(rf"Location: [^\n]*[/_]{re.escape(table)}\.parquet", plan))

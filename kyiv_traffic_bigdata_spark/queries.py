@@ -5447,14 +5447,20 @@ def q_doc_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate did implicitly)."""
     d = _docs_with_tokens(spark, sf_dir)
     terms = [t for t in BM25_QUERY_TERMS]
+    from .operators.staging import stage
+
+    # dl feeds BOTH the 1-row totals aggregate and the scoring join;
+    # unstaged, each reference re-scans AND re-tokenizes the whole
+    # corpus (caught by the plan test's scan count). The staged frame
+    # is two ints per doc — narrow — and saves a full tokenize pass.
     dl = (
         d.select("doc_id", F.size(TX.tokens(F.col("text"))).alias("dl"))
         .where(F.col("dl") > 0)
+        .transform(stage)
     )
     qtok = d.select(
         "doc_id", F.explode(TX.tokens(F.col("text"))).alias("term")
     ).where(F.col("term").isin(*terms))
-    from .operators.staging import stage
 
     # tf feeds BOTH the df aggregate and the scoring join; without
     # staging the corpus-wide explode subtree executes twice (verified:
@@ -5533,6 +5539,93 @@ ranked AS (
 )
 SELECT doc_id, bm25, n_matched_terms FROM ranked WHERE rn <= {BM25_TOPN}
 """
+
+
+#: Column spec for the data-profiling query: (name, repr kind). The
+#: repr kind picks a STRING rendering that is byte-identical in Spark
+#: and DuckDB (raw doubles/timestamps render differently, so money
+#: goes through DECIMAL(18,2) and timestamps through an explicit
+#: format string).
+PROFILE_COLUMNS = (
+    ("o_orderkey", "int"),
+    ("o_custkey", "int"),
+    ("o_orderstatus", "str"),
+    ("o_totalprice", "money"),
+    ("o_orderdate", "ts"),
+    ("o_orderpriority", "str"),
+)
+
+
+def q_orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-profiling audit of the orders table — per column: row
+    count, null count, distinct count, min/max rendered as portable
+    strings. The standard ingest-time data-quality summary (what
+    Deequ/Great-Expectations profilers emit) as a first-class query.
+
+    Scale: ONE pass over the fact — all per-column aggregates ride a
+    single hash aggregate (the multi-distinct rewrite is Catalyst's
+    Expand, a bounded constant fan-out of 6), and the unpivot is a
+    ``stack`` over the finished 1-row aggregate, not a per-column
+    rescan."""
+    o = load_table(spark, sf_dir, "orders")
+
+    def _repr(col, kind):
+        if kind == "ts":
+            return F.date_format(col, "yyyy-MM-dd HH:mm:ss")
+        if kind == "money":
+            return col.cast("decimal(18,2)").cast("string")
+        return col.cast("string")
+
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c, kind in PROFILE_COLUMNS:
+        aggs += [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias(f"{c}__nulls"),
+            F.countDistinct(F.col(c)).alias(f"{c}__nd"),
+            _repr(F.min(F.col(c)), kind).alias(f"{c}__min"),
+            _repr(F.max(F.col(c)), kind).alias(f"{c}__max"),
+        ]
+    row = o.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__nulls, {c}__nd, {c}__min, {c}__max"
+        for c, _ in PROFILE_COLUMNS
+    )
+    return row.selectExpr(
+        "CAST(n_rows AS LONG) AS n_rows",
+        f"stack({len(PROFILE_COLUMNS)}, {stack_args})"
+        " AS (col_name, n_nulls, n_distinct, min_repr, max_repr)",
+    ).select(
+        "col_name", "n_rows", "n_nulls",
+        F.col("n_distinct").cast("long").alias("n_distinct"),
+        "min_repr", "max_repr",
+    )
+
+
+def _sql_orders_profile() -> str:
+    def _repr(expr, kind):
+        if kind == "ts":
+            return f"strftime({expr}, '%Y-%m-%d %H:%M:%S')"
+        if kind == "money":
+            return f"CAST(CAST({expr} AS DECIMAL(18,2)) AS VARCHAR)"
+        return f"CAST({expr} AS VARCHAR)"
+
+    aggs = ["CAST(COUNT(*) AS BIGINT) AS n_rows"]
+    for c, kind in PROFILE_COLUMNS:
+        aggs += [
+            f"CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)"
+            f" AS {c}__nulls",
+            f"CAST(COUNT(DISTINCT {c}) AS BIGINT) AS {c}__nd",
+            f"{_repr(f'MIN({c})', kind)} AS {c}__min",
+            f"{_repr(f'MAX({c})', kind)} AS {c}__max",
+        ]
+    selects = " UNION ALL ".join(
+        f"SELECT '{c}' AS col_name, n_rows, {c}__nulls AS n_nulls,"
+        f" {c}__nd AS n_distinct, {c}__min AS min_repr, {c}__max AS max_repr"
+        f" FROM agg"
+        for c, _ in PROFILE_COLUMNS
+    )
+    return f"WITH agg AS MATERIALIZED (SELECT {', '.join(aggs)} FROM orders)\n{selects}"
 
 
 #: Reciprocal-rank-fusion constant (the standard 60 from Cormack et al.)
@@ -7678,6 +7771,7 @@ QUERIES: dict[str, QueryFn] = {
     "global_event_stats": q_global_event_stats,
     "geo_speed_by_type": q_geo_speed_by_type,
     "geo_region_counts": q_geo_region_counts,
+    "orders_profile": q_orders_profile,
     "orders_without_lineitems": q_orders_without_lineitems,
     "active_customers": q_active_customers,
     # ---- no-oracle approximates: permanently at the tail so they
@@ -7737,6 +7831,7 @@ def build_oracles() -> dict[str, str]:
         "geo_trajectory": SQL_GEO_TRAJ,
         "geo_speed_by_type": SQL_GEO_SPEED_STATS,
         "geo_region_counts": SQL_GEO_REGIONS,
+        "orders_profile": _sql_orders_profile(),
         "orders_without_lineitems": SQL_ANTI,
         "active_customers": SQL_SEMI,
         "event_union": SQL_UNION,

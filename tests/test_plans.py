@@ -17,6 +17,7 @@ from kyiv_traffic_bigdata_spark.operators.dedup import shingle_index
 from kyiv_traffic_bigdata_spark.plans import (
     broadcast_join_count,
     exchange_count,
+    parquet_scan_count,
     physical_plan,
     scan_filter_exprs,
     sort_merge_join_count,
@@ -464,7 +465,7 @@ def test_market_share_single_pass_no_self_join(plans):
     """Q8 shape: numerator and denominator ride ONE aggregate — a
     second lineitem scan or a self-join is a regression."""
     plan = plans("nation_market_share")
-    assert len(re.findall(r"Scan parquet[^\n]*lineitem", plan)) <= 1
+    assert parquet_scan_count(plan, "lineitem") <= 1
 
 
 def test_product_line_filter_pushed_to_part_scan(plans):
@@ -543,7 +544,9 @@ def test_bm25_takeordered_and_no_explode_for_doclength(plans):
     # the tf subtree is staged (checkpoint scan); a Generate in the
     # final plan means the dl aggregate regressed to the exploded shape
     assert len(re.findall(r"\(\d+\) Generate", plan)) == 0
-    assert len(re.findall(r"Scan parquet[^\n]*documents", plan)) <= 1
+    # both corpus passes (tf explode, dl size) are staged — the final
+    # plan reads only checkpoint scans, never the documents parquet
+    assert parquet_scan_count(plan, "documents") == 0
 
 
 def test_markov_transitions_bounded_window_and_aggregate(plans):
@@ -601,7 +604,7 @@ def test_suppliers_kept_waiting_no_fact_self_join(plans):
     two lineitem scans would mean the textbook double self-join came
     back."""
     plan = plans("suppliers_kept_waiting")
-    assert len(re.findall(r"Scan parquet[^\n]*lineitem", plan)) <= 2
+    assert parquet_scan_count(plan, "lineitem") <= 2
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
 
@@ -718,7 +721,7 @@ def test_overlap_sketch_operates_on_staged_sketches_only(plans):
     corpus-side distinct runs once, inside the checkpoint), and the only
     pair expansion is over the bounded type dimension."""
     plan = plans("user_overlap_sketch")
-    assert len(re.findall(r"Scan parquet[^\n]*events", plan)) == 0
+    assert parquet_scan_count(plan, "events") == 0
 
 
 def test_lpa_communities_argmax_aggregate_no_window_no_cartesian(plans):
@@ -730,7 +733,7 @@ def test_lpa_communities_argmax_aggregate_no_window_no_cartesian(plans):
     plan = plans("neardup_communities")
     assert "windowspecdefinition" not in plan
     assert "CartesianProduct" not in plan
-    assert len(re.findall(r"Scan parquet[^\n]*documents", plan)) == 0
+    assert parquet_scan_count(plan, "documents") == 0
 
 
 def test_token_pmi_equi_self_join_and_broadcast_marginals(plans):
@@ -755,7 +758,7 @@ def test_link_prediction_wedge_plan_broadcast_degrees(plans):
     assert "CartesianProduct" not in plan
     assert "windowspecdefinition" not in plan
     assert broadcast_join_count(plan) >= 1
-    assert len(re.findall(r"Scan parquet[^\n]*documents", plan)) == 0
+    assert parquet_scan_count(plan, "documents") == 0
 
 
 def test_assoc_rules_basket_self_join_and_broadcast_marginals(plans):
@@ -768,7 +771,7 @@ def test_assoc_rules_basket_self_join_and_broadcast_marginals(plans):
     plan = plans("event_assoc_rules")
     assert "CartesianProduct" not in plan
     assert broadcast_join_count(plan) >= 2
-    assert len(re.findall(r"Scan parquet[^\n]*events", plan)) == 0
+    assert parquet_scan_count(plan, "events") == 0
 
 
 def test_ewma_folds_over_aggregated_histogram_only(plans):
@@ -811,3 +814,15 @@ def test_hybrid_rrf_fuses_shortlists_only(plans):
     assert "TakeOrderedAndProject" in plan
     assert broadcast_join_count(plan) >= 2
     assert "CartesianProduct" not in plan
+
+
+def test_orders_profile_single_scan_expand_rewrite(plans):
+    """Data profiling: all per-column aggregates (nulls, multi-column
+    distincts, min/max reprs) must ride ONE scan of the orders parquet
+    — Catalyst's Expand rewrite for multi-distinct, not one scan per
+    column — and the unpivot is a generate over the finished 1-row
+    aggregate."""
+    plan = plans("orders_profile")
+    assert parquet_scan_count(plan, "orders") == 1
+    assert "Expand" in plan
+    assert "Generate" in plan
