@@ -5628,6 +5628,75 @@ def _sql_orders_profile() -> str:
     return f"WITH agg AS MATERIALIZED (SELECT {', '.join(aggs)} FROM orders)\n{selects}"
 
 
+#: FK relations audited by q_fk_integrity_audit:
+#: (label, child table, child key, parent table, parent key).
+FK_RELATIONS = (
+    ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier.s_nationkey->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation.n_regionkey->region", "nation", "n_regionkey", "region", "r_regionkey"),
+)
+
+
+def q_fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit of the whole star schema — for every
+    FK relation: child row count, rows with a NULL key, and orphan rows
+    whose key has no parent. The warehouse-grade constraint check an
+    ingest pipeline runs before publishing a snapshot (zero rows in the
+    orphan column = the contract holds).
+
+    Scale: each relation is one key-only child projection + a LEFT
+    ANTI join against the parent's distinct-key side — every parent
+    key set here is dimension-sized, so Catalyst broadcasts it and no
+    child fact ever shuffles; per-table child scans read exactly the
+    key columns (pruned scan). The result is a bounded
+    |relations|-row report unioned from 1-row aggregates."""
+    out = None
+    for label, child, ckey, parent, pkey in FK_RELATIONS:
+        c = load_table(spark, sf_dir, child).select(F.col(ckey).alias("k"))
+        p = load_table(spark, sf_dir, parent).select(F.col(pkey).alias("k"))
+        orphans = (
+            c.where(F.col("k").isNotNull())
+            .join(F.broadcast(p), "k", "left_anti")
+            .agg(F.count(F.lit(1)).alias("n_orphans"))
+        )
+        stats = c.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.when(F.col("k").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_null_keys"),
+        )
+        row = (
+            stats.crossJoin(orphans)
+            .select(
+                F.lit(label).alias("relation"),
+                F.col("n_rows").cast("long").alias("n_rows"),
+                "n_null_keys",
+                F.col("n_orphans").cast("long").alias("n_orphans"),
+            )
+        )
+        out = row if out is None else out.unionAll(row)
+    return out
+
+
+def _sql_fk_integrity_audit() -> str:
+    parts = []
+    for label, child, ckey, parent, pkey in FK_RELATIONS:
+        parts.append(f"""
+SELECT '{label}' AS relation,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM {child}) AS n_rows,
+       (SELECT CAST(SUM(CASE WHEN {ckey} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        FROM {child}) AS n_null_keys,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM {child} c
+        WHERE c.{ckey} IS NOT NULL
+          AND NOT EXISTS (SELECT 1 FROM {parent} p WHERE p.{pkey} = c.{ckey}))
+       AS n_orphans""")
+    return " UNION ALL ".join(parts)
+
+
 #: Reciprocal-rank-fusion constant (the standard 60 from Cormack et al.)
 RRF_K = 60
 
@@ -7713,6 +7782,7 @@ QUERIES: dict[str, QueryFn] = {
     "event_funnel": q_event_funnel,
     "event_gap_fill": q_event_gap_fill,
     "event_pivot_roundtrip": q_event_pivot_roundtrip,
+    "fk_integrity_audit": q_fk_integrity_audit,
     "forecast_revenue": q_forecast_revenue,
     "idle_rich_customers": q_idle_rich_customers,
     "large_orders": q_large_orders,
@@ -7831,6 +7901,7 @@ def build_oracles() -> dict[str, str]:
         "geo_trajectory": SQL_GEO_TRAJ,
         "geo_speed_by_type": SQL_GEO_SPEED_STATS,
         "geo_region_counts": SQL_GEO_REGIONS,
+        "fk_integrity_audit": _sql_fk_integrity_audit(),
         "orders_profile": _sql_orders_profile(),
         "orders_without_lineitems": SQL_ANTI,
         "active_customers": SQL_SEMI,

@@ -826,3 +826,15 @@ def test_orders_profile_single_scan_expand_rewrite(plans):
     assert parquet_scan_count(plan, "orders") == 1
     assert "Expand" in plan
     assert "Generate" in plan
+
+
+def test_fk_audit_anti_joins_broadcast_and_pruned_scans(plans):
+    """FK integrity audit: every orphan check is a LEFT ANTI against a
+    BROADCAST parent key set (a sort-merge anti here shuffles the fact
+    for a dimension), and the child scans are key-only projections."""
+    plan = plans("fk_integrity_audit")
+    assert sort_merge_join_count(plan) == 0
+    assert broadcast_join_count(plan) >= 7
+    for m in re.finditer(r"ReadSchema: struct<([^>]*)>", plan):
+        cols = [c for c in m.group(1).split(",") if c]
+        assert len(cols) <= 1, cols
