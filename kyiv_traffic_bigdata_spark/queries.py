@@ -4178,7 +4178,10 @@ def q_neardup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sql_neardup_pagerank() -> str:
+def _sql_pagerank_chain(pairs_ctes: str, out_col: str) -> str:
+    """Unrolled PageRank CTE chain over any ``pairs(id_a, id_b)`` CTE
+    block — shared by the near-dup-graph and token-graph (TextRank)
+    oracles so both stay bit-faithful to operators.pagerank."""
     from .operators.pagerank import DAMPING
 
     d = repr(DAMPING)
@@ -4186,7 +4189,7 @@ def _sql_neardup_pagerank() -> str:
     r6 = SQL_ROUND6
     layers = [
         f"""
-pairs AS (SELECT id_a, id_b FROM ({_sql_minhash_lsh()}) q),
+{pairs_ctes},
 sym AS (
   SELECT id_a AS a, id_b AS b FROM pairs
   UNION
@@ -4213,7 +4216,14 @@ r{i} AS (
         )
     return (
         "WITH " + ",".join(layers)
-        + f"\nSELECT node AS doc_id, deg, rank FROM r{PAGERANK_ITERS}"
+        + f"\nSELECT node AS {out_col}, deg, rank FROM r{PAGERANK_ITERS}"
+    )
+
+
+def _sql_neardup_pagerank() -> str:
+    return _sql_pagerank_chain(
+        f"pairs AS (SELECT id_a, id_b FROM ({_sql_minhash_lsh()}) q)",
+        "doc_id",
     )
 
 
@@ -6571,6 +6581,56 @@ SELECT v AS doc_id, CAST(label AS BIGINT) AS community FROM l{LPA_ROUNDS}
 PMI_MIN_PAIRS = 5
 
 
+def _token_doc_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Staged distinct (doc_id, tok) index — the shared base of the
+    co-occurrence family (token_pmi, token_textrank)."""
+    from .operators.staging import stage
+
+    return (
+        _docs_with_tokens(spark, sf_dir)
+        .select("doc_id", F.explode(TX.tokens(F.col("text"))).alias("tok"))
+        .where(F.col("tok") != "")
+        .distinct()
+        .transform(stage)
+    )
+
+
+def _token_pair_counts(
+    spark: SparkSession, sf_dir: str, toks: DataFrame | None = None
+) -> DataFrame:
+    """Document-level token co-occurrence counts ``(tok_a < tok_b,
+    n_ab ≥ PMI_MIN_PAIRS)`` — the co-occurrence edge list shared by
+    token_pmi and token_textrank. Self-join ON doc_id: Σ per-doc
+    vocab², never corpus². Pass ``toks`` to reuse an already-staged
+    index instead of materializing a second one."""
+    if toks is None:
+        toks = _token_doc_index(spark, sf_dir)
+    a, b = toks.alias("a"), toks.alias("b")
+    return (
+        a.join(b, "doc_id")
+        .where(F.col("a.tok") < F.col("b.tok"))
+        .groupBy(
+            F.col("a.tok").alias("tok_a"), F.col("b.tok").alias("tok_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .where(F.col("n_ab") >= PMI_MIN_PAIRS)
+    )
+
+
+#: Shared SQL twin of the co-occurrence base (toks + pairs CTE bodies).
+_SQL_TOKEN_PAIRS_CTES = """toks AS (
+  SELECT DISTINCT doc_id, t.tok FROM (
+    SELECT doc_id, unnest({toks_expr}) AS tok FROM documents
+  ) t WHERE t.tok <> ''
+),
+pairs AS (
+  SELECT a.tok AS id_a, b.tok AS id_b, CAST(COUNT(*) AS BIGINT) AS n_ab
+  FROM toks a JOIN toks b ON b.doc_id = a.doc_id AND a.tok < b.tok
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= {min_pairs}
+)"""
+
+
 def q_token_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pointwise mutual information of token pairs co-occurring in
     documents — the corpus-linguistics co-occurrence matrix behind
@@ -6584,29 +6644,12 @@ def q_token_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     (doc, token) index ON doc_id — Σ per-doc vocab², bounded by
     document length, never corpus²; marginals are one hash aggregate
     and the corpus size is a 1-row broadcast."""
-    toks = (
-        _docs_with_tokens(spark, sf_dir)
-        .select("doc_id", F.explode(TX.tokens(F.col("text"))).alias("tok"))
-        .where(F.col("tok") != "")
-        .distinct()
-    )
-    from .operators.staging import stage
-
-    toks = toks.transform(stage)
+    toks = _token_doc_index(spark, sf_dir)
     n_docs = toks.select("doc_id").distinct().agg(
         F.count(F.lit(1)).alias("n_docs")
     )
     dfreq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n_t"))
-    a, b = toks.alias("a"), toks.alias("b")
-    pairs = (
-        a.join(b, "doc_id")
-        .where(F.col("a.tok") < F.col("b.tok"))
-        .groupBy(
-            F.col("a.tok").alias("tok_a"), F.col("b.tok").alias("tok_b")
-        )
-        .agg(F.count(F.lit(1)).alias("n_ab"))
-        .where(F.col("n_ab") >= PMI_MIN_PAIRS)
-    )
+    pairs = _token_pair_counts(spark, sf_dir, toks=toks)
     return (
         pairs.join(
             F.broadcast(dfreq.withColumnRenamed("tok", "tok_a")), "tok_a"
@@ -6651,6 +6694,40 @@ JOIN dfreq fa ON fa.tok = tok_a
 JOIN dfreq fb ON fb.tok = tok_b
 CROSS JOIN nd
 """
+
+
+def q_token_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keyword scoring — PageRank centrality over the
+    document-level token co-occurrence graph (Mihalcea & Tarau): the
+    unsupervised keyword-extraction signal that beats raw frequency by
+    rewarding tokens that co-occur with many other well-connected
+    tokens.
+
+    Scale: the edge list is the bounded co-occurrence table
+    (_token_pair_counts — df-floored, vocab-sized, never corpus-sized);
+    each PageRank sweep is one equi-join + one decimal-summed aggregate
+    (operators.pagerank discipline), and the oracle unrolls the same
+    fixed sweeps via the shared _sql_pagerank_chain."""
+    from .operators.pagerank import pagerank
+
+    edges = _token_pair_counts(spark, sf_dir).select(
+        F.col("tok_a").alias("id_a"), F.col("tok_b").alias("id_b")
+    )
+    pr = pagerank(edges, n_iter=PAGERANK_ITERS)
+    return pr.select(
+        F.col("node").alias("token"),
+        F.col("deg").cast("long").alias("deg"),
+        "rank",
+    )
+
+
+def _sql_token_textrank() -> str:
+    return _sql_pagerank_chain(
+        _SQL_TOKEN_PAIRS_CTES.format(
+            toks_expr=_toks("text"), min_pairs=PMI_MIN_PAIRS
+        ),
+        "token",
+    )
 
 
 def q_neardup_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7793,6 +7870,7 @@ QUERIES: dict[str, QueryFn] = {
     "returned_items": q_returned_items,
     "shipping_priority": q_shipping_priority,
     "small_quantity_revenue": q_small_quantity_revenue,
+    "token_textrank": q_token_textrank,
     "top_revenue_supplier": q_top_revenue_supplier,
     "doc_url_normalize": q_doc_url_normalize,
     "doc_mixture_weights": q_doc_mixture_weights,
@@ -7875,6 +7953,7 @@ def build_oracles() -> dict[str, str]:
         "neardup_communities": _sql_neardup_communities(),
         "token_pmi": SQL_TOKEN_PMI,
         "neardup_link_prediction": _sql_neardup_link_prediction(),
+        "token_textrank": _sql_token_textrank(),
         "event_assoc_rules": SQL_EVENT_ASSOC_RULES,
         "event_type_ewma": SQL_EVENT_TYPE_EWMA,
         "event_cms_heavy_hitters": _sql_event_cms(),

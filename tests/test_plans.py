@@ -838,3 +838,14 @@ def test_fk_audit_anti_joins_broadcast_and_pruned_scans(plans):
     for m in re.finditer(r"ReadSchema: struct<([^>]*)>", plan):
         cols = [c for c in m.group(1).split(",") if c]
         assert len(cols) <= 1, cols
+
+
+def test_textrank_sweeps_on_staged_edges_no_window(plans):
+    """TextRank: every PageRank sweep joins the STAGED symmetric edge
+    list (zero documents-parquet rescans in the final plan — without
+    staging each sweep re-runs the corpus self-join), contributions
+    aggregate (no per-node window), and nothing goes cartesian."""
+    plan = plans("token_textrank")
+    assert parquet_scan_count(plan, "documents") == 0
+    assert "windowspecdefinition" not in plan
+    assert "CartesianProduct" not in plan
