@@ -6967,23 +6967,14 @@ def q_event_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     key cardinality; the finished 1024-cell sketch then rides a
     broadcast against the distinct-key probe. The exact join is the
     test-time comparison, itself one hash aggregate."""
+    from .functions.sketch import cms_buckets
+
     ev = load_table(spark, sf_dir, "events").select(
         F.col("user_id").cast("string").alias("k")
     )
 
     def _buckets(col):
-        return F.array(
-            *[
-                F.struct(
-                    F.lit(j).alias("j"),
-                    (
-                        TX.portable_hash(F.concat(F.lit(f"{j}:"), col))
-                        % CMS_WIDTH
-                    ).alias("b"),
-                )
-                for j in range(CMS_DEPTH)
-            ]
-        )
+        return cms_buckets(col, CMS_DEPTH, CMS_WIDTH)
 
     counters = (
         ev.select(F.explode(_buckets(F.col("k"))).alias("s"))

@@ -409,6 +409,65 @@ __all__ += ["streaming_user_distinct_sketch", "make_kmv_fn", "KMV_OUTPUT_SCHEMA"
 
 
 # ---------------------------------------------------------------------------
+# Streaming count-min sketch (incremental twin of q_event_cms_heavy_hitters)
+# ---------------------------------------------------------------------------
+
+CMS_OUTPUT_SCHEMA = "j int, b int, c long"
+CMS_STATE_SCHEMA = "c long"
+
+
+def make_cms_fn():
+    """Per-CELL incremental count-min counter — the streaming twin of
+    the batch sketch build in queries.q_event_cms_heavy_hitters.
+    Counters are plain sums, so cross-batch merging is EXACT by
+    construction (like KMV, unlike bursts): any batching of the input
+    yields the identical d×w counter matrix as one batch over the
+    union, and serving-side estimates (min over the d cells of a key)
+    read the emitted table like the batch sketch.
+
+    State per key (= per touched cell): ONE long. No TTL — a frequency
+    sketch is cumulative; expiring cells would silently undercount."""
+
+    def fn(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        add = sum(len(p) for p in pdfs)
+        if add == 0:
+            return
+        total = (state.get[0] if state.exists else 0) + add
+        state.update((total,))
+        yield pd.DataFrame({"j": [key[0]], "b": [key[1]], "c": [total]})
+
+    return fn
+
+
+def streaming_cms_counters(cells: DataFrame) -> DataFrame:
+    """Count-min counter matrix over a STREAMING frame of pre-exploded
+    cells (update mode — a cell's count refreshes as batches arrive).
+
+    Input needs (j:int, b:int), one row per (event, hash row) —
+    computed JVM-side BEFORE the stateful op via
+    ``functions.sketch.cms_buckets`` + ``explode`` so the Python worker
+    only adds integers and the cell addressing is bit-identical to the
+    batch/oracle sketch."""
+    from .state import configure_state_store
+
+    configure_state_store(cells.sparkSession)
+    return cells.groupBy("j", "b").applyInPandasWithState(
+        make_cms_fn(),
+        outputStructType=CMS_OUTPUT_SCHEMA,
+        stateStructType=CMS_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+__all__ += ["streaming_cms_counters", "make_cms_fn", "CMS_OUTPUT_SCHEMA"]
+
+
+# ---------------------------------------------------------------------------
 # transformWithState twin (the Spark 4 StatefulProcessor API)
 # ---------------------------------------------------------------------------
 

@@ -641,3 +641,108 @@ def test_streaming_user_distinct_sketch_end_to_end(spark, tmp_path):
         )
     finally:
         q.stop()
+
+
+def test_cms_fn_cross_batch_counts_are_exact_sums():
+    """Counter cells are plain sums: any batching of the input must
+    produce the identical final count as one batch over the union —
+    the exact-parity claim of the CMS twin."""
+    import pandas as pd
+
+    from kyiv_traffic_bigdata_spark.streaming.stateful import make_cms_fn
+
+    for chunks in ([5, 3, 2], [10], [1] * 10):
+        fn = make_cms_fn()
+        state = _BurstFakeState()
+        out = None
+        for n in chunks:
+            for df in fn((1, 7), iter([pd.DataFrame({"x": range(n)})]), state):
+                out = df
+        assert tuple(out.iloc[0]) == (1, 7, 10)
+
+
+def test_cms_fn_ignores_empty_batches():
+    import pandas as pd
+
+    from kyiv_traffic_bigdata_spark.streaming.stateful import make_cms_fn
+
+    fn = make_cms_fn()
+    state = _BurstFakeState()
+    assert list(fn((0, 0), iter([pd.DataFrame({"x": []})]), state)) == []
+    assert not state.exists
+
+
+def test_streaming_cms_matches_batch_sketch_end_to_end(spark, tmp_path):
+    """Real streaming run: two micro-batches of user events must
+    accumulate, through the full applyInPandasWithState machinery, into
+    the IDENTICAL d x w counter cells the batch sketch builds over the
+    union (cell addressing shared via functions.sketch.cms_buckets)."""
+    import json
+    import time
+
+    from pyspark.sql import functions as F
+
+    from kyiv_traffic_bigdata_spark.functions.sketch import cms_buckets
+    from kyiv_traffic_bigdata_spark.streaming.stateful import (
+        streaming_cms_counters,
+    )
+
+    depth, width = 2, 8
+    src = tmp_path / "src"
+    src.mkdir()
+    users1, users2 = [1, 2, 3, 2], [3, 3, 4]
+
+    def write(name, users):
+        (src / name).write_text(
+            "\n".join(json.dumps({"user_id": u}) for u in users)
+        )
+
+    write("b1.json", users1)
+    stream = (
+        spark.readStream.schema("user_id long")
+        .json(str(src))
+        .select(
+            F.explode(
+                cms_buckets(F.col("user_id").cast("string"), depth, width)
+            ).alias("s")
+        )
+        .select("s.j", "s.b")
+    )
+    q = (
+        streaming_cms_counters(stream)
+        .writeStream.format("memory")
+        .queryName("cms")
+        .option("checkpointLocation", str(tmp_path / "ckpt_cms"))
+        .outputMode("update")
+        .trigger(processingTime="1 seconds")
+        .start()
+    )
+    try:
+        expected = (
+            spark.createDataFrame(
+                [(u,) for u in users1 + users2], "user_id long"
+            )
+            .select(
+                F.explode(
+                    cms_buckets(F.col("user_id").cast("string"), depth, width)
+                ).alias("s")
+            )
+            .groupBy("s.j", "s.b")
+            .count()
+        )
+        exp = {(r.j, r.b): r["count"] for r in expected.collect()}
+        write("b2.json", users2)
+        deadline = time.time() + 90
+        got = None
+        while time.time() < deadline:
+            rows = spark.sql(
+                "SELECT j, b, max(c) AS c FROM cms GROUP BY j, b"
+            ).collect()
+            cur = {(r.j, r.b): r.c for r in rows}
+            if cur == exp:
+                got = cur
+                break
+            time.sleep(0.5)
+        assert got == exp, f"streamed cells {got} never reached batch {exp}"
+    finally:
+        q.stop()
