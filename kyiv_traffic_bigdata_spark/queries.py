@@ -6730,27 +6730,62 @@ def _sql_token_textrank() -> str:
     )
 
 
-def q_neardup_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Adamic–Adar link prediction over the near-dup graph — scores
-    NON-adjacent doc pairs by their shared neighbors, weighting rare
-    neighbors higher (``Σ 1/ln(deg(w))``): the "these two probably
-    belong to the same template family even though LSH missed the
-    direct edge" signal that closes recall gaps in the dedup graph.
+#: Sorted-neighborhood window for the link-prediction candidate graph.
+LINKPRED_WINDOW = 3
 
-    Scale: the same ordered-wedge plan as ``neardup_triangles`` —
-    wedges join edge×edge on the middle vertex (Σ deg² over the capped
-    LSH pair list, never corpus²), existing edges drop via one LEFT
-    ANTI equi-join, and degrees ride a broadcast (|V| bounded by the
-    pair list). Per-term contributions are round6'd then decimal-summed
+
+def q_neardup_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic–Adar link prediction over the entity-resolution BLOCKING
+    graph — scores NON-adjacent doc pairs by their shared neighbors,
+    weighting rare neighbors higher (``Σ 1/ln(deg(w))``): "these two
+    records were never directly compared by the sliding window, but
+    they share well-connected neighborhood structure — compare them
+    next." The classic recall-booster on top of sorted-neighborhood
+    blocking (the verified LSH graph is pure cliques at every SF —
+    already-closed triangles have nothing to predict, verified).
+
+    Scale: edges are the O(n·w) blocking-window pairs (per-block lead
+    windows — never a global sort); wedges join edge×edge on the middle
+    vertex (Σ deg² with deg ≤ 2w, so wedge volume is linear in docs),
+    existing edges drop via one LEFT ANTI equi-join, and degrees ride a
+    broadcast. Per-term contributions are round6'd then decimal-summed
     (the entropy/BM25 discipline), so the score is engine- and
     order-independent. deg(w) ≥ 2 for every wedge middle by
     construction, so ln(deg) > 0 always."""
+    from pyspark.sql import Window
+
+    from .functions.text import normalize_text
     from .operators.staging import stage
 
-    pairs = DD.minhash_lsh_pairs(
-        _docs_with_tokens(spark, sf_dir), threshold=0.2
-    ).transform(stage)
-    e = pairs.select("id_a", "id_b")  # already id_a < id_b
+    base = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", normalize_text(F.col("text")).alias("_k"))
+        .withColumn("_blk", F.substring_index(F.col("_k"), " ", 1))
+    )
+    w = Window.partitionBy("_blk").orderBy(
+        F.col("_k").asc(), F.col("doc_id").asc()
+    )
+    led = base.select(
+        F.col("doc_id").alias("x"),
+        *[
+            F.lead("doc_id", i).over(w).alias(f"_id{i}")
+            for i in range(1, LINKPRED_WINDOW + 1)
+        ],
+    )
+    e = (
+        led.select(
+            "x",
+            F.explode(
+                F.array(*[f"_id{i}" for i in range(1, LINKPRED_WINDOW + 1)])
+            ).alias("y"),
+        )
+        .where(F.col("y").isNotNull())
+        .select(
+            F.least("x", "y").alias("id_a"), F.greatest("x", "y").alias("id_b")
+        )
+        .distinct()
+        .transform(stage)
+    )
     und = e.select(F.col("id_a").alias("s"), F.col("id_b").alias("d")).unionAll(
         e.select(F.col("id_b").alias("s"), F.col("id_a").alias("d"))
     )
@@ -6789,7 +6824,24 @@ def q_neardup_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _sql_neardup_link_prediction() -> str:
     term = SQL_ROUND6.format(x="1.0 / ln(CAST(deg AS DOUBLE))")
     return f"""
-WITH pairs AS MATERIALIZED (SELECT id_a, id_b FROM ({_sql_minhash_lsh()}) q),
+WITH base AS (
+  SELECT doc_id, {_norm('text')} AS k,
+         string_split({_norm('text')}, ' ')[1] AS blk
+  FROM documents
+),
+rn AS (
+  SELECT doc_id, blk,
+         ROW_NUMBER() OVER (PARTITION BY blk ORDER BY k ASC, doc_id ASC) AS r
+  FROM base
+),
+pairs0 AS (
+  SELECT a.doc_id AS x, b.doc_id AS y
+  FROM rn a JOIN rn b
+    ON b.blk = a.blk AND b.r BETWEEN a.r + 1 AND a.r + {LINKPRED_WINDOW}
+),
+pairs AS MATERIALIZED (
+  SELECT DISTINCT LEAST(x, y) AS id_a, GREATEST(x, y) AS id_b FROM pairs0
+),
 und AS (SELECT id_a AS s, id_b AS d FROM pairs
         UNION ALL SELECT id_b, id_a FROM pairs),
 deg AS (SELECT s AS w, CAST(COUNT(*) AS BIGINT) AS deg FROM und GROUP BY 1),

@@ -749,11 +749,11 @@ def test_token_pmi_equi_self_join_and_broadcast_marginals(plans):
 
 
 def test_link_prediction_wedge_plan_broadcast_degrees(plans):
-    """Adamic–Adar: wedges and the existing-edge exclusion are
-    equi-joins on the staged pair list (no cartesian, no window), the
-    degree table rides a broadcast, and nothing rescans the documents
-    parquet — a sort-merge join against the bounded degree table or a
-    per-pair window would poison the plan at scale."""
+    """Adamic–Adar: the blocking-window edge build is staged, so the
+    final plan has NO window at all (a windowspec here would mean the
+    O(n·w) candidate generation re-runs per wedge reference); wedges
+    and the existing-edge exclusion are equi-joins, the degree table
+    rides a broadcast, and nothing rescans the documents parquet."""
     plan = plans("neardup_link_prediction")
     assert "CartesianProduct" not in plan
     assert "windowspecdefinition" not in plan
