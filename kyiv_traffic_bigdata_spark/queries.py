@@ -5638,6 +5638,84 @@ def _sql_orders_profile() -> str:
     return f"WITH agg AS MATERIALIZED (SELECT {', '.join(aggs)} FROM orders)\n{selects}"
 
 
+#: Attribution lookback: a purchase is credited to the most recent
+#: click/view by the same user within this many microseconds.
+ATTRIB_LOOKBACK_US = 3_600_000_000
+#: Touch event types eligible for attribution credit.
+ATTRIB_TOUCH_TYPES = ("click", "view")
+
+
+def q_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch marketing attribution — every purchase is credited to
+    the user's most recent click/view within a 1-hour lookback (or
+    'none'): per touch type, attributed purchase count and revenue. The
+    standard conversion-attribution report, done the streaming-friendly
+    way (carry-forward state, no per-purchase search).
+
+    Scale: ONE per-user window pass — ``last(touch, ignorenulls)``
+    carries the latest touch forward, so there is no self-join of
+    purchases against touch candidates (the naive O(events ×
+    lookback) shape); the final aggregate is a bounded |touch types|+1
+    row report with a decimal-stable revenue sum."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts_us", "event_type", "value"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts_us").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    is_touch = F.col("event_type").isin(*ATTRIB_TOUCH_TYPES)
+    touched = ev.select(
+        "*",
+        F.last(F.when(is_touch, F.col("event_type")), ignorenulls=True)
+        .over(w)
+        .alias("_touch"),
+        F.last(F.when(is_touch, F.col("ts_us")), ignorenulls=True)
+        .over(w)
+        .alias("_touch_ts"),
+    )
+    credited = touched.where(F.col("event_type") == "purchase").select(
+        F.when(
+            F.col("_touch_ts") >= F.col("ts_us") - F.lit(ATTRIB_LOOKBACK_US),
+            F.col("_touch"),
+        )
+        .otherwise(F.lit("none"))
+        .alias("touch_type"),
+        "value",
+    )
+    return credited.groupBy("touch_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_purchases"),
+        F.round(stable_sum("value"), 6).alias("revenue"),
+    )
+
+
+SQL_PURCHASE_ATTRIBUTION = f"""
+WITH touched AS (
+  SELECT event_type, value,
+         epoch_us(ts) AS ts_us,
+         last_value(CASE WHEN event_type IN {ATTRIB_TOUCH_TYPES!r}
+                         THEN event_type END IGNORE NULLS) OVER w AS _touch,
+         last_value(CASE WHEN event_type IN {ATTRIB_TOUCH_TYPES!r}
+                         THEN epoch_us(ts) END IGNORE NULLS) OVER w AS _touch_ts
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts) ASC, event_id ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+credited AS (
+  SELECT CASE WHEN _touch_ts >= ts_us - {ATTRIB_LOOKBACK_US}
+              THEN _touch ELSE 'none' END AS touch_type,
+         value
+  FROM touched WHERE event_type = 'purchase'
+)
+SELECT touch_type, CAST(COUNT(*) AS BIGINT) AS n_purchases,
+       round({{ssum}}, 6) AS revenue
+FROM credited GROUP BY touch_type
+""".format(ssum=_ssum("value"))
+
+
 #: FK relations audited by q_fk_integrity_audit:
 #: (label, child table, child key, parent table, parent key).
 FK_RELATIONS = (
@@ -7910,6 +7988,7 @@ QUERIES: dict[str, QueryFn] = {
     "neardup_pagerank": q_neardup_pagerank,
     "priority_count": q_priority_count,
     "promo_revenue": q_promo_revenue,
+    "purchase_attribution": q_purchase_attribution,
     "returned_items": q_returned_items,
     "shipping_priority": q_shipping_priority,
     "small_quantity_revenue": q_small_quantity_revenue,
@@ -8073,6 +8152,7 @@ def build_oracles() -> dict[str, str]:
         "event_pivot_roundtrip": SQL_PIVOT_ROUNDTRIP,
         "shipping_priority": SQL_SHIPPING_PRIORITY,
         "local_supplier_volume": SQL_LOCAL_SUPPLIER_VOLUME,
+        "purchase_attribution": SQL_PURCHASE_ATTRIBUTION,
         "returned_items": SQL_RETURNED_ITEMS,
         "forecast_revenue": SQL_FORECAST_REVENUE,
         "priority_count": SQL_PRIORITY_COUNT,

@@ -849,3 +849,16 @@ def test_textrank_sweeps_on_staged_edges_no_window(plans):
     assert parquet_scan_count(plan, "documents") == 0
     assert "windowspecdefinition" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_attribution_single_user_window_no_self_join(plans):
+    """Last-touch attribution: ONE per-user carry-forward window pass —
+    no self-join of purchases against touch candidates (zero joins at
+    all), exactly one events scan, and the final aggregate map-side
+    combines."""
+    plan = plans("purchase_attribution")
+    assert parquet_scan_count(plan, "events") == 1
+    assert broadcast_join_count(plan) == 0
+    assert sort_merge_join_count(plan) == 0
+    specs = set(re.findall(r"windowspecdefinition\(([^,]+)#\d+[L]?,", plan))
+    assert all("user_id" in s for s in specs), specs
