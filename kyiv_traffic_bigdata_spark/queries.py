@@ -5638,6 +5638,156 @@ def _sql_orders_profile() -> str:
     return f"WITH agg AS MATERIALIZED (SELECT {', '.join(aggs)} FROM orders)\n{selects}"
 
 
+#: Bloom filter geometry for the pre-join filter audit: m bits, k hash
+#: rows. Sized so the filter is useful at sf0.01 yet visibly imperfect
+#: at sf0.1 (~13k member keys -> ~45% fill, measurable FP rate — the
+#: thing the audit exists to measure).
+BLOOM_BITS = 65536
+BLOOM_HASHES = 3
+#: Member set for the filter: customers with at least one urgent order
+#: (a strict subset of all customers, so true negatives exist).
+BLOOM_MEMBER_PRIORITY = "1-URGENT"
+
+
+def q_bloom_join_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter pre-join audit — build a deterministic Bloom filter
+    over the customers who actually have orders, probe EVERY customer,
+    and report the filter's selectivity next to ground truth (exact
+    semi-join): pass count, false positives, false-positive rate, and
+    the guaranteed-zero false-negative count. This is the runtime-
+    filter pattern (Spark's own bloom pre-filtering) surfaced as an
+    auditable query, with the portable md5 hash making both engines
+    build the IDENTICAL bit set.
+
+    Scale: the bit set is ≤ m rows after one distinct aggregate —
+    broadcast against the probe side; the probe explodes a constant k
+    positions per key (map-only fan-out), so no fact ever shuffles; the
+    report is one row."""
+    from .functions.sketch import cms_buckets
+
+    def positions(col):
+        # reuse the CMS cell addressing: (j, b) with independent rows —
+        # a Bloom filter is the 1-bit CMS, so sharing the addressing is
+        # the honest relationship between the two sketches
+        return cms_buckets(col, BLOOM_HASHES, BLOOM_BITS)
+
+    members = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderpriority") == BLOOM_MEMBER_PRIORITY)
+        .select(F.col("o_custkey").cast("string").alias("k"))
+        .distinct()
+    )
+    bits = (
+        members.select(F.explode(positions(F.col("k"))).alias("s"))
+        .select("s.j", "s.b")
+        .distinct()
+    )
+    probe = (
+        load_table(spark, sf_dir, "customer")
+        .select(F.col("c_custkey").alias("ck"))
+        .select("ck", F.explode(positions(F.col("ck").cast("string"))).alias("s"))
+        .select("ck", "s.j", "s.b")
+    )
+    passed = (
+        probe.join(F.broadcast(bits), ["j", "b"], "left_semi")
+        .groupBy("ck")
+        .agg(F.count(F.lit(1)).alias("_hits"))
+        .where(F.col("_hits") == BLOOM_HASHES)
+        .select("ck")
+    )
+    truth = (
+        load_table(spark, sf_dir, "customer")
+        .select(F.col("c_custkey").alias("ck"))
+        .join(
+            load_table(spark, sf_dir, "orders")
+            .where(F.col("o_orderpriority") == BLOOM_MEMBER_PRIORITY)
+            .select(F.col("o_custkey").alias("ck")),
+            "ck",
+            "left_semi",
+        )
+    )
+    n_cust = load_table(spark, sf_dir, "customer").agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+    n_pass = passed.agg(F.count(F.lit(1)).alias("n_bloom_pass"))
+    n_true = truth.agg(F.count(F.lit(1)).alias("n_with_orders"))
+    n_fn = truth.join(passed, "ck", "left_anti").agg(
+        F.count(F.lit(1)).alias("n_false_negatives")
+    )
+    return (
+        n_cust.crossJoin(n_pass)
+        .crossJoin(n_true)
+        .crossJoin(n_fn)
+        .select(
+            F.col("n_customers").cast("long").alias("n_customers"),
+            F.col("n_with_orders").cast("long").alias("n_with_orders"),
+            F.col("n_bloom_pass").cast("long").alias("n_bloom_pass"),
+            (F.col("n_bloom_pass") - F.col("n_with_orders"))
+            .cast("long")
+            .alias("n_false_positives"),
+            F.col("n_false_negatives").cast("long").alias("n_false_negatives"),
+            round6(
+                (
+                    F.col("n_bloom_pass") - F.col("n_with_orders")
+                ).cast("double")
+                / F.greatest(
+                    (F.col("n_customers") - F.col("n_with_orders")).cast(
+                        "double"
+                    ),
+                    F.lit(1.0),
+                )
+            ).alias("fp_rate"),
+        )
+    )
+
+
+def _sql_bloom_join_filter() -> str:
+    def pos(j: int, key: str) -> str:
+        return (
+            f"({_PORTABLE_HASH.format(s=f'''concat('{j}:', {key})''')}"
+            f" % {BLOOM_BITS})"
+        )
+
+    bit_rows = " UNION ALL ".join(
+        f"SELECT {j} AS j, {pos(j, 'k')} AS b FROM members"
+        for j in range(BLOOM_HASHES)
+    )
+    probe_rows = " UNION ALL ".join(
+        f"SELECT ck, {j} AS j, {pos(j, 'CAST(ck AS VARCHAR)')} AS b FROM cust"
+        for j in range(BLOOM_HASHES)
+    )
+    return f"""
+WITH members AS (SELECT DISTINCT CAST(o_custkey AS VARCHAR) AS k FROM orders
+              WHERE o_orderpriority = '{BLOOM_MEMBER_PRIORITY}'),
+bits AS (SELECT DISTINCT j, b FROM ({bit_rows})),
+cust AS (SELECT c_custkey AS ck FROM customer),
+probe AS ({probe_rows}),
+passed AS (
+  SELECT ck FROM probe JOIN bits USING (j, b)
+  GROUP BY ck HAVING COUNT(*) = {BLOOM_HASHES}
+),
+truth AS (
+  SELECT ck FROM cust WHERE EXISTS
+    (SELECT 1 FROM orders o WHERE o.o_custkey = cust.ck
+       AND o.o_orderpriority = '{BLOOM_MEMBER_PRIORITY}')
+),
+agg AS (
+  SELECT
+    (SELECT CAST(COUNT(*) AS BIGINT) FROM cust) AS n_customers,
+    (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS n_with_orders,
+    (SELECT CAST(COUNT(*) AS BIGINT) FROM passed) AS n_bloom_pass,
+    (SELECT CAST(COUNT(*) AS BIGINT) FROM truth t
+     WHERE NOT EXISTS (SELECT 1 FROM passed p WHERE p.ck = t.ck))
+    AS n_false_negatives
+)
+SELECT n_customers, n_with_orders, n_bloom_pass,
+       n_bloom_pass - n_with_orders AS n_false_positives,
+       n_false_negatives,
+       {SQL_ROUND6.format(x="CAST(n_bloom_pass - n_with_orders AS DOUBLE) / GREATEST(CAST(n_customers - n_with_orders AS DOUBLE), 1.0)")} AS fp_rate
+FROM agg
+"""
+
+
 #: Attribution lookback: a purchase is credited to the most recent
 #: click/view by the same user within this many microseconds.
 ATTRIB_LOOKBACK_US = 3_600_000_000
@@ -7947,6 +8097,7 @@ QUERIES: dict[str, QueryFn] = {
     # window; everything below holds an r04/r05 driver-green row and
     # rides the driver-faithful local replica until its next rotation ----
     "ann_index_stats": q_ann_index_stats,
+    "bloom_join_filter": q_bloom_join_filter,
     "brand_discount_revenue": q_brand_discount_revenue,
     "clicks_after_error": q_clicks_after_error,
     "doc_chunks": q_doc_chunks,
@@ -8160,6 +8311,7 @@ def build_oracles() -> dict[str, str]:
         "top_revenue_supplier": SQL_TOP_REVENUE_SUPPLIER,
         "small_quantity_revenue": SQL_SMALL_QUANTITY_REVENUE,
         "large_orders": SQL_LARGE_ORDERS,
+        "bloom_join_filter": _sql_bloom_join_filter(),
         "brand_discount_revenue": SQL_BRAND_DISCOUNT_REVENUE,
         "idle_rich_customers": SQL_IDLE_RICH_CUSTOMERS,
         "emb_semdedup": SQL_EMB_SEMDEDUP,

@@ -862,3 +862,14 @@ def test_attribution_single_user_window_no_self_join(plans):
     assert sort_merge_join_count(plan) == 0
     specs = set(re.findall(r"windowspecdefinition\(([^,]+)#\d+[L]?,", plan))
     assert all("user_id" in s for s in specs), specs
+
+
+def test_bloom_filter_broadcast_bits_no_fact_shuffle_joins(plans):
+    """Bloom pre-join audit: the bit set and the semi-join probes ride
+    broadcasts (the filter is <= m rows by construction — shuffling a
+    fact against it would defeat the runtime-filter pattern), and
+    nothing goes cartesian or sort-merge."""
+    plan = plans("bloom_join_filter")
+    assert sort_merge_join_count(plan) == 0
+    assert broadcast_join_count(plan) >= 2
+    assert "CartesianProduct" not in plan
