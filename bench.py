@@ -95,9 +95,14 @@ def main() -> None:
         try:
             from kyiv_traffic_bigdata_spark.sources.kpt import read_positions
 
-            read_positions(spark, ref_pos).count()  # warm scan + codegen
+            # warm until C2 JIT reaches steady state: one run only gets
+            # ~60% of the plateau rate (measured: 68k->120k over ~6
+            # iterations on an idle host) — an under-warmed sample reads
+            # as a phantom regression between rounds
+            for _ in range(5):
+                read_positions(spark, ref_pos).count()
             rates = []
-            for _ in range(3):
+            for _ in range(5):
                 t0 = time.perf_counter()
                 n = read_positions(spark, ref_pos).count()
                 rates.append(n / (time.perf_counter() - t0))
