@@ -5638,6 +5638,116 @@ def _sql_orders_profile() -> str:
     return f"WITH agg AS MATERIALIZED (SELECT {', '.join(aggs)} FROM orders)\n{selects}"
 
 
+def q_customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation — the retail-analytics staple: score
+    every ordering customer 1–4 on Recency (latest order date),
+    Frequency (order count) and Monetary (decimal-stable spend) against
+    the EXACT population quartiles, then report segment sizes and
+    average spend. Quartiles use the discrete-quantile definition of
+    operators.rank.quantile_disc_slab (smallest value whose cumulative
+    count reaches ceil(p·n), integer-arithmetic ranks), so both engines
+    draw identical boundaries.
+
+    Scale: per-customer stats are ONE orders hash aggregate; each
+    quartile table derives from a histogram of that dimension-sized
+    frame (never the fact) and rides back as a 1-row broadcast; scoring
+    is map-only comparisons; the report is ≤ 4³ rows."""
+    from .operators.rank import quantile_disc_slab
+
+    stats = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("ck"))
+        .agg(
+            F.max("o_orderdate").alias("r"),
+            F.count(F.lit(1)).alias("f"),
+            F.round(stable_sum("o_totalprice"), 6).alias("m"),
+        )
+    )
+    from .operators.staging import stage
+
+    stats = stats.transform(stage)
+    QS = [("p25", 1, 4), ("p50", 2, 4), ("p75", 3, 4)]
+
+    def quartiles(col, prefix):
+        q = quantile_disc_slab(
+            stats.select(F.lit("all").alias("g"), F.col(col).alias("v")),
+            "g",
+            "v",
+            QS,
+        )
+        return q.select(
+            *[F.col(a).alias(f"{prefix}_{a}") for a, _, _ in QS]
+        )
+
+    def score(col, prefix):
+        return (
+            F.lit(1)
+            + F.when(F.col(col) > F.col(f"{prefix}_p25"), 1).otherwise(0)
+            + F.when(F.col(col) > F.col(f"{prefix}_p50"), 1).otherwise(0)
+            + F.when(F.col(col) > F.col(f"{prefix}_p75"), 1).otherwise(0)
+        )
+
+    scored = (
+        stats.crossJoin(F.broadcast(quartiles("r", "r")))
+        .crossJoin(F.broadcast(quartiles("f", "f")))
+        .crossJoin(F.broadcast(quartiles("m", "m")))
+        .select(
+            "m",
+            score("r", "r").alias("r_score"),
+            score("f", "f").alias("f_score"),
+            score("m", "m").alias("m_score"),
+        )
+    )
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        # floor-form round6, not F.round: a decimal-sum/count quotient
+        # can land exactly on a .5 boundary at the 6th decimal, where
+        # Spark's HALF_UP and DuckDB's rounding disagree by 1 ulp
+        round6(stable_avg("m")).alias("avg_monetary"),
+    )
+
+
+def _sql_customer_rfm() -> str:
+    def qblock(metric: str, prefix: str) -> str:
+        ranks = {"p25": "(1 * n + 3) // 4", "p50": "(2 * n + 3) // 4",
+                 "p75": "(3 * n + 3) // 4"}
+        sels = ", ".join(
+            f"MIN(CASE WHEN cum >= {r} THEN v END) AS {prefix}_{a}"
+            for a, r in ranks.items()
+        )
+        return f"""
+{prefix}h AS (SELECT {metric} AS v, CAST(COUNT(*) AS BIGINT) AS c
+              FROM stats GROUP BY 1),
+{prefix}c AS (SELECT v, SUM(c) OVER (ORDER BY v ASC) AS cum,
+                     SUM(c) OVER () AS n FROM {prefix}h),
+{prefix}q AS (SELECT {sels} FROM {prefix}c)"""
+
+    score = (
+        "1 + (CASE WHEN {x} > {p}_p25 THEN 1 ELSE 0 END)"
+        " + (CASE WHEN {x} > {p}_p50 THEN 1 ELSE 0 END)"
+        " + (CASE WHEN {x} > {p}_p75 THEN 1 ELSE 0 END)"
+    )
+    return f"""
+WITH stats AS MATERIALIZED (
+  SELECT o_custkey AS ck, MAX(o_orderdate) AS r,
+         CAST(COUNT(*) AS BIGINT) AS f,
+         round({_ssum('o_totalprice')}, 6) AS m
+  FROM orders GROUP BY 1
+),{qblock('r', 'r')},{qblock('f', 'f')},{qblock('m', 'm')},
+scored AS (
+  SELECT m,
+         {score.format(x='stats.r', p='r')} AS r_score,
+         {score.format(x='stats.f', p='f')} AS f_score,
+         {score.format(x='stats.m', p='m')} AS m_score
+  FROM stats CROSS JOIN rq CROSS JOIN fq CROSS JOIN mq
+)
+SELECT r_score, f_score, m_score,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       {SQL_ROUND6.format(x=_savg('m', 'COUNT(*)'))} AS avg_monetary
+FROM scored GROUP BY 1, 2, 3
+"""
+
+
 #: Bloom filter geometry for the pre-join filter audit: m bits, k hash
 #: rows. Sized so the filter is useful at sf0.01 yet visibly imperfect
 #: at sf0.1 (~13k member keys -> ~45% fill, measurable FP rate — the
@@ -8163,6 +8273,7 @@ QUERIES: dict[str, QueryFn] = {
     "nation_market_share": q_nation_market_share,
     "product_line_profit": q_product_line_profit,
     "customer_order_distribution": q_customer_order_distribution,
+    "customer_rfm_segments": q_customer_rfm_segments,
     "emb_signbits": q_emb_signbits,
     "ann_hamming": q_ann_hamming,
     "ann_hamming_rerank": q_ann_hamming_rerank,
@@ -8351,6 +8462,7 @@ def build_oracles() -> dict[str, str]:
         "nation_market_share": SQL_NATION_MARKET_SHARE,
         "product_line_profit": SQL_PRODUCT_LINE_PROFIT,
         "customer_order_distribution": SQL_CUSTOMER_ORDER_DISTRIBUTION,
+        "customer_rfm_segments": _sql_customer_rfm(),
         "emb_signbits": _sql_emb_signbits(),
         "ann_hamming": _sql_ann_hamming(),
         "ann_hamming_rerank": _sql_ann_hamming_rerank(),

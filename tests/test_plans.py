@@ -873,3 +873,15 @@ def test_bloom_filter_broadcast_bits_no_fact_shuffle_joins(plans):
     assert sort_merge_join_count(plan) == 0
     assert broadcast_join_count(plan) >= 2
     assert "CartesianProduct" not in plan
+
+
+def test_rfm_quartiles_from_staged_stats_broadcast_back(plans):
+    """RFM segmentation: per-customer stats aggregate ONCE (staged —
+    zero orders-parquet scans in the final plan), each quartile table
+    is a 1-row broadcast, scoring is map-only comparisons, and no
+    global window ranks the customer frame (quartiles come from the
+    histogram trick, not ntile)."""
+    plan = plans("customer_rfm_segments")
+    assert parquet_scan_count(plan, "orders") == 0
+    assert broadcast_join_count(plan) >= 3
+    assert sort_merge_join_count(plan) == 0
