@@ -5638,6 +5638,69 @@ def _sql_orders_profile() -> str:
     return f"WITH agg AS MATERIALIZED (SELECT {', '.join(aggs)} FROM orders)\n{selects}"
 
 
+#: Fixed query phrase for the positional-index search (present in the
+#: synthetic vocab — ~46 occurrences at sf0.001, probed).
+PHRASE_TERMS = ("window", "join")
+
+
+def q_doc_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact PHRASE search via a positional index — the search-engine
+    primitive BM25 can't express (bag-of-words scoring loses adjacency):
+    docs containing the query terms at consecutive positions, with
+    match count and first position. Completes the retrieval family
+    (BM25 ranking → RRF fusion → phrase precision).
+
+    Scale: the positional explode is filtered to the QUERY TERMS before
+    anything shuffles (term-filtered index, not a corpus posting list);
+    adjacency is one equi-join per additional phrase term on (doc_id,
+    pos) — join fan-in bounded by query-term frequency, never document
+    length."""
+    d = _docs_with_tokens(spark, sf_dir)
+    pos = (
+        d.select(
+            "doc_id",
+            F.posexplode(TX.tokens(F.col("text"))).alias("pos", "term"),
+        )
+        .where(F.col("term").isin(*PHRASE_TERMS))
+    )
+    from .operators.staging import stage
+
+    pos = pos.transform(stage)
+    out = pos.where(F.col("term") == PHRASE_TERMS[0]).select("doc_id", "pos")
+    for i, t in enumerate(PHRASE_TERMS[1:], start=1):
+        nxt = pos.where(F.col("term") == t).select(
+            "doc_id", (F.col("pos") - i).alias("pos")
+        )
+        out = out.join(nxt, ["doc_id", "pos"])
+    return out.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_matches"),
+        F.min("pos").cast("long").alias("first_pos"),
+    )
+
+
+def _sql_doc_phrase_search() -> str:
+    joins = "".join(
+        f"\n  JOIN pos p{i} ON p{i}.doc_id = p0.doc_id"
+        f" AND p{i}.pos = p0.pos + {i} AND p{i}.term = '{t}'"
+        for i, t in enumerate(PHRASE_TERMS[1:], start=1)
+    )
+    terms = ", ".join(f"'{t}'" for t in PHRASE_TERMS)
+    return f"""
+WITH toks AS (SELECT doc_id, {_toks('text')} AS t FROM documents),
+pos0 AS (
+  SELECT doc_id, generate_subscripts(t, 1) - 1 AS pos, unnest(t) AS term
+  FROM toks
+),
+pos AS (SELECT * FROM pos0 WHERE term IN ({terms}))
+SELECT p0.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_matches,
+       CAST(MIN(p0.pos) AS BIGINT) AS first_pos
+FROM pos p0{joins}
+WHERE p0.term = '{PHRASE_TERMS[0]}'
+GROUP BY 1
+"""
+
+
 def q_customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM customer segmentation — the retail-analytics staple: score
     every ordering customer 1–4 on Recency (latest order date),
@@ -8220,6 +8283,7 @@ QUERIES: dict[str, QueryFn] = {
     "doc_hash_sample": q_doc_hash_sample,
     "doc_hybrid_rrf": q_doc_hybrid_rrf,
     "doc_langid_confusion": q_doc_langid_confusion,
+    "doc_phrase_search": q_doc_phrase_search,
     "doc_pii_scrub": q_doc_pii_scrub,
     "doc_quality_filter": q_doc_quality_filter,
     "doc_repeated_spans": q_doc_repeated_spans,
@@ -8443,6 +8507,7 @@ def build_oracles() -> dict[str, str]:
         "doc_source_drift": SQL_DOC_SOURCE_DRIFT,
         "doc_unigram_logprob": SQL_UNIGRAM_LOGPROB,
         "doc_curation_pipeline": _sql_curation_pipeline(),
+        "doc_phrase_search": _sql_doc_phrase_search(),
         "doc_pii_scrub": _sql_pii_scrub(),
         "doc_version_diff": _sql_version_diff(),
         "emb_decontaminate": _sql_emb_decontaminate(),

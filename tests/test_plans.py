@@ -885,3 +885,15 @@ def test_rfm_quartiles_from_staged_stats_broadcast_back(plans):
     assert parquet_scan_count(plan, "orders") == 0
     assert broadcast_join_count(plan) >= 3
     assert sort_merge_join_count(plan) == 0
+
+
+def test_phrase_search_term_filtered_index_equi_adjacency(plans):
+    """Phrase search: the positional index is filtered to the query
+    terms BEHIND the staged frame (zero documents-parquet scans in the
+    final plan — the corpus posting list never materializes), adjacency
+    is an equi-join on (doc_id, pos), and nothing goes cartesian or
+    window."""
+    plan = plans("doc_phrase_search")
+    assert parquet_scan_count(plan, "documents") == 0
+    assert "CartesianProduct" not in plan
+    assert "windowspecdefinition" not in plan
