@@ -5638,6 +5638,139 @@ def _sql_orders_profile() -> str:
     return f"WITH agg AS MATERIALIZED (SELECT {', '.join(aggs)} FROM orders)\n{selects}"
 
 
+def q_emb_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension feature statistics of the embedding matrix — the
+    standardization table (mean, population std, min, max per
+    dimension) an ML pipeline fits before z-scoring features, plus the
+    zero-variance-dimension signal that flags dead features.
+
+    Scale: ONE pass — posexplode to (dim, value) with map-side partial
+    aggregation down to d rows (d = 64, constant); sums run in decimal
+    (order-free) and the only irrational (sqrt of the rational
+    variance) is round6-quarantined, so the table is bit-identical
+    across engines. The fitted d-row table is exactly what a map-only
+    normalization pass would broadcast."""
+    emb = _emb(spark, sf_dir)
+    xs = emb.select(
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "dim", "x"
+        )
+    )
+    g = xs.groupBy("dim").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(dec("x")).alias("_s"),
+        F.sum(dec(F.col("x") * F.col("x"))).alias("_s2"),
+        F.min("x").alias("min_x"),
+        F.max("x").alias("max_x"),
+    )
+    mean = F.col("_s").cast("double") / F.col("n")
+    ex2 = F.col("_s2").cast("double") / F.col("n")
+    return g.select(
+        F.col("dim").cast("long").alias("dim"),
+        "n",
+        round6(mean).alias("mean_x"),
+        round6(F.sqrt(F.greatest(ex2 - mean * mean, F.lit(0.0)))).alias(
+            "std_x"
+        ),
+        round6(F.col("min_x")).alias("min_x"),
+        round6(F.col("max_x")).alias("max_x"),
+    )
+
+
+SQL_EMB_DIM_STATS = f"""
+WITH xs AS (
+  SELECT generate_subscripts(embedding, 1) - 1 AS dim,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings
+),
+g AS (
+  SELECT dim, CAST(COUNT(*) AS BIGINT) AS n,
+         {_ssum('x')} AS s, {_ssum('x * x')} AS s2,
+         MIN(x) AS min_x, MAX(x) AS max_x
+  FROM xs GROUP BY dim
+)
+SELECT CAST(dim AS BIGINT) AS dim, n,
+       {SQL_ROUND6.format(x='s / n')} AS mean_x,
+       {SQL_ROUND6.format(x='sqrt(GREATEST(s2 / n - (s / n) * (s / n), 0.0))')} AS std_x,
+       {SQL_ROUND6.format(x='min_x')} AS min_x,
+       {SQL_ROUND6.format(x='max_x')} AS max_x
+FROM g
+"""
+
+
+def q_join_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostic for the lineitem→orders key — the
+    pre-flight check that decides whether a shuffle join needs salting
+    or AQE skew splitting: per-key row-count distribution (p50/p99/max)
+    and the max/mean hot-key ratio. The operational companion to
+    operators/enrich.py's salted join.
+
+    Scale: per-key counts are ONE map-side-combined aggregate; the
+    distribution quantiles come from the COUNT-OF-COUNTS histogram
+    (≤ distinct-count-values rows — tiny), so no key list is ever
+    sorted or collected; the report is one row."""
+    from .operators.rank import quantile_disc_slab
+
+    per_key = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    from .operators.staging import stage
+
+    per_key = per_key.transform(stage)
+    q = quantile_disc_slab(
+        per_key.select(F.lit("all").alias("g"), F.col("cnt").alias("v")),
+        "g",
+        "v",
+        [("p50", 1, 2), ("p99", 99, 100)],
+        count_alias="n_keys",
+    ).select("n_keys", "p50", "p99")
+    totals = per_key.agg(
+        F.sum("cnt").cast("long").alias("total_rows"),
+        F.max("cnt").cast("long").alias("max_per_key"),
+    )
+    return (
+        totals.crossJoin(F.broadcast(q))
+        .select(
+            F.col("n_keys").cast("long").alias("n_keys"),
+            "total_rows",
+            F.col("p50").cast("long").alias("p50_per_key"),
+            F.col("p99").cast("long").alias("p99_per_key"),
+            "max_per_key",
+            round6(
+                F.col("max_per_key")
+                * F.col("n_keys").cast("double")
+                / F.col("total_rows").cast("double")
+            ).alias("skew_max_over_mean"),
+        )
+    )
+
+
+SQL_JOIN_SKEW_PROFILE = f"""
+WITH per_key AS (
+  SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM lineitem GROUP BY 1
+),
+hist AS (SELECT cnt AS v, CAST(COUNT(*) AS BIGINT) AS c FROM per_key GROUP BY 1),
+cumh AS (SELECT v, SUM(c) OVER (ORDER BY v ASC) AS cum, SUM(c) OVER () AS n
+         FROM hist),
+q AS (
+  SELECT MAX(n) AS n_keys,
+         MIN(CASE WHEN cum >= (1 * n + 1) // 2 THEN v END) AS p50,
+         MIN(CASE WHEN cum >= (99 * n + 99) // 100 THEN v END) AS p99
+  FROM cumh
+),
+t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total_rows,
+             CAST(MAX(cnt) AS BIGINT) AS max_per_key FROM per_key)
+SELECT CAST(n_keys AS BIGINT) AS n_keys, total_rows,
+       CAST(p50 AS BIGINT) AS p50_per_key, CAST(p99 AS BIGINT) AS p99_per_key,
+       max_per_key,
+       {SQL_ROUND6.format(x="max_per_key * CAST(n_keys AS DOUBLE) / CAST(total_rows AS DOUBLE)")} AS skew_max_over_mean
+FROM t CROSS JOIN q
+"""
+
+
 #: Fixed query phrase for the positional-index search (present in the
 #: synthetic vocab — ~46 occurrences at sf0.001, probed).
 PHRASE_TERMS = ("window", "join")
@@ -8308,6 +8441,7 @@ QUERIES: dict[str, QueryFn] = {
     "fk_integrity_audit": q_fk_integrity_audit,
     "forecast_revenue": q_forecast_revenue,
     "idle_rich_customers": q_idle_rich_customers,
+    "join_skew_profile": q_join_skew_profile,
     "large_orders": q_large_orders,
     "local_supplier_volume": q_local_supplier_volume,
     "neardup_pagerank": q_neardup_pagerank,
@@ -8331,6 +8465,7 @@ QUERIES: dict[str, QueryFn] = {
     "doc_domain_quality": q_doc_domain_quality,
     "doc_neardup_keep": q_doc_neardup_keep,
     "emb_cluster_prune": q_emb_cluster_prune,
+    "emb_dim_stats": q_emb_dim_stats,
     "doc_blocklist_filter": q_doc_blocklist_filter,
     "doc_boilerplate_segments": q_doc_boilerplate_segments,
     "nation_trade_volume": q_nation_trade_volume,
@@ -8429,6 +8564,7 @@ def build_oracles() -> dict[str, str]:
         "geo_speed_by_type": SQL_GEO_SPEED_STATS,
         "geo_region_counts": SQL_GEO_REGIONS,
         "fk_integrity_audit": _sql_fk_integrity_audit(),
+        "join_skew_profile": SQL_JOIN_SKEW_PROFILE,
         "orders_profile": _sql_orders_profile(),
         "orders_without_lineitems": SQL_ANTI,
         "active_customers": SQL_SEMI,
@@ -8521,6 +8657,7 @@ def build_oracles() -> dict[str, str]:
         "doc_domain_quality": _sql_domain_quality(),
         "doc_neardup_keep": _sql_neardup_keep(),
         "emb_cluster_prune": _sql_emb_cluster_prune(),
+        "emb_dim_stats": SQL_EMB_DIM_STATS,
         "doc_blocklist_filter": _sql_blocklist_filter(),
         "doc_boilerplate_segments": _sql_boilerplate_segments(),
         "nation_trade_volume": SQL_NATION_TRADE_VOLUME,

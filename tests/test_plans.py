@@ -897,3 +897,26 @@ def test_phrase_search_term_filtered_index_equi_adjacency(plans):
     assert parquet_scan_count(plan, "documents") == 0
     assert "CartesianProduct" not in plan
     assert "windowspecdefinition" not in plan
+
+
+def test_skew_profile_histogram_of_histograms(plans):
+    """Skew diagnostic: the per-key counts aggregate map-side combines
+    off a single-column scan; quantiles run over the count-of-counts
+    histogram (staged — no fact rescan in the final plan); report is a
+    broadcast crossJoin of 1-row frames."""
+    plan = plans("join_skew_profile")
+    assert parquet_scan_count(plan, "lineitem") == 0
+    assert broadcast_join_count(plan) >= 1
+    assert sort_merge_join_count(plan) == 0
+
+
+def test_emb_dim_stats_single_pass_partial_agg(plans):
+    """Feature stats: one posexplode pass with map-side partial
+    aggregation down to d rows — no window, no join, one embeddings
+    scan reading only the vector column."""
+    plan = plans("emb_dim_stats")
+    assert parquet_scan_count(plan, "embeddings") == 1
+    assert "partial_count" in plan
+    assert "windowspecdefinition" not in plan
+    read_schema = re.search(r"ReadSchema: struct<([^>]*)>", plan).group(1)
+    assert "embedding" in read_schema and "label" not in read_schema
