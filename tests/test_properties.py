@@ -408,3 +408,45 @@ def test_arrow_word_ngrams_bit_identical(spark, texts, n):
     ).collect()
     for r in both:
         assert list(r.g_expr or []) == list(r.g_arrow or []), r.doc_id
+
+
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=50), min_size=1, max_size=120
+    )
+)
+@SETTINGS
+def test_cms_never_undercounts_and_is_exact_without_collisions(spark, keys):
+    """Count-min invariants over arbitrary key multisets: the
+    min-over-depth estimate is >= the true count for EVERY key (with a
+    width so small collisions are certain), and equals it exactly when
+    the width makes collisions impossible for the key universe."""
+    from collections import Counter
+
+    from kyiv_traffic_bigdata_spark.functions.sketch import cms_buckets
+
+    truth = Counter(keys)
+    df = spark.createDataFrame([(str(k),) for k in keys], "k string")
+
+    def estimates(depth, width):
+        cells = (
+            df.select("k", F.explode(cms_buckets(F.col("k"), depth, width)).alias("s"))
+            .select("k", "s.j", "s.b")
+        )
+        counters = (
+            df.select(F.explode(cms_buckets(F.col("k"), depth, width)).alias("s"))
+            .groupBy("s.j", "s.b")
+            .count()
+        )
+        est = (
+            cells.dropDuplicates(["k", "j", "b"])
+            .join(counters, ["j", "b"])
+            .groupBy("k")
+            .agg(F.min("count").alias("est"))
+        )
+        return {r["k"]: r["est"] for r in est.collect()}
+
+    tight = estimates(depth=2, width=4)
+    assert all(tight[str(k)] >= c for k, c in truth.items()), (tight, truth)
+    roomy = estimates(depth=2, width=1 << 20)
+    assert all(roomy[str(k)] == c for k, c in truth.items()), (roomy, truth)

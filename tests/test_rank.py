@@ -176,3 +176,38 @@ def test_bottom_k_slab_windows_stay_composite_then_bounded(spark):
     specs = re.findall(r"row_number\(\) windowspecdefinition\(([^)]*)\)", plan)
     assert len(specs) == 2
     assert sum("_slab" in s for s in specs) == 1
+
+
+def test_quantile_disc_slab_matches_sorted_reference(spark):
+    """quantile_disc_slab must equal the textbook discrete quantile
+    (sorted[ceil(p*n)-1]) for every group — including ties, singleton
+    groups, and n where p*n lands exactly on an integer (the boundary
+    the integer-arithmetic rank exists for)."""
+    import math
+
+    from kyiv_traffic_bigdata_spark.operators.rank import quantile_disc_slab
+
+    groups = {
+        "ties": [3, 1, 3, 3, 2, 3, 1, 1, 2, 3],
+        "single": [42],
+        "exact_boundary": list(range(1, 21)),  # p50 rank = exactly 10
+        "two": [7, 5],
+    }
+    rows = [(g, v) for g, vs in groups.items() for v in vs]
+    df = spark.createDataFrame(rows, "g string, v int")
+    qs = [("p25", 1, 4), ("p50", 1, 2), ("p90", 9, 10)]
+    got = {
+        r["g"]: (r["p25"], r["p50"], r["p90"])
+        for r in quantile_disc_slab(df, "g", "v", qs).collect()
+    }
+    for g, vs in groups.items():
+        s, n = sorted(vs), len(vs)
+        want = tuple(
+            s[(num * n + den - 1) // den - 1] for _, num, den in qs
+        )
+        # cross-check the integer rank against the float definition
+        assert all(
+            (num * n + den - 1) // den == math.ceil(num / den * n)
+            for _, num, den in qs
+        )
+        assert got[g] == want, (g, got[g], want)
