@@ -7115,16 +7115,26 @@ SELECT v AS doc_id, CAST(label AS BIGINT) AS community FROM l{LPA_ROUNDS}
 PMI_MIN_PAIRS = 5
 
 
-def _token_doc_index(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Staged distinct (doc_id, tok) index — the shared base of the
-    co-occurrence family (token_pmi, token_textrank)."""
+#: Co-occurrence window: tokens within ±W positions co-occur (the
+#: word2vec/GloVe convention). The windowed definition is what keeps
+#: the pair expansion LINEAR in document length (n·W events per doc) —
+#: whole-document co-occurrence is per-doc vocab², a quadratic trap on
+#: long documents.
+PMI_COOC_WINDOW = 5
+
+
+def _token_pos_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Staged positional (doc_id, pos, tok) token index — the shared
+    base of the co-occurrence family (token_pmi, token_textrank)."""
     from .operators.staging import stage
 
     return (
         _docs_with_tokens(spark, sf_dir)
-        .select("doc_id", F.explode(TX.tokens(F.col("text"))).alias("tok"))
+        .select(
+            "doc_id",
+            F.posexplode(TX.tokens(F.col("text"))).alias("pos", "tok"),
+        )
         .where(F.col("tok") != "")
-        .distinct()
         .transform(stage)
     )
 
@@ -7132,34 +7142,58 @@ def _token_doc_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _token_pair_counts(
     spark: SparkSession, sf_dir: str, toks: DataFrame | None = None
 ) -> DataFrame:
-    """Document-level token co-occurrence counts ``(tok_a < tok_b,
-    n_ab ≥ PMI_MIN_PAIRS)`` — the co-occurrence edge list shared by
-    token_pmi and token_textrank. Self-join ON doc_id: Σ per-doc
-    vocab², never corpus². Pass ``toks`` to reuse an already-staged
-    index instead of materializing a second one."""
+    """Windowed token co-occurrence counts ``(tok_a < tok_b, n_ab ≥
+    PMI_MIN_PAIRS)`` — the edge list shared by token_pmi and
+    token_textrank. The right-context positions explode map-only
+    (constant W fan-out) and close with an EQUI-join on (doc_id, pos)
+    — the phrase-search trick — so pair volume is n·W per doc, never a
+    doc-level self-join's n². Pass ``toks`` to reuse an already-staged
+    index."""
     if toks is None:
-        toks = _token_doc_index(spark, sf_dir)
-    a, b = toks.alias("a"), toks.alias("b")
-    return (
-        a.join(b, "doc_id")
-        .where(F.col("a.tok") < F.col("b.tok"))
-        .groupBy(
-            F.col("a.tok").alias("tok_a"), F.col("b.tok").alias("tok_b")
+        toks = _token_pos_index(spark, sf_dir)
+    ctx = toks.select(
+        "doc_id",
+        F.col("tok").alias("tok_l"),
+        F.explode(
+            F.array(
+                *[
+                    (F.col("pos") + k)
+                    for k in range(1, PMI_COOC_WINDOW + 1)
+                ]
+            )
+        ).alias("pos"),
+    )
+    ev = (
+        ctx.join(toks, ["doc_id", "pos"])
+        .where(F.col("tok_l") != F.col("tok"))
+        .select(
+            F.least("tok_l", "tok").alias("tok_a"),
+            F.greatest("tok_l", "tok").alias("tok_b"),
         )
+    )
+    return (
+        ev.groupBy("tok_a", "tok_b")
         .agg(F.count(F.lit(1)).alias("n_ab"))
         .where(F.col("n_ab") >= PMI_MIN_PAIRS)
     )
 
 
 #: Shared SQL twin of the co-occurrence base (toks + pairs CTE bodies).
-_SQL_TOKEN_PAIRS_CTES = """toks AS (
-  SELECT DISTINCT doc_id, t.tok FROM (
-    SELECT doc_id, unnest({toks_expr}) AS tok FROM documents
-  ) t WHERE t.tok <> ''
+_SQL_TOKEN_PAIRS_CTES = """toks AS MATERIALIZED (
+  SELECT doc_id, pos, tok FROM (
+    SELECT doc_id, generate_subscripts(t, 1) - 1 AS pos, unnest(t) AS tok
+    FROM (SELECT doc_id, {toks_expr} AS t FROM documents)
+  ) WHERE tok <> ''
+),
+ctx AS (
+  SELECT doc_id, tok AS tok_l, pos + k AS pos
+  FROM toks CROSS JOIN (SELECT unnest(generate_series(1, {window})) AS k)
 ),
 pairs AS (
-  SELECT a.tok AS id_a, b.tok AS id_b, CAST(COUNT(*) AS BIGINT) AS n_ab
-  FROM toks a JOIN toks b ON b.doc_id = a.doc_id AND a.tok < b.tok
+  SELECT LEAST(c.tok_l, t.tok) AS id_a, GREATEST(c.tok_l, t.tok) AS id_b,
+         CAST(COUNT(*) AS BIGINT) AS n_ab
+  FROM ctx c JOIN toks t USING (doc_id, pos)
+  WHERE c.tok_l <> t.tok
   GROUP BY 1, 2
   HAVING COUNT(*) >= {min_pairs}
 )"""
@@ -7170,35 +7204,36 @@ def q_token_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     documents — the corpus-linguistics co-occurrence matrix behind
     collocation mining and embedding pre-analysis.
 
-    ``pmi(a,b) = ln(n_ab·N / (n_a·n_b))`` over document frequencies,
-    with identical operation order in both engines and the
-    transcendental rounded to 6 (the haversine discipline).
+    ``pmi(a,b) = ln(n_ab·N / (n_a·n_b))`` over windowed co-occurrence
+    events (±PMI_COOC_WINDOW positions, the word2vec convention) and
+    token occurrence marginals, with identical operation order in both
+    engines and the transcendental rounded to 6 (the haversine
+    discipline).
 
-    Scale: the pair expansion is a self-join of the distinct
-    (doc, token) index ON doc_id — Σ per-doc vocab², bounded by
-    document length, never corpus²; marginals are one hash aggregate
-    and the corpus size is a 1-row broadcast."""
-    toks = _token_doc_index(spark, sf_dir)
-    n_docs = toks.select("doc_id").distinct().agg(
-        F.count(F.lit(1)).alias("n_docs")
-    )
-    dfreq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n_t"))
+    Scale: the pair expansion is a constant-W map-only context explode
+    closed by an EQUI-join on (doc_id, pos) — n·W events per doc,
+    LINEAR in document length (whole-doc co-occurrence is per-doc
+    vocab², a quadratic trap); marginals are one hash aggregate and
+    the corpus token count is a 1-row broadcast."""
+    toks = _token_pos_index(spark, sf_dir)
+    n_tok = toks.agg(F.count(F.lit(1)).alias("n_tok"))
+    tfreq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n_t"))
     pairs = _token_pair_counts(spark, sf_dir, toks=toks)
     return (
         pairs.join(
-            F.broadcast(dfreq.withColumnRenamed("tok", "tok_a")), "tok_a"
+            F.broadcast(tfreq.withColumnRenamed("tok", "tok_a")), "tok_a"
         )
         .withColumnRenamed("n_t", "n_a")
-        .join(F.broadcast(dfreq.withColumnRenamed("tok", "tok_b")), "tok_b")
+        .join(F.broadcast(tfreq.withColumnRenamed("tok", "tok_b")), "tok_b")
         .withColumnRenamed("n_t", "n_b")
-        .crossJoin(F.broadcast(n_docs))
+        .crossJoin(F.broadcast(n_tok))
         .select(
             "tok_a",
             "tok_b",
             F.col("n_ab").cast("long").alias("n_ab"),
             F.round(
                 F.log(
-                    (F.col("n_ab").cast("double") * F.col("n_docs"))
+                    (F.col("n_ab").cast("double") * F.col("n_tok"))
                     / (F.col("n_a").cast("double") * F.col("n_b"))
                 ),
                 6,
@@ -7207,26 +7242,22 @@ def q_token_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_TOKEN_PMI = f"""
-WITH toks AS (
-  SELECT DISTINCT doc_id, t.tok FROM (
-    SELECT doc_id, unnest({_toks('text')}) AS tok FROM documents
-  ) t WHERE t.tok <> ''
-),
-nd AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs FROM toks),
-dfreq AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS n_t FROM toks GROUP BY tok),
-pairs AS (
-  SELECT a.tok AS tok_a, b.tok AS tok_b, CAST(COUNT(*) AS BIGINT) AS n_ab
-  FROM toks a JOIN toks b ON b.doc_id = a.doc_id AND a.tok < b.tok
-  GROUP BY 1, 2
-  HAVING COUNT(*) >= {PMI_MIN_PAIRS}
-)
-SELECT tok_a, tok_b, n_ab,
-       round(ln((CAST(n_ab AS DOUBLE) * n_docs) / (CAST(fa.n_t AS DOUBLE) * fb.n_t)), 6) AS pmi
+def _sql_token_pmi() -> str:
+    base = _SQL_TOKEN_PAIRS_CTES.format(
+        toks_expr=_toks("text"),
+        window=PMI_COOC_WINDOW,
+        min_pairs=PMI_MIN_PAIRS,
+    )
+    return f"""
+WITH {base},
+nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_tok FROM toks),
+tfreq AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS n_t FROM toks GROUP BY tok)
+SELECT id_a AS tok_a, id_b AS tok_b, n_ab,
+       round(ln((CAST(n_ab AS DOUBLE) * n_tok) / (CAST(fa.n_t AS DOUBLE) * fb.n_t)), 6) AS pmi
 FROM pairs
-JOIN dfreq fa ON fa.tok = tok_a
-JOIN dfreq fb ON fb.tok = tok_b
-CROSS JOIN nd
+JOIN tfreq fa ON fa.tok = id_a
+JOIN tfreq fb ON fb.tok = id_b
+CROSS JOIN nt
 """
 
 
@@ -7258,7 +7289,9 @@ def q_token_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _sql_token_textrank() -> str:
     return _sql_pagerank_chain(
         _SQL_TOKEN_PAIRS_CTES.format(
-            toks_expr=_toks("text"), min_pairs=PMI_MIN_PAIRS
+            toks_expr=_toks("text"),
+            window=PMI_COOC_WINDOW,
+            min_pairs=PMI_MIN_PAIRS,
         ),
         "token",
     )
@@ -8534,7 +8567,7 @@ def build_oracles() -> dict[str, str]:
         "order_price_quantiles": SQL_ORDER_PRICE_QUANTILES,
         "user_overlap_sketch": SQL_USER_OVERLAP_SKETCH,
         "neardup_communities": _sql_neardup_communities(),
-        "token_pmi": SQL_TOKEN_PMI,
+        "token_pmi": _sql_token_pmi(),
         "neardup_link_prediction": _sql_neardup_link_prediction(),
         "token_textrank": _sql_token_textrank(),
         "event_assoc_rules": SQL_EVENT_ASSOC_RULES,

@@ -737,11 +737,12 @@ def test_lpa_communities_argmax_aggregate_no_window_no_cartesian(plans):
 
 
 def test_token_pmi_equi_self_join_and_broadcast_marginals(plans):
-    """Token PMI: the pair expansion must be an equi-join ON doc_id
-    (per-doc vocab^2, bounded by document length — a cartesian would be
-    corpus-scale vocab^2), the token marginals and the 1-row corpus
-    count must ride broadcasts, and the pair aggregate must map-side
-    combine before its exchange."""
+    """Token PMI: the windowed pair expansion must close with an
+    EQUI-join on (doc_id, pos) after a constant-W map-only context
+    explode — n*W events per doc, linear in document length (a doc-
+    level self-join would be per-doc vocab^2, a cartesian corpus^2) —
+    the marginals and 1-row token count must ride broadcasts, and the
+    pair aggregate must map-side combine before its exchange."""
     plan = plans("token_pmi")
     assert "CartesianProduct" not in plan
     assert broadcast_join_count(plan) >= 2
