@@ -5698,6 +5698,71 @@ FROM g
 """
 
 
+def q_event_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly seasonality profile — per (day-of-week, hour-of-day)
+    slot: observed hours, average and peak hourly event volume, and the
+    peak/average burstiness ratio. The capacity-planning / anomaly-
+    baseline grid (the 168-cell profile a monitor compares live traffic
+    against; the seasonal complement to the EWMA trend).
+
+    Scale: the fact collapses to the (calendar-hour) histogram with ONE
+    map-side-combined aggregate; the profile is a second aggregate over
+    that bounded table into ≤ 168 rows. Averages are exact integer
+    ratios in double (deterministic), round6'd."""
+    hourly = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("hour", F.col("ts")).alias("h"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return (
+        hourly.groupBy(
+            (F.dayofweek("h") - 1).cast("long").alias("dow"),
+            F.hour("h").cast("long").alias("hod"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_hours"),
+            F.sum("cnt").cast("long").alias("n_events"),
+            F.max("cnt").cast("long").alias("peak_hour"),
+        )
+        .select(
+            "dow",
+            "hod",
+            "n_hours",
+            "n_events",
+            round6(
+                F.col("n_events").cast("double") / F.col("n_hours")
+            ).alias("avg_per_hour"),
+            "peak_hour",
+            round6(
+                F.col("peak_hour")
+                * F.col("n_hours").cast("double")
+                / F.col("n_events")
+            ).alias("peak_over_avg"),
+        )
+    )
+
+
+SQL_EVENT_SEASONALITY = f"""
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS h, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1
+),
+prof AS (
+  SELECT CAST(dayofweek(h) AS BIGINT) AS dow,
+         CAST(hour(h) AS BIGINT) AS hod,
+         CAST(COUNT(*) AS BIGINT) AS n_hours,
+         CAST(SUM(cnt) AS BIGINT) AS n_events,
+         CAST(MAX(cnt) AS BIGINT) AS peak_hour
+  FROM hourly GROUP BY 1, 2
+)
+SELECT dow, hod, n_hours, n_events,
+       {SQL_ROUND6.format(x='CAST(n_events AS DOUBLE) / n_hours')} AS avg_per_hour,
+       peak_hour,
+       {SQL_ROUND6.format(x='peak_hour * CAST(n_hours AS DOUBLE) / n_events')} AS peak_over_avg
+FROM prof
+"""
+
+
 def q_join_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Join-key skew diagnostic for the lineitem→orders key — the
     pre-flight check that decides whether a shuffle join needs salting
@@ -8471,6 +8536,7 @@ QUERIES: dict[str, QueryFn] = {
     "event_funnel": q_event_funnel,
     "event_gap_fill": q_event_gap_fill,
     "event_pivot_roundtrip": q_event_pivot_roundtrip,
+    "event_seasonality": q_event_seasonality,
     "fk_integrity_audit": q_fk_integrity_audit,
     "forecast_revenue": q_forecast_revenue,
     "idle_rich_customers": q_idle_rich_customers,
@@ -8645,6 +8711,7 @@ def build_oracles() -> dict[str, str]:
         "doc_data_card": SQL_DOC_DATA_CARD,
         "event_gap_fill": SQL_EVENT_GAP_FILL,
         "event_pivot_roundtrip": SQL_PIVOT_ROUNDTRIP,
+        "event_seasonality": SQL_EVENT_SEASONALITY,
         "shipping_priority": SQL_SHIPPING_PRIORITY,
         "local_supplier_volume": SQL_LOCAL_SUPPLIER_VOLUME,
         "purchase_attribution": SQL_PURCHASE_ATTRIBUTION,

@@ -921,3 +921,14 @@ def test_emb_dim_stats_single_pass_partial_agg(plans):
     assert "windowspecdefinition" not in plan
     read_schema = re.search(r"ReadSchema: struct<([^>]*)>", plan).group(1)
     assert "embedding" in read_schema and "label" not in read_schema
+
+
+def test_seasonality_two_bounded_aggregates_no_window(plans):
+    """Seasonality grid: fact → calendar-hour histogram (map-side
+    combine) → ≤168-row profile; two aggregates, no window, no join,
+    and the scan reads only the timestamp column."""
+    plan = plans("event_seasonality")
+    assert "partial_count" in plan
+    assert "windowspecdefinition" not in plan
+    read_schema = re.search(r"ReadSchema: struct<([^>]*)>", plan).group(1)
+    assert read_schema == "ts:timestamp_ntz", read_schema
