@@ -8444,7 +8444,14 @@ QUERIES: dict[str, QueryFn] = {
     "geo_trajectory": q_geo_trajectory,
     # (b) round-6 additions (first driver rows): the six remaining
     #     TPC-H shapes (Q2/Q11/Q12/Q16/Q20/Q21, partsupp-less
-    #     adaptations) + entropy/containment/burst/range-search
+    #     adaptations), entropy/containment/burst/range-search, the
+    #     graph family completion (k-core, prefix/blocking pairs, LPA
+    #     communities, link prediction), the sketch family (KMV,
+    #     overlap algebra, CMS, priority sample, exact quantiles), and
+    #     token PMI / association rules / EWMA. Later round-6 additions
+    #     (textrank, RRF, profile, FK audit, attribution, bloom, RFM,
+    #     phrase search, skew, dim stats, seasonality) sit below the
+    #     marker with 3-SF local-gate evidence until the r07 rotation.
     "min_cost_supplier": q_min_cost_supplier,
     "important_part_value": q_important_part_value,
     "late_shipment_priority": q_late_shipment_priority,
