@@ -14,11 +14,15 @@ rational the engine uses
 
 — the same IEEE double ops on both engines, hence bit-identical output
 for identical input doubles, always. The SQL twin is :data:`SQL_ROUND6`.
-Only valid for NON-NEGATIVE x (floor(+0.5) is round-half-up; negatives
-would round toward +inf). Transcendental outputs (haversine, cosine,
-ln) keep plain round(x, 6): an irrational landing exactly on a decimal
-half-boundary has effectively zero measure, and their existing oracle
-twins are green at every SF.
+For NEGATIVE x the formula is round-half-toward-+inf rather than
+HALF_UP (floor(+0.5) rounds -0.1234565 to -0.123456, not -0.123457) —
+still bit-identical cross-engine, just a different half-boundary
+convention, so signed transcendental columns (pmi, signed cosine) may
+use it where cross-engine rank/filter stability matters more than the
+half-boundary direction. Plain round(x, 6) remains acceptable for
+transcendental OUTPUT columns that never feed a filter or rank: an
+irrational landing exactly on a decimal half-boundary has effectively
+zero measure.
 """
 
 from __future__ import annotations

@@ -134,8 +134,14 @@ def cosine_range_search(
     Same scale posture as cosine_topk: ``broadcast(queries) × corpus``,
     the corpus never shuffles, one codegen'd dot product per pair, and
     the threshold filter runs inside the same projected stage so
-    non-neighbors never leave the task. Self-matches excluded; scores
-    rounded to 6 decimals for cross-engine stability."""
+    non-neighbors never leave the task. Self-matches excluded. The
+    threshold compares the PORTABLY ROUNDED score (functions.rounding
+    round6 — identical IEEE ops in both engines), so an engine-divergent
+    ulp sitting exactly at the threshold can never include/exclude a
+    neighbor differently per engine; the emitted score is the same
+    rounded value the filter saw."""
+    from ..functions.rounding import round6
+
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qvec"),
@@ -152,13 +158,8 @@ def cosine_range_search(
     )
     return (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", sim.alias("_sim"))
-        .where(F.col("_sim") >= F.lit(threshold))
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(F.col("_sim"), 6).alias("cosine_sim"),
-        )
+        .select("query_id", "neighbor_id", round6(sim).alias("cosine_sim"))
+        .where(F.col("cosine_sim") >= F.lit(threshold))
     )
 
 

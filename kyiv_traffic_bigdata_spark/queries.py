@@ -6321,8 +6321,12 @@ def q_doc_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: fusion happens strictly on the two SHORTLISTS — each ranker
     ends in TakeOrdered/top-k, so the rank windows and the full-outer
     join touch ≤ 2·topN rows of driver-bounded metadata, never the
-    corpus. Both engines rank by the ROUNDED score with id tie-break,
-    so ranks are identical cross-engine."""
+    corpus. Both engines rank the cosine shortlist by round6(_sim)
+    (the portable floor formula, applied before top-k AND before the
+    rank window; the oracle's ORDER BY uses the same formula) with
+    doc_id tie-break, so an ulp-level accumulation-order divergence
+    between Spark's sequential zip_with fold and DuckDB's SUM(x*y)
+    can never swap shortlist ranks cross-engine."""
     from pyspark.sql import Window
 
     from .functions.vector import dot, norm
@@ -6343,7 +6347,7 @@ def q_doc_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     scored = (
         c.join(F.broadcast(q), F.col("doc_id") != 0)
-        .select("doc_id", sim.alias("_sim"))
+        .select("doc_id", round6(sim).alias("_sim"))
     )
     short = top_k(
         scored, [F.col("_sim").desc(), F.col("doc_id").asc()], BM25_TOPN
@@ -6404,7 +6408,9 @@ cos AS (
 ),
 cr0 AS (
   SELECT nid AS doc_id,
-         row_number() OVER (ORDER BY sim DESC, nid ASC) AS cos_rank
+         row_number() OVER (
+           ORDER BY {SQL_ROUND6.format(x='sim')} DESC, nid ASC
+         ) AS cos_rank
   FROM cos
 ),
 cr AS (SELECT doc_id, cos_rank FROM cr0 WHERE cos_rank <= {BM25_TOPN}),
@@ -7272,8 +7278,11 @@ def q_token_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``pmi(a,b) = ln(n_ab·N / (n_a·n_b))`` over windowed co-occurrence
     events (±PMI_COOC_WINDOW positions, the word2vec convention) and
     token occurrence marginals, with identical operation order in both
-    engines and the transcendental rounded to 6 (the haversine
-    discipline).
+    engines and the transcendental rounded via the PORTABLE round6
+    formula (functions.rounding) — F.round's HALF_UP vs DuckDB's
+    scaled-double round disagree at .5 boundaries, the exact engine
+    pair quarantined everywhere else; pmi may be negative, where
+    round6 is half-toward-+inf in BOTH engines (still bit-identical).
 
     Scale: the pair expansion is a constant-W map-only context explode
     closed by an EQUI-join on (doc_id, pos) — n·W events per doc,
@@ -7296,12 +7305,11 @@ def q_token_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
             "tok_a",
             "tok_b",
             F.col("n_ab").cast("long").alias("n_ab"),
-            F.round(
+            round6(
                 F.log(
                     (F.col("n_ab").cast("double") * F.col("n_tok"))
                     / (F.col("n_a").cast("double") * F.col("n_b"))
-                ),
-                6,
+                )
             ).alias("pmi"),
         )
     )
@@ -7318,7 +7326,7 @@ WITH {base},
 nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_tok FROM toks),
 tfreq AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS n_t FROM toks GROUP BY tok)
 SELECT id_a AS tok_a, id_b AS tok_b, n_ab,
-       round(ln((CAST(n_ab AS DOUBLE) * n_tok) / (CAST(fa.n_t AS DOUBLE) * fb.n_t)), 6) AS pmi
+       {SQL_ROUND6.format(x='ln((CAST(n_ab AS DOUBLE) * n_tok) / (CAST(fa.n_t AS DOUBLE) * fb.n_t))')} AS pmi
 FROM pairs
 JOIN tfreq fa ON fa.tok = id_a
 JOIN tfreq fb ON fb.tok = id_b
@@ -8413,8 +8421,9 @@ cos AS (
   JOIN norms nc ON nc.nid = dots.nid
   WHERE qid != dots.nid
 )
-SELECT qid AS query_id, nid AS neighbor_id, round(sim, 6) AS cosine_sim
-FROM cos WHERE sim >= {RANGE_TAU}
+SELECT qid AS query_id, nid AS neighbor_id,
+       {SQL_ROUND6.format(x='sim')} AS cosine_sim
+FROM cos WHERE {SQL_ROUND6.format(x='sim')} >= {RANGE_TAU}
 """
 
 
@@ -8425,33 +8434,94 @@ FROM cos WHERE sim >= {RANGE_TAU}
 # Registration order is load-bearing: the driver's CORRECTNESS harness
 # verifies the FIRST 50 entries only (proven by the r2→r3 coverage
 # diff), so the first 50 slots are rotated each round toward the
-# queries with the least hard driver evidence. Round 6 rotation
-# (r5 VERDICT ask #1 — maximize re-verification of stale evidence):
-# (a) the flagship `geo_trajectory` (= driver entry()), in-window
-#     every round;
-# (b) the 10 round-6 additions, which have never had a driver row;
-# (c) all 25 queries whose latest driver row is r03 (the dedup/
-#     similarity family that was three rounds stale);
-# (d) 14 of the 44 r04-stale queries (alphabetical prefix; the other
-#     30 sit directly below the marker and rotate in next round).
-# Below the marker: the remaining r04 set, then the r05-green set,
-# then the 5 no-oracle approximates (ann_lsh/ann_ivf/ann_pq/
-# approx_event_stats/emb_pca) at the very tail so no window slot is
-# spent on a permanent `no_oracle` row. tests/test_oracle.py enforces
-# marker position, no duplicate keys, and all-window-slots-oracled.
+# queries with the least hard driver evidence. History note (r06
+# VERDICT/ADVICE correction): the round-6 additions consumed all r06
+# round-robin slots, so NO r04-stale query was re-verified in r06 —
+# the r07 window below clears that backlog. The rotation is no longer
+# narrated prose: test_rotation_ledger_window_is_least_recent computes
+# the name → last-driver-round ledger from the CORRECTNESS_r0*.json
+# files and fails if any window slot re-verifies a query fresher than
+# the stalest non-window oracle-checkable query (flagship exempt).
+# tests/test_oracle.py also enforces marker position, no duplicate
+# keys, and all-window-slots-oracled (no-oracle approximates pinned at
+# the very tail so no window slot is spent on a permanent no_oracle
+# row).
 QUERIES: dict[str, QueryFn] = {
-    # (a) flagship — in-window every round
+    # r07 window composition (driver verifies the FIRST 50 entries).
+    # Machine-checked: tests/test_oracle.py::test_rotation_ledger_window_
+    # is_least_recent asserts against the CORRECTNESS_r0*.json ledger
+    # that every slot covers least-recent driver evidence (flagship
+    # exempt) — the composition below is enforced, not narrated.
+    # (a) the 11 round-6 additions that landed below the r06 window and
+    #     have NEVER held a driver row (local-gate evidence only); they
+    #     take the first slots so a regression cannot ship invisibly.
+    "bloom_join_filter": q_bloom_join_filter,
+    "doc_hybrid_rrf": q_doc_hybrid_rrf,
+    "doc_phrase_search": q_doc_phrase_search,
+    "event_seasonality": q_event_seasonality,
+    "fk_integrity_audit": q_fk_integrity_audit,
+    "join_skew_profile": q_join_skew_profile,
+    "purchase_attribution": q_purchase_attribution,
+    "token_textrank": q_token_textrank,
+    "emb_dim_stats": q_emb_dim_stats,
+    "customer_rfm_segments": q_customer_rfm_segments,
+    "orders_profile": q_orders_profile,
+    # (b) 39 of the 44 oracle-checkable r04-stale queries, in their
+    #     prior registry order. The round-6 additions consumed all r06
+    #     round-robin slots, so NO r04-stale query was re-verified in
+    #     r06; this window clears that backlog down to the 5 parked
+    #     below, which seed the r08 window together with the flagship.
+    "ann_index_stats": q_ann_index_stats,
+    "brand_discount_revenue": q_brand_discount_revenue,
+    "clicks_after_error": q_clicks_after_error,
+    "doc_chunks": q_doc_chunks,
+    "doc_clip_repeated": q_doc_clip_repeated,
+    "doc_corpus_mix": q_doc_corpus_mix,
+    "doc_curation_pipeline": q_doc_curation_pipeline,
+    "doc_data_card": q_doc_data_card,
+    "doc_decontaminate": q_doc_decontaminate,
+    "doc_gopher_quality": q_doc_gopher_quality,
+    "doc_hash_sample": q_doc_hash_sample,
+    "doc_langid_confusion": q_doc_langid_confusion,
+    "doc_pii_scrub": q_doc_pii_scrub,
+    "doc_quality_filter": q_doc_quality_filter,
+    "doc_repeated_spans": q_doc_repeated_spans,
+    "doc_repetition_filter": q_doc_repetition_filter,
+    "doc_source_drift": q_doc_source_drift,
+    "doc_splits": q_doc_splits,
+    "doc_subword_stats": q_doc_subword_stats,
+    "doc_tfidf_terms": q_doc_tfidf_terms,
+    "doc_token_pair_stats": q_doc_token_pair_stats,
+    "doc_unigram_logprob": q_doc_unigram_logprob,
+    "doc_upsample_mix": q_doc_upsample_mix,
+    "doc_version_diff": q_doc_version_diff,
+    "doc_vocab_coverage": q_doc_vocab_coverage,
+    "emb_decontaminate": q_emb_decontaminate,
+    "emb_kmeans": q_emb_kmeans,
+    "emb_semdedup": q_emb_semdedup,
+    "event_anomaly_profile": q_event_anomaly_profile,
+    "event_audience_overlap": q_event_audience_overlap,
+    "event_funnel": q_event_funnel,
+    "event_gap_fill": q_event_gap_fill,
+    "event_pivot_roundtrip": q_event_pivot_roundtrip,
+    "forecast_revenue": q_forecast_revenue,
+    "idle_rich_customers": q_idle_rich_customers,
+    "large_orders": q_large_orders,
+    "local_supplier_volume": q_local_supplier_volume,
+    "neardup_pagerank": q_neardup_pagerank,
+    "priority_count": q_priority_count,
+    # ---- slots above are inside the driver's 50-query verification
+    # window; everything below holds an r04/r05/r06 driver-green row and
+    # rides the driver-faithful local replica until its next rotation ----
+    # flagship (r06 hash-green; the driver smoke-checks entry() every
+    # round regardless) + the 5 parked r04-stale — the r08 window seeds.
     "geo_trajectory": q_geo_trajectory,
-    # (b) round-6 additions (first driver rows): the six remaining
-    #     TPC-H shapes (Q2/Q11/Q12/Q16/Q20/Q21, partsupp-less
-    #     adaptations), entropy/containment/burst/range-search, the
-    #     graph family completion (k-core, prefix/blocking pairs, LPA
-    #     communities, link prediction), the sketch family (KMV,
-    #     overlap algebra, CMS, priority sample, exact quantiles), and
-    #     token PMI / association rules / EWMA. Later round-6 additions
-    #     (textrank, RRF, profile, FK audit, attribution, bloom, RFM,
-    #     phrase search, skew, dim stats, seasonality) sit below the
-    #     marker with 3-SF local-gate evidence until the r07 rotation.
+    "promo_revenue": q_promo_revenue,
+    "returned_items": q_returned_items,
+    "shipping_priority": q_shipping_priority,
+    "small_quantity_revenue": q_small_quantity_revenue,
+    "top_revenue_supplier": q_top_revenue_supplier,
+    # r06 driver-green (rotated out this round)
     "min_cost_supplier": q_min_cost_supplier,
     "important_part_value": q_important_part_value,
     "late_shipment_priority": q_late_shipment_priority,
@@ -8476,7 +8546,6 @@ QUERIES: dict[str, QueryFn] = {
     "event_assoc_rules": q_event_assoc_rules,
     "event_type_ewma": q_event_type_ewma,
     "event_cms_heavy_hitters": q_event_cms_heavy_hitters,
-    # (c) r03-stale re-verification (last driver row three rounds old)
     "cosine_topk": q_cosine_topk,
     "doc_exact_dups": q_doc_exact_dups,
     "doc_lang_token_stats": q_doc_lang_token_stats,
@@ -8502,63 +8571,7 @@ QUERIES: dict[str, QueryFn] = {
     "weather_pivot": q_weather_pivot,
     "winnow_fingerprints": q_winnow_fingerprints,
     "winnow_overlap": q_winnow_overlap,
-    # (d) r04-stale re-verification: the round-6 additions consumed all
-    #     round-robin slots; the full r04-stale set rotates next round
-    # ---- slots above are inside the driver's 50-query verification
-    # window; everything below holds an r04/r05 driver-green row and
-    # rides the driver-faithful local replica until its next rotation ----
-    "ann_index_stats": q_ann_index_stats,
-    "bloom_join_filter": q_bloom_join_filter,
-    "brand_discount_revenue": q_brand_discount_revenue,
-    "clicks_after_error": q_clicks_after_error,
-    "doc_chunks": q_doc_chunks,
-    "doc_clip_repeated": q_doc_clip_repeated,
-    "doc_corpus_mix": q_doc_corpus_mix,
-    "doc_curation_pipeline": q_doc_curation_pipeline,
-    "doc_data_card": q_doc_data_card,
-    "doc_decontaminate": q_doc_decontaminate,
-    "doc_gopher_quality": q_doc_gopher_quality,
-    "doc_hash_sample": q_doc_hash_sample,
-    "doc_hybrid_rrf": q_doc_hybrid_rrf,
-    "doc_langid_confusion": q_doc_langid_confusion,
-    "doc_phrase_search": q_doc_phrase_search,
-    "doc_pii_scrub": q_doc_pii_scrub,
-    "doc_quality_filter": q_doc_quality_filter,
-    "doc_repeated_spans": q_doc_repeated_spans,
-    "doc_repetition_filter": q_doc_repetition_filter,
-    "doc_source_drift": q_doc_source_drift,
-    "doc_splits": q_doc_splits,
-    "doc_subword_stats": q_doc_subword_stats,
-    "doc_tfidf_terms": q_doc_tfidf_terms,
-    "doc_token_pair_stats": q_doc_token_pair_stats,
-    "doc_unigram_logprob": q_doc_unigram_logprob,
-    "doc_upsample_mix": q_doc_upsample_mix,
-    "doc_version_diff": q_doc_version_diff,
-    "doc_vocab_coverage": q_doc_vocab_coverage,
-    "emb_decontaminate": q_emb_decontaminate,
-    "emb_kmeans": q_emb_kmeans,
-    "emb_semdedup": q_emb_semdedup,
-    "event_anomaly_profile": q_event_anomaly_profile,
-    "event_audience_overlap": q_event_audience_overlap,
-    "event_funnel": q_event_funnel,
-    "event_gap_fill": q_event_gap_fill,
-    "event_pivot_roundtrip": q_event_pivot_roundtrip,
-    "event_seasonality": q_event_seasonality,
-    "fk_integrity_audit": q_fk_integrity_audit,
-    "forecast_revenue": q_forecast_revenue,
-    "idle_rich_customers": q_idle_rich_customers,
-    "join_skew_profile": q_join_skew_profile,
-    "large_orders": q_large_orders,
-    "local_supplier_volume": q_local_supplier_volume,
-    "neardup_pagerank": q_neardup_pagerank,
-    "priority_count": q_priority_count,
-    "promo_revenue": q_promo_revenue,
-    "purchase_attribution": q_purchase_attribution,
-    "returned_items": q_returned_items,
-    "shipping_priority": q_shipping_priority,
-    "small_quantity_revenue": q_small_quantity_revenue,
-    "token_textrank": q_token_textrank,
-    "top_revenue_supplier": q_top_revenue_supplier,
+    # r05 driver-green
     "doc_url_normalize": q_doc_url_normalize,
     "doc_mixture_weights": q_doc_mixture_weights,
     "doc_html_extract": q_doc_html_extract,
@@ -8571,14 +8584,12 @@ QUERIES: dict[str, QueryFn] = {
     "doc_domain_quality": q_doc_domain_quality,
     "doc_neardup_keep": q_doc_neardup_keep,
     "emb_cluster_prune": q_emb_cluster_prune,
-    "emb_dim_stats": q_emb_dim_stats,
     "doc_blocklist_filter": q_doc_blocklist_filter,
     "doc_boilerplate_segments": q_doc_boilerplate_segments,
     "nation_trade_volume": q_nation_trade_volume,
     "nation_market_share": q_nation_market_share,
     "product_line_profit": q_product_line_profit,
     "customer_order_distribution": q_customer_order_distribution,
-    "customer_rfm_segments": q_customer_rfm_segments,
     "emb_signbits": q_emb_signbits,
     "ann_hamming": q_ann_hamming,
     "ann_hamming_rerank": q_ann_hamming_rerank,
@@ -8608,7 +8619,6 @@ QUERIES: dict[str, QueryFn] = {
     "global_event_stats": q_global_event_stats,
     "geo_speed_by_type": q_geo_speed_by_type,
     "geo_region_counts": q_geo_region_counts,
-    "orders_profile": q_orders_profile,
     "orders_without_lineitems": q_orders_without_lineitems,
     "active_customers": q_active_customers,
     # ---- no-oracle approximates: permanently at the tail so they
