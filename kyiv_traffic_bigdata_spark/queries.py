@@ -8070,11 +8070,15 @@ def q_dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     nested semi-join + correlated threshold-sum shape (Q20's absolute
     50% empties out at scale; see DOMINANT_FAIR_MULTIPLE).
 
-    Scale: both quantity aggregates are hash aggs over the
-    part-filtered fact slice (the selective marker filter broadcasts
-    into the scan side); the dominance test joins two AGGREGATED
-    tables on partkey; suppliers then semi-join the small dominant
-    set."""
+    Scale: ONE pass over the part-filtered fact slice (the selective
+    marker filter broadcasts into the scan side) — the per-part totals
+    come from a WINDOW over the already-aggregated (part, supplier)
+    table, not a self-join, so the fact table is scanned exactly once
+    (the join formulation recomputed the aggregate subtree and scanned
+    lineitem twice — r07 plan fix, pinned in tests/test_plans.py);
+    suppliers then join the small dominant set."""
+    from pyspark.sql import Window
+
     li = load_table(spark, sf_dir, "lineitem")
     supp = load_table(spark, sf_dir, "supplier")
     nat = load_table(spark, sf_dir, "nation")
@@ -8089,12 +8093,14 @@ def q_dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_partkey", "l_suppkey")
         .agg(F.sum(dec("l_quantity")).alias("_q"))
     )
-    tot = sq.groupBy("l_partkey").agg(
-        F.sum("_q").alias("_qt"), F.count(F.lit(1)).alias("_ns")
-    )
-    dom = sq.join(tot, "l_partkey").where(
-        F.col("_q").cast("double") * F.col("_ns").cast("double")
-        > F.lit(DOMINANT_FAIR_MULTIPLE) * F.col("_qt").cast("double")
+    w = Window.partitionBy("l_partkey")
+    dom = (
+        sq.withColumn("_qt", F.sum("_q").over(w))
+        .withColumn("_ns", F.count(F.lit(1)).over(w))
+        .where(
+            F.col("_q").cast("double") * F.col("_ns").cast("double")
+            > F.lit(DOMINANT_FAIR_MULTIPLE) * F.col("_qt").cast("double")
+        )
     )
     per_supp = dom.groupBy("l_suppkey").agg(
         F.count(F.lit(1)).alias("n_dominated_parts")
@@ -8220,21 +8226,29 @@ def q_doc_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     degenerate text, a core LLM-corpus filter next to the repetition
     and Gopher gates).
 
-    Scale: one (doc, term) hash aggregate + one per-doc aggregate, both
-    with map-side partials. Per-term entropy contributions are round6'd
-    (ln quarantine) then decimal-summed, so the result is engine- and
-    order-independent — the BM25/logprob discipline."""
+    Scale: ONE documents scan (tokenize + explode run once): the
+    per-doc token/type totals come from a WINDOW over the (doc, term)
+    aggregate rather than a join back onto itself — the join
+    formulation recomputed the tokenize subtree and scanned documents
+    twice (r07 plan fix, pinned in tests/test_plans.py). The window
+    shuffle by doc_id also pre-partitions the final per-doc aggregate,
+    so that aggregate needs no exchange of its own. Per-term entropy
+    contributions are round6'd (ln quarantine) then decimal-summed, so
+    the result is engine- and order-independent — the BM25/logprob
+    discipline."""
+    from pyspark.sql import Window
+
     d = _docs_with_tokens(spark, sf_dir)
     tok = d.select("doc_id", F.explode(TX.tokens(F.col("text"))).alias("term"))
     tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("_tf"))
-    per_doc = tf.groupBy("doc_id").agg(
-        F.sum("_tf").alias("_n"), F.count(F.lit(1)).alias("_d")
+    w = Window.partitionBy("doc_id")
+    tf = tf.withColumn("_n", F.sum("_tf").over(w)).withColumn(
+        "_d", F.count(F.lit(1)).over(w)
     )
     p = F.col("_tf").cast("double") / F.col("_n").cast("double")
     term_h = round6(-(p * F.log(p)))
     return (
-        tf.join(per_doc, "doc_id")
-        .groupBy("doc_id")
+        tf.groupBy("doc_id")
         .agg(
             F.max("_n").cast("long").alias("n_tokens"),
             F.max("_d").cast("long").alias("n_distinct"),

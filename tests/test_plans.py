@@ -932,3 +932,47 @@ def test_seasonality_two_bounded_aggregates_no_window(plans):
     assert "windowspecdefinition" not in plan
     read_schema = re.search(r"ReadSchema: struct<([^>]*)>", plan).group(1)
     assert read_schema == "ts:timestamp_ntz", read_schema
+
+
+def test_late_shipment_single_agg_pruned_scans(plans):
+    """Q12-shape: the CASE-inside-sum bucketing is ONE hash aggregate
+    (partial + final block — map-side combine) over a single exchange;
+    the derived year() predicate legitimately cannot reach
+    PushedFilters, but projection must prune both scans to exactly the
+    referenced columns (reading l_quantity for a count-only aggregate
+    means pruning broke)."""
+    plan = plans("late_shipment_priority")
+    assert exchange_count(plan) == 1
+    assert len(re.findall(r"\(\d+\) HashAggregate", plan)) == 2
+    assert "partial_sum" in plan
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    li = next(s for s in schemas if "l_orderkey" in s)
+    assert set(li.split(",")) == {
+        "l_orderkey:bigint",
+        "l_shipdate:timestamp_ntz",
+    }, li
+
+
+def test_dominant_suppliers_single_fact_scan_window_totals(plans):
+    """Q20-shape: per-part totals come from a WINDOW over the
+    (part, supplier) aggregate, NOT a self-join — the join formulation
+    recomputed the aggregate subtree and scanned lineitem twice with
+    two sort-merge joins (caught+fixed r07). Pin: one scan per table,
+    marker filter pushed into the part scan, zero sort-merge joins."""
+    plan = plans("dominant_part_suppliers")
+    assert parquet_scan_count(plan, "lineitem") == 1
+    assert parquet_scan_count(plan, "part") == 1
+    assert sort_merge_join_count(plan) == 0
+    assert "StringContains(p_name" in " ".join(scan_filter_exprs(plan))
+
+
+def test_token_entropy_single_documents_scan(plans):
+    """Entropy/TTR: tokenize+explode is the dominant cost and must run
+    ONCE — per-doc totals are a window over the (doc, term) aggregate,
+    not a join back onto a second scan (caught+fixed r07). The window
+    shuffle by doc_id pre-partitions the final per-doc aggregate, so
+    the whole pipeline is two exchanges."""
+    plan = plans("doc_token_entropy")
+    assert parquet_scan_count(plan, "documents") == 1
+    assert exchange_count(plan) == 2
+    assert sort_merge_join_count(plan) == 0
