@@ -24,6 +24,20 @@ arithmetic coding, hierarchical, lossless, 12-bit precision,
 >4 components. ``max_pixels`` bounds memory/CPU per payload — the same
 guard contract as decode_png_pixels/decode_gif_frames.
 
+DECISION (r07, closes the codec thread): arithmetic-coded and 12-bit
+JPEG stay Pillow-gated rather than hand-implemented. Both are
+effectively absent from web corpora — arithmetic coding was
+patent-encumbered for the format's formative decades and virtually no
+encoder emits it (libjpeg ships with it disabled); 12-bit precision is
+a medical/scientific-imaging profile that browsers don't even render —
+so a from-scratch QM-coder would be ~500 lines of decode path exercised
+by no realistic training-data payload, while the existing optional
+Pillow probe (multimodal.py ``optional_image_codec``) already upgrades
+both to ``resized`` wherever a codec library exists. The honest per-row
+``needs_codec``
+status (never a failed batch) is the designed behavior for this
+residue, not a gap.
+
 Reference parity note: the reference repo ships no image codecs (its
 multimodal surface is this repo's extension); the decoder exists so the
 Spark-side media plumbing is real in codec-less environments. Verified

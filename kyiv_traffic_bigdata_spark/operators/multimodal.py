@@ -11,15 +11,17 @@ row-at-a-time. Two decode tiers:
   codec library at all;
 * **real pixels/samples**: uncompressed 24-bit BMP resize, GIF87a/89a
   LZW frame decode + resize + frame sampling
-  (:func:`decode_gif_frames`), PNG zlib+unfilter decode (8/16-bit,
-  non-interlaced + Adam7, :func:`decode_png_pixels`), baseline AND
-  progressive JPEG (operators/jpeg.py), WAV PCM windowing;
+  (:func:`decode_gif_frames`), PNG zlib+unfilter decode (EVERY legal
+  depth — packed 1/2/4-bit, 8/16-bit — non-interlaced + Adam7,
+  :func:`decode_png_pixels`), baseline AND progressive JPEG
+  (operators/jpeg.py), WAV PCM windowing;
 * **stub** (:func:`fake_decode_features`): a clearly-marked
   deterministic embedding stand-in for the feature-vector tier (no ML
   model ships here), keeping the Spark-side contract (schema, batching,
   partition behavior) real and tested — swapping in a real encoder is a
   one-function change. The only pixel-tier residue left to an optional
-  codec is arithmetic-coded/12-bit JPEG and 1/2/4-bit PNG depths.
+  codec is arithmetic-coded/12-bit JPEG (see operators/jpeg.py's
+  decision note — kept Pillow-gated deliberately).
 """
 
 from __future__ import annotations
@@ -239,9 +241,9 @@ def extract_media_features(media: DataFrame) -> DataFrame:
 # GIF LZW frame decode/resize/sampling, PNG zlib+unfilter decode, WAV
 # PCM windowing, baseline AND progressive JPEG via operators/jpeg.py);
 # `needs_codec` only for the residue no shipped decoder handles
-# (arithmetic/12-bit JPEG, 1/2/4-bit PNG depths) when the optional codec
-# probe (Pillow) finds nothing — the plumbing (schema, Arrow batching,
-# partitioning) is identical either way.
+# (arithmetic/12-bit JPEG) when the optional codec probe (Pillow) finds
+# nothing — the plumbing (schema, Arrow batching, partitioning) is
+# identical either way.
 # ---------------------------------------------------------------------------
 
 RESIZED_IMAGE_SCHEMA = T.StructType(
@@ -587,14 +589,17 @@ def decode_png_pixels(
 ) -> tuple[int, int, bytes] | None:
     """Real PNG pixel decode (zlib IDAT inflate + Sub/Up/Average/Paeth
     unfilters), returning ``(width, height, rgb24 bytes)``. Supports
-    8- and 16-bit depth (16-bit samples keep the high byte — the
-    standard 8-bit reduction), color types 0/2/3/4/6 (gray/RGB/palette/
-    gray+alpha/RGBA; alpha dropped), non-interlaced AND Adam7
-    interlaced (each pass unfiltered as its own sub-image, then
-    deinterlaced into the canvas). Returns None for 1/2/4-bit depths or
-    corrupt data — callers fall back to ``needs_codec``. ``max_pixels``
-    bounds memory (the unfilter loop is Python-level, so the cap is
-    also the CPU bound per row)."""
+    EVERY legal bit depth: 8/16-bit (16-bit samples keep the high byte
+    — the standard 8-bit reduction) and the packed 1/2/4-bit depths
+    (MSB-first sub-byte samples, legal only for gray/palette per the
+    spec; gray samples scale by 255/(2^d−1), palette samples index the
+    PLTE directly). Color types 0/2/3/4/6 (gray/RGB/palette/gray+alpha/
+    RGBA; alpha dropped), non-interlaced AND Adam7 interlaced (each
+    pass unfiltered as its own sub-image — sub-byte passes pad each
+    scanline to a byte boundary per the spec — then deinterlaced into
+    the canvas). Returns None only for corrupt data — callers fall back
+    to ``needs_codec``. ``max_pixels`` bounds memory (the unfilter loop
+    is Python-level, so the cap is also the CPU bound per row)."""
     import zlib
 
     import numpy as np
@@ -626,12 +631,14 @@ def decode_png_pixels(
     h = int.from_bytes(ihdr[4:8], "big")
     depth, ctype, comp, filt, interlace = ihdr[8:13]
     channels = _PNG_CHANNELS.get(ctype)
-    if depth not in (8, 16) or comp != 0 or filt != 0 or channels is None:
+    if depth not in (1, 2, 4, 8, 16) or comp != 0 or filt != 0 or channels is None:
         return None
     if interlace not in (0, 1):
         return None
     if depth == 16 and ctype == 3:
         return None  # 16-bit palette indices are not legal PNG
+    if depth < 8 and ctype not in (0, 3):
+        return None  # sub-byte depths are gray/palette only (spec §11.2.2)
     if w <= 0 or h <= 0 or w * h > max_pixels:
         return None
     if ctype == 3 and plte is None:
@@ -640,15 +647,32 @@ def decode_png_pixels(
         raw = zlib.decompress(bytes(idat))
     except Exception:  # noqa: BLE001 — corrupt deflate stream
         return None
-    sb = depth // 8  # bytes per sample
-    bpp = channels * sb
+    sb = max(1, depth // 8)  # bytes per (unpacked) sample
+    # Filter delta distance: for sub-byte depths the spec filters whole
+    # BYTES with bpp rounded up to 1 — bit-level prediction never happens.
+    bpp = max(1, (channels * depth) // 8)
+
+    def row_bytes(cols: int) -> int:
+        """Packed scanline length: sub-byte rows pad to a byte boundary."""
+        return (cols * channels * depth + 7) // 8
 
     def to_8bit(buf: bytes, rows: int, cols: int):
-        a = np.frombuffer(buf, dtype=np.uint8).reshape(rows, cols, channels, sb)
-        return a[:, :, :, 0]  # high byte == the 8-bit reduction
+        if depth >= 8:
+            a = np.frombuffer(buf, dtype=np.uint8).reshape(
+                rows, cols, channels, sb
+            )
+            return a[:, :, :, 0]  # high byte == the 8-bit reduction
+        # sub-byte: unpack MSB-first packed samples (single channel),
+        # drop the padding samples past `cols`, keep RAW values — gray
+        # scaling / palette lookup happens in the color-type mapping
+        a = np.frombuffer(buf, dtype=np.uint8).reshape(rows, row_bytes(cols))
+        per = 8 // depth
+        shifts = np.arange(per - 1, -1, -1, dtype=np.uint8) * depth
+        samples = (a[:, :, None] >> shifts) & ((1 << depth) - 1)
+        return samples.reshape(rows, -1)[:, :cols, None]
 
     if interlace == 0:
-        res = _png_unfilter(raw, 0, w * bpp, h, bpp)
+        res = _png_unfilter(raw, 0, row_bytes(w), h, bpp)
         if res is None:
             return None
         arr = to_8bit(res[0], h, w)
@@ -660,12 +684,15 @@ def decode_png_pixels(
             ph = (h - y0 + dy - 1) // dy
             if pw <= 0 or ph <= 0:
                 continue
-            res = _png_unfilter(raw, pos, pw * bpp, ph, bpp)
+            res = _png_unfilter(raw, pos, row_bytes(pw), ph, bpp)
             if res is None:
                 return None
             sub, pos = res
             arr[y0:h:dy, x0:w:dx] = to_8bit(sub, ph, pw)
 
+    if depth < 8 and ctype == 0:
+        # scale d-bit gray to 8-bit: ×255/(2^d−1) = ×255/×85/×17, exact
+        arr = (arr * np.uint8(255 // ((1 << depth) - 1))).astype(np.uint8)
     if ctype == 2:
         rgb = arr
     elif ctype == 6:
@@ -740,9 +767,9 @@ def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
     via stdlib zlib+unfilter, baseline AND progressive JPEGs via the
     stdlib+numpy decoder in operators/jpeg.py), ``needs_codec`` only
     for the exotic residue no available decoder handles
-    (arithmetic/12-bit JPEG without Pillow; 1/2/4-bit PNG depths;
-    corrupt entropy streams), ``unsupported`` otherwise — log-and-continue,
-    never a failed batch."""
+    (arithmetic/12-bit JPEG without Pillow; corrupt entropy streams),
+    ``unsupported`` otherwise — log-and-continue, never a failed
+    batch."""
     from .jpeg import decode_jpeg_pixels
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -679,13 +679,116 @@ def test_png_adam7_flows_through_resize_images(spark):
     assert row.status == "resized"
 
 
-def test_png_unsupported_depths_still_refused():
-    """1/2/4-bit depths stay out of scope → None (needs_codec), and a
-    16-bit header over 8-bit-sized data is caught by the truncation
-    guard."""
+def _pack_rows(sample_rows, depth):
+    """Pack per-row sample lists MSB-first at ``depth`` bits/sample,
+    byte-padding each scanline — the forward model of the decoder's
+    sub-byte unpack."""
+    packed = []
+    for row in sample_rows:
+        acc, nbits, out = 0, 0, bytearray()
+        for s in row:
+            acc = (acc << depth) | (s & ((1 << depth) - 1))
+            nbits += depth
+            if nbits == 8:
+                out.append(acc)
+                acc, nbits = 0, 0
+        if nbits:
+            out.append(acc << (8 - nbits))
+        packed.append(bytes(out))
+    return packed
+
+
+def test_png_sub_byte_gray_depths_decode_bit_exact():
+    """1/2/4-bit grayscale: MSB-first packed samples, filters over
+    PACKED BYTES with bpp=1, scanline byte-padding, and the exact
+    255/(2^d−1) scale — all five filters, width chosen so the last
+    byte is ragged."""
+    import random
+
     from kyiv_traffic_bigdata_spark.operators.multimodal import decode_png_pixels
 
-    rows = [bytes([1, 2, 3, 4, 5, 6])]
+    rng = random.Random(31)
     for depth in (1, 2, 4):
-        png = _png_full_d(2, 1, 2, depth, [(0, rows[0])])
-        assert decode_png_pixels(png) is None
+        w, h = 11, 5  # 11 samples/row → ragged final byte at every depth
+        scale = 255 // ((1 << depth) - 1)
+        samples = [
+            [rng.randrange(1 << depth) for _ in range(w)] for _ in range(h)
+        ]
+        packed = _pack_rows(samples, depth)
+        png = _png_full_d(
+            w, h, 0, depth, _filter_rows(packed, 1, [0, 1, 2, 3, 4])
+        )
+        got = decode_png_pixels(png)
+        assert got is not None and (got[0], got[1]) == (w, h), depth
+        expect = b"".join(
+            bytes(v * scale for v in row for _ in range(3)) for row in samples
+        )
+        assert got[2] == expect, f"depth {depth} mismatch"
+
+
+def test_png_sub_byte_palette_decodes_via_plte():
+    """4-bit (and 2-bit) palette: packed indices look up PLTE entries
+    directly — no sample scaling — and an out-of-range index is still
+    rejected."""
+    import random
+
+    from kyiv_traffic_bigdata_spark.operators.multimodal import decode_png_pixels
+
+    rng = random.Random(37)
+    pal = bytes(rng.randrange(256) for _ in range(16 * 3))
+    for depth, n_colors in ((4, 16), (2, 4), (1, 2)):
+        w, h = 9, 4
+        idx = [[rng.randrange(n_colors) for _ in range(w)] for _ in range(h)]
+        png = _png_full_d(
+            w, h, 3, depth, _filter_rows(_pack_rows(idx, depth), 1, [0, 2]),
+            plte=pal[: n_colors * 3],
+        )
+        got = decode_png_pixels(png)
+        assert got is not None, depth
+        expect = b"".join(
+            bytes(pal[3 * v + k] for v in row for k in range(3)) for row in idx
+        )
+        assert got[2] == expect, f"palette depth {depth} mismatch"
+    # out-of-range index against a short palette still refuses
+    short = _png_full_d(
+        2, 1, 3, 4, _filter_rows(_pack_rows([[0, 3]], 4), 1, [0]),
+        plte=bytes(6),  # 2 entries; index 3 out of range
+    )
+    assert decode_png_pixels(short) is None
+
+
+def test_png_sub_byte_adam7_pads_each_pass_scanline():
+    """Adam7 + 1-bit depth: every pass scanline byte-pads independently
+    (the spec's sub-image rule) — ragged 9×10 dims make pass widths of
+    1/1/2/3/4/4/9 samples, all shorter than a byte."""
+    from kyiv_traffic_bigdata_spark.operators.multimodal import decode_png_pixels
+
+    w, h = 9, 10
+    img = [[(x ^ y) & 1 for x in range(w)] for y in range(h)]
+    raw_rows = []
+    for pi, (x0, y0, dx, dy) in enumerate(_ADAM7_PASSES):
+        sub = [
+            [img[y][x] for x in range(x0, w, dx)] for y in range(y0, h, dy)
+        ]
+        if not sub or not sub[0]:
+            continue
+        raw_rows.extend(_filter_rows(_pack_rows(sub, 1), 1, [pi % 5]))
+    png = _png_full_d(w, h, 0, 1, raw_rows, interlace=1)
+    got = decode_png_pixels(png)
+    assert got is not None and (got[0], got[1]) == (w, h)
+    expect = b"".join(
+        bytes(v * 255 for v in row for _ in range(3)) for row in img
+    )
+    assert got[2] == expect
+
+
+def test_png_illegal_depth_combos_refused():
+    """Spec guardrails: sub-byte RGB/RGBA/gray+alpha are illegal, as are
+    non-power-of-two depths and 16-bit palettes."""
+    from kyiv_traffic_bigdata_spark.operators.multimodal import decode_png_pixels
+
+    for ctype in (2, 4, 6):
+        png = _png_full_d(2, 1, ctype, 4, [(0, bytes(4))])
+        assert decode_png_pixels(png) is None, ctype
+    assert decode_png_pixels(_png_full_d(2, 1, 0, 3, [(0, bytes(1))])) is None
+    assert decode_png_pixels(_png_full_d(2, 1, 3, 16, [(0, bytes(4))], plte=bytes(6))) is None
