@@ -7106,6 +7106,48 @@ FROM cum GROUP BY g
 """
 
 
+def q_order_price_rank_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable RANK sketch (operators.qsketch — dyadic count-min,
+    Cormode–Muthukrishnan 2005 §4.2): approximate p50/p90/p99 of order
+    value per priority from an O(log U · d · w) counter table — the
+    sketch-family completion (distinct=KMV, frequency=CMS,
+    membership=Bloom, rank=this) and the streaming-friendly twin of
+    the exact `order_price_quantiles`.
+
+    No oracle BY DESIGN (registry tail): the estimate depends on CMS
+    collision structure, not on a SQL-expressible computation; accuracy
+    is pinned by the one-sided error-bound tests in tests/test_rank.py
+    (descent never overshoots the exact quantile; rank shortfall ≤ the
+    levels·e·n/width CMS budget) and exact batch↔streaming cell parity
+    by additivity (streaming.stateful.streaming_rank_sketch_cells).
+
+    Scale: constant levels×depth explode off ONE orders scan, map-side
+    combined to ≤ groups·levels·depth·width cells; the driver holds
+    only that bounded counter table (k×dim-metadata convention) for
+    the per-quantile tree descent."""
+    from .operators.qsketch import build_rank_sketch, sketch_quantiles
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("_cents"),
+    )
+    cells = build_rank_sketch(orders, "o_orderpriority", "_cents")
+    totals = {
+        r["g"]: r["n"]
+        for r in orders.groupBy(F.col("o_orderpriority").alias("g"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    return sketch_quantiles(
+        spark,
+        cells.collect(),
+        totals,
+        [("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100)],
+        group_alias="o_orderpriority",
+        count_alias="n_orders",
+    )
+
+
 #: Fixed LPA rounds — unrolled in the oracle like KCORE_ROUNDS/the GD
 #: classifier; deterministic tie-break makes every round reproducible.
 LPA_ROUNDS = 4
@@ -8643,6 +8685,7 @@ QUERIES: dict[str, QueryFn] = {
     "ann_ivf": q_ann_ivf,
     "ann_pq": q_ann_pq,
     "emb_pca": q_emb_pca,
+    "order_price_rank_sketch": q_order_price_rank_sketch,
 }
 
 

@@ -468,6 +468,80 @@ __all__ += ["streaming_cms_counters", "make_cms_fn", "CMS_OUTPUT_SCHEMA"]
 
 
 # ---------------------------------------------------------------------------
+# Streaming dyadic-CMS rank sketch (incremental twin of
+# queries.q_order_price_rank_sketch / operators.qsketch)
+# ---------------------------------------------------------------------------
+
+QRANK_OUTPUT_SCHEMA = "g string, lvl int, j int, b int, c long"
+QRANK_STATE_SCHEMA = "c long"
+
+
+def make_rank_cell_fn():
+    """Per-CELL incremental dyadic-CMS counter — the streaming twin of
+    operators.qsketch.build_rank_sketch. Identical parity argument to
+    the flat CMS twin (cells are plain sums → associative and
+    commutative), just keyed by (group, level, row, bucket): any
+    batching of the input yields the identical counter table as one
+    batch over the union, so quantile descents over the streamed cells
+    equal the batch sketch's answers exactly.
+
+    State per key (= per touched cell): ONE long. No TTL — a rank
+    sketch is cumulative; expiring cells would silently shift every
+    quantile left."""
+
+    def fn(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        add = sum(len(p) for p in pdfs)
+        if add == 0:
+            return
+        total = (state.get[0] if state.exists else 0) + add
+        state.update((total,))
+        yield pd.DataFrame(
+            {
+                "g": [key[0]],
+                "lvl": [key[1]],
+                "j": [key[2]],
+                "b": [key[3]],
+                "c": [total],
+            }
+        )
+
+    return fn
+
+
+def streaming_rank_sketch_cells(cells: DataFrame) -> DataFrame:
+    """Dyadic-CMS rank-sketch counter table over a STREAMING frame of
+    pre-exploded cells (update mode — a cell refreshes as batches
+    arrive).
+
+    Input needs (g:string, lvl:int, j:int, b:int), one row per
+    (value, level, hash row) — computed JVM-side BEFORE the stateful op
+    via ``operators.qsketch.dyadic_cells`` + ``explode`` so the Python
+    worker only adds integers and the cell addressing is bit-identical
+    to the batch sketch (and to the driver-side descent)."""
+    from .state import configure_state_store
+
+    configure_state_store(cells.sparkSession)
+    return cells.groupBy("g", "lvl", "j", "b").applyInPandasWithState(
+        make_rank_cell_fn(),
+        outputStructType=QRANK_OUTPUT_SCHEMA,
+        stateStructType=QRANK_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+__all__ += [
+    "streaming_rank_sketch_cells",
+    "make_rank_cell_fn",
+    "QRANK_OUTPUT_SCHEMA",
+]
+
+
+# ---------------------------------------------------------------------------
 # transformWithState twin (the Spark 4 StatefulProcessor API)
 # ---------------------------------------------------------------------------
 

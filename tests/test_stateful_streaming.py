@@ -746,3 +746,113 @@ def test_streaming_cms_matches_batch_sketch_end_to_end(spark, tmp_path):
         assert got == exp, f"streamed cells {got} never reached batch {exp}"
     finally:
         q.stop()
+
+
+def test_rank_cell_fn_cross_batch_counts_are_exact_sums():
+    """Dyadic rank-sketch cells are plain sums keyed by
+    (group, level, row, bucket): any batching must reach the identical
+    final count — the exact-parity claim inherited from the CMS twin."""
+    import pandas as pd
+
+    from kyiv_traffic_bigdata_spark.streaming.stateful import make_rank_cell_fn
+
+    for chunks in ([4, 3, 3], [10], [1] * 10):
+        fn = make_rank_cell_fn()
+        state = _BurstFakeState()
+        out = None
+        for n in chunks:
+            for df in fn(
+                ("1-URGENT", 5, 1, 13),
+                iter([pd.DataFrame({"x": range(n)})]),
+                state,
+            ):
+                out = df
+        assert tuple(out.iloc[0]) == ("1-URGENT", 5, 1, 13, 10)
+
+
+def test_streaming_rank_sketch_matches_batch_cells_and_quantiles(
+    spark, tmp_path
+):
+    """Real streaming run: two micro-batches of order values accumulate
+    into the IDENTICAL counter table operators.qsketch builds over the
+    union (cell addressing shared via dyadic_cells), so quantile
+    descents over the streamed cells equal the batch answers exactly."""
+    import json
+    import time
+
+    from pyspark.sql import functions as F
+
+    from kyiv_traffic_bigdata_spark.operators.qsketch import (
+        build_rank_sketch,
+        descend_quantile,
+        dyadic_cells,
+    )
+    from kyiv_traffic_bigdata_spark.streaming.stateful import (
+        streaming_rank_sketch_cells,
+    )
+
+    levels, depth, width = 8, 2, 16
+    src = tmp_path / "src"
+    src.mkdir()
+    vals1 = [(i * 53) % 256 for i in range(40)]
+    vals2 = [(i * 29 + 7) % 256 for i in range(35)]
+
+    def write(name, vals):
+        (src / name).write_text(
+            "\n".join(json.dumps({"g": "a", "v": v}) for v in vals)
+        )
+
+    write("b1.json", vals1)
+    stream = (
+        spark.readStream.schema("g string, v long")
+        .json(str(src))
+        .select(
+            "g",
+            F.explode(
+                dyadic_cells(F.col("v"), levels, depth, width)
+            ).alias("s"),
+        )
+        .select("g", "s.lvl", "s.j", "s.b")
+    )
+    q = (
+        streaming_rank_sketch_cells(stream)
+        .writeStream.format("memory")
+        .queryName("qrank")
+        .option("checkpointLocation", str(tmp_path / "ckpt_qrank"))
+        .outputMode("update")
+        .trigger(processingTime="1 seconds")
+        .start()
+    )
+    try:
+        union = spark.createDataFrame(
+            [("a", v) for v in vals1 + vals2], "g string, v long"
+        )
+        exp = {
+            (r["g"], r["lvl"], r["j"], r["b"]): r["c"]
+            for r in build_rank_sketch(
+                union, "g", "v", levels, depth, width
+            ).collect()
+        }
+        n_exp = len(vals1) + len(vals2)
+        write("b2.json", vals2)
+        deadline = time.time() + 90
+        got = None
+        while time.time() < deadline:
+            rows = spark.sql(
+                "SELECT g, lvl, j, b, max(c) AS c FROM qrank "
+                "GROUP BY g, lvl, j, b"
+            ).collect()
+            cur = {(r.g, r.lvl, r.j, r.b): r.c for r in rows}
+            if sum(v for (_, lvl, j, _), v in cur.items() if lvl == 0 and j == 0) == n_exp:
+                got = cur
+                break
+            time.sleep(0.5)
+        assert got == exp, "streamed cells differ from the batch sketch"
+        n = n_exp
+        for num, den in ((1, 2), (9, 10), (99, 100)):
+            target = (num * n + num) // den
+            assert descend_quantile(
+                got, "a", target, levels, depth, width
+            ) == descend_quantile(exp, "a", target, levels, depth, width)
+    finally:
+        q.stop()
