@@ -38,6 +38,17 @@ def infer_sf(path: str) -> float:
 
 
 def main() -> None:
+    # Host-contention evidence, captured BEFORE Spark spins up its own
+    # 32 threads (by the end of the run loadavg mostly measures the
+    # bench itself): the replay rate has swung 122k-241k pos/s on
+    # identical code purely with sandbox load (r04 vs r06), so every
+    # bench line carries the pre-run 1/5/15-min load averages.
+    try:
+        with open("/proc/loadavg") as fh:
+            _la = fh.read().split()
+        loadavg_start = [float(_la[0]), float(_la[1]), float(_la[2])]
+    except OSError:
+        loadavg_start = None
     spark = get_spark("bench")
     errors: dict[str, str] = {}
     # warm the JVM, codegen compiler, and every table's file listing +
@@ -143,6 +154,8 @@ def main() -> None:
         "runs_per_query": runs,
         "agg": "min",
     }
+    if loadavg_start is not None:
+        out["host_loadavg_prerun_1_5_15"] = loadavg_start
     if ingest_stats:
         out.update(ingest_stats)
         # NB: the reference's published 16.7/s is its LIVE, network-

@@ -454,17 +454,25 @@ def q_event_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     share still active N weeks later — the standard product-analytics
     triangle. Week indices are exact integer division of epoch micros
     (``div`` — never float), retention is a portable-rounded rational.
-    Shape: two hash aggregates on user_id + one distinct on
-    (user, week) + a broadcast-sized join on cohort week — every stage
-    keyed and partial-aggregated, nothing quadratic."""
+    Shape: ONE events scan (r07 — integer div is monotonic, so the
+    cohort week ``min(ts) div WEEK`` equals ``min(week)`` over the
+    STAGED distinct (user, week) activity table; the un-staged
+    two-aggregate form scanned events three times) + a broadcast-sized
+    join on cohort week — every stage keyed and partial-aggregated,
+    nothing quadratic."""
+    from .operators.staging import stage
+
     ev = load_table(spark, sf_dir, "events")
-    first = ev.groupBy("user_id").agg(F.min("ts_us").alias("_first_us"))
-    cohort = first.select(
-        "user_id", F.expr(f"_first_us div {_WEEK_US}").alias("cohort_week")
+    activity = (
+        ev.select("user_id", F.expr(f"ts_us div {_WEEK_US}").alias("week"))
+        .distinct()
+        .transform(stage)
     )
-    activity = ev.select(
-        "user_id", F.expr(f"ts_us div {_WEEK_US}").alias("week")
-    ).distinct()
+    cohort = (
+        activity.groupBy("user_id")
+        .agg(F.min("week").alias("cohort_week"))
+        .transform(stage)
+    )
     sizes = cohort.groupBy("cohort_week").agg(
         F.count(F.lit(1)).cast("long").alias("cohort_users")
     )
@@ -1212,8 +1220,12 @@ def q_doc_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Classifier-eval view of the lang-ID heuristic: the (labeled lang
     × predicted lang) confusion matrix with per-label recall shares —
     the table that says which languages the n-gram detector confuses
-    before anyone trusts its corpus routing. Two hash aggregates; the
-    per-label totals ride a broadcast."""
+    before anyone trusts its corpus routing. ONE hash aggregate; the
+    per-label totals come from a WINDOW over the ≤|langs|²-row cell
+    table (the aggregate-join form re-derived the lang-ID regex chain
+    over the whole corpus twice — r07 single-scan fix)."""
+    from pyspark.sql import Window
+
     d = _docs_with_tokens(spark, sf_dir)
     staged = d.select(
         "lang", TX.lang_id(TX.tokens(F.col("text"))).alias("pred_lang")
@@ -1221,13 +1233,13 @@ def q_doc_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells = staged.groupBy("lang", "pred_lang").agg(
         F.count(F.lit(1)).alias("n_docs")
     )
-    totals = cells.groupBy("lang").agg(F.sum("n_docs").alias("_tot"))
-    return cells.join(F.broadcast(totals), "lang").select(
+    tot = F.sum("n_docs").over(Window.partitionBy("lang"))
+    return cells.select(
         "lang",
         "pred_lang",
         "n_docs",
         round6(
-            F.col("n_docs").cast("double") / F.col("_tot").cast("double")
+            F.col("n_docs").cast("double") / tot.cast("double")
         ).alias("share"),
     )
 
@@ -1825,16 +1837,20 @@ def q_doc_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     as the monolithic window (the DuckDB oracle runs that form), no
     single-partition-per-language sort. See SCALING.md."""
     from .operators.rank import percent_rank_gate
+    from .operators.staging import stage
 
     d = _docs_with_tokens(spark, sf_dir)
     staged = d.select(
         "doc_id", "lang", TX.tokens(F.col("text")).alias("_tok"), "text"
     )
+    # STAGED (r07): percent_rank_gate references its input twice (slab
+    # stats + slab join) — staging the 3-column scored frame keeps the
+    # quality regex chain a single corpus pass.
     scored = staged.select(
         "doc_id",
         "lang",
         TX.quality_score(F.col("text"), tok=F.col("_tok")).alias("quality"),
-    )
+    ).transform(stage)
     return percent_rank_gate(
         scored, "lang", "quality", "doc_id", 0.75, rank_alias="q_rank"
     ).select("doc_id", "lang", "quality", "q_rank")
@@ -1909,8 +1925,16 @@ def q_doc_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     # only — the repartitioned frame would shuffle the whole corpus just
     # to count it
     n_docs = load_table(spark, sf_dir, "documents").count()
+    from .operators.staging import stage
+
     tok = d.select("doc_id", F.explode(TX.tokens(F.col("text"))).alias("term"))
-    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    # tf feeds the document frequencies AND the scoring join — STAGED
+    # (r07) so the tokenize subtree derives once, not twice.
+    tf = (
+        tok.groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .transform(stage)
+    )
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     scored = tf.join(dfreq, "term").select(
         "doc_id",
@@ -2238,28 +2262,33 @@ def q_doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     non-probe doc, the share of its distinct trigrams that appear
     anywhere in the probe (benchmark) set. Join volume is bounded by the
     corpus gram count — the probe side is distinct grams, so each corpus
-    gram matches at most one probe row; no df cap needed. Scale: two
-    hash aggregates + one equi-join on the gram, all AQE-skew-safe."""
+    gram matches at most one probe row; no df cap needed.
+
+    Scale (r07 single-pass restructure — the join form derived the
+    tokenize+shingle subtree SIX times): probe membership is a PURE
+    HASH of doc_id, so probe/corpus split is a filter on the staged
+    shingle index, not two joins; and n_grams/n_hit come from ONE
+    aggregate over the probe-gram LEFT join (the distinct probe side
+    cannot fan out, so count(*) is the size and count(_hit) the hits).
+    Final plan: zero documents rescans past the staged index."""
+    from .operators.staging import stage
+
     d = _docs_with_tokens(spark, sf_dir)
-    idx = DD.shingle_index(d, "doc_id", "text", 3)
     h = TX.portable_hash(F.col("doc_id").cast("string"))
-    probe_ids = (
-        d.select("doc_id", h.alias("_h"))
-        .where(F.pmod(F.col("_h"), F.lit(PROBE_MOD)) == 0)
-        .select("doc_id")
+    idx = (
+        DD.shingle_index(d, "doc_id", "text", 3)
+        .withColumn("_probe", F.pmod(h, F.lit(PROBE_MOD)) == 0)
+        .transform(stage)
     )
-    probe_grams = idx.join(probe_ids, "doc_id").select("shingle").distinct()
-    corpus = idx.join(probe_ids, "doc_id", "left_anti")
-    sizes = corpus.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
-    hits = (
-        corpus.join(probe_grams, "shingle")
+    probe_grams = idx.where(F.col("_probe")).select("shingle").distinct()
+    corpus = idx.where(~F.col("_probe"))
+    out = (
+        corpus.join(probe_grams.withColumn("_hit", F.lit(1)), "shingle", "left")
         .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_hit"))
-    )
-    out = sizes.join(hits, "doc_id", "left").select(
-        "doc_id",
-        "n_grams",
-        F.coalesce(F.col("n_hit"), F.lit(0)).alias("n_hit"),
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count("_hit").alias("n_hit"),
+        )
     )
     return out.withColumn(
         "containment", round6(F.col("n_hit") / F.col("n_grams"))
@@ -2364,14 +2393,19 @@ def q_doc_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream" curve. Scale: explode + one hash agg (map-side partials
     absorb the token fan-out), then a TakeOrdered top-K; the cumulative
     window runs over at most K=``VOCAB_TOP_K`` rows (bounded, single
-    task by design — it is the *output*, not the corpus)."""
+    task by design — it is the *output*, not the corpus). The
+    vocab-sized count table is STAGED (r07): it feeds the corpus total
+    AND the top-K cut, and un-staged Catalyst re-derived the tokenize
+    explode twice."""
     from pyspark.sql import Window
+
+    from .operators.staging import stage
 
     d = _docs_with_tokens(spark, sf_dir)
     tok = d.select(F.explode(TX.tokens(F.col("text"))).alias("term"))
     counts = tok.groupBy("term").agg(
         F.count(F.lit(1)).cast("long").alias("term_count")
-    )
+    ).transform(stage)
     total = counts.agg(F.sum("term_count").alias("_total"))
     topk = counts.orderBy(
         F.col("term_count").desc(), F.col("term").asc()
@@ -2415,12 +2449,20 @@ def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     connectors feed. Each stage is a hash aggregate per user joined to
     the previous stage's first-hit time — all equi-joins on user_id
     (co-partitioned, AQE-skew-safe), each stage strictly shrinking.
-    Timestamps compare as exact integer micros (ts_us), never doubles."""
+    Timestamps compare as exact integer micros (ts_us), never doubles.
+    Each per-user stage table is STAGED (r07): the cascade references
+    v three times and c twice, and un-staged lineage COMPOUNDS (c
+    re-derives v, p re-derives both — seven events scans for a
+    three-stage funnel); staged, each stage is exactly one selective
+    pushed-filter scan."""
+    from .operators.staging import stage as checkpoint
+
     ev = load_table(spark, sf_dir, "events")
     v = (
         ev.where(F.col("event_type") == "view")
         .groupBy("user_id")
         .agg(F.min("ts_us").alias("t_prev"))
+        .transform(checkpoint)
     )
     c = (
         ev.where(F.col("event_type") == "click")
@@ -2428,6 +2470,7 @@ def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("ts_us") > F.col("t_prev"))
         .groupBy("user_id")
         .agg(F.min("ts_us").alias("t_prev"))
+        .transform(checkpoint)
     )
     p = (
         ev.where(F.col("event_type") == "purchase")
@@ -3107,10 +3150,24 @@ def q_event_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     between viewers and purchasers via NATIVE ``intersect``/``subtract``
     (each plans as a distinct + hash semi/anti join — co-keyed shuffles,
     AQE-safe, nothing quadratic). The three counts ride 1-row
-    broadcasts into one output row."""
+    broadcasts into one output row. Both distinct audiences are STAGED
+    (r07): each feeds all three set operations, and un-staged lineage
+    re-scanned events six times for two audiences."""
+    from .operators.staging import stage
+
     ev = load_table(spark, sf_dir, "events")
-    v = ev.where(F.col("event_type") == "view").select("user_id").distinct()
-    p = ev.where(F.col("event_type") == "purchase").select("user_id").distinct()
+    v = (
+        ev.where(F.col("event_type") == "view")
+        .select("user_id")
+        .distinct()
+        .transform(stage)
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .select("user_id")
+        .distinct()
+        .transform(stage)
+    )
     both = v.intersect(p).agg(F.count(F.lit(1)).alias("n_both"))
     v_only = v.subtract(p).agg(F.count(F.lit(1)).alias("n_view_only"))
     p_only = p.subtract(v).agg(F.count(F.lit(1)).alias("n_purchase_only"))
@@ -3323,10 +3380,19 @@ def q_doc_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregated: a hot term contributes ≤ n_sources join rows) → one
     per-source aggregate. Corpus totals ride a 1-row broadcast; the
     KL contribution sum is decimal-stable; identical IEEE expression
-    shape on both engines."""
+    shape on both engines. The (source, term) count table is STAGED
+    (r07 — it feeds the marginals AND the join, and un-staged Catalyst
+    re-derived the tokenize subtree four times): one documents scan,
+    zero rescans past the bounded sources×vocab table."""
+    from .operators.staging import stage
+
     d = _docs_with_tokens(spark, sf_dir)
     tok = d.select("source", F.explode(TX.tokens(F.col("text"))).alias("term"))
-    st = tok.groupBy("source", "term").agg(F.count(F.lit(1)).alias("c_st"))
+    st = (
+        tok.groupBy("source", "term")
+        .agg(F.count(F.lit(1)).alias("c_st"))
+        .transform(stage)
+    )
     s_tot = st.groupBy("source").agg(F.sum("c_st").alias("n_s"))
     g = st.groupBy("term").agg(F.sum("c_st").alias("c_t"))
     g_tot = g.agg(F.sum("c_t").alias("_n"))
@@ -3529,7 +3595,12 @@ def q_top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast (scalar-subquery decorrelation done by hand, which is
     exactly what Catalyst does to `= (SELECT max(...))`); the supplier
     name is a broadcast dim enrichment. Equality on the decimal-summed
-    double is exact — both engines produce the identical bits."""
+    double is exact — both engines produce the identical bits. The
+    supplier-dim revenue table is STAGED (r07): it feeds the max AND
+    the filter, and un-staged Catalyst re-ran the quarter aggregate —
+    two full fact scans for one scalar."""
+    from .operators.staging import stage
+
     li = load_table(spark, sf_dir, "lineitem").where(
         (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
@@ -3539,7 +3610,7 @@ def q_top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rev = li.groupBy("l_suppkey").agg(
         F.sum(revenue).cast("double").alias("total_revenue")
-    )
+    ).transform(stage)
     mx = rev.agg(F.max("total_revenue").alias("_mx"))
     supp = load_table(spark, sf_dir, "supplier")
     return (
@@ -3568,17 +3639,20 @@ def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q17-shaped decorrelated per-group threshold: average yearly
     revenue lost if small orders (below half the part's mean quantity)
     were not taken. The correlated `l_quantity < 0.5 * (SELECT avg ...)`
-    decorrelates into one per-part aggregate joined back on partkey —
-    two passes over lineitem, both pushed-down scans, no per-row
-    subquery. The threshold avg is decimal-sum / count so the comparison
-    operand is bit-identical across engines."""
+    decorrelates into a WINDOW over l_partkey (r07 — the
+    aggregate-joined-back form scanned lineitem twice; the window moves
+    the same rows through the same partkey shuffle with ONE scan and no
+    join). The threshold avg is decimal-window-sum / count so the
+    comparison operand is bit-identical across engines."""
+    from pyspark.sql import Window
+
     li = load_table(spark, sf_dir, "lineitem")
-    per_part = li.groupBy("l_partkey").agg(
-        (
-            F.sum(dec("l_quantity")).cast("double") / F.count(F.lit(1))
-        ).alias("_avg_qty")
+    w = Window.partitionBy("l_partkey")
+    avg_qty = (
+        F.sum(dec("l_quantity")).over(w).cast("double")
+        / F.count(F.lit(1)).over(w)
     )
-    j = li.join(per_part, "l_partkey").where(
+    j = li.withColumn("_avg_qty", avg_qty).where(
         F.col("l_quantity") < F.lit(0.5) * F.col("_avg_qty")
     )
     return j.agg(
@@ -3757,10 +3831,19 @@ def q_doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-doc aggregate. The corpus totals ride a 1-row broadcast. The
     log-prob sum goes through decimal (order-independent) like every
     other double sum in this module; at real scale the vocab join would
-    be capped to a top-V table, noted here as the tuning knob."""
+    be capped to a top-V table, noted here as the tuning knob. The tf
+    table is STAGED (r07 — it feeds the term counts AND the join, and
+    un-staged Catalyst re-derived the tokenize subtree three times):
+    one documents scan, zero rescans past the aggregated tf."""
+    from .operators.staging import stage
+
     d = _docs_with_tokens(spark, sf_dir)
     tok = d.select("doc_id", F.explode(TX.tokens(F.col("text"))).alias("term"))
-    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    tf = (
+        tok.groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .transform(stage)
+    )
     counts = tf.groupBy("term").agg(F.sum("tf").alias("c"))
     totals = counts.agg(
         F.sum("c").alias("_total"), F.count(F.lit(1)).alias("_v")
@@ -4072,21 +4155,25 @@ def q_doc_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     complement of doc_repetition_filter (intra-doc spam) and the
     memorization-risk / contribution signal curation runs rank docs by
     (a doc of all-unique grams adds new text; a doc of common grams is
-    boilerplate). Shape: one shingle explode, one gram-df aggregate,
-    one join back, one per-doc aggregate — exactly the
-    ngram-inverted-index cost already paid by the dedup family, no
-    pair production. The 0/1 mean sums small integers exactly in
-    double, so no decimal staging is needed — only the final rational
-    gets the portable floor-round."""
+    boilerplate). Shape: ONE shingle explode — the per-gram df comes
+    from a WINDOW over the exploded grams rather than an aggregate
+    joined back (the join form re-derived the tokenize+shingle subtree
+    twice — r07 single-scan fix, same move as doc_token_entropy) —
+    then one per-doc aggregate. The 0/1 mean sums small integers
+    exactly in double, so no decimal staging is needed — only the
+    final rational gets the portable floor-round."""
+    from pyspark.sql import Window
+
     d = _docs_with_tokens(spark, sf_dir)
     g = d.select(
         "doc_id",
         F.explode(TX.word_ngrams(TX.tokens(F.col("text")), 3)).alias("g"),
     )
-    dfreq = g.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+    g = g.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("g"))
+    )
     return (
-        g.join(dfreq, "g")
-        .groupBy("doc_id")
+        g.groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_grams"),
             round6(F.avg((F.col("df") == 1).cast("double"))).alias("novelty"),
@@ -4245,11 +4332,16 @@ def q_doc_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     is order-independent and bit-equal across engines, not a float sum
     race. Two tiny aggregates + a 1-row broadcast — corpus size only
     affects the first map-side count."""
+    from .operators.staging import stage
+
     d = _docs_with_tokens(spark, sf_dir)
+    # STAGED (r07): the ≤|langs|-row profile feeds the total, the score
+    # projection, AND the denominator — un-staged Catalyst re-derived
+    # the tokenize aggregate four times. One documents scan, period.
     per = d.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.size(TX.tokens(F.col("text")))).cast("long").alias("n_tokens"),
-    )
+    ).transform(stage)
     tot = per.agg(F.sum("n_tokens").cast("long").alias("_tot"))
     p = F.col("n_tokens").cast("double") / F.col("_tot").cast("double")
     scored = per.crossJoin(F.broadcast(tot)).select(
@@ -4504,10 +4596,23 @@ def q_doc_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", F.col("_p.a").alias("a"), F.col("_p.b").alias("b"))
     )
-    tf = pairs.groupBy("doc_id", "a", "b").agg(F.count(F.lit(1)).alias("tf"))
+    # STAGED (r07): tf feeds the bigram marginals AND the scoring join —
+    # un-staged Catalyst re-derived the zip/explode subtree per use
+    # (four documents scans); staging leaves one scan for the unigram
+    # marginal (which genuinely needs the raw token stream — the last
+    # token of each doc starts no bigram, so ca is not derivable from tf).
+    from .operators.staging import stage
+
+    tf = (
+        pairs.groupBy("doc_id", "a", "b")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .transform(stage)
+    )
     cab = tf.groupBy("a", "b").agg(F.sum("tf").alias("cab"))
     tok = d.select(F.explode(t).alias("a"))
-    ca = tok.groupBy("a").agg(F.count(F.lit(1)).alias("ca"))
+    # ca (vocab-sized) feeds |V| and the scoring join — staged for the
+    # same single-derivation reason as tf, leaving ONE documents scan.
+    ca = tok.groupBy("a").agg(F.count(F.lit(1)).alias("ca")).transform(stage)
     v = ca.agg(F.count(F.lit(1)).alias("_v"))
     j = tf.join(cab, ["a", "b"]).join(ca, "a").crossJoin(F.broadcast(v))
     contrib = (
@@ -6033,8 +6138,15 @@ def q_bloom_join_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the bit set is ≤ m rows after one distinct aggregate —
     broadcast against the probe side; the probe explodes a constant k
     positions per key (map-only fan-out), so no fact ever shuffles; the
-    report is one row."""
+    report is one row. ONE scan per table (r07 — the
+    four-independent-counts form re-derived the probe/truth subtrees
+    and scanned customer five times and orders four): the STAGED
+    member-key set feeds the bit set AND the ground-truth marker, and
+    every count falls out of one conditional aggregate over a single
+    per-customer flag frame (pass = all k positions hit; truth =
+    member-key match; FN = truth ∧ ¬pass, provably zero)."""
     from .functions.sketch import cms_buckets
+    from .operators.staging import stage
 
     def positions(col):
         # reuse the CMS cell addressing: (j, b) with independent rows —
@@ -6047,68 +6159,57 @@ def q_bloom_join_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("o_orderpriority") == BLOOM_MEMBER_PRIORITY)
         .select(F.col("o_custkey").cast("string").alias("k"))
         .distinct()
+        .transform(stage)
     )
     bits = (
         members.select(F.explode(positions(F.col("k"))).alias("s"))
         .select("s.j", "s.b")
         .distinct()
+        .withColumn("_bit", F.lit(1))
     )
-    probe = (
+    flags = (
         load_table(spark, sf_dir, "customer")
         .select(F.col("c_custkey").alias("ck"))
         .select("ck", F.explode(positions(F.col("ck").cast("string"))).alias("s"))
         .select("ck", "s.j", "s.b")
-    )
-    passed = (
-        probe.join(F.broadcast(bits), ["j", "b"], "left_semi")
+        .join(F.broadcast(bits), ["j", "b"], "left")
         .groupBy("ck")
-        .agg(F.count(F.lit(1)).alias("_hits"))
-        .where(F.col("_hits") == BLOOM_HASHES)
-        .select("ck")
-    )
-    truth = (
-        load_table(spark, sf_dir, "customer")
-        .select(F.col("c_custkey").alias("ck"))
+        .agg(
+            (
+                F.sum(F.when(F.col("_bit").isNotNull(), 1).otherwise(0))
+                == BLOOM_HASHES
+            ).alias("_pass")
+        )
         .join(
-            load_table(spark, sf_dir, "orders")
-            .where(F.col("o_orderpriority") == BLOOM_MEMBER_PRIORITY)
-            .select(F.col("o_custkey").alias("ck")),
-            "ck",
-            "left_semi",
+            F.broadcast(members.withColumn("_m", F.lit(1))),
+            F.col("ck").cast("string") == F.col("k"),
+            "left",
         )
+        .select("ck", "_pass", F.col("_m").isNotNull().alias("_true"))
     )
-    n_cust = load_table(spark, sf_dir, "customer").agg(
-        F.count(F.lit(1)).alias("n_customers")
-    )
-    n_pass = passed.agg(F.count(F.lit(1)).alias("n_bloom_pass"))
-    n_true = truth.agg(F.count(F.lit(1)).alias("n_with_orders"))
-    n_fn = truth.join(passed, "ck", "left_anti").agg(
-        F.count(F.lit(1)).alias("n_false_negatives")
-    )
-    return (
-        n_cust.crossJoin(n_pass)
-        .crossJoin(n_true)
-        .crossJoin(n_fn)
-        .select(
-            F.col("n_customers").cast("long").alias("n_customers"),
-            F.col("n_with_orders").cast("long").alias("n_with_orders"),
-            F.col("n_bloom_pass").cast("long").alias("n_bloom_pass"),
-            (F.col("n_bloom_pass") - F.col("n_with_orders"))
-            .cast("long")
-            .alias("n_false_positives"),
-            F.col("n_false_negatives").cast("long").alias("n_false_negatives"),
-            round6(
-                (
-                    F.col("n_bloom_pass") - F.col("n_with_orders")
-                ).cast("double")
-                / F.greatest(
-                    (F.col("n_customers") - F.col("n_with_orders")).cast(
-                        "double"
-                    ),
-                    F.lit(1.0),
-                )
-            ).alias("fp_rate"),
-        )
+    return flags.agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.sum(F.when(F.col("_true"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_with_orders"),
+        F.sum(F.when(F.col("_pass"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_bloom_pass"),
+        F.sum(F.when(F.col("_pass") & ~F.col("_true"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_false_positives"),
+        F.sum(F.when(F.col("_true") & ~F.col("_pass"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_false_negatives"),
+        round6(
+            F.sum(
+                F.when(F.col("_pass") & ~F.col("_true"), 1).otherwise(0)
+            ).cast("double")
+            / F.greatest(
+                F.sum(F.when(~F.col("_true"), 1).otherwise(0)).cast("double"),
+                F.lit(1.0),
+            )
+        ).alias("fp_rate"),
     )
 
 
@@ -6257,34 +6358,43 @@ def q_fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ingest pipeline runs before publishing a snapshot (zero rows in the
     orphan column = the contract holds).
 
-    Scale: each relation is one key-only child projection + a LEFT
-    ANTI join against the parent's distinct-key side — every parent
-    key set here is dimension-sized, so Catalyst broadcasts it and no
-    child fact ever shuffles; per-table child scans read exactly the
-    key columns (pruned scan). The result is a bounded
-    |relations|-row report unioned from 1-row aggregates."""
+    Scale: each relation is ONE key-only child pass (r07 — the
+    anti-join + separate stats aggregate scanned every child twice;
+    lineitem six times across its three FKs): the parent's DISTINCT
+    key set broadcasts into a marked LEFT join, and row/null/orphan
+    counts fall out of a single conditional aggregate. No child fact
+    ever shuffles; child scans read exactly the key column (pruned).
+    The result is a bounded |relations|-row report unioned from 1-row
+    aggregates."""
     out = None
     for label, child, ckey, parent, pkey in FK_RELATIONS:
         c = load_table(spark, sf_dir, child).select(F.col(ckey).alias("k"))
-        p = load_table(spark, sf_dir, parent).select(F.col(pkey).alias("k"))
-        orphans = (
-            c.where(F.col("k").isNotNull())
-            .join(F.broadcast(p), "k", "left_anti")
-            .agg(F.count(F.lit(1)).alias("n_orphans"))
-        )
-        stats = c.agg(
-            F.count(F.lit(1)).alias("n_rows"),
-            F.sum(F.when(F.col("k").isNull(), 1).otherwise(0))
-            .cast("long")
-            .alias("n_null_keys"),
+        p_keys = (
+            load_table(spark, sf_dir, parent)
+            .select(F.col(pkey).alias("k"))
+            .distinct()
+            .withColumn("_hit", F.lit(1))
         )
         row = (
-            stats.crossJoin(orphans)
+            c.join(F.broadcast(p_keys), "k", "left")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.sum(F.when(F.col("k").isNull(), 1).otherwise(0))
+                .cast("long")
+                .alias("n_null_keys"),
+                F.sum(
+                    F.when(
+                        F.col("k").isNotNull() & F.col("_hit").isNull(), 1
+                    ).otherwise(0)
+                )
+                .cast("long")
+                .alias("n_orphans"),
+            )
             .select(
                 F.lit(label).alias("relation"),
-                F.col("n_rows").cast("long").alias("n_rows"),
+                "n_rows",
                 "n_null_keys",
-                F.col("n_orphans").cast("long").alias("n_orphans"),
+                "n_orphans",
             )
         )
         out = row if out is None else out.unionAll(row)
@@ -7699,9 +7809,14 @@ def q_event_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: THE point of CMS — the shuffle out of the fact scan is
     bounded by d·w counters per map task (map-side combine), not by
     key cardinality; the finished 1024-cell sketch then rides a
-    broadcast against the distinct-key probe. The exact join is the
-    test-time comparison, itself one hash aggregate."""
+    broadcast against the distinct-key probe. ONE events scan (r07 —
+    the sketch build, the probe key set, and the exact comparison all
+    derive from the STAGED per-key exact counts: the cell counter is
+    Σ_k exact_n(k) over the keys hashing into it, identical to
+    counting raw events; un-staged lineage scanned events three
+    times)."""
     from .functions.sketch import cms_buckets
+    from .operators.staging import stage
 
     ev = load_table(spark, sf_dir, "events").select(
         F.col("user_id").cast("string").alias("k")
@@ -7710,21 +7825,24 @@ def q_event_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     def _buckets(col):
         return cms_buckets(col, CMS_DEPTH, CMS_WIDTH)
 
+    exact = (
+        ev.groupBy("k")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+        .transform(stage)
+    )
     counters = (
-        ev.select(F.explode(_buckets(F.col("k"))).alias("s"))
-        .select("s.j", "s.b")
+        exact.select("exact_n", F.explode(_buckets(F.col("k"))).alias("s"))
+        .select("exact_n", "s.j", "s.b")
         .groupBy("j", "b")
-        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.sum("exact_n").alias("c"))
     )
     probe = (
-        ev.distinct()
-        .select("k", F.explode(_buckets(F.col("k"))).alias("s"))
+        exact.select("k", F.explode(_buckets(F.col("k"))).alias("s"))
         .select("k", "s.j", "s.b")
         .join(F.broadcast(counters), ["j", "b"])
         .groupBy("k")
         .agg(F.min("c").cast("long").alias("cms_n"))
     )
-    exact = ev.groupBy("k").agg(F.count(F.lit(1)).alias("exact_n"))
     res = (
         probe.join(exact, "k")
         .select(
@@ -7883,9 +8001,14 @@ def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         cost.join(rs, cost.l_suppkey == rs.s_suppkey)
         .join(F.broadcast(partf), cost.l_partkey == partf.p_partkey)
     )
-    minc = j.groupBy("p_partkey").agg(F.min("_cost").alias("_minc"))
+    # Correlated per-part min as a WINDOW over the joined aggregate
+    # (r07 — the aggregate-joined-back form re-derived the whole
+    # cost/supplier join subtree and scanned every table twice).
+    from pyspark.sql import Window
+
+    minc = F.min("_cost").over(Window.partitionBy("p_partkey"))
     out = (
-        j.join(minc, "p_partkey")
+        j.withColumn("_minc", minc)
         .where(F.col("_cost") == F.col("_minc"))
         .select(
             "s_acctbal",
@@ -7950,7 +8073,11 @@ def q_important_part_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: one hash aggregate per part; the corpus total AND part count
     ride a 1-ROW broadcast (crossJoin of an aggregate — never a second
-    scan, never a driver collect); the gate is a map-only filter."""
+    scan, never a driver collect); the gate is a map-only filter. The
+    part-dim value table is STAGED (r07): it feeds the total AND the
+    gate, and un-staged Catalyst re-ran the region join + aggregate —
+    two full fact scans for one scalar pair."""
+    from .operators.staging import stage
     li = load_table(spark, sf_dir, "lineitem")
     supp = load_table(spark, sf_dir, "supplier")
     nat = load_table(spark, sf_dir, "nation")
@@ -7966,6 +8093,7 @@ def q_important_part_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(rs, li.l_suppkey == rs.s_suppkey)
         .groupBy("l_partkey")
         .agg(F.sum(dec("l_extendedprice")).alias("_val"))
+        .transform(stage)
     )
     total = vals.agg(
         F.sum("_val").alias("_total"), F.count(F.lit(1)).alias("_nparts")

@@ -793,12 +793,16 @@ def test_ewma_folds_over_aggregated_histogram_only(plans):
 
 def test_cms_bounded_counter_shuffle_and_broadcast_sketch(plans):
     """Count-min sketch: the counter build must map-side combine (the
-    shuffle out of the fact scan is bounded by d*w cells per task, not
-    key cardinality — CMS's whole point), the finished sketch must ride
-    a broadcast against the probe side, and the report must be a
-    TakeOrderedAndProject, never a global sort."""
+    shuffle into the d*w cells is bounded per task, not key-cardinality
+    — CMS's whole point; since r07 the counters SUM the staged per-key
+    exact counts, so the partial is a sum, and the raw events scan
+    happens exactly once at staging time), the finished sketch must
+    ride a broadcast against the probe side, and the report must be a
+    TakeOrderedAndProject, never a global sort. Zero events rescans in
+    the final plan — everything derives from the staged exact table."""
     plan = plans("event_cms_heavy_hitters")
-    assert "partial_count" in plan
+    assert "partial_sum" in plan
+    assert parquet_scan_count(plan, "events") == 0
     assert broadcast_join_count(plan) >= 1
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
@@ -976,3 +980,42 @@ def test_token_entropy_single_documents_scan(plans):
     assert parquet_scan_count(plan, "documents") == 1
     assert exchange_count(plan) == 2
     assert sort_merge_join_count(plan) == 0
+
+
+def test_single_derivation_scan_budgets(plans):
+    """r07 sweep: queries that referenced an expensive subtree more than
+    once used to make Catalyst RE-DERIVE it (no common-subexpression
+    reuse across DataFrame references) — doc_decontaminate scanned
+    documents six times, event_funnel compounded to seven events scans.
+    Each was fixed by staging the bounded intermediate, a window over
+    the aggregate, or a pure-hash filter; this pins the per-table scan
+    budget of every rewritten query so a refactor can't silently bring
+    a rescans back."""
+    budgets = {
+        "doc_decontaminate": ("documents", 0),  # staged shingle index
+        "doc_source_drift": ("documents", 0),  # staged (source,term)
+        "doc_unigram_logprob": ("documents", 0),  # staged tf
+        "doc_bigram_logprob": ("documents", 1),  # unigram marginal only
+        "doc_mixture_weights": ("documents", 0),  # staged lang profile
+        "doc_tfidf_terms": ("documents", 0),  # staged tf
+        "doc_novelty": ("documents", 1),  # window over grams
+        "doc_langid_confusion": ("documents", 1),  # window over cells
+        "doc_vocab_coverage": ("documents", 0),  # staged vocab counts
+        "doc_quality_filter": ("documents", 0),  # staged scored frame
+        "event_funnel": ("events", 1),  # staged v/c stages
+        "event_audience_overlap": ("events", 0),  # staged audiences
+        "event_retention": ("events", 0),  # staged activity/cohort
+        "event_cms_heavy_hitters": ("events", 0),  # staged exact counts
+        "small_quantity_revenue": ("lineitem", 1),  # window avg
+        "min_cost_supplier": ("lineitem", 1),  # window min
+        "important_part_value": ("lineitem", 0),  # staged part values
+        "top_revenue_supplier": ("lineitem", 0),  # staged revenue
+        "fk_integrity_audit": ("lineitem", 3),  # one per FK relation
+        "bloom_join_filter": ("customer", 1),  # one flag frame
+    }
+    over = {}
+    for name, (table, budget) in budgets.items():
+        n = parquet_scan_count(plans(name), table)
+        if n > budget:
+            over[name] = (table, n, budget)
+    assert not over, f"scan budgets exceeded (table, got, budget): {over}"
