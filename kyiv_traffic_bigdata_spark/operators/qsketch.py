@@ -4,11 +4,17 @@ Completes the sketch family (distinct=KMV, frequency=CMS,
 membership=Bloom, **rank=this module**) with the classic
 Cormode–Muthukrishnan construction ("An Improved Data Stream Summary:
 The Count-Min Sketch and its Applications", J. Algorithms 55(1), 2005,
-§4.2): one count-min row set per DYADIC LEVEL of the integer value
-domain. A value ``v`` increments, at every level ``ℓ``, the ``depth``
-cells addressed by ``v >> ℓ`` — so any dyadic interval's count is a CMS
-point query, any prefix rank is a sum of ≤ ``levels`` interval counts,
-and any quantile is a ``levels``-step tree descent over those counts.
+§4.2, generalized to RADIX-16): one count-min row set per tree level
+of the integer value domain. A value ``v`` increments, at every level
+``ℓ``, the ``depth`` cells addressed by ``v >> 4ℓ`` — so any level-ℓ
+node's count is a CMS point query and any quantile is a
+``levels``-step tree descent that walks ≤ 16 children per level.
+Radix 16 instead of the paper's radix 2 cuts the per-row build
+fan-out from 27×depth to 7×depth structs for the same 2^28 universe
+(the build explode dominates cost; the extra ≤16-vs-2 point queries
+per descent level are driver-side nanoseconds), at the price of a
+×~4 larger constant in the rank-error union bound — still far inside
+the observed slack.
 
 Chosen over KLL / t-digest deliberately: their compactions are
 order-sensitive (KLL flips coins; t-digest merges depend on arrival
@@ -17,10 +23,16 @@ PLAIN SUMS — associative and commutative — so the streaming twin
 (streaming.stateful.streaming_rank_sketch_cells) reaches the
 bit-identical sketch no matter how micro-batches slice the input, the
 same exact-parity argument as the KMV bottom-k and CMS counter twins.
-Cell addressing uses the portable md5 hash (functions.text.
-portable_hash) with a ``"j:ℓ:"`` prefix, so the ``depth`` rows at each
-level are independent without a second hash family and any engine (or
-the driver-side descent below) can recompute a cell address.
+Cell addressing uses Spark's built-in ``xxhash64`` over the
+``(j, level, bucket)`` long triple — NOT the md5 portable_hash the
+oracle-paired sketches use: this sketch has no DuckDB twin (no-oracle
+registry tail), so the only consumer that must recompute a cell
+address is the driver-side descent below, which carries an exact
+pure-Python replica of Spark's XxHash64 long path
+(:func:`_xx64_long`, parity-pinned in tests/test_rank.py). The switch
+matters: md5 + ``conv`` cost ~36 s for the 12 M cell hashes at sf0.1
+(BigInteger radix conversion per cell); xxhash64 is a few long
+multiplies in whole-stage codegen.
 
 Scale posture: the build is a constant ``levels × depth`` fan-out of
 the fact scan followed by ONE map-side-combined hash aggregate — the
@@ -40,23 +52,57 @@ error tests pin empirically (tests/test_rank.py).
 
 from __future__ import annotations
 
-import hashlib
-
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.text import portable_hash
-
-#: Universe = 2^27 cents ≈ $1.34M — covers o_totalprice at any TPC-H SF
-#: (max ≈ $600k) with headroom; levels beyond the data's top bit cost
-#: only empty (never-materialized) cells.
-QSKETCH_LEVELS = 27
+#: Radix-16 tree: universe = 16^7 = 2^28 cents ≈ $2.7M — covers
+#: o_totalprice at any TPC-H SF (max ≈ $600k) with headroom; levels
+#: beyond the data's top nibble cost only empty cells.
+QSKETCH_BRANCH_BITS = 4
+QSKETCH_BRANCH = 1 << QSKETCH_BRANCH_BITS
+QSKETCH_LEVELS = 7
 QSKETCH_DEPTH = 3
 QSKETCH_WIDTH = 512
 
+# Spark XxHash64 replica (the long-input path), so the driver-side
+# descent addresses the exact cells the JVM build wrote. Constants and
+# mixing are the standard XXH64 ones; parity with F.xxhash64 is pinned
+# in tests/test_rank.py over random longs and chained triples.
+_XXP1 = 0x9E3779B185EBCA87
+_XXP2 = 0xC2B2AE3D27D4EB4F
+_XXP3 = 0x165667B19E3779F9
+_XXP4 = 0x85EBCA77C2B2AE63
+_XXP5 = 0x27D4EB2F165667C5
+_M64 = (1 << 64) - 1
 
-def _cell_key(j: int, lvl: int, bucket: Column) -> Column:
-    return F.concat(F.lit(f"{j}:{lvl}:"), bucket.cast("string"))
+
+def _rotl64(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & _M64
+
+
+def _xx64_long(value: int, seed: int) -> int:
+    """XXH64 of one 8-byte little-endian long (Spark's hashLong)."""
+    h = (seed + _XXP5 + 8) & _M64
+    k1 = (_rotl64((value & _M64) * _XXP2 & _M64, 31) * _XXP1) & _M64
+    h = (_rotl64(h ^ k1, 27) * _XXP1 + _XXP4) & _M64
+    h ^= h >> 33
+    h = (h * _XXP2) & _M64
+    h ^= h >> 29
+    h = (h * _XXP3) & _M64
+    h ^= h >> 32
+    return h
+
+
+def _py_cell_bucket(j: int, lvl: int, bucket: int, width: int) -> int:
+    """Driver twin of the JVM cell address: chained
+    ``xxhash64(j, lvl, bucket)`` (seed 42, each long folded into the
+    running hash — Spark's multi-column semantics) → pmod width."""
+    h = _xx64_long(j, 42)
+    h = _xx64_long(lvl, h)
+    h = _xx64_long(bucket, h)
+    if h >= 1 << 63:  # Spark returns the SIGNED long
+        h -= 1 << 64
+    return h % width  # Python % == pmod for positive width
 
 
 def dyadic_cells(
@@ -68,18 +114,26 @@ def dyadic_cells(
     """Array of ``(lvl, j, b)`` structs — the ``levels × depth`` sketch
     cells one integer value increments. Explode against the fact row;
     the downstream counter table is bounded by ``levels × depth ×
-    width`` regardless of value cardinality."""
+    width`` regardless of value cardinality. Cell addresses are
+    ``pmod(xxhash64(j, lvl, value >> 4ℓ), width)`` — all-long inputs
+    so every hash takes the specialized 8-byte path the Python twin
+    replicates."""
     entries = []
     for lvl in range(levels):
-        bucket = F.shiftright(value, lvl)
+        bucket = F.shiftright(value, QSKETCH_BRANCH_BITS * lvl)
         for j in range(depth):
             entries.append(
                 F.struct(
                     F.lit(lvl).alias("lvl"),
                     F.lit(j).alias("j"),
-                    (portable_hash(_cell_key(j, lvl, bucket)) % width).alias(
-                        "b"
-                    ),
+                    F.pmod(
+                        F.xxhash64(
+                            F.lit(j).cast("long"),
+                            F.lit(lvl).cast("long"),
+                            bucket.cast("long"),
+                        ),
+                        F.lit(width),
+                    ).alias("b"),
                 )
             )
     return F.array(*entries)
@@ -110,11 +164,6 @@ def build_rank_sketch(
     )
 
 
-def _py_portable_hash(s: str) -> int:
-    """Driver-side twin of functions.text.portable_hash (md5 hex[0:8])."""
-    return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:8], 16)
-
-
 def estimate_interval(
     cells: dict,
     g,
@@ -126,7 +175,7 @@ def estimate_interval(
     """CMS point query for one dyadic interval: min over the d rows.
     Never underestimates the true interval count."""
     return min(
-        cells.get((g, lvl, j, _py_portable_hash(f"{j}:{lvl}:{bucket}") % width), 0)
+        cells.get((g, lvl, j, _py_cell_bucket(j, lvl, bucket, width)), 0)
         for j in range(depth)
     )
 
@@ -140,19 +189,24 @@ def descend_quantile(
     width: int = QSKETCH_WIDTH,
 ) -> int:
     """Tree descent for the ``target``-th smallest value (1-based rank):
-    starting at the domain root, at each level compare the remaining
-    target against the LEFT child's estimated count and branch; the
-    leaf's bucket index is the value estimate. ≤ ``levels`` CMS point
-    queries per quantile."""
+    starting at the domain root, at each level walk the ≤ 16 children
+    left-to-right subtracting their estimated counts until the
+    remaining target fits; the leaf's bucket index is the value
+    estimate. Earlier-sibling estimates only OVERcount (CMS), so the
+    remaining target only shrinks relative to truth — the descent can
+    land early (undershoot) but never overshoot the exact quantile,
+    the one-sidedness the error tests pin. ≤ ``16 · levels`` CMS point
+    queries per quantile, driver-side."""
     p = 0
     remaining = target
     for lvl in range(levels - 1, -1, -1):
-        left = estimate_interval(cells, g, lvl, 2 * p, depth, width)
-        if remaining <= left:
-            p = 2 * p
-        else:
-            remaining -= left
-            p = 2 * p + 1
+        for c in range(QSKETCH_BRANCH):
+            child = (p << QSKETCH_BRANCH_BITS) | c
+            cnt = estimate_interval(cells, g, lvl, child, depth, width)
+            if remaining <= cnt or c == QSKETCH_BRANCH - 1:
+                p = child
+                break
+            remaining -= cnt
     return p
 
 

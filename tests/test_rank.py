@@ -255,6 +255,10 @@ def test_rank_sketch_interval_estimates_never_underestimate(spark):
         estimate_interval,
     )
 
+    from kyiv_traffic_bigdata_spark.operators.qsketch import (
+        QSKETCH_BRANCH_BITS,
+    )
+
     vals = [(i * 53) % 256 for i in range(300)]
     df = spark.createDataFrame([("g", v) for v in vals], "g string, v long")
     levels, depth, width = 8, 2, 16
@@ -262,9 +266,10 @@ def test_rank_sketch_interval_estimates_never_underestimate(spark):
         (r["g"], r["lvl"], r["j"], r["b"]): r["c"]
         for r in build_rank_sketch(df, "g", "v", levels, depth, width).collect()
     }
-    for lvl in (0, 3, 7):
-        for bucket in range(0, 256 >> lvl, 5):
-            true = sum(1 for v in vals if (v >> lvl) == bucket)
+    for lvl in (0, 1, 2):
+        shift = QSKETCH_BRANCH_BITS * lvl
+        for bucket in range(0, max(1, 256 >> shift), 3):
+            true = sum(1 for v in vals if (v >> shift) == bucket)
             est = estimate_interval(cells, "g", lvl, bucket, depth, width)
             assert est >= true, (lvl, bucket, est, true)
 
@@ -272,11 +277,12 @@ def test_rank_sketch_interval_estimates_never_underestimate(spark):
 def test_rank_sketch_quantiles_one_sided_within_cms_budget(spark, sf_dir):
     """The headline accuracy pin (no-oracle query order_price_rank_sketch):
     per (priority, quantile) the descent estimate never EXCEEDS the
-    exact discrete quantile (left-child overestimates can only steer
-    the descent left), and its rank shortfall stays inside the
-    levels*e*n/width CMS budget — observed shortfall is <=2 at sf0.001
-    and <=7 at sf0.01, so the ceil bound has an order of magnitude of
-    slack without being vacuous."""
+    exact discrete quantile (earlier-sibling overestimates can only
+    steer the descent left), and its rank shortfall stays inside the
+    levels*e*n/width CMS budget — observed shortfall under radix-16 is
+    <=3/294 at sf0.001, <=15/3000 at sf0.01, <=201/30029 at sf0.1, so
+    the ceil bound (~0.037n) keeps real slack without being
+    vacuous."""
     import math
 
     from kyiv_traffic_bigdata_spark.operators.qsketch import (
@@ -333,3 +339,36 @@ def test_rank_sketch_descent_exact_when_collision_free(spark):
         target = (num * n + num) // den
         got = descend_quantile(cells, "g", target, levels, depth, width)
         assert got == vals[target - 1], (num, den, got, vals[target - 1])
+
+
+def test_xxhash64_python_twin_matches_spark(spark):
+    """The driver-side descent must address the EXACT cells the JVM
+    build wrote: pin the pure-Python XxHash64 long-path replica against
+    F.xxhash64 — single longs (negative, zero, boundary) and the
+    chained (j, lvl, bucket) triple with pmod, across widths."""
+    from pyspark.sql import functions as F
+
+    from kyiv_traffic_bigdata_spark.operators.qsketch import (
+        _py_cell_bucket,
+        _xx64_long,
+    )
+
+    vals = [0, 1, -1, 42, -(1 << 63), (1 << 63) - 1, 123456789012345]
+    df = spark.createDataFrame([(v,) for v in vals], "v long").select(
+        "v", F.xxhash64(F.col("v")).alias("h")
+    )
+    for r in df.collect():
+        got = _xx64_long(r["v"], 42)
+        if got >= 1 << 63:
+            got -= 1 << 64
+        assert got == r["h"], r["v"]
+
+    rows = [(j, lvl, b) for j in range(3) for lvl in (0, 13, 26) for b in (0, 7, 1 << 20, -3)]
+    df3 = spark.createDataFrame(rows, "j long, lvl long, b long").select(
+        "j", "lvl", "b",
+        F.pmod(F.xxhash64("j", "lvl", "b"), F.lit(512)).alias("cell512"),
+        F.pmod(F.xxhash64("j", "lvl", "b"), F.lit(100)).alias("cell100"),
+    )
+    for r in df3.collect():
+        assert _py_cell_bucket(r["j"], r["lvl"], r["b"], 512) == r["cell512"]
+        assert _py_cell_bucket(r["j"], r["lvl"], r["b"], 100) == r["cell100"]
