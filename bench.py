@@ -118,6 +118,25 @@ def main() -> None:
                 n = read_positions(spark, ref_pos).count()
                 rates.append(n / (time.perf_counter() - t0))
             ingest_stats["ingest_positions_per_sec"] = round(max(rates), 1)
+            # The shipped capture is ONE 3 MB file = one input split =
+            # 0.2 s of single-core work, so the rate above mostly
+            # measures job overhead + JVM state (observed 105k-241k on
+            # identical code across rounds — the r06 "regression" was
+            # this, not host load: an idle-host r07 run still read
+            # 110k). The engine's actual sustained parse throughput
+            # needs a saturated job: replay the same capture 64x in one
+            # read (64 splits across the 32 cores).
+            sat = read_positions(spark, [ref_pos] * 64)
+            for _ in range(2):
+                sat.count()
+            sat_rates = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                n = sat.count()
+                sat_rates.append(n / (time.perf_counter() - t0))
+            ingest_stats["ingest_saturated_positions_per_sec"] = round(
+                max(sat_rates), 1
+            )
         except Exception as exc:  # noqa: BLE001
             errors["ingest_throughput"] = str(exc).splitlines()[0][:300]
 
