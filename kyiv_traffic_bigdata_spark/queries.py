@@ -5417,11 +5417,14 @@ def q_doc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: per-key windows ordered by version — group size is the
     VERSION COUNT (3 here, tens in practice), never corpus-bounded, so
-    the lag/lead windows are safe at any doc count."""
+    the lag/lead windows are safe at any doc count. All versions'
+    fingerprints come from ONE row via array+explode (r07 — the 3-way
+    union form scanned documents three times for synthetic variants of
+    the same row)."""
     from pyspark.sql import Window
 
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    versions = []
+    structs = []
     for ver, edit_mod in ((1, None), (2, 5), (3, 7)):
         t = F.col("text")
         if edit_mod is not None:
@@ -5429,16 +5432,15 @@ def q_doc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("doc_id") % edit_mod == 0,
                 F.concat(F.col("text"), F.lit(f" rev{ver}")),
             ).otherwise(F.col("text"))
-        versions.append(
-            d.select(
-                "doc_id",
+        structs.append(
+            F.struct(
                 F.lit(ver).cast("long").alias("version"),
                 F.md5(t).alias("fp"),
             )
         )
-    hist = versions[0]
-    for v in versions[1:]:
-        hist = hist.unionByName(v)
+    hist = d.select(
+        "doc_id", F.explode(F.array(*structs)).alias("_v")
+    ).select("doc_id", "_v.version", "_v.fp")
     w = Window.partitionBy("doc_id").orderBy("version")
     changed = hist.withColumn("_prev", F.lag("fp").over(w)).where(
         F.col("_prev").isNull() | (F.col("_prev") != F.col("fp"))
@@ -6546,8 +6548,11 @@ def q_event_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the window partitions by user (bounded per-user history —
     the safe window axis), the matrix aggregate is |types|² rows, and
-    the normalizing row totals ride a broadcast join of that bounded
-    matrix — corpus size only adds map tasks to the pair stage."""
+    the normalizing row totals are a WINDOW over that bounded matrix
+    (r07 — the aggregate-joined-back form re-derived the whole lag
+    pipeline: two events scans and two user-window shuffles for a
+    25-row normalization) — corpus size only adds map tasks to the
+    pair stage."""
     from pyspark.sql import Window
 
     ev = load_table(spark, sf_dir, "events").select(
@@ -6564,15 +6569,12 @@ def q_event_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = pairs.groupBy("from_type", "next_type").agg(
         F.count(F.lit(1)).alias("n")
     )
-    totals = m.groupBy("from_type").agg(F.sum("n").alias("_row_n"))
-    return (
-        m.join(F.broadcast(totals), "from_type")
-        .select(
-            "from_type",
-            "next_type",
-            F.col("n").cast("long").alias("n"),
-            round6(F.col("n") / F.col("_row_n")).alias("p"),
-        )
+    row_n = F.sum("n").over(Window.partitionBy("from_type"))
+    return m.select(
+        "from_type",
+        "next_type",
+        F.col("n").cast("long").alias("n"),
+        round6(F.col("n") / row_n).alias("p"),
     )
 
 

@@ -550,25 +550,20 @@ def test_bm25_takeordered_and_no_explode_for_doclength(plans):
 
 
 def test_markov_transitions_bounded_window_and_aggregate(plans):
-    """Markov transitions: every window partitions by user (the safe
-    axis — per-user history is bounded); no fact self-join. The static
-    plan shows the matrix subtree twice (totals + join branch) but AQE
-    deduplicates it at runtime via ReusedExchange — pinned in
-    test_markov_runtime_reuses_fact_exchange."""
+    """Markov transitions: the lag window partitions by user (the safe
+    axis — per-user history is bounded) and the only other window is
+    the row-normalizing sum over the ≤|types|²-row matrix (r07: the
+    aggregate-joined-back form duplicated the whole lag pipeline and
+    needed AQE ReusedExchange to claw one fact pass back — now the
+    static plan has ONE events scan by construction); no fact
+    self-join, no join at all."""
     plan = plans("event_markov_transitions")
     for spec in re.findall(r"windowspecdefinition\(([^,]+),", plan):
-        assert "user_id" in spec, spec
+        assert "user_id" in spec or "from_type" in spec, spec
+    assert parquet_scan_count(plan, "events") == 1
     assert sort_merge_join_count(plan) == 0
+    assert broadcast_join_count(plan) == 0
     assert "CartesianProduct" not in plan
-
-
-def test_markov_runtime_reuses_fact_exchange(spark, sf_dir):
-    """The duplicated matrix subtree must collapse to ONE fact pass at
-    runtime: the executed (AQE-final) plan carries a ReusedExchange."""
-    df = QUERIES["event_markov_transitions"](spark, sf_dir)
-    df.collect()
-    executed = df._jdf.queryExecution().executedPlan().toString()
-    assert "ReusedExchange" in executed
 
 
 def test_min_cost_supplier_broadcast_dims_and_takeordered(plans):
@@ -1012,6 +1007,8 @@ def test_single_derivation_scan_budgets(plans):
         "top_revenue_supplier": ("lineitem", 0),  # staged revenue
         "fk_integrity_audit": ("lineitem", 3),  # one per FK relation
         "bloom_join_filter": ("customer", 1),  # one flag frame
+        "event_markov_transitions": ("events", 1),  # window row totals
+        "doc_scd2_history": ("documents", 1),  # array+explode versions
     }
     over = {}
     for name, (table, budget) in budgets.items():
