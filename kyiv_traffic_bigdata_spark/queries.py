@@ -6362,15 +6362,26 @@ def q_fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: each relation is ONE key-only child pass (r07 — the
     anti-join + separate stats aggregate scanned every child twice;
-    lineitem six times across its three FKs): the parent's DISTINCT
-    key set broadcasts into a marked LEFT join, and row/null/orphan
-    counts fall out of a single conditional aggregate. No child fact
-    ever shuffles; child scans read exactly the key column (pruned).
-    The result is a bounded |relations|-row report unioned from 1-row
-    aggregates."""
+    lineitem six times across its three FKs), and BOTH join sides are
+    key-aggregated before the join: the child collapses to (key, n)
+    via a map-side-combined count (NULL keys form their own group) and
+    the parent to its distinct key set, so the orphan join is
+    dim-sized × dim-sized no matter how large the fact is — the earlier
+    forced broadcast of raw parent keys dies at 100 TB for the
+    lineitem→orders relation (billions of keys), and joining raw child
+    rows would shuffle the fact. AQE picks broadcast vs shuffle per
+    relation. Row/null/orphan counts fall out of one conditional
+    aggregate weighted by n; child scans read exactly the key column
+    (pruned). The result is a bounded |relations|-row report unioned
+    from 1-row aggregates."""
     out = None
     for label, child, ckey, parent, pkey in FK_RELATIONS:
-        c = load_table(spark, sf_dir, child).select(F.col(ckey).alias("k"))
+        ck = (
+            load_table(spark, sf_dir, child)
+            .select(F.col(ckey).alias("k"))
+            .groupBy("k")
+            .agg(F.count(F.lit(1)).alias("_n"))
+        )
         p_keys = (
             load_table(spark, sf_dir, parent)
             .select(F.col(pkey).alias("k"))
@@ -6378,15 +6389,16 @@ def q_fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("_hit", F.lit(1))
         )
         row = (
-            c.join(F.broadcast(p_keys), "k", "left")
+            ck.join(p_keys, "k", "left")
             .agg(
-                F.count(F.lit(1)).cast("long").alias("n_rows"),
-                F.sum(F.when(F.col("k").isNull(), 1).otherwise(0))
+                F.sum("_n").cast("long").alias("n_rows"),
+                F.sum(F.when(F.col("k").isNull(), F.col("_n")).otherwise(0))
                 .cast("long")
                 .alias("n_null_keys"),
                 F.sum(
                     F.when(
-                        F.col("k").isNotNull() & F.col("_hit").isNull(), 1
+                        F.col("k").isNotNull() & F.col("_hit").isNull(),
+                        F.col("_n"),
                     ).otherwise(0)
                 )
                 .cast("long")

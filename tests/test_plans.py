@@ -828,13 +828,18 @@ def test_orders_profile_single_scan_expand_rewrite(plans):
     assert "Generate" in plan
 
 
-def test_fk_audit_anti_joins_broadcast_and_pruned_scans(plans):
-    """FK integrity audit: every orphan check is a LEFT ANTI against a
-    BROADCAST parent key set (a sort-merge anti here shuffles the fact
-    for a dimension), and the child scans are key-only projections."""
+def test_fk_audit_key_aggregated_joins_and_pruned_scans(plans):
+    """FK integrity audit: both orphan-join sides are KEY-AGGREGATED
+    before the join (child → (key, n) with map-side combine, parent →
+    distinct keys), so the join is dim-sized regardless of fact size
+    and no hint forces a broadcast (raw-parent-key broadcasts die at
+    100 TB for lineitem→orders; AQE picks broadcast here because the
+    aggregated sides are tiny). Child scans are key-only projections."""
     plan = plans("fk_integrity_audit")
     assert sort_merge_join_count(plan) == 0
     assert broadcast_join_count(plan) >= 7
+    # the fact is absorbed by partial aggregation before any join
+    assert "partial_count" in plan
     for m in re.finditer(r"ReadSchema: struct<([^>]*)>", plan):
         cols = [c for c in m.group(1).split(",") if c]
         assert len(cols) <= 1, cols
