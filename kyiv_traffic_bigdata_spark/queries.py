@@ -4733,10 +4733,13 @@ def q_doc_neardup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus rewrite is ``WHERE keep`` — this query is the list itself,
     auditable (doc → its representative).
 
-    Scale: the component table only holds PAIRED docs (a small fraction
-    of any deduped corpus), so the final assignment is one left
-    broadcast-join onto the doc ids — the full corpus is never
-    shuffled."""
+    Scale: the component table only holds PAIRED docs (a small
+    fraction of any deduped corpus), so AQE turns the final left
+    assignment join into a broadcast at runtime whenever that holds —
+    but the hint is deliberately absent: a heavily duplicated crawl can
+    make the paired set corpus-scale, where a forced broadcast OOMs
+    and the co-keyed shuffle AQE falls back to is the only correct
+    plan."""
     from .operators.cluster import connected_components
 
     docs = _docs_with_tokens(spark, sf_dir)
@@ -4746,7 +4749,7 @@ def q_doc_neardup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         docs.select("doc_id")
-        .join(F.broadcast(comp), "doc_id", "left")
+        .join(comp, "doc_id", "left")
         .select(
             "doc_id",
             F.coalesce(F.col("_rep"), F.col("doc_id")).alias("rep_id"),
@@ -6183,7 +6186,11 @@ def q_bloom_join_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("_pass")
         )
         .join(
-            F.broadcast(members.withColumn("_m", F.lit(1))),
+            # members (customers holding an urgent order) is an
+            # unbounded fraction of the customer dimension — no
+            # broadcast hint; the bit set above IS hint-broadcast
+            # because it is <= m rows by construction
+            members.withColumn("_m", F.lit(1)),
             F.col("ck").cast("string") == F.col("k"),
             "left",
         )
@@ -7459,12 +7466,15 @@ def q_token_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_tok = toks.agg(F.count(F.lit(1)).alias("n_tok"))
     tfreq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n_t"))
     pairs = _token_pair_counts(spark, sf_dir, toks=toks)
+    # marginal joins carry NO broadcast hint: tfreq is vocab-sized, and
+    # a web-scale vocab (every typo/number is a token) can exceed any
+    # broadcast budget — AQE converts to broadcast at runtime whenever
+    # the aggregated table is actually small (runtime sizes, not the
+    # static estimate), and falls back to a co-keyed shuffle otherwise.
     return (
-        pairs.join(
-            F.broadcast(tfreq.withColumnRenamed("tok", "tok_a")), "tok_a"
-        )
+        pairs.join(tfreq.withColumnRenamed("tok", "tok_a"), "tok_a")
         .withColumnRenamed("n_t", "n_a")
-        .join(F.broadcast(tfreq.withColumnRenamed("tok", "tok_b")), "tok_b")
+        .join(tfreq.withColumnRenamed("tok", "tok_b"), "tok_b")
         .withColumnRenamed("n_t", "n_b")
         .crossJoin(F.broadcast(n_tok))
         .select(
@@ -7609,8 +7619,10 @@ def q_neardup_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         "left_anti",
     )
     term = round6(F.lit(1.0) / F.log(F.col("deg").cast("double")))
+    # deg is node-sized (every blocked doc) — corpus-scale, so no
+    # broadcast hint; AQE picks broadcast only when it actually fits.
     return (
-        cand.join(F.broadcast(deg), "w")
+        cand.join(deg, "w")
         .groupBy("a", "b")
         .agg(
             F.count(F.lit(1)).cast("long").alias("common_neighbors"),

@@ -425,15 +425,18 @@ def test_domain_quality_single_domain_aggregate(plans):
     assert "Window" not in plan
 
 
-def test_neardup_keep_broadcasts_component_table(plans):
-    """The keep-list assignment must broadcast the (small) component
-    table onto the doc ids — a sort-merge left join here shuffles the
-    whole corpus for a table that only holds paired docs."""
-    plan = plans("doc_neardup_keep")
-    assert broadcast_join_count(plan) >= 1
-    # the LSH pair pipeline itself joins by shuffle; the outer keep-list
-    # join must not
-    assert "SortMergeJoin LeftOuter" not in plan
+def test_neardup_keep_broadcasts_component_table_at_runtime(spark, sf_dir):
+    """The keep-list assignment join carries NO broadcast hint (a
+    heavily duplicated crawl can make the paired set corpus-scale,
+    where a forced broadcast OOMs) — so the broadcast must come from
+    AQE's runtime conversion when the component table is actually
+    small, which it is here. Pin the EXECUTED plan: no sort-merge left
+    join survives to runtime."""
+    df = QUERIES["doc_neardup_keep"](spark, sf_dir)
+    df.collect()
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in executed
+    assert "SortMergeJoin LeftOuter" not in executed
 
 
 def test_cluster_prune_no_per_cluster_fact_window(plans):
@@ -736,24 +739,38 @@ def test_token_pmi_equi_self_join_and_broadcast_marginals(plans):
     EQUI-join on (doc_id, pos) after a constant-W map-only context
     explode — n*W events per doc, linear in document length (a doc-
     level self-join would be per-doc vocab^2, a cartesian corpus^2) —
-    the marginals and 1-row token count must ride broadcasts, and the
-    pair aggregate must map-side combine before its exchange."""
+    the 1-row token count rides a broadcast, the vocab-sized marginal
+    joins carry NO hint (a web-scale vocab can exceed any broadcast
+    budget; AQE converts at runtime instead — see
+    test_pmi_marginals_broadcast_at_runtime), and the pair aggregate
+    must map-side combine before its exchange."""
     plan = plans("token_pmi")
     assert "CartesianProduct" not in plan
-    assert broadcast_join_count(plan) >= 2
+    assert broadcast_join_count(plan) >= 1
     assert "partial_count" in plan
+
+
+def test_pmi_marginals_broadcast_at_runtime(spark, sf_dir):
+    """AQE must convert the unhinted vocab-marginal joins to broadcasts
+    when the aggregated tfreq is actually small (runtime sizes, not
+    static estimates)."""
+    df = QUERIES["token_pmi"](spark, sf_dir)
+    df.collect()
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in executed
 
 
 def test_link_prediction_wedge_plan_broadcast_degrees(plans):
     """Adamic–Adar: the blocking-window edge build is staged, so the
     final plan has NO window at all (a windowspec here would mean the
     O(n·w) candidate generation re-runs per wedge reference); wedges
-    and the existing-edge exclusion are equi-joins, the degree table
-    rides a broadcast, and nothing rescans the documents parquet."""
+    and the existing-edge exclusion are equi-joins, the node-sized
+    degree table carries NO broadcast hint (corpus-scale at 100 TB;
+    AQE converts at runtime when it fits), and nothing rescans the
+    documents parquet."""
     plan = plans("neardup_link_prediction")
     assert "CartesianProduct" not in plan
     assert "windowspecdefinition" not in plan
-    assert broadcast_join_count(plan) >= 1
     assert parquet_scan_count(plan, "documents") == 0
 
 
@@ -870,13 +887,13 @@ def test_attribution_single_user_window_no_self_join(plans):
 
 
 def test_bloom_filter_broadcast_bits_no_fact_shuffle_joins(plans):
-    """Bloom pre-join audit: the bit set and the semi-join probes ride
-    broadcasts (the filter is <= m rows by construction — shuffling a
-    fact against it would defeat the runtime-filter pattern), and
-    nothing goes cartesian or sort-merge."""
+    """Bloom pre-join audit: the bit set rides a hint-broadcast (it is
+    <= m rows by construction — shuffling a fact against it would
+    defeat the runtime-filter pattern); the ground-truth member join
+    carries no hint (members is an unbounded customer fraction — AQE
+    decides), and nothing goes cartesian."""
     plan = plans("bloom_join_filter")
-    assert sort_merge_join_count(plan) == 0
-    assert broadcast_join_count(plan) >= 2
+    assert broadcast_join_count(plan) >= 1
     assert "CartesianProduct" not in plan
 
 
