@@ -127,16 +127,26 @@ def main() -> None:
             # needs a saturated job: replay the same capture 64x in one
             # read (64 splits across the 32 cores).
             sat = read_positions(spark, [ref_pos] * 64)
-            for _ in range(2):
-                sat.count()
-            sat_rates = []
-            for _ in range(3):
-                t0 = time.perf_counter()
-                n = sat.count()
-                sat_rates.append(n / (time.perf_counter() - t0))
-            ingest_stats["ingest_saturated_positions_per_sec"] = round(
-                max(sat_rates), 1
-            )
+            # Guard the 64x-replay premise: if a Spark version ever
+            # dedupes duplicate paths in its file index, the rate below
+            # would silently be 64x wrong. n was just measured on the
+            # single-file read above.
+            sat_n = sat.count()
+            if sat_n != 64 * n:
+                errors["ingest_saturated"] = (
+                    f"64x replay returned {sat_n} rows, expected {64 * n}"
+                    " — duplicate input paths deduped? stat skipped"
+                )
+            else:
+                sat.count()  # second warm pass
+                sat_rates = []
+                for _ in range(3):
+                    t0 = time.perf_counter()
+                    sn = sat.count()
+                    sat_rates.append(sn / (time.perf_counter() - t0))
+                ingest_stats["ingest_saturated_positions_per_sec"] = round(
+                    max(sat_rates), 1
+                )
         except Exception as exc:  # noqa: BLE001
             errors["ingest_throughput"] = str(exc).splitlines()[0][:300]
 

@@ -226,17 +226,19 @@ def sketch_quantiles(
 
     ``cell_rows`` is the COLLECTED bounded counter table (rows with
     g/lvl/j/b/c); ``totals`` maps group → exact n. Target ranks use the
-    same integer arithmetic as operators.rank.quantile_disc_slab
-    (``(num·n + num) // den``) so the sketch answers the identical
-    question as the exact operator it approximates. Values come back as
-    ``bucket / value_scale`` (cents → currency by default)."""
+    same ceil integer arithmetic as operators.rank.quantile_disc_slab
+    (``(num·n + den − 1) // den``) so the sketch answers the identical
+    question as the exact operator it approximates — for ANY (num, den)
+    fraction, not just the num = den−1 tail quantiles the headline
+    query asks for. Values come back as ``bucket / value_scale``
+    (cents → currency by default)."""
     cells = {(r["g"], r["lvl"], r["j"], r["b"]): r["c"] for r in cell_rows}
     out = []
     for g in sorted(totals):
         n = totals[g]
         row = [g, n]
         for _name, num, den in quantiles:
-            target = (num * n + num) // den
+            target = (num * n + den - 1) // den
             v = descend_quantile(cells, g, target, levels, depth, width)
             row.append(v / value_scale)
         out.append(tuple(row))

@@ -6398,15 +6398,30 @@ def q_fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         row = (
             ck.join(p_keys, "k", "left")
             .agg(
-                F.sum("_n").cast("long").alias("n_rows"),
-                F.sum(F.when(F.col("k").isNull(), F.col("_n")).otherwise(0))
+                # coalesce: SUM over an empty child relation is NULL —
+                # the audit of an empty snapshot must report clean 0s
+                # (matching the COUNT-based oracle), not NULL cells.
+                F.coalesce(F.sum("_n"), F.lit(0))
+                .cast("long")
+                .alias("n_rows"),
+                F.coalesce(
+                    F.sum(
+                        F.when(
+                            F.col("k").isNull(), F.col("_n")
+                        ).otherwise(0)
+                    ),
+                    F.lit(0),
+                )
                 .cast("long")
                 .alias("n_null_keys"),
-                F.sum(
-                    F.when(
-                        F.col("k").isNotNull() & F.col("_hit").isNull(),
-                        F.col("_n"),
-                    ).otherwise(0)
+                F.coalesce(
+                    F.sum(
+                        F.when(
+                            F.col("k").isNotNull() & F.col("_hit").isNull(),
+                            F.col("_n"),
+                        ).otherwise(0)
+                    ),
+                    F.lit(0),
                 )
                 .cast("long")
                 .alias("n_orphans"),
@@ -8644,10 +8659,11 @@ FROM cos WHERE {SQL_ROUND6.format(x='sim')} >= {RANGE_TAU}
 # Registration order is load-bearing: the driver's CORRECTNESS harness
 # verifies the FIRST 50 entries only (proven by the r2→r3 coverage
 # diff), so the first 50 slots are rotated each round toward the
-# queries with the least hard driver evidence. History note (r06
-# VERDICT/ADVICE correction): the round-6 additions consumed all r06
-# round-robin slots, so NO r04-stale query was re-verified in r06 —
-# the r07 window below clears that backlog. The rotation is no longer
+# queries with the least hard driver evidence. History note: the r07
+# window cleared the r04-stale backlog down to 5 parked TPC-H shapes;
+# the r08 window below verifies those 5 plus the 45 stalest r05-
+# evidence queries (tools/rotation.py's post-r07 proposal verbatim),
+# after which nothing pre-r05 remains. The rotation is no longer
 # narrated prose: test_rotation_ledger_window_is_least_recent computes
 # the name → last-driver-round ledger from the CORRECTNESS_r0*.json
 # files and fails if any window slot re-verifies a query fresher than
@@ -8657,81 +8673,77 @@ FROM cos WHERE {SQL_ROUND6.format(x='sim')} >= {RANGE_TAU}
 # the very tail so no window slot is spent on a permanent no_oracle
 # row).
 QUERIES: dict[str, QueryFn] = {
-    # r07 window composition (driver verifies the FIRST 50 entries).
-    # Machine-checked: tests/test_oracle.py::test_rotation_ledger_window_
-    # is_least_recent asserts against the CORRECTNESS_r0*.json ledger
-    # that every slot covers least-recent driver evidence (flagship
-    # exempt) — the composition below is enforced, not narrated.
-    # (a) the 11 round-6 additions that landed below the r06 window and
-    #     have NEVER held a driver row (local-gate evidence only); they
-    #     take the first slots so a regression cannot ship invisibly.
-    "bloom_join_filter": q_bloom_join_filter,
-    "doc_hybrid_rrf": q_doc_hybrid_rrf,
-    "doc_phrase_search": q_doc_phrase_search,
-    "event_seasonality": q_event_seasonality,
-    "fk_integrity_audit": q_fk_integrity_audit,
-    "join_skew_profile": q_join_skew_profile,
-    "purchase_attribution": q_purchase_attribution,
-    "token_textrank": q_token_textrank,
-    "emb_dim_stats": q_emb_dim_stats,
-    "customer_rfm_segments": q_customer_rfm_segments,
-    "orders_profile": q_orders_profile,
-    # (b) 39 of the 44 oracle-checkable r04-stale queries, in their
-    #     prior registry order. The round-6 additions consumed all r06
-    #     round-robin slots, so NO r04-stale query was re-verified in
-    #     r06; this window clears that backlog down to the 5 parked
-    #     below, which seed the r08 window together with the flagship.
-    "ann_index_stats": q_ann_index_stats,
-    "brand_discount_revenue": q_brand_discount_revenue,
-    "clicks_after_error": q_clicks_after_error,
-    "doc_chunks": q_doc_chunks,
-    "doc_clip_repeated": q_doc_clip_repeated,
-    "doc_corpus_mix": q_doc_corpus_mix,
-    "doc_curation_pipeline": q_doc_curation_pipeline,
-    "doc_data_card": q_doc_data_card,
-    "doc_decontaminate": q_doc_decontaminate,
-    "doc_gopher_quality": q_doc_gopher_quality,
-    "doc_hash_sample": q_doc_hash_sample,
-    "doc_langid_confusion": q_doc_langid_confusion,
-    "doc_pii_scrub": q_doc_pii_scrub,
-    "doc_quality_filter": q_doc_quality_filter,
-    "doc_repeated_spans": q_doc_repeated_spans,
-    "doc_repetition_filter": q_doc_repetition_filter,
-    "doc_source_drift": q_doc_source_drift,
-    "doc_splits": q_doc_splits,
-    "doc_subword_stats": q_doc_subword_stats,
-    "doc_tfidf_terms": q_doc_tfidf_terms,
-    "doc_token_pair_stats": q_doc_token_pair_stats,
-    "doc_unigram_logprob": q_doc_unigram_logprob,
-    "doc_upsample_mix": q_doc_upsample_mix,
-    "doc_version_diff": q_doc_version_diff,
-    "doc_vocab_coverage": q_doc_vocab_coverage,
-    "emb_decontaminate": q_emb_decontaminate,
-    "emb_kmeans": q_emb_kmeans,
-    "emb_semdedup": q_emb_semdedup,
-    "event_anomaly_profile": q_event_anomaly_profile,
-    "event_audience_overlap": q_event_audience_overlap,
-    "event_funnel": q_event_funnel,
-    "event_gap_fill": q_event_gap_fill,
-    "event_pivot_roundtrip": q_event_pivot_roundtrip,
-    "forecast_revenue": q_forecast_revenue,
-    "idle_rich_customers": q_idle_rich_customers,
-    "large_orders": q_large_orders,
-    "local_supplier_volume": q_local_supplier_volume,
-    "neardup_pagerank": q_neardup_pagerank,
-    "priority_count": q_priority_count,
-    # ---- slots above are inside the driver's 50-query verification
-    # window; everything below holds an r04/r05/r06 driver-green row and
-    # rides the driver-faithful local replica until its next rotation ----
-    # flagship (r06 hash-green; the driver smoke-checks entry() every
-    # round regardless) + the 5 parked r04-stale — the r08 window seeds.
-    "geo_trajectory": q_geo_trajectory,
+    # r08 window composition (driver verifies the FIRST 50 entries).
+    # Machine-checked by tests/test_oracle.py::test_rotation_ledger_
+    # window_is_least_recent against the CORRECTNESS_r0*.json ledger:
+    # every slot covers least-recent driver evidence (flagship exempt).
+    # Composition = tools/rotation.py's post-r07 proposal verbatim:
+    # (a) the 5 r04-stale TPC-H shapes parked out of the r07 window;
     "promo_revenue": q_promo_revenue,
     "returned_items": q_returned_items,
     "shipping_priority": q_shipping_priority,
     "small_quantity_revenue": q_small_quantity_revenue,
     "top_revenue_supplier": q_top_revenue_supplier,
-    # r06 driver-green (rotated out this round)
+    # (b) the 45 stalest r05-evidence queries, prior-registry order.
+    "doc_url_normalize": q_doc_url_normalize,
+    "doc_mixture_weights": q_doc_mixture_weights,
+    "doc_html_extract": q_doc_html_extract,
+    "doc_novelty": q_doc_novelty,
+    "doc_quality_classifier": q_doc_quality_classifier,
+    "emb_quantized": q_emb_quantized,
+    "emb_pq": q_emb_pq,
+    "doc_pack_windows": q_doc_pack_windows,
+    "doc_bigram_logprob": q_doc_bigram_logprob,
+    "doc_domain_quality": q_doc_domain_quality,
+    "doc_neardup_keep": q_doc_neardup_keep,
+    "emb_cluster_prune": q_emb_cluster_prune,
+    "doc_blocklist_filter": q_doc_blocklist_filter,
+    "doc_boilerplate_segments": q_doc_boilerplate_segments,
+    "nation_trade_volume": q_nation_trade_volume,
+    "nation_market_share": q_nation_market_share,
+    "product_line_profit": q_product_line_profit,
+    "customer_order_distribution": q_customer_order_distribution,
+    "emb_signbits": q_emb_signbits,
+    "ann_hamming": q_ann_hamming,
+    "ann_hamming_rerank": q_ann_hamming_rerank,
+    "events_changelog_state": q_events_changelog_state,
+    "doc_scd2_history": q_doc_scd2_history,
+    "neardup_triangles": q_neardup_triangles,
+    "doc_bm25_topk": q_doc_bm25_topk,
+    "event_markov_transitions": q_event_markov_transitions,
+    "doc_cross_lang_dups": q_doc_cross_lang_dups,
+    "part_type_yoy_growth": q_part_type_yoy_growth,
+    "pricing_summary": q_pricing_summary,
+    "top_parts": q_top_parts,
+    "lineitem_enriched": q_lineitem_enriched,
+    "latest_event_per_user": q_latest_event_per_user,
+    "event_value_rate": q_event_value_rate,
+    "event_type_rate_stats": q_event_type_rate_stats,
+    "hourly_event_stats": q_hourly_event_stats,
+    "user_sessions": q_user_sessions,
+    "user_session_windows": q_user_session_windows,
+    "event_retention": q_event_retention,
+    "moving_event_stats": q_moving_event_stats,
+    "event_props_stats": q_event_props_stats,
+    "event_type_pivot": q_event_type_pivot,
+    "value_buckets": q_value_buckets,
+    "dedup_events": q_dedup_events,
+    "top_customers": q_top_customers,
+    "global_event_stats": q_global_event_stats,
+    # ---- slots above are inside the driver's 50-query verification
+    # window; everything below holds an r05/r06/r07 driver-green row and
+    # rides the driver-faithful local replica until its next rotation.
+    # Non-window entries are kept stalest-first so the head of this
+    # section IS the staged r09 window (tools/rotation.py re-derives
+    # it from the ledger either way). ----
+    # flagship (r06 hash-green; driver smoke-checks entry() every round)
+    "geo_trajectory": q_geo_trajectory,
+    # r05 driver-green
+    "geo_speed_by_type": q_geo_speed_by_type,
+    "geo_region_counts": q_geo_region_counts,
+    "orders_without_lineitems": q_orders_without_lineitems,
+    "active_customers": q_active_customers,
+    # r06 driver-green
     "min_cost_supplier": q_min_cost_supplier,
     "important_part_value": q_important_part_value,
     "late_shipment_priority": q_late_shipment_priority,
@@ -8781,56 +8793,57 @@ QUERIES: dict[str, QueryFn] = {
     "weather_pivot": q_weather_pivot,
     "winnow_fingerprints": q_winnow_fingerprints,
     "winnow_overlap": q_winnow_overlap,
-    # r05 driver-green
-    "doc_url_normalize": q_doc_url_normalize,
-    "doc_mixture_weights": q_doc_mixture_weights,
-    "doc_html_extract": q_doc_html_extract,
-    "doc_novelty": q_doc_novelty,
-    "doc_quality_classifier": q_doc_quality_classifier,
-    "emb_quantized": q_emb_quantized,
-    "emb_pq": q_emb_pq,
-    "doc_pack_windows": q_doc_pack_windows,
-    "doc_bigram_logprob": q_doc_bigram_logprob,
-    "doc_domain_quality": q_doc_domain_quality,
-    "doc_neardup_keep": q_doc_neardup_keep,
-    "emb_cluster_prune": q_emb_cluster_prune,
-    "doc_blocklist_filter": q_doc_blocklist_filter,
-    "doc_boilerplate_segments": q_doc_boilerplate_segments,
-    "nation_trade_volume": q_nation_trade_volume,
-    "nation_market_share": q_nation_market_share,
-    "product_line_profit": q_product_line_profit,
-    "customer_order_distribution": q_customer_order_distribution,
-    "emb_signbits": q_emb_signbits,
-    "ann_hamming": q_ann_hamming,
-    "ann_hamming_rerank": q_ann_hamming_rerank,
-    "events_changelog_state": q_events_changelog_state,
-    "doc_scd2_history": q_doc_scd2_history,
-    "neardup_triangles": q_neardup_triangles,
-    "doc_bm25_topk": q_doc_bm25_topk,
-    "event_markov_transitions": q_event_markov_transitions,
-    "doc_cross_lang_dups": q_doc_cross_lang_dups,
-    "part_type_yoy_growth": q_part_type_yoy_growth,
-    "pricing_summary": q_pricing_summary,
-    "top_parts": q_top_parts,
-    "lineitem_enriched": q_lineitem_enriched,
-    "latest_event_per_user": q_latest_event_per_user,
-    "event_value_rate": q_event_value_rate,
-    "event_type_rate_stats": q_event_type_rate_stats,
-    "hourly_event_stats": q_hourly_event_stats,
-    "user_sessions": q_user_sessions,
-    "user_session_windows": q_user_session_windows,
-    "event_retention": q_event_retention,
-    "moving_event_stats": q_moving_event_stats,
-    "event_props_stats": q_event_props_stats,
-    "event_type_pivot": q_event_type_pivot,
-    "value_buckets": q_value_buckets,
-    "dedup_events": q_dedup_events,
-    "top_customers": q_top_customers,
-    "global_event_stats": q_global_event_stats,
-    "geo_speed_by_type": q_geo_speed_by_type,
-    "geo_region_counts": q_geo_region_counts,
-    "orders_without_lineitems": q_orders_without_lineitems,
-    "active_customers": q_active_customers,
+    # r07 driver-green
+    "bloom_join_filter": q_bloom_join_filter,
+    "doc_hybrid_rrf": q_doc_hybrid_rrf,
+    "doc_phrase_search": q_doc_phrase_search,
+    "event_seasonality": q_event_seasonality,
+    "fk_integrity_audit": q_fk_integrity_audit,
+    "join_skew_profile": q_join_skew_profile,
+    "purchase_attribution": q_purchase_attribution,
+    "token_textrank": q_token_textrank,
+    "emb_dim_stats": q_emb_dim_stats,
+    "customer_rfm_segments": q_customer_rfm_segments,
+    "orders_profile": q_orders_profile,
+    "ann_index_stats": q_ann_index_stats,
+    "brand_discount_revenue": q_brand_discount_revenue,
+    "clicks_after_error": q_clicks_after_error,
+    "doc_chunks": q_doc_chunks,
+    "doc_clip_repeated": q_doc_clip_repeated,
+    "doc_corpus_mix": q_doc_corpus_mix,
+    "doc_curation_pipeline": q_doc_curation_pipeline,
+    "doc_data_card": q_doc_data_card,
+    "doc_decontaminate": q_doc_decontaminate,
+    "doc_gopher_quality": q_doc_gopher_quality,
+    "doc_hash_sample": q_doc_hash_sample,
+    "doc_langid_confusion": q_doc_langid_confusion,
+    "doc_pii_scrub": q_doc_pii_scrub,
+    "doc_quality_filter": q_doc_quality_filter,
+    "doc_repeated_spans": q_doc_repeated_spans,
+    "doc_repetition_filter": q_doc_repetition_filter,
+    "doc_source_drift": q_doc_source_drift,
+    "doc_splits": q_doc_splits,
+    "doc_subword_stats": q_doc_subword_stats,
+    "doc_tfidf_terms": q_doc_tfidf_terms,
+    "doc_token_pair_stats": q_doc_token_pair_stats,
+    "doc_unigram_logprob": q_doc_unigram_logprob,
+    "doc_upsample_mix": q_doc_upsample_mix,
+    "doc_version_diff": q_doc_version_diff,
+    "doc_vocab_coverage": q_doc_vocab_coverage,
+    "emb_decontaminate": q_emb_decontaminate,
+    "emb_kmeans": q_emb_kmeans,
+    "emb_semdedup": q_emb_semdedup,
+    "event_anomaly_profile": q_event_anomaly_profile,
+    "event_audience_overlap": q_event_audience_overlap,
+    "event_funnel": q_event_funnel,
+    "event_gap_fill": q_event_gap_fill,
+    "event_pivot_roundtrip": q_event_pivot_roundtrip,
+    "forecast_revenue": q_forecast_revenue,
+    "idle_rich_customers": q_idle_rich_customers,
+    "large_orders": q_large_orders,
+    "local_supplier_volume": q_local_supplier_volume,
+    "neardup_pagerank": q_neardup_pagerank,
+    "priority_count": q_priority_count,
     # ---- no-oracle approximates: permanently at the tail so they
     # never occupy a driver verification slot (accuracy pinned by
     # recall/error tests, not a SQL twin) ----
