@@ -635,10 +635,15 @@ def transform_with_state_available(spark=None) -> bool:
     """True when this platform can RUN transformWithState: the worker
     protocol needs ``google.protobuf`` (absent in some sandboxes) and
     the RocksDB state store (the TWS contract in OSS Spark 4). Pass the
-    SparkSession to include the store probe; None checks protobuf only."""
-    try:
-        import google.protobuf.descriptor  # noqa: F401
-    except Exception:  # noqa: BLE001
+    SparkSession to include the store probe; None checks protobuf only.
+
+    Where protobuf is absent, the vendored mini-runtime
+    (:mod:`kyiv_traffic_bigdata_spark.protoshim`) is activated — on the
+    driver AND, when ``spark`` is given, shipped to the Python workers
+    via addPyFile — so TWS runs even in pipless sandboxes."""
+    from ..protoshim import ensure_protobuf
+
+    if not ensure_protobuf(spark):
         return False
     if spark is None:
         return True
@@ -664,7 +669,9 @@ def streaming_trajectory_speeds_v2(
     from .state import ROCKSDB_PROVIDER, configure_state_store
 
     provider = configure_state_store(positions.sparkSession)
-    if provider != ROCKSDB_PROVIDER or not transform_with_state_available():
+    if provider != ROCKSDB_PROVIDER or not transform_with_state_available(
+        positions.sparkSession
+    ):
         raise RuntimeError(
             "transformWithState requires the RocksDB state store and "
             "google.protobuf in the Python workers; "
@@ -676,7 +683,10 @@ def streaming_trajectory_speeds_v2(
         ),
         outputStructType=OUTPUT_SCHEMA,
         outputMode="append",
-        timeMode="none",
+        # TTL'd state is only legal with processing-time semantics
+        # (the store needs a clock to expire against); timeMode="none"
+        # is rejected by the JVM at getValueState time.
+        timeMode="processingTime",
     )
 
 

@@ -318,10 +318,14 @@ def test_tws_processor_logic_sans_io():
 
 
 def test_transform_with_state_matches_group_state_twin(spark, tmp_path):
-    """End-to-end TWS parity with the applyInPandasWithState form —
-    runnable only where the TWS wire protocol is available (protobuf in
-    the Python workers + the RocksDB provider); skipped otherwise, with
-    the logic covered sans-IO above."""
+    """End-to-end TWS parity with the applyInPandasWithState form.
+
+    The TWS wire protocol needs google.protobuf in the Python workers;
+    this sandbox ships none, so the availability probe activates the
+    vendored protobuf mini-runtime (protoshim) and addPyFile-ships it
+    to the workers — the run below is therefore also the conformance
+    test for the shim's wire encoding (the JVM parses every request).
+    Skips only when the RocksDB provider is genuinely absent."""
     import pytest
 
     from kyiv_traffic_bigdata_spark.streaming.stateful import (
@@ -330,16 +334,13 @@ def test_transform_with_state_matches_group_state_twin(spark, tmp_path):
     )
 
     if not transform_with_state_available(spark):
-        # name the exact missing deps (r5 VERDICT ask #7): probed, not
-        # guessed — rocksdbjni ships in pyspark's jars here, so the
-        # residue is the worker-side protobuf wire protocol.
         missing = []
         try:
             import google.protobuf.descriptor  # noqa: F401
         except Exception:  # noqa: BLE001
             missing.append(
-                "python package google.protobuf (TWS worker wire protocol; "
-                "no pip in this sandbox)"
+                "google.protobuf (real install AND the vendored "
+                "mini-runtime both failed to import)"
             )
         from kyiv_traffic_bigdata_spark.streaming.state import rocksdb_available
 
