@@ -278,22 +278,37 @@ def prefix_filter_pairs(
     earned without giving up exactness. The per-doc ranking window
     partitions by doc_id (bounded by doc length); full shingle arrays
     ride two equi-joins exactly like ngram_jaccard_pairs' hot arrays.
+
+    Shuffle budget (r07 VERDICT ask): the index crosses the wire twice
+    — once by shingle for the document-frequency join, once by doc_id
+    for a single window pass that computes the set size (_n) AND the
+    rank (_pos) together; the verification arrays aggregate the SAME
+    staged enriched frame, so the index is never re-shuffled a third
+    time (the old aggregate-then-join form shuffled it per derived
+    table, and without staging the self-join's a/b aliases re-derive
+    the whole join+window chain four times — measured 8 exchanges).
+    _df stays a groupBy+join on purpose: a window-count over
+    partitionBy(shingle) would put a hot boilerplate shingle's whole
+    posting list in one task (windows can't be skew-split), while the
+    join form is AQE-skew-splittable.
     """
     from pyspark.sql.window import Window
 
     idx = shingle_index(docs, id_col, text_col, ngram).transform(stage)
     dfreq = idx.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
-    arrs = idx.groupBy("doc_id").agg(
+    w_n = Window.partitionBy("doc_id")
+    w = Window.partitionBy("doc_id").orderBy(F.col("_df").asc(), F.col("shingle").asc())
+    enriched = (
+        idx.join(dfreq, "shingle")
+        .withColumn("_n", F.count(F.lit(1)).over(w_n))
+        .withColumn("_pos", F.row_number().over(w))
+        .transform(stage)
+    )
+    arrs = enriched.groupBy("doc_id").agg(
         F.sort_array(F.collect_list("shingle")).alias("_arr"),
         F.count(F.lit(1)).alias("_n"),
     )
-    w = Window.partitionBy("doc_id").orderBy(F.col("_df").asc(), F.col("shingle").asc())
-    ranked = (
-        idx.join(dfreq, "shingle")
-        .withColumn("_pos", F.row_number().over(w))
-        .join(arrs.select("doc_id", "_n"), "doc_id")
-    )
-    prefix = ranked.where(
+    prefix = enriched.where(
         F.col("_pos")
         <= F.col("_n") - F.ceil(F.lit(threshold) * F.col("_n")).cast("long") + F.lit(1)
     ).select("doc_id", "shingle")

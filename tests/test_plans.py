@@ -644,12 +644,31 @@ def test_kcore_peel_equi_joins_only(plans):
     assert len(re.findall(r"\(\d+\) Window", plan)) == 0
 
 
-def test_prefix_filter_ranking_window_per_doc_no_cartesian(plans):
+def test_prefix_filter_ranking_window_per_doc_no_cartesian(spark, sf_dir):
     """Prefix-filter join: the candidate join is an equi-join on prefix
     shingles and the df-ranking window partitions by doc_id (bounded by
     doc length) — never an unpartitioned global rank, never a cartesian
-    over docs."""
-    plan = plans("neardup_prefix_pairs")
+    over docs, and never a window over partitionBy(shingle) (a hot
+    boilerplate shingle's posting list in ONE task — windows cannot be
+    AQE-skew-split the way the _df join can).
+
+    The operator stages its enriched frame (checkpoints truncate the
+    window subtree out of the final explain()), so the shape is
+    asserted with staging switched off for the plan build only."""
+    from kyiv_traffic_bigdata_spark.operators.dedup import prefix_filter_pairs
+    from kyiv_traffic_bigdata_spark.operators.staging import (
+        set_staging,
+        staging_mode,
+    )
+    from kyiv_traffic_bigdata_spark.queries import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    prior = staging_mode()
+    set_staging("off")
+    try:
+        plan = physical_plan(prefix_filter_pairs(docs), mode="simple")
+    finally:
+        set_staging(prior)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     specs = re.findall(r"windowspecdefinition\(([^,]+),", plan)
