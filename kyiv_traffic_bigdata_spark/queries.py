@@ -8653,6 +8653,354 @@ FROM cos WHERE {SQL_ROUND6.format(x='sim')} >= {RANGE_TAU}
 
 
 # --------------------------------------------------------------------------
+# r08 additions: HLL sketch, eval-set contamination, matryoshka recall,
+# DSIR importance weights
+# --------------------------------------------------------------------------
+
+#: contamination n-gram length — 13 tokens, the eval-decontamination
+#: convention popularized by the GPT-3 appendix; long enough that an
+#: overlap is near-certain leakage rather than idiom.
+CONTAM_NGRAM = 13
+
+#: benchmark-split modulus: ~5% of docs play the held-out eval set.
+CONTAM_MOD = 20
+
+
+def q_user_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct users per event type (operators/hll.py) —
+    the third sketch family after KMV (user_distinct_sketch) and
+    count-min (event_cms_heavy_hitters), chosen for its merge contract:
+    register state unions by ELEMENTWISE MAX, so shards, streams, and
+    backfills combine without re-reading anything.
+
+    Scale shape: one hash-aggregate to ≤ |event_types|·64 register rows
+    (map-side combined), one fold to the estimate. ``n_exact`` is an
+    AUDIT column for the oracle/tests — a real 100 TB run drops it (the
+    exact countDistinct is the expensive thing the sketch replaces)."""
+    from .operators.hll import hll_estimate, hll_registers
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_type", F.col("user_id").cast("string").alias("_u")
+    )
+    regs = hll_registers(events, ["event_type"], F.col("_u"))
+    est = hll_estimate(regs, ["event_type"])
+    exact = events.groupBy("event_type").agg(
+        F.countDistinct("_u").alias("n_exact")
+    )
+    return exact.join(est, "event_type").select(
+        "event_type",
+        "n_exact",
+        "zero_registers",
+        "register_sum",
+        F.col("est_distinct").alias("est_users"),
+    )
+
+
+def _sql_user_hll_sketch() -> str:
+    from .operators.hll import HLL_ALPHA, HLL_M, HLL_W_BITS
+
+    two_w = 1 << (HLL_W_BITS + 1)  # 2^27, the rho-sum grid
+    scale = repr(HLL_ALPHA * HLL_M * HLL_M * two_w)  # one shared literal
+    h = _PORTABLE_HASH.format(s="CAST(user_id AS VARCHAR)")
+    return f"""
+WITH r AS (
+  SELECT event_type, {h} % {HLL_M} AS _reg,
+         {HLL_W_BITS + 1} - length(ltrim(bin({h} // {HLL_M}), '0')) AS _rho
+  FROM events
+),
+regs AS (SELECT event_type, _reg, MAX(_rho) AS _rho FROM r GROUP BY 1, 2),
+agg AS (
+  SELECT event_type, COUNT(*) AS _filled,
+         SUM(CAST(pow(2.0, {HLL_W_BITS + 1} - _rho) AS BIGINT)) AS _sf
+  FROM regs GROUP BY 1
+),
+est AS (
+  SELECT event_type,
+         CAST({HLL_M} - _filled AS BIGINT) AS zero_registers,
+         CAST(_sf + ({HLL_M} - _filled) * {two_w} AS BIGINT) AS register_sum
+  FROM agg
+),
+ex AS (
+  SELECT event_type, CAST(COUNT(DISTINCT CAST(user_id AS VARCHAR)) AS BIGINT) AS n_exact
+  FROM events GROUP BY 1
+)
+SELECT est.event_type, ex.n_exact, est.zero_registers, est.register_sum,
+       {SQL_ROUND6.format(x=f'''CASE WHEN {scale} / register_sum <= {2.5 * HLL_M}
+                   AND zero_registers > 0
+              THEN {float(HLL_M)} * ln({float(HLL_M)} / zero_registers)
+              ELSE {scale} / register_sum END''')} AS est_users
+FROM est JOIN ex USING (event_type)
+"""
+
+
+def q_doc_ngram_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set contamination audit: hold out ~5% of docs as the
+    "benchmark" split (portable hash of doc_id — leakage-safe, the
+    doc_splits discipline) and report, per remaining train doc, the
+    fraction of its distinct 13-gram shingles that appear anywhere in
+    the benchmark split. The n-gram-overlap decontamination check every
+    serious pretraining pipeline runs before training.
+
+    Scale shape: shingles + split flag staged once; the benchmark
+    shingle set is corpus-scaling, so the membership join carries NO
+    broadcast hint (r07 audit rule — AQE decides at runtime); one
+    equi-join on shingle (hot shingles are AQE-skew territory), one
+    per-doc aggregate. Docs shorter than 13 tokens have no 13-grams and
+    drop out, in both engines."""
+    from .operators.staging import stage
+
+    d = _docs_with_tokens(spark, sf_dir)
+    flags = d.select(
+        "doc_id",
+        (
+            TX.portable_hash(
+                F.concat(F.col("doc_id").cast("string"), F.lit(":cb"))
+            )
+            % CONTAM_MOD
+            == 0
+        ).alias("_bench"),
+    )
+    g = (
+        DD.shingle_index(d, "doc_id", "text", CONTAM_NGRAM)
+        .join(flags, "doc_id")
+        .transform(stage)
+    )
+    bench = (
+        g.where(F.col("_bench"))
+        .select("shingle")
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    hits = g.where(~F.col("_bench")).join(bench, "shingle", "left")
+    n_cont = F.sum(
+        F.when(F.col("_hit").isNotNull(), 1).otherwise(0)
+    ).cast("long")
+    return (
+        hits.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_ngrams"),
+            n_cont.alias("n_contaminated"),
+        )
+        .select(
+            "doc_id",
+            "n_ngrams",
+            "n_contaminated",
+            round6(F.col("n_contaminated") / F.col("n_ngrams")).alias(
+                "contam_frac"
+            ),
+        )
+    )
+
+
+def _sql_doc_ngram_contamination() -> str:
+    n = CONTAM_NGRAM
+    grams = (
+        f"CASE WHEN len(t) >= {n} THEN list_distinct(list_transform("
+        f"range(1, len(t) - {n - 2}), i -> array_to_string("
+        f"list_slice(t, i, i + {n - 1}), ' '))) ELSE []::VARCHAR[] END"
+    )
+    split = _PORTABLE_HASH.format(s="CAST(doc_id AS VARCHAR) || ':cb'")
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {_toks('text')} AS t,
+         ({split} % {CONTAM_MOD} = 0) AS _bench
+  FROM documents
+),
+grams AS (SELECT doc_id, _bench, unnest({grams}) AS g FROM toks),
+bench AS (SELECT DISTINCT g FROM grams WHERE _bench),
+tr AS (
+  SELECT grams.doc_id, grams.g, (bench.g IS NOT NULL) AS _hit
+  FROM grams LEFT JOIN bench USING (g)
+  WHERE NOT _bench
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_ngrams,
+       CAST(SUM(CASE WHEN _hit THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+       {SQL_ROUND6.format(x='SUM(CASE WHEN _hit THEN 1 ELSE 0 END) * 1.0 / COUNT(*)')} AS contam_frac
+FROM tr GROUP BY doc_id
+"""
+
+
+#: matryoshka truncation: score with the first 32 of 64 dims — the MRL
+#: deployment trade (half the index bytes) whose quality this audits.
+MRL_DIM = 32
+MRL_K = 10
+
+
+def q_emb_mrl_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-truncation recall audit: for each probe vector, the
+    exact cosine top-10 under FULL 64-dim scoring vs under the first
+    32 dims only, reported as recall@10 of the truncated index against
+    the full one. This is the measurement that decides whether an
+    MRL-style half-width ANN index is safe to deploy.
+
+    Scale shape: two brute-force top-k passes over the same corpus
+    (each a broadcast of the k-row probe set — the sanctioned probe-
+    matrix pattern; the corpus never shuffles), one k-bounded join to
+    intersect the lists, one left join back to the probe ids so a
+    zero-overlap probe still reports 0."""
+    emb = _emb(spark, sf_dir)
+    probes = F.col("vec_id") % 50 == 0
+    full = SIM.cosine_topk(emb.where(probes), emb, k=MRL_K).select(
+        "query_id", "neighbor_id"
+    )
+    emb32 = emb.select(
+        "vec_id", F.slice(F.col("embedding"), 1, MRL_DIM).alias("embedding")
+    )
+    trunc = SIM.cosine_topk(emb32.where(probes), emb32, k=MRL_K).select(
+        "query_id", "neighbor_id"
+    )
+    counts = full.join(trunc, ["query_id", "neighbor_id"]).groupBy(
+        "query_id"
+    ).agg(F.count(F.lit(1)).alias("_n"))
+    base = emb.where(probes).select(F.col("vec_id").alias("query_id"))
+    n_overlap = F.coalesce(F.col("_n"), F.lit(0)).cast("long")
+    return base.join(counts, "query_id", "left").select(
+        "query_id",
+        n_overlap.alias("n_overlap"),
+        round6(n_overlap / F.lit(float(MRL_K))).alias("recall_at_10"),
+    )
+
+
+def _sql_emb_mrl_recall() -> str:
+    def topk(vec_expr: str, name: str) -> str:
+        return f"""
+q_{name} AS (
+  SELECT vec_id AS qid, generate_subscripts({vec_expr}, 1) AS i,
+         CAST(unnest({vec_expr}) AS DOUBLE) AS x
+  FROM embeddings WHERE vec_id % 50 = 0
+),
+c_{name} AS (
+  SELECT vec_id AS nid, generate_subscripts({vec_expr}, 1) AS i,
+         CAST(unnest({vec_expr}) AS DOUBLE) AS y
+  FROM embeddings
+),
+n_{name} AS (SELECT nid, SUM(y * y) AS n2 FROM c_{name} GROUP BY nid),
+d_{name} AS (
+  SELECT qid, nid, SUM(x * y) AS d
+  FROM q_{name} JOIN c_{name} USING (i) GROUP BY qid, nid
+),
+s_{name} AS (
+  SELECT qid, d_{name}.nid AS nid,
+         CASE WHEN sqrt(nq.n2) * sqrt(nc.n2) = 0 THEN 0.0
+              ELSE d / (sqrt(nq.n2) * sqrt(nc.n2)) END AS sim
+  FROM d_{name}
+  JOIN n_{name} nq ON nq.nid = d_{name}.qid
+  JOIN n_{name} nc ON nc.nid = d_{name}.nid
+  WHERE qid != d_{name}.nid
+),
+sel_{name} AS (
+  SELECT qid, nid FROM (
+    SELECT qid, nid,
+           row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid ASC) AS rn
+    FROM s_{name}
+  ) WHERE rn <= {MRL_K}
+)"""
+
+    return f"""
+WITH {topk('embedding', 'full')},
+{topk(f'list_slice(embedding, 1, {MRL_DIM})', 'tr')},
+ov AS (
+  SELECT f.qid, CAST(COUNT(*) AS BIGINT) AS n
+  FROM sel_full f JOIN sel_tr t ON t.qid = f.qid AND t.nid = f.nid
+  GROUP BY f.qid
+),
+base AS (SELECT DISTINCT vec_id AS qid FROM embeddings WHERE vec_id % 50 = 0)
+SELECT qid AS query_id, CAST(COALESCE(n, 0) AS BIGINT) AS n_overlap,
+       {SQL_ROUND6.format(x=f'COALESCE(n, 0) / {float(MRL_K)}')} AS recall_at_10
+FROM base LEFT JOIN ov USING (qid)
+"""
+
+
+def q_doc_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data-selection weights (Xie et al. 2023): per-doc mean
+    log importance ratio ln(p_target / p_source) under add-one-smoothed
+    unigram LMs, with the English subcorpus as the target domain and
+    the full corpus as the source. High-weight docs are the ones
+    importance resampling keeps when fitting a mixed crawl toward a
+    target distribution — the statistical sibling of doc_mixture_weights
+    (which reweights whole sources, not documents).
+
+    Shape: shares doc_unigram_logprob's staged-tf skeleton — token
+    explode → per-(doc,term) tf (STAGED: feeds both count tables and
+    the scoring join) → two bounded vocab count tables → one equi-join
+    on term + a 1-row broadcast of corpus totals → per-doc aggregate
+    with decimal-stable summation."""
+    from .operators.staging import stage
+
+    d = _docs_with_tokens(spark, sf_dir)
+    tok = d.select(
+        "doc_id", "lang", F.explode(TX.tokens(F.col("text"))).alias("term")
+    )
+    tf = (
+        tok.groupBy("doc_id", "lang", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .transform(stage)
+    )
+    c_s = tf.groupBy("term").agg(F.sum("tf").alias("c_s"))
+    c_t = (
+        tf.where(F.col("lang") == "en")
+        .groupBy("term")
+        .agg(F.sum("tf").alias("c_t"))
+    )
+    totals = c_s.agg(
+        F.sum("c_s").alias("_n_s"), F.count(F.lit(1)).alias("_v")
+    ).crossJoin(
+        tf.where(F.col("lang") == "en").agg(F.sum("tf").alias("_n_t"))
+    )
+    j = (
+        tf.join(c_s, "term")
+        .join(c_t, "term", "left")
+        .crossJoin(F.broadcast(totals))
+        .withColumn("c_t", F.coalesce(F.col("c_t"), F.lit(0)))
+    )
+    contrib = (
+        F.col("tf")
+        * (
+            F.log(
+                (F.col("c_t") + F.lit(1.0)) / (F.col("_n_t") + F.col("_v"))
+            )
+            - F.log(
+                (F.col("c_s") + F.lit(1.0)) / (F.col("_n_s") + F.col("_v"))
+            )
+        )
+    ).cast(DEC)
+    return j.groupBy("doc_id").agg(
+        F.sum("tf").alias("n_tokens"),
+        round6(F.sum(contrib).cast("double") / F.sum("tf")).alias(
+            "dsir_weight"
+        ),
+    )
+
+
+def _sql_doc_dsir_weights() -> str:
+    ratio = (
+        "tf * (ln((c_t + 1.0) / (n_t + v)) - ln((c_s + 1.0) / (n_s + v)))"
+    )
+    return f"""
+WITH toks AS (SELECT doc_id, lang, unnest({_toks('text')}) AS term FROM documents),
+tf AS (
+  SELECT doc_id, lang, term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM toks GROUP BY 1, 2, 3
+),
+cs AS (SELECT term, CAST(SUM(tf) AS BIGINT) AS c_s FROM tf GROUP BY term),
+ct AS (SELECT term, CAST(SUM(tf) AS BIGINT) AS c_t FROM tf WHERE lang = 'en' GROUP BY term),
+tot AS (
+  SELECT CAST(SUM(c_s) AS BIGINT) AS n_s, CAST(COUNT(*) AS BIGINT) AS v FROM cs
+),
+tt AS (SELECT CAST(COALESCE(SUM(tf), 0) AS BIGINT) AS n_t FROM tf WHERE lang = 'en'),
+j AS (
+  SELECT tf.doc_id, tf.tf, cs.c_s, COALESCE(ct.c_t, 0) AS c_t,
+         tot.n_s, tot.v, tt.n_t
+  FROM tf JOIN cs USING (term) LEFT JOIN ct USING (term)
+  CROSS JOIN tot CROSS JOIN tt
+)
+SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+       {SQL_ROUND6.format(x=f"{_ssum(ratio)} / SUM(tf)")} AS dsir_weight
+FROM j GROUP BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -8677,14 +9025,23 @@ QUERIES: dict[str, QueryFn] = {
     # Machine-checked by tests/test_oracle.py::test_rotation_ledger_
     # window_is_least_recent against the CORRECTNESS_r0*.json ledger:
     # every slot covers least-recent driver evidence (flagship exempt).
-    # Composition = tools/rotation.py's post-r07 proposal verbatim:
-    # (a) the 5 r04-stale TPC-H shapes parked out of the r07 window;
+    # Composition = tools/rotation.py's post-r07 proposal with the four
+    # r08 additions (never driver-checked → stalest by definition)
+    # taking the head; the 4 r05 slots they displace sit first in the
+    # staged section below (ties across the boundary are allowed — the
+    # r05 cohort is larger than the window).
+    # (a) the 4 r08 additions, ledger 0;
+    "user_hll_sketch": q_user_hll_sketch,
+    "doc_ngram_contamination": q_doc_ngram_contamination,
+    "emb_mrl_recall": q_emb_mrl_recall,
+    "doc_dsir_weights": q_doc_dsir_weights,
+    # (b) the 5 r04-stale TPC-H shapes parked out of the r07 window;
     "promo_revenue": q_promo_revenue,
     "returned_items": q_returned_items,
     "shipping_priority": q_shipping_priority,
     "small_quantity_revenue": q_small_quantity_revenue,
     "top_revenue_supplier": q_top_revenue_supplier,
-    # (b) the 45 stalest r05-evidence queries, prior-registry order.
+    # (c) the 41 stalest r05-evidence queries, prior-registry order.
     "doc_url_normalize": q_doc_url_normalize,
     "doc_mixture_weights": q_doc_mixture_weights,
     "doc_html_extract": q_doc_html_extract,
@@ -8726,10 +9083,6 @@ QUERIES: dict[str, QueryFn] = {
     "moving_event_stats": q_moving_event_stats,
     "event_props_stats": q_event_props_stats,
     "event_type_pivot": q_event_type_pivot,
-    "value_buckets": q_value_buckets,
-    "dedup_events": q_dedup_events,
-    "top_customers": q_top_customers,
-    "global_event_stats": q_global_event_stats,
     # ---- slots above are inside the driver's 50-query verification
     # window; everything below holds an r05/r06/r07 driver-green row and
     # rides the driver-faithful local replica until its next rotation.
@@ -8738,7 +9091,11 @@ QUERIES: dict[str, QueryFn] = {
     # it from the ledger either way). ----
     # flagship (r06 hash-green; driver smoke-checks entry() every round)
     "geo_trajectory": q_geo_trajectory,
-    # r05 driver-green
+    # r05 driver-green (the 4 displaced by the r08 additions lead)
+    "value_buckets": q_value_buckets,
+    "dedup_events": q_dedup_events,
+    "top_customers": q_top_customers,
+    "global_event_stats": q_global_event_stats,
     "geo_speed_by_type": q_geo_speed_by_type,
     "geo_region_counts": q_geo_region_counts,
     "orders_without_lineitems": q_orders_without_lineitems,
@@ -8858,6 +9215,10 @@ QUERIES: dict[str, QueryFn] = {
 
 def build_oracles() -> dict[str, str]:
     return {
+        "user_hll_sketch": _sql_user_hll_sketch(),
+        "doc_ngram_contamination": _sql_doc_ngram_contamination(),
+        "emb_mrl_recall": _sql_emb_mrl_recall(),
+        "doc_dsir_weights": _sql_doc_dsir_weights(),
         "min_cost_supplier": SQL_MIN_COST_SUPPLIER,
         "important_part_value": SQL_IMPORTANT_PART_VALUE,
         "late_shipment_priority": SQL_LATE_SHIPMENT_PRIORITY,

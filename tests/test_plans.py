@@ -1057,3 +1057,29 @@ def test_single_derivation_scan_budgets(plans):
         if n > budget:
             over[name] = (table, n, budget)
     assert not over, f"scan budgets exceeded (table, got, budget): {over}"
+
+
+def test_r08_additions_plan_shapes(plans):
+    """The four r08 queries' scale-critical shapes:
+
+    - emb_mrl_recall: both top-k passes broadcast the bounded probe set
+      (the corpus never shuffles for scoring) and nothing degrades to a
+      cartesian — the probe join is an inequality join that would
+      BNLJ-explode if the broadcast side were ever the corpus.
+    - user_hll_sketch: pure hash-aggregate pipeline (no join of raw
+      events against raw events, no cartesian); the sketch state is the
+      only thing crossing the wire after partial aggregation.
+    - doc_ngram_contamination: the benchmark-membership join must stay
+      an equi-join (skew-splittable) — never a nested-loop.
+    """
+    mrl = plans("emb_mrl_recall")
+    assert "CartesianProduct" not in mrl
+    assert broadcast_join_count(mrl) >= 2, "probe sets must broadcast"
+
+    hll = plans("user_hll_sketch")
+    assert "CartesianProduct" not in hll
+    assert "BroadcastNestedLoopJoin" not in hll
+
+    contam = plans("doc_ngram_contamination")
+    assert "CartesianProduct" not in contam
+    assert "BroadcastNestedLoopJoin" not in contam
