@@ -38,6 +38,19 @@ HLL_W_BITS = 26
 HLL_ALPHA = 0.709
 
 
+def hll_register_cols(h: Column) -> tuple[Column, Column]:
+    """(register, rho) columns from a 32-bit portable hash column.
+
+    The 6 low hash bits pick the register; rho = leading zeros of the
+    remaining 26-bit word + 1, with bit-length read off
+    ``length(ltrim(bin(w), '0'))`` — ``bin`` prints the minimal binary
+    string in BOTH engines, and the ltrim makes the w = 0 edge read as
+    bit-length 0 → rho 27 even if an engine ever padded."""
+    w = F.floor(h / HLL_M).cast("long")
+    rho = F.lit(HLL_W_BITS + 1) - F.length(F.ltrim(F.bin(w), F.lit("0")))
+    return (h % HLL_M).alias("_reg"), rho.alias("_rho")
+
+
 def hll_registers(
     df: DataFrame,
     group_cols: list[str],
@@ -45,22 +58,11 @@ def hll_registers(
 ) -> DataFrame:
     """The sketch state: (group…, _reg, _rho) with MAX-merged rho.
 
-    The 6 low hash bits pick the register; rho = leading zeros of the
-    remaining 26-bit word + 1, with bit-length read off
-    ``length(ltrim(bin(w), '0'))`` — ``bin`` prints the minimal binary
-    string in BOTH engines, and the ltrim makes the w = 0 edge read as
-    bit-length 0 → rho 27 even if an engine ever padded. One
-    hash-aggregate with map-side combine; output is bounded by
+    One hash-aggregate with map-side combine; output is bounded by
     |groups| · m rows regardless of input size."""
-    h = portable_hash(value_col)
-    w = F.floor(h / HLL_M).cast("long")
-    rho = F.lit(HLL_W_BITS + 1) - F.length(F.ltrim(F.bin(w), F.lit("0")))
+    reg, rho = hll_register_cols(portable_hash(value_col))
     return (
-        df.select(
-            *group_cols,
-            (h % HLL_M).alias("_reg"),
-            rho.alias("_rho"),
-        )
+        df.select(*group_cols, reg, rho)
         .groupBy(*group_cols, "_reg")
         .agg(F.max("_rho").alias("_rho"))
     )

@@ -409,6 +409,41 @@ __all__ += ["streaming_user_distinct_sketch", "make_kmv_fn", "KMV_OUTPUT_SCHEMA"
 
 
 # ---------------------------------------------------------------------------
+# Streaming HLL registers (incremental twin of q_user_hll_sketch)
+# ---------------------------------------------------------------------------
+
+
+def streaming_hll_registers(events: DataFrame) -> DataFrame:
+    """HLL register state over a STREAMING events frame (update mode).
+
+    Unlike the KMV and CMS twins, this needs NO custom stateful
+    operator: the HLL merge IS elementwise max, which Spark supports
+    natively as a streaming aggregate — the state store holds exactly
+    the ≤ |groups|·64 register rows and each micro-batch folds in
+    JVM-side. That zero-custom-code property is the operational payoff
+    of choosing HLL for streaming distinct counts; the register rows
+    feed operators.hll.hll_estimate unchanged (batch and stream produce
+    bit-identical state for the same inputs — tested).
+
+    Input contract matches streaming_user_distinct_sketch: rows of
+    (event_type:string, h:long) with ``h`` the portable md5 hash of the
+    user id, computed JVM-side before the aggregate."""
+    from pyspark.sql import functions as F
+
+    from ..operators.hll import hll_register_cols
+
+    reg, rho = hll_register_cols(F.col("h"))
+    return (
+        events.select("event_type", reg, rho)
+        .groupBy("event_type", "_reg")
+        .agg(F.max("_rho").alias("_rho"))
+    )
+
+
+__all__ += ["streaming_hll_registers"]
+
+
+# ---------------------------------------------------------------------------
 # Streaming count-min sketch (incremental twin of q_event_cms_heavy_hitters)
 # ---------------------------------------------------------------------------
 
