@@ -8750,19 +8750,18 @@ def q_doc_ngram_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.staging import stage
 
     d = _docs_with_tokens(spark, sf_dir)
-    flags = d.select(
-        "doc_id",
-        (
-            TX.portable_hash(
-                F.concat(F.col("doc_id").cast("string"), F.lit(":cb"))
-            )
-            % CONTAM_MOD
-            == 0
-        ).alias("_bench"),
+    # the split flag is a pure function of doc_id, so it attaches to the
+    # shingle index directly — one documents scan, no flag join
+    bench_flag = (
+        TX.portable_hash(
+            F.concat(F.col("doc_id").cast("string"), F.lit(":cb"))
+        )
+        % CONTAM_MOD
+        == 0
     )
     g = (
         DD.shingle_index(d, "doc_id", "text", CONTAM_NGRAM)
-        .join(flags, "doc_id")
+        .withColumn("_bench", bench_flag)
         .transform(stage)
     )
     bench = (
