@@ -730,3 +730,108 @@ __all__ += [
     "TrajectorySpeedProcessor",
     "transform_with_state_available",
 ]
+
+
+#: recent-values window kept per user by the profile processor.
+PROFILE_RECENT_K = 3
+
+PROFILE_OUTPUT_SCHEMA = (
+    "user_id long, event_type string, n_events long, n_total long, "
+    "recent_mean double"
+)
+
+
+class UserProfileProcessor(StatefulProcessor):
+    """Online feature-store maintenance on transformWithState: per user,
+    a ``MapState`` of event-type → count and a ``ListState`` of the
+    last ``k`` event values, refreshed incrementally per micro-batch —
+    the pattern that keeps model features warm without recomputing a
+    growing history (the batch recompute is the parity oracle in the
+    test, not the production plan).
+
+    Deliberately exercises the WHOLE typed-state surface of the new
+    API: map containsKey/getValue/updateValue/values plus list
+    appendList/get/put — which also makes its e2e test the conformance
+    run for those wire paths of the vendored protobuf mini-runtime
+    (every call crosses the JVM state-server socket)."""
+
+    def __init__(self, recent_k: int = PROFILE_RECENT_K):
+        self._k = recent_k
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._counts = handle.getMapState(
+            "type_counts", "event_type string", "n long"
+        )
+        self._recent = handle.getListState("recent_vals", "ts long, v double")
+
+    def handleInputRows(self, key, rows, timer_values):  # noqa: ANN001
+        batch = pd.concat(list(rows), ignore_index=True)
+        if batch.empty:
+            return
+        batch = batch.sort_values("ts", kind="mergesort", ignore_index=True)
+
+        # list state: append this batch's (ts, value), trim to last k
+        self._recent.appendList(
+            [
+                (int(t), float(v))
+                for t, v in zip(batch["ts"], batch["value"])
+            ]
+        )
+        vals = sorted(self._recent.get(), key=lambda r: (int(r[0]),))
+        kept = vals[-self._k :]
+        self._recent.put([(int(t), float(v)) for t, v in kept])
+        recent_mean = float(sum(v for _t, v in kept)) / len(kept)
+
+        # map state: bump per-type counts touched by this batch
+        touched: dict[str, int] = {}
+        for etype, cnt in batch.groupby("event_type").size().items():
+            cur = (
+                int(self._counts.getValue((etype,))[0])
+                if self._counts.containsKey((etype,))
+                else 0
+            )
+            self._counts.updateValue((etype,), (cur + int(cnt),))
+            touched[etype] = cur + int(cnt)
+
+        # values() iterates the full map through the state server
+        n_total = sum(int(v[0]) for v in self._counts.values())
+        yield pd.DataFrame(
+            {
+                "user_id": [int(key[0])] * len(touched),
+                "event_type": list(touched),
+                "n_events": list(touched.values()),
+                "n_total": [n_total] * len(touched),
+                "recent_mean": [recent_mean] * len(touched),
+            }
+        )
+
+
+def streaming_user_profiles(
+    events: DataFrame, recent_k: int = PROFILE_RECENT_K
+) -> DataFrame:
+    """Per-user incremental profile features over a STREAMING events
+    frame (user_id long, event_type string, value double, ts long).
+    Same platform contract as :func:`streaming_trajectory_speeds_v2`."""
+    from .state import ROCKSDB_PROVIDER, configure_state_store
+
+    provider = configure_state_store(events.sparkSession)
+    if provider != ROCKSDB_PROVIDER or not transform_with_state_available(
+        events.sparkSession
+    ):
+        raise RuntimeError(
+            "transformWithState requires the RocksDB state store and "
+            "google.protobuf in the Python workers"
+        )
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=UserProfileProcessor(recent_k),
+        outputStructType=PROFILE_OUTPUT_SCHEMA,
+        outputMode="append",
+        timeMode="none",
+    )
+
+
+__all__ += [
+    "UserProfileProcessor",
+    "streaming_user_profiles",
+    "PROFILE_OUTPUT_SCHEMA",
+]

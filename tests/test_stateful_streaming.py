@@ -938,3 +938,91 @@ def test_streaming_hll_registers_match_batch_state(spark, tmp_path):
     ).collect()[0]
     assert est_stream.est_distinct == est_batch.est_distinct
     assert est_stream.register_sum == est_batch.register_sum
+
+
+def test_tws_user_profiles_list_and_map_state_end_to_end(spark, tmp_path):
+    """TWS list+map typed state across micro-batches — also the shim
+    conformance run for the ListState/MapState wire messages (every
+    appendList/put/getValue/updateValue/values call crosses the state
+    server socket). Latest row per (user, type) must match the batch
+    recompute over the union."""
+    import pytest
+
+    from kyiv_traffic_bigdata_spark.streaming.stateful import (
+        PROFILE_RECENT_K,
+        streaming_user_profiles,
+        transform_with_state_available,
+    )
+
+    if not transform_with_state_available(spark):
+        pytest.skip("transformWithStateInPandas unavailable on this platform")
+
+    src = tmp_path / "src"
+    src.mkdir()
+
+    def write(name, rows):
+        (src / name).write_text(
+            "\n".join(
+                json.dumps(
+                    dict(zip(("user_id", "event_type", "value", "ts"), r))
+                )
+                for r in rows
+            )
+        )
+
+    b1 = [(1, "click", 10.0, 100), (1, "view", 20.0, 200), (2, "click", 5.0, 150)]
+    b2 = [(1, "click", 30.0, 300), (1, "click", 40.0, 400), (2, "buy", 7.0, 250)]
+    write("b1.json", b1)
+    stream = spark.readStream.schema(
+        "user_id long, event_type string, value double, ts long"
+    ).json(str(src))
+    q = (
+        streaming_user_profiles(stream)
+        .writeStream.format("memory")
+        .queryName("profiles")
+        .option("checkpointLocation", str(tmp_path / "ckpt_prof"))
+        .outputMode("append")
+        .trigger(processingTime="1 seconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 90
+        while time.time() < deadline:
+            if spark.sql("SELECT * FROM profiles").count() >= 3:
+                break
+            time.sleep(0.5)
+        write("b2.json", b2)
+        # batch 2 touches (1, click) and (2, buy) -> 2 more rows
+        while time.time() < deadline:
+            if spark.sql("SELECT * FROM profiles").count() >= 5:
+                break
+            time.sleep(0.5)
+        rows = spark.sql("SELECT * FROM profiles").collect()
+    finally:
+        q.stop()
+
+    # latest state per (user, type) = row with the max n_events
+    latest = {}
+    for r in rows:
+        k = (r.user_id, r.event_type)
+        if k not in latest or r.n_events > latest[k].n_events:
+            latest[k] = r
+
+    # batch recompute over the union
+    events = b1 + b2
+    for (u, t), want in {
+        (1, "click"): 3, (1, "view"): 1, (2, "click"): 1, (2, "buy"): 1,
+    }.items():
+        assert latest[(u, t)].n_events == want, (u, t)
+    assert latest[(1, "click")].n_total == 4
+    assert latest[(2, "buy")].n_total == 2
+
+    def recent_mean(u):
+        vals = sorted(
+            ((ts, v) for uu, _t, v, ts in events if uu == u),
+            key=lambda x: x[0],
+        )[-PROFILE_RECENT_K:]
+        return sum(v for _ts, v in vals) / len(vals)
+
+    assert abs(latest[(1, "click")].recent_mean - recent_mean(1)) < 1e-9
+    assert abs(latest[(2, "buy")].recent_mean - recent_mean(2)) < 1e-9
