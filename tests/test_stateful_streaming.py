@@ -1026,3 +1026,58 @@ def test_tws_user_profiles_list_and_map_state_end_to_end(spark, tmp_path):
 
     assert abs(latest[(1, "click")].recent_mean - recent_mean(1)) < 1e-9
     assert abs(latest[(2, "buy")].recent_mean - recent_mean(2)) < 1e-9
+
+
+def test_tws_timer_flush_end_to_end(spark, tmp_path):
+    """TWS processing-time timers: counts buffer in state and emit only
+    when the per-key timer fires — also the shim conformance run for
+    the timer wire messages (register/list/delete + the expired-timer
+    response stream). The flush emissions must partition the input:
+    their sum equals the rows written for the key."""
+    import pytest
+
+    from kyiv_traffic_bigdata_spark.streaming.stateful import (
+        streaming_idle_flush,
+        transform_with_state_available,
+    )
+
+    if not transform_with_state_available(spark):
+        pytest.skip("transformWithStateInPandas unavailable on this platform")
+
+    src = tmp_path / "src"
+    src.mkdir()
+
+    def write(name, rows):
+        (src / name).write_text(
+            "\n".join(json.dumps({"user_id": u, "v": v}) for u, v in rows)
+        )
+
+    write("b1.json", [(1, 10), (1, 11), (1, 12)])
+    stream = spark.readStream.schema("user_id long, v long").json(str(src))
+    q = (
+        streaming_idle_flush(stream)
+        .writeStream.format("memory")
+        .queryName("flush_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt_flush"))
+        .outputMode("append")
+        .trigger(processingTime="1 seconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 90
+        beat = 0
+        flushed = 0
+        while time.time() < deadline:
+            rows = spark.sql(
+                "SELECT * FROM flush_out WHERE user_id = 1"
+            ).collect()
+            flushed = sum(r.n_flushed for r in rows)
+            if flushed >= 3:
+                break
+            # keep micro-batches coming so the armed timer gets processed
+            beat += 1
+            write(f"beat{beat}.json", [(2, beat)])
+            time.sleep(1.0)
+        assert flushed == 3, f"timer flushes sum {flushed}, want 3"
+    finally:
+        q.stop()
