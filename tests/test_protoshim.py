@@ -163,3 +163,78 @@ def test_unsupported_field_type_rejected_at_bootstrap():
     )
     with pytest.raises(mr.DecodeError, match="outside"):
         mr.parse_file_descriptor(fdp)
+
+
+# ---------------------------------------------------------------------------
+# Property tests: encode/decode round-trip over randomized messages
+# ---------------------------------------------------------------------------
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _HAVE_HYP = True
+except Exception:  # noqa: BLE001 - hypothesis is baked in, but stay import-safe
+    _HAVE_HYP = False
+
+
+if _HAVE_HYP:
+    int64s = st.integers(min_value=-(2**63), max_value=2**63 - 1)
+    int32s = st.integers(min_value=-(2**31), max_value=2**31 - 1)
+
+    @st.composite
+    def state_call_commands(draw):
+        cmd = sm.StateCallCommand()
+        if draw(st.booleans()):
+            cmd.stateName = draw(st.text(max_size=20))
+        if draw(st.booleans()):
+            cmd.schema = draw(st.text(max_size=40))
+        if draw(st.booleans()):
+            cmd.ttl.durationMs = draw(int64s)
+        return cmd
+
+    @settings(max_examples=200, deadline=None)
+    @given(state_call_commands())
+    def test_roundtrip_property_state_call_command(cmd):
+        back = sm.StateCallCommand()
+        back.ParseFromString(cmd.SerializeToString())
+        assert back == cmd
+        # and re-encoding is byte-stable (canonical form)
+        assert back.SerializeToString() == cmd.SerializeToString()
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.integers(min_value=-(2**31), max_value=2**31 - 1),
+        st.text(max_size=50),
+        st.binary(max_size=60),
+    )
+    def test_roundtrip_property_state_response(code, msg, val):
+        r = sm.StateResponse(statusCode=code, errorMessage=msg, value=val)
+        back = sm.StateResponse()
+        back.ParseFromString(r.SerializeToString())
+        assert (back.statusCode, back.errorMessage, back.value) == (
+            code,
+            msg,
+            val,
+        )
+
+    @settings(max_examples=100, deadline=None)
+    @given(st.lists(st.tuples(st.binary(max_size=20), st.binary(max_size=20)),
+                    max_size=10),
+           st.booleans())
+    def test_roundtrip_property_map_iterator_response(pairs, fetch_more):
+        r = sm.StateResponseWithMapIterator(requireNextFetch=fetch_more)
+        for k, v in pairs:
+            r.kvPair.add(key=k, value=v)
+        back = sm.StateResponseWithMapIterator()
+        back.ParseFromString(r.SerializeToString())
+        assert [(p.key, p.value) for p in back.kvPair] == pairs
+        assert back.requireNextFetch == fetch_more
+
+    @settings(max_examples=200, deadline=None)
+    @given(int64s)
+    def test_roundtrip_property_timer_sign_extension(ts):
+        t = sm.RegisterTimer(expiryTimestampMs=ts)
+        back = sm.RegisterTimer()
+        back.ParseFromString(t.SerializeToString())
+        assert back.expiryTimestampMs == ts
