@@ -8999,6 +8999,191 @@ FROM j GROUP BY doc_id
 """
 
 
+#: hard negatives mined per anchor vector.
+HARDNEG_K = 5
+
+
+def q_emb_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each anchor
+    vector, the top-5 most cosine-similar vectors with a DIFFERENT
+    label — the near-miss pairs that make embedding-model training data
+    actually hard (random negatives are trivially separable). The
+    anchor set is the same bounded probe set as cosine_topk.
+
+    Scale shape: identical to the exact-ANN baseline — broadcast the
+    k-row anchor matrix, score corpus rows in one codegen'd pass (the
+    label-mismatch predicate rides the join condition, so same-label
+    rows never reach ranking), and take top-k per anchor with the
+    shared rank convention (raw sim desc, id tiebreak; rounded on
+    output)."""
+    from .functions.vector import dot, norm
+    from .operators.topk import top_k_per_group
+
+    emb = _emb(spark, sf_dir)
+    a = emb.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("query_label"),
+        F.col("embedding").alias("qvec"),
+        norm(F.col("embedding")).alias("_qn"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("neighbor_label"),
+        F.col("embedding").alias("cvec"),
+        norm(F.col("embedding")).alias("_cn"),
+    )
+    denom = F.col("_qn") * F.col("_cn")
+    sim = F.when(denom == 0, F.lit(0.0)).otherwise(
+        dot(F.col("qvec"), F.col("cvec")) / denom
+    )
+    scored = c.join(
+        F.broadcast(a), F.col("query_label") != F.col("neighbor_label")
+    ).select(
+        "query_id",
+        F.col("query_label").cast("long").alias("query_label"),
+        "neighbor_id",
+        F.col("neighbor_label").cast("long").alias("neighbor_label"),
+        sim.alias("_sim"),
+    )
+    ranked = top_k_per_group(
+        scored,
+        ["query_id"],
+        [F.col("_sim").desc(), F.col("neighbor_id").asc()],
+        HARDNEG_K,
+    )
+    return ranked.select(
+        "query_id",
+        "query_label",
+        "neighbor_id",
+        "neighbor_label",
+        F.round(F.col("_sim"), 6).alias("cosine_sim"),
+    )
+
+
+SQL_EMB_HARD_NEGATIVES = f"""
+WITH qe AS (
+  SELECT vec_id AS qid, label AS qlabel, generate_subscripts(embedding, 1) AS i,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings WHERE vec_id % 50 = 0
+),
+ce AS (
+  SELECT vec_id AS nid, label AS nlabel, generate_subscripts(embedding, 1) AS i,
+         CAST(unnest(embedding) AS DOUBLE) AS y
+  FROM embeddings
+),
+norms AS (SELECT nid, SUM(y * y) AS n2 FROM ce GROUP BY nid),
+dots AS (
+  SELECT qid, ANY_VALUE(qlabel) AS qlabel, nid, ANY_VALUE(nlabel) AS nlabel,
+         SUM(x * y) AS d
+  FROM qe JOIN ce USING (i) GROUP BY qid, nid
+),
+cos AS (
+  SELECT qid, qlabel, dots.nid AS nid, nlabel,
+         CASE WHEN sqrt(nq.n2) * sqrt(nc.n2) = 0 THEN 0.0
+              ELSE d / (sqrt(nq.n2) * sqrt(nc.n2)) END AS sim
+  FROM dots
+  JOIN norms nq ON nq.nid = dots.qid
+  JOIN norms nc ON nc.nid = dots.nid
+  WHERE qlabel != nlabel
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid ASC) AS rn
+  FROM cos
+)
+SELECT qid AS query_id, CAST(qlabel AS BIGINT) AS query_label,
+       nid AS neighbor_id, CAST(nlabel AS BIGINT) AS neighbor_label,
+       round(sim, 6) AS cosine_sim
+FROM ranked WHERE rn <= {HARDNEG_K}
+"""
+
+
+#: z-score flag threshold for embedding outliers.
+EMB_OUTLIER_Z = 2.0
+
+
+def q_emb_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding outlier detection for data cleaning: per-label centroid
+    (decimal-stable per-dimension means), each vector's L2 distance to
+    its label centroid, and the within-label z-score of that distance —
+    vectors beyond z > 2 are mislabeled/corrupt candidates a curation
+    pass reviews before training.
+
+    Scale shape: one posexplode → per-(label, dim) decimal aggregate
+    (the centroid table is labels × dims, broadcast-sized by
+    construction), one equi-join back on (label, dim) with a per-vector
+    decimal distance aggregate, then a per-label moment aggregate
+    (count/mean/E[d²], also decimal) joined back — every float sum in
+    the chain is order-independent, so both engines produce identical
+    doubles before the final rounding."""
+    emb = _emb(spark, sf_dir).select(
+        "vec_id",
+        F.col("label").cast("long").alias("label"),
+        F.posexplode(F.col("embedding")).alias("i", "x"),
+    ).withColumn("x", F.col("x").cast("double"))
+    centroids = emb.groupBy("label", "i").agg(
+        stable_avg("x").alias("c")
+    )
+    dists = (
+        emb.join(centroids, ["label", "i"])
+        .groupBy("vec_id", "label")
+        .agg(
+            F.sqrt(
+                F.sum(dec((F.col("x") - F.col("c")) * (F.col("x") - F.col("c"))))
+                .cast("double")
+            ).alias("_d")
+        )
+    )
+    moments = dists.groupBy("label").agg(
+        F.count(F.lit(1)).alias("_n"),
+        stable_avg("_d").alias("_mu"),
+        (F.sum(dec(F.col("_d") * F.col("_d"))).cast("double") / F.count(F.lit(1))).alias("_ex2"),
+    )
+    z = (F.col("_d") - F.col("_mu")) / F.sqrt(
+        F.col("_ex2") - F.col("_mu") * F.col("_mu")
+    )
+    return (
+        dists.join(moments, "label")
+        .select(
+            "vec_id",
+            "label",
+            round6(F.col("_d")).alias("centroid_dist"),
+            round6(z).alias("z_score"),
+            (z > EMB_OUTLIER_Z).alias("is_outlier"),
+        )
+    )
+
+
+def _sql_emb_outliers() -> str:
+    return f"""
+WITH e AS (
+  SELECT vec_id, CAST(label AS BIGINT) AS label,
+         generate_subscripts(embedding, 1) AS i,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings
+),
+cent AS (
+  SELECT label, i, {_ssum('x')} / COUNT(x) AS c
+  FROM e GROUP BY label, i
+),
+dists AS (
+  SELECT vec_id, e.label,
+         sqrt({_ssum('(x - c) * (x - c)')}) AS d
+  FROM e JOIN cent ON cent.label = e.label AND cent.i = e.i
+  GROUP BY vec_id, e.label
+),
+mom AS (
+  SELECT label, COUNT(*) AS n, {_ssum('d')} / COUNT(*) AS mu,
+         {_ssum('d * d')} / COUNT(*) AS ex2
+  FROM dists GROUP BY label
+)
+SELECT vec_id, dists.label,
+       {SQL_ROUND6.format(x='d')} AS centroid_dist,
+       {SQL_ROUND6.format(x='(d - mu) / sqrt(ex2 - mu * mu)')} AS z_score,
+       ((d - mu) / sqrt(ex2 - mu * mu) > {EMB_OUTLIER_Z}) AS is_outlier
+FROM dists JOIN mom USING (label)
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -9029,18 +9214,20 @@ QUERIES: dict[str, QueryFn] = {
     # taking the head; the 4 r05 slots they displace sit first in the
     # staged section below (ties across the boundary are allowed — the
     # r05 cohort is larger than the window).
-    # (a) the 4 r08 additions, ledger 0;
+    # (a) the 6 r08 additions, ledger 0;
     "user_hll_sketch": q_user_hll_sketch,
     "doc_ngram_contamination": q_doc_ngram_contamination,
     "emb_mrl_recall": q_emb_mrl_recall,
     "doc_dsir_weights": q_doc_dsir_weights,
+    "emb_hard_negatives": q_emb_hard_negatives,
+    "emb_outliers": q_emb_outliers,
     # (b) the 5 r04-stale TPC-H shapes parked out of the r07 window;
     "promo_revenue": q_promo_revenue,
     "returned_items": q_returned_items,
     "shipping_priority": q_shipping_priority,
     "small_quantity_revenue": q_small_quantity_revenue,
     "top_revenue_supplier": q_top_revenue_supplier,
-    # (c) the 41 stalest r05-evidence queries, prior-registry order.
+    # (c) the 39 stalest r05-evidence queries, prior-registry order.
     "doc_url_normalize": q_doc_url_normalize,
     "doc_mixture_weights": q_doc_mixture_weights,
     "doc_html_extract": q_doc_html_extract,
@@ -9080,8 +9267,6 @@ QUERIES: dict[str, QueryFn] = {
     "user_session_windows": q_user_session_windows,
     "event_retention": q_event_retention,
     "moving_event_stats": q_moving_event_stats,
-    "event_props_stats": q_event_props_stats,
-    "event_type_pivot": q_event_type_pivot,
     # ---- slots above are inside the driver's 50-query verification
     # window; everything below holds an r05/r06/r07 driver-green row and
     # rides the driver-faithful local replica until its next rotation.
@@ -9090,7 +9275,9 @@ QUERIES: dict[str, QueryFn] = {
     # it from the ledger either way). ----
     # flagship (r06 hash-green; driver smoke-checks entry() every round)
     "geo_trajectory": q_geo_trajectory,
-    # r05 driver-green (the 4 displaced by the r08 additions lead)
+    # r05 driver-green (the 6 displaced by the r08 additions lead)
+    "event_props_stats": q_event_props_stats,
+    "event_type_pivot": q_event_type_pivot,
     "value_buckets": q_value_buckets,
     "dedup_events": q_dedup_events,
     "top_customers": q_top_customers,
@@ -9218,6 +9405,8 @@ def build_oracles() -> dict[str, str]:
         "doc_ngram_contamination": _sql_doc_ngram_contamination(),
         "emb_mrl_recall": _sql_emb_mrl_recall(),
         "doc_dsir_weights": _sql_doc_dsir_weights(),
+        "emb_hard_negatives": SQL_EMB_HARD_NEGATIVES,
+        "emb_outliers": _sql_emb_outliers(),
         "min_cost_supplier": SQL_MIN_COST_SUPPLIER,
         "important_part_value": SQL_IMPORTANT_PART_VALUE,
         "late_shipment_priority": SQL_LATE_SHIPMENT_PRIORITY,

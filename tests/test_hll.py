@@ -98,3 +98,42 @@ def test_contamination_flags_cross_split_neardups(spark, sf_dir):
     # ground truth from the probe run recorded in the query docstring:
     # at every shipped sf, >= 1 train doc overlaps the benchmark split
     assert any(r.n_contaminated > 0 for r in rows)
+
+
+def test_hard_negatives_labels_differ_and_k_bounded(spark, sf_dir):
+    """Every mined pair must cross labels (that's what makes it a
+    negative) and each anchor yields at most k rows with sims in
+    [-1, 1]."""
+    from kyiv_traffic_bigdata_spark.queries import HARDNEG_K
+
+    rows = QUERIES["emb_hard_negatives"](spark, sf_dir).collect()
+    assert rows
+    per_anchor = {}
+    for r in rows:
+        assert r.query_label != r.neighbor_label
+        assert -1.000001 <= r.cosine_sim <= 1.000001
+        per_anchor[r.query_id] = per_anchor.get(r.query_id, 0) + 1
+    assert all(n <= HARDNEG_K for n in per_anchor.values())
+
+
+def test_emb_outliers_zscores_are_standardized(spark, sf_dir):
+    """Per label: the z-scores must average ~0 with variance ~1 (they
+    are standardized within the label), and flags must agree with the
+    threshold."""
+    from collections import defaultdict
+
+    from kyiv_traffic_bigdata_spark.queries import EMB_OUTLIER_Z
+
+    rows = QUERIES["emb_outliers"](spark, sf_dir).collect()
+    assert rows
+    by_label = defaultdict(list)
+    for r in rows:
+        assert r.is_outlier == (r.z_score > EMB_OUTLIER_Z) or abs(
+            r.z_score - EMB_OUTLIER_Z
+        ) < 1e-6
+        by_label[r.label].append(r.z_score)
+    for zs in by_label.values():
+        mu = sum(zs) / len(zs)
+        var = sum(z * z for z in zs) / len(zs) - mu * mu
+        assert abs(mu) < 1e-3
+        assert abs(var - 1.0) < 1e-2
