@@ -8944,7 +8944,12 @@ def q_doc_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     totals = c_s.agg(
         F.sum("c_s").alias("_n_s"), F.count(F.lit(1)).alias("_v")
     ).crossJoin(
-        tf.where(F.col("lang") == "en").agg(F.sum("tf").alias("_n_t"))
+        # coalesce mirrors the oracle's COALESCE(SUM, 0): an empty
+        # target subcorpus degrades to a pure source-LM penalty, not
+        # NULL weights
+        tf.where(F.col("lang") == "en").agg(
+            F.coalesce(F.sum("tf"), F.lit(0)).alias("_n_t")
+        )
     )
     j = (
         tf.join(c_s, "term")
