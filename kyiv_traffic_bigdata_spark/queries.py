@@ -1010,6 +1010,13 @@ def q_sales_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# NB (here and in SQL_CUBE / SQL_DOC_DATA_CARD): the HAVING guard only
+# matters for EMPTY input — the SQL standard's ROLLUP/CUBE emit a
+# count-0 grand-total row over zero rows, while Spark's rollup()/cube()
+# emit nothing; the guard pins the oracle to engine behavior so the
+# empty-corpus differential (tests/test_empty_inputs.py) holds. On any
+# non-empty input every emitted group has COUNT >= 1 and the guard is
+# a no-op.
 SQL_ROLLUP = f"""
 SELECT r_name, n_name, {_ssum('o_totalprice')} AS revenue,
        CAST(COUNT(*) AS BIGINT) AS n_orders
@@ -1018,6 +1025,7 @@ JOIN customer ON o_custkey = c_custkey
 JOIN nation ON c_nationkey = n_nationkey
 JOIN region ON n_regionkey = r_regionkey
 GROUP BY ROLLUP(r_name, n_name)
+HAVING COUNT(*) > 0
 """
 
 
@@ -1113,6 +1121,7 @@ SELECT CAST(grouping(l_returnflag, l_linestatus) AS BIGINT) AS gid,
        {_ssum('l_extendedprice')} AS sum_price,
        CAST(COUNT(*) AS BIGINT) AS n_items
 FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+HAVING COUNT(*) > 0
 """
 
 
@@ -2497,9 +2506,13 @@ def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         "step",
         "stage",
         "users",
-        round6(F.col("users").cast("double") / F.col("_base")).alias(
-            "conversion"
-        ),
+        # greatest(base, 1): an events table with no view events still
+        # reports the 3 funnel stages — conversion 0, not a
+        # divide-by-zero abort (ANSI mode) on the 0-user base
+        round6(
+            F.col("users").cast("double")
+            / F.greatest(F.col("_base"), F.lit(1)).cast("double")
+        ).alias("conversion"),
     )
 
 
@@ -2531,6 +2544,7 @@ SELECT source, lang,
        CAST(SUM(len({_toks('text')})) AS BIGINT) AS total_tokens,
        (floor((CAST(SUM(n_chars) AS DOUBLE) / COUNT(*)) * 1000000.0 + 0.5) / 1000000.0) AS avg_chars
 FROM documents GROUP BY ROLLUP(source, lang)
+HAVING COUNT(*) > 0
 """
 
 
@@ -2560,7 +2574,7 @@ n AS (
   SELECT 3, 'purchase_after_click', (SELECT COUNT(*) FROM p)
 )
 SELECT step, stage, users,
-       (floor((CAST(users AS DOUBLE) / (SELECT COUNT(*) FROM v)) * 1000000.0 + 0.5) / 1000000.0) AS conversion
+       (floor((CAST(users AS DOUBLE) / (SELECT GREATEST(COUNT(*), 1) FROM v)) * 1000000.0 + 0.5) / 1000000.0) AS conversion
 FROM n
 """
 
@@ -5943,6 +5957,7 @@ SELECT CAST(n_keys AS BIGINT) AS n_keys, total_rows,
        max_per_key,
        {SQL_ROUND6.format(x="max_per_key * CAST(n_keys AS DOUBLE) / CAST(total_rows AS DOUBLE)")} AS skew_max_over_mean
 FROM t CROSS JOIN q
+WHERE total_rows IS NOT NULL
 """
 
 
@@ -6196,28 +6211,25 @@ def q_bloom_join_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("ck", "_pass", F.col("_m").isNotNull().alias("_true"))
     )
+    def czsum(cond):
+        # coalesce: SUM over an empty probe frame is NULL — the audit
+        # of an empty dimension must report clean 0s like the oracle's
+        # COUNT-based cells (same rule as fk_integrity_audit)
+        return F.coalesce(F.sum(F.when(cond, 1).otherwise(0)), F.lit(0))
+
     return flags.agg(
         F.count(F.lit(1)).cast("long").alias("n_customers"),
-        F.sum(F.when(F.col("_true"), 1).otherwise(0))
-        .cast("long")
-        .alias("n_with_orders"),
-        F.sum(F.when(F.col("_pass"), 1).otherwise(0))
-        .cast("long")
-        .alias("n_bloom_pass"),
-        F.sum(F.when(F.col("_pass") & ~F.col("_true"), 1).otherwise(0))
+        czsum(F.col("_true")).cast("long").alias("n_with_orders"),
+        czsum(F.col("_pass")).cast("long").alias("n_bloom_pass"),
+        czsum(F.col("_pass") & ~F.col("_true"))
         .cast("long")
         .alias("n_false_positives"),
-        F.sum(F.when(F.col("_true") & ~F.col("_pass"), 1).otherwise(0))
+        czsum(F.col("_true") & ~F.col("_pass"))
         .cast("long")
         .alias("n_false_negatives"),
         round6(
-            F.sum(
-                F.when(F.col("_pass") & ~F.col("_true"), 1).otherwise(0)
-            ).cast("double")
-            / F.greatest(
-                F.sum(F.when(~F.col("_true"), 1).otherwise(0)).cast("double"),
-                F.lit(1.0),
-            )
+            czsum(F.col("_pass") & ~F.col("_true")).cast("double")
+            / F.greatest(czsum(~F.col("_true")).cast("double"), F.lit(1.0))
         ).alias("fp_rate"),
     )
 
@@ -6443,7 +6455,7 @@ def _sql_fk_integrity_audit() -> str:
         parts.append(f"""
 SELECT '{label}' AS relation,
        (SELECT CAST(COUNT(*) AS BIGINT) FROM {child}) AS n_rows,
-       (SELECT CAST(SUM(CASE WHEN {ckey} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+       (SELECT CAST(COALESCE(SUM(CASE WHEN {ckey} IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT)
         FROM {child}) AS n_null_keys,
        (SELECT CAST(COUNT(*) AS BIGINT) FROM {child} c
         WHERE c.{ckey} IS NOT NULL
