@@ -1,0 +1,105 @@
+"""Measure how headline queries scale from sf0.1 to a k×-derived scale.
+
+Runs a curated query set at the source scale and at the
+tools/scaleup.py-derived k× scale, best-of-N each, and reports the
+runtime ratio next to k. A ratio ≤ ~k is the pass bar on local[32]
+(fixed parallelism: a perfectly linear operator costs k× the wall
+time); materially above k means superlinear work — the thing the plan
+tests argue can't happen, now measured.
+
+Excluded on purpose (documented in tools/scaleup.py): pair-producing
+dedup queries (the salted copies form k-way near-dup families, so their
+OUTPUT grows ~k²/2 by construction — correct behavior, not a timing
+signal) and ANN/embedding-similarity queries (k identical copies of
+each vector change the neighbor structure). The curve measures engine
+scaling, so every included query's output semantics are scale-stable.
+
+Usage: python tools/scaling_curve.py [k] [src_dir] [scaled_dir]
+Writes one JSON line per query to stdout and a summary to stderr.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import json
+import time
+
+#: scale-stable headliners: TPC-H shapes, event analytics, map-only or
+#: join-bounded doc/text queries, and the sketch family.
+CURVE_QUERIES = [
+    "pricing_summary",
+    "top_parts",
+    "min_cost_supplier",
+    "important_part_value",
+    "salted_supplier_stats",
+    "sales_cube",
+    "orders_profile",
+    "fk_integrity_audit",
+    "join_skew_profile",
+    "order_price_quantiles",
+    "top_customers",
+    "promo_revenue",
+    "hourly_event_stats",
+    "user_sessions",
+    "event_funnel",
+    "latest_event_per_user",
+    "user_hll_sketch",
+    "event_top_paths",
+    "user_distinct_sketch",
+    "event_cms_heavy_hitters",
+    "doc_gopher_quality",
+    "doc_tfidf_terms",
+    "doc_unigram_logprob",
+    "doc_hash_sample",
+    "doc_chunks",
+]
+
+
+def time_query(fn, spark, sf_dir: str, runs: int = 2) -> float:
+    best = float("inf")
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def main() -> None:
+    from kyiv_traffic_bigdata_spark.queries import QUERIES
+    from kyiv_traffic_bigdata_spark.session import get_spark
+
+    k = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    src = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+    scaled = sys.argv[3] if len(sys.argv) > 3 else f"/tmp/sf_scaled_x{k}"
+    spark = get_spark("scaling_curve")
+    rows = []
+    for name in CURVE_QUERIES:
+        fn = QUERIES[name]
+        t_base = time_query(fn, spark, src)
+        t_scaled = time_query(fn, spark, scaled)
+        ratio = t_scaled / t_base if t_base > 0 else float("inf")
+        row = {
+            "query": name,
+            "t_base_s": round(t_base, 3),
+            "t_scaled_s": round(t_scaled, 3),
+            "ratio": round(ratio, 2),
+            "k": k,
+        }
+        rows.append(row)
+        print(json.dumps(row))
+        sys.stdout.flush()
+    worst = sorted(rows, key=lambda r: -r["ratio"])[:5]
+    print(
+        f"# {len(rows)} queries, k={k}; worst ratios: "
+        + ", ".join(f"{r['query']}={r['ratio']}" for r in worst),
+        file=sys.stderr,
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
