@@ -1697,12 +1697,80 @@ GROUP BY vec_id, label
 
 
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed approximate NN (scale path; recall asserted in tests).
-    No SQL oracle — approximation is engine-defined; driver records a
-    rows-only check and pytest compares recall against the exact baseline."""
+    """LSH-bucketed approximate NN (scale path; recall asserted in
+    tests AGAINST the exact baseline, correctness asserted against a
+    full SQL oracle): the hyperplanes are deterministic md5-derived
+    constants (functions.vector.plane_coefficients), so the whole
+    approximate pipeline — signature, bucket blocking, multiprobe
+    bit-flips, in-bucket rerank — is reproducible in DuckDB from the
+    same plane table. The oracle shares only those constants; the
+    bucketing/candidate/rerank computation is independent, which is
+    what the differential actually checks."""
     emb = _emb(spark, sf_dir)
     q = emb.where(F.col("vec_id") % 50 == 0)
     return SIM.ann_lsh_topk(q, emb, k=10)
+
+
+def _sql_ann_lsh() -> str:
+    from .functions.vector import plane_coefficients
+
+    dim, n_planes, k = 64, 4, 10  # ann_lsh_topk defaults
+    planes = plane_coefficients(dim, n_planes, "rp")
+    rows = ", ".join(
+        f"({p}, {i + 1}, {c!r})"
+        for p, row in enumerate(planes)
+        for i, c in enumerate(row)
+    )
+    flips = [
+        f"SELECT qid, substr(sig, 1, {i}) || "
+        f"(CASE WHEN substr(sig, {i + 1}, 1) = '1' THEN '0' ELSE '1' END)"
+        f" || substr(sig, {i + 2}, {n_planes - i - 1}) AS bucket FROM qsig"
+        for i in range(n_planes)
+    ]
+    probes = " UNION ALL ".join(
+        ["SELECT qid, sig AS bucket FROM qsig", *flips]
+    )
+    return f"""
+WITH planes(p, i, c) AS (VALUES {rows}),
+e AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+             CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
+dots AS (SELECT vec_id, p, SUM(x * c) AS d
+         FROM e JOIN planes USING (i) GROUP BY vec_id, p),
+sig AS (SELECT vec_id,
+               string_agg(CASE WHEN d >= 0 THEN '1' ELSE '0' END, ''
+                          ORDER BY p) AS sig
+        FROM dots GROUP BY vec_id),
+qsig AS (SELECT vec_id AS qid, sig FROM sig WHERE vec_id % 50 = 0),
+probes AS (SELECT DISTINCT qid, bucket FROM ({probes})),
+cand AS (
+  SELECT DISTINCT pr.qid, s.vec_id AS nid
+  FROM probes pr JOIN sig s ON s.sig = pr.bucket
+  WHERE s.vec_id != pr.qid
+),
+norms AS (SELECT vec_id, sqrt(SUM(x * x)) AS nn FROM e GROUP BY vec_id),
+pd AS (
+  SELECT cand.qid, cand.nid, SUM(qe.x * ce.x) AS d
+  FROM cand
+  JOIN e qe ON qe.vec_id = cand.qid
+  JOIN e ce ON ce.vec_id = cand.nid AND ce.i = qe.i
+  GROUP BY cand.qid, cand.nid
+),
+sims AS (
+  SELECT qid, nid,
+         CASE WHEN nq.nn * nc.nn = 0 THEN 0.0
+              ELSE d / (nq.nn * nc.nn) END AS sim
+  FROM pd
+  JOIN norms nq ON nq.vec_id = pd.qid
+  JOIN norms nc ON nc.vec_id = pd.nid
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY qid ORDER BY sim DESC, nid ASC) AS rn
+  FROM sims
+)
+SELECT qid AS query_id, nid AS neighbor_id, round(sim, 6) AS cosine_sim
+FROM ranked WHERE rn <= {k}
+"""
 
 
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -9231,20 +9299,23 @@ QUERIES: dict[str, QueryFn] = {
     # taking the head; the 4 r05 slots they displace sit first in the
     # staged section below (ties across the boundary are allowed — the
     # r05 cohort is larger than the window).
-    # (a) the 6 r08 additions, ledger 0;
+    # (a) the 7 r08 additions (ann_lsh newly ORACLED — its plane
+    #     constants are deterministic, so the approximate pipeline has
+    #     a full SQL twin after all), ledger 0;
     "user_hll_sketch": q_user_hll_sketch,
     "doc_ngram_contamination": q_doc_ngram_contamination,
     "emb_mrl_recall": q_emb_mrl_recall,
     "doc_dsir_weights": q_doc_dsir_weights,
     "emb_hard_negatives": q_emb_hard_negatives,
     "emb_outliers": q_emb_outliers,
+    "ann_lsh": q_ann_lsh,
     # (b) the 5 r04-stale TPC-H shapes parked out of the r07 window;
     "promo_revenue": q_promo_revenue,
     "returned_items": q_returned_items,
     "shipping_priority": q_shipping_priority,
     "small_quantity_revenue": q_small_quantity_revenue,
     "top_revenue_supplier": q_top_revenue_supplier,
-    # (c) the 39 stalest r05-evidence queries, prior-registry order.
+    # (c) the 38 stalest r05-evidence queries, prior-registry order.
     "doc_url_normalize": q_doc_url_normalize,
     "doc_mixture_weights": q_doc_mixture_weights,
     "doc_html_extract": q_doc_html_extract,
@@ -9283,7 +9354,6 @@ QUERIES: dict[str, QueryFn] = {
     "user_sessions": q_user_sessions,
     "user_session_windows": q_user_session_windows,
     "event_retention": q_event_retention,
-    "moving_event_stats": q_moving_event_stats,
     # ---- slots above are inside the driver's 50-query verification
     # window; everything below holds an r05/r06/r07 driver-green row and
     # rides the driver-faithful local replica until its next rotation.
@@ -9292,7 +9362,8 @@ QUERIES: dict[str, QueryFn] = {
     # it from the ledger either way). ----
     # flagship (r06 hash-green; driver smoke-checks entry() every round)
     "geo_trajectory": q_geo_trajectory,
-    # r05 driver-green (the 6 displaced by the r08 additions lead)
+    # r05 driver-green (the 7 displaced by the r08 additions lead)
+    "moving_event_stats": q_moving_event_stats,
     "event_props_stats": q_event_props_stats,
     "event_type_pivot": q_event_type_pivot,
     "value_buckets": q_value_buckets,
@@ -9408,7 +9479,6 @@ QUERIES: dict[str, QueryFn] = {
     # never occupy a driver verification slot (accuracy pinned by
     # recall/error tests, not a SQL twin) ----
     "approx_event_stats": q_approx_event_stats,
-    "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,
     "ann_pq": q_ann_pq,
     "emb_pca": q_emb_pca,
@@ -9424,6 +9494,7 @@ def build_oracles() -> dict[str, str]:
         "doc_dsir_weights": _sql_doc_dsir_weights(),
         "emb_hard_negatives": SQL_EMB_HARD_NEGATIVES,
         "emb_outliers": _sql_emb_outliers(),
+        "ann_lsh": _sql_ann_lsh(),
         "min_cost_supplier": SQL_MIN_COST_SUPPLIER,
         "important_part_value": SQL_IMPORTANT_PART_VALUE,
         "late_shipment_priority": SQL_LATE_SHIPMENT_PRIORITY,
