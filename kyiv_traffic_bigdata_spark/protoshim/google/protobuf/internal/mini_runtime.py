@@ -94,15 +94,18 @@ def _to_signed64(value: int) -> int:
 def _skip_field(data: bytes, pos: int, wire_type: int) -> int:
     if wire_type == _WIRE_VARINT:
         _, pos = read_varint(data, pos)
-        return pos
-    if wire_type == _WIRE_FIXED64:
-        return pos + 8
-    if wire_type == _WIRE_LEN:
+    elif wire_type == _WIRE_FIXED64:
+        pos += 8
+    elif wire_type == _WIRE_LEN:
         n, pos = read_varint(data, pos)
-        return pos + n
-    if wire_type == _WIRE_FIXED32:
-        return pos + 4
-    raise DecodeError(f"cannot skip wire type {wire_type}")
+        pos += n
+    elif wire_type == _WIRE_FIXED32:
+        pos += 4
+    else:
+        raise DecodeError(f"cannot skip wire type {wire_type}")
+    if pos > len(data):
+        raise DecodeError("truncated unknown field")
+    return pos
 
 
 class Error(Exception):

@@ -238,3 +238,14 @@ if _HAVE_HYP:
         back = sm.RegisterTimer()
         back.ParseFromString(t.SerializeToString())
         assert back.expiryTimestampMs == ts
+
+
+def test_truncated_unknown_field_raises():
+    """Unknown-field skipping must not silently run past the buffer: a
+    length-delimited unknown field claiming more bytes than remain is a
+    decode error, not a truncated-but-accepted message."""
+    mr = pytest.importorskip("google.protobuf.internal.mini_runtime")
+
+    back = sm.StateResponse()
+    with pytest.raises(mr.DecodeError):
+        back.ParseFromString(b"\x72\x0ax")  # unknown field 14 claims 10 bytes
