@@ -286,10 +286,14 @@ def _parse_raw(data: bytes, schema: dict) -> dict:
             out[name] = _to_signed64(value)
         elif kind == "string":
             n, pos = read_varint(data, pos)
+            if pos + n > len(data):
+                raise DecodeError(f"field {name}: truncated payload")
             out[name] = data[pos : pos + n].decode("utf-8")
             pos += n
         elif kind == "msg*":
             n, pos = read_varint(data, pos)
+            if pos + n > len(data):
+                raise DecodeError(f"field {name}: truncated payload")
             sub = _parse_raw(data[pos : pos + n], spec[2])
             pos += n
             out.setdefault(name, []).append(sub)
@@ -381,16 +385,51 @@ def _resolve_type_refs(fd: FileDescriptor) -> None:
 
 
 class RepeatedScalarFieldContainer(list):
-    """List with protobuf's container name; accepts extend/append."""
+    """List with protobuf's container name; accepts extend/append.
+
+    ``on_mutate`` fires once on the first append/extend so a container
+    owned by a lazily-attached oneof sub-message can commit its owner
+    (see :meth:`MiniMessage.__getattr__`)."""
+
+    def __init__(self, values=(), on_mutate=None):
+        super().__init__(values)
+        self._on_mutate = on_mutate
+
+    def _fire(self):
+        cb, self._on_mutate = self._on_mutate, None
+        if cb is not None:
+            cb()
+
+    def append(self, value):
+        super().append(value)
+        self._fire()
+
+    def extend(self, values):
+        super().extend(values)
+        self._fire()
 
     def add(self):  # pragma: no cover - scalar containers have no add()
         raise TypeError("add() only exists on composite containers")
 
 
 class RepeatedCompositeFieldContainer(list):
-    def __init__(self, message_class, values=()):
+    def __init__(self, message_class, values=(), on_mutate=None):
         super().__init__(values)
         self._message_class = message_class
+        self._on_mutate = on_mutate
+
+    def _fire(self):
+        cb, self._on_mutate = self._on_mutate, None
+        if cb is not None:
+            cb()
+
+    def append(self, value):
+        super().append(value)
+        self._fire()
+
+    def extend(self, values):
+        super().extend(values)
+        self._fire()
 
     def add(self, **kwargs):
         msg = self._message_class(**kwargs)
@@ -408,11 +447,12 @@ class MiniMessage:
 
     DESCRIPTOR: Descriptor = None  # set by make_message_class
 
-    __slots__ = ("_values", "_present")
+    __slots__ = ("_values", "_present", "_listener")
 
     def __init__(self, **kwargs):
         object.__setattr__(self, "_values", {})
         object.__setattr__(self, "_present", set())
+        object.__setattr__(self, "_listener", None)
         for name, value in kwargs.items():
             if value is None:
                 continue
@@ -446,12 +486,35 @@ class MiniMessage:
         if fd.type == TYPE_MESSAGE:
             if name not in values:
                 # documented deviation: attach on read so
-                # ``parent.child.field = x`` mutates the parent
-                values[name] = fd.message_type._concrete_class()
-                self._present.add(name)
-                self._clear_oneof_siblings(fd)
+                # ``parent.child.field = x`` mutates the parent. For a
+                # oneof member, presence-marking and sibling-clearing
+                # are DEFERRED until the attached child is actually
+                # written through (protobuf's listener semantics) — a
+                # pure read must never destroy the active sibling.
+                child = fd.message_type._concrete_class()
+                values[name] = child
+                if fd.containing_oneof is None:
+                    self._present.add(name)
+                    commit = self._mark_modified
+                else:
+                    def commit(self=self, name=name, fd=fd, child=child):
+                        # skip if the child was orphaned by a sibling
+                        # set between the read and this first write
+                        if self._values.get(name) is child:
+                            self._present.add(name)
+                            self._clear_oneof_siblings(fd)
+                            self._mark_modified()
+                object.__setattr__(child, "_listener", commit)
             return values[name]
         return values.get(name, fd.default())
+
+    def _mark_modified(self):
+        """Fire-once write-through hook: commits a lazily read-attached
+        sub-message into its parent (presence + oneof sibling clear)."""
+        listener = object.__getattribute__(self, "_listener")
+        if listener is not None:
+            object.__setattr__(self, "_listener", None)
+            listener()
 
     def __setattr__(self, name, value):
         fd = type(self).DESCRIPTOR.fields_by_name.get(name)
@@ -470,9 +533,10 @@ class MiniMessage:
     def _fresh_container(self, fd):
         if fd.type == TYPE_MESSAGE:
             return RepeatedCompositeFieldContainer(
-                fd.message_type._concrete_class
+                fd.message_type._concrete_class,
+                on_mutate=self._mark_modified,
             )
-        return RepeatedScalarFieldContainer()
+        return RepeatedScalarFieldContainer(on_mutate=self._mark_modified)
 
     def _repeated(self, fd):
         if fd.name not in self._values:
@@ -500,6 +564,7 @@ class MiniMessage:
         self._values[fd.name] = value
         self._present.add(fd.name)
         self._clear_oneof_siblings(fd)
+        self._mark_modified()
 
     def _clear_oneof_siblings(self, fd):
         if fd.containing_oneof is None:
@@ -630,6 +695,7 @@ class MiniMessage:
             self._values[fd.name] = value
             self._present.add(fd.name)
             self._clear_oneof_siblings(fd)
+        self._mark_modified()
 
     def ByteSize(self):  # noqa: N802
         return len(self.SerializeToString())

@@ -152,9 +152,9 @@ def test_unsupported_field_type_rejected_at_bootstrap():
     # message_type(field 4) -> DescriptorProto{name "M", field{name "d",
     # number 1, type 1=TYPE_DOUBLE}}
     fdp = (
-        b"\x22\x14"  # message_type, len 20
+        b"\x22\x13"  # message_type, len 19
         b"\x0a\x01M"  # name "M"
-        b"\x12\x0f"  # field, len 15
+        b"\x12\x0e"  # field, len 14
         b"\x0a\x01d"  # name "d"
         b"\x18\x01"  # number 1
         b"\x20\x01"  # label optional
@@ -249,3 +249,45 @@ def test_truncated_unknown_field_raises():
     back = sm.StateResponse()
     with pytest.raises(mr.DecodeError):
         back.ParseFromString(b"\x72\x0ax")  # unknown field 14 claims 10 bytes
+
+
+def test_reading_unset_oneof_member_preserves_active_sibling():
+    """A pure READ of an unset oneof message member must not destroy
+    the currently-set sibling: presence-marking and sibling-clearing
+    are deferred until the attached child is written through."""
+    call = sm.StatefulProcessorCall(
+        getValueState=sm.StateCallCommand(stateName="a")
+    )
+    child = call.getListState  # read-only inspection of the other member
+    assert child.stateName == ""  # default child, nothing set
+    assert call.WhichOneof("method") == "getValueState"
+    assert call.getValueState.stateName == "a"
+    # the read-attached child still commits on its FIRST write-through
+    child.stateName = "b"
+    assert call.WhichOneof("method") == "getListState"
+
+
+def test_orphaned_read_attached_oneof_child_does_not_resurrect():
+    """Read member A (unset), set sibling B, then write through the
+    orphaned A child: the parent must keep B — the detached child no
+    longer belongs to the oneof."""
+    call = sm.StatefulProcessorCall()
+    orphan = call.getListState
+    call.getValueState.stateName = "live"
+    orphan.stateName = "stale"
+    assert call.WhichOneof("method") == "getValueState"
+    assert call.getValueState.stateName == "live"
+
+
+def test_truncated_bootstrap_descriptor_raises():
+    """_parse_raw must bounds-check length-delimited payloads: a
+    FileDescriptorProto whose message_type claims more bytes than the
+    buffer holds is a DecodeError, not a silently-short parse."""
+    mr = pytest.importorskip("google.protobuf.internal.mini_runtime")
+
+    # message_type (field 4, LEN) claiming 20 bytes with only 2 present
+    with pytest.raises(mr.DecodeError, match="truncated"):
+        mr.parse_file_descriptor(b"\x22\x14\x0a\x01")
+    # package (field 2, string) claiming 10 bytes with 1 present
+    with pytest.raises(mr.DecodeError, match="truncated"):
+        mr.parse_file_descriptor(b"\x12\x0ax")
