@@ -96,21 +96,31 @@ def hyperplane_sign_bits(v: Column, dim: int, n_planes: int, seed: str = "rp") -
     bucket are ANN candidates (operators.similarity.ann_lsh). Plane
     coefficients are literal arrays (see :func:`plane_coefficients`), so
     the per-row work is n_planes fused multiply-add folds over the vector.
+
+    The dot accumulates in DECIMAL(28,10), not double: the sign bit is
+    an unrounded ``>= 0`` threshold, so a dot near zero computed with an
+    order-dependent float sum could flip a bucket bit between engines
+    (or between summation orders) and diverge the whole candidate set.
+    Decimal addition of the per-element double products is exact and
+    order-independent, so any engine that quantizes the same products
+    to the same scale reproduces the signature bit-for-bit (the SQL
+    twins use ``SUM(CAST(x * c AS DECIMAL(28,10)))``).
     """
     vd = as_double(v)
     planes = literal_matrix(plane_coefficients(dim, n_planes, seed))
     # one transform over a literal array-of-arrays, NOT n_planes separate
     # fold expressions: Catalyst analyzes/codegens the projection lambda
     # once, which cuts plan-compile time ~4x at n_planes=16 (the per-row
-    # arithmetic is identical — same sequential fold order per plane).
+    # arithmetic is identical — same fold per plane).
+    dec = "decimal(28,10)"
     return F.array_join(
         F.transform(
             planes,
             lambda p: F.when(
                 F.aggregate(
                     F.zip_with(vd, p, lambda x, c: x * c),
-                    F.lit(0.0),
-                    lambda a, x: a + x,
+                    F.lit(0).cast(dec),
+                    lambda a, x: (a + x.cast(dec)).cast(dec),
                 )
                 >= 0,
                 F.lit("1"),
