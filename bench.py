@@ -37,6 +37,36 @@ def infer_sf(path: str) -> float:
         return -1.0
 
 
+def map_refresh_verdict(
+    map_path: str, loadavg_1min: float | None, max_load: float
+) -> tuple[bool, str | None]:
+    """Loadavg gate for the committed per-query map (r08 VERDICT #3):
+    an idle-host map must never be overwritten by a refresh taken on a
+    contended host — the ±30% load noise would be committed as if it
+    were a code regression. Returns (write?, reason-if-skipped).
+
+    Rules: always write when the host is idle (1-min loadavg <=
+    ``max_load``), when loadavg is unreadable, when the gate is
+    disabled (max_load <= 0), or when there is no usable prior map /
+    the prior map was itself captured under load (a loaded refresh of
+    a loaded map loses nothing). Refuse only when a loaded run would
+    clobber a strictly-better (idle-host) map."""
+    if max_load <= 0 or loadavg_1min is None or loadavg_1min <= max_load:
+        return True, None
+    try:
+        with open(map_path) as fh:
+            prior = json.load(fh)
+        prior_load = (prior.get("host_loadavg_prerun_1_5_15") or [None])[0]
+    except (OSError, ValueError):
+        return True, None
+    if prior_load is None or prior_load > max_load:
+        return True, None
+    return False, (
+        f"prerun 1-min loadavg {loadavg_1min} > {max_load}: kept the "
+        f"prior idle-host map (its prerun loadavg was {prior_load})"
+    )
+
+
 def main() -> None:
     # Host-contention evidence, captured BEFORE Spark spins up its own
     # 32 threads (by the end of the run loadavg mostly measures the
@@ -207,11 +237,20 @@ def main() -> None:
     detail["queries"] = timings
     if errors:
         detail["errors"] = errors
-    with open(
-        os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_queries.json"),
-        "w",
-    ) as fh:
-        json.dump(detail, fh, indent=1, sort_keys=True)
+    map_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_queries.json"
+    )
+    max_load = float(os.environ.get("SPARK_GRAFT_BENCH_MAX_LOAD", "2.0"))
+    write_map, skip_reason = map_refresh_verdict(
+        map_path, loadavg_start[0] if loadavg_start else None, max_load
+    )
+    if write_map:
+        with open(map_path, "w") as fh:
+            json.dump(detail, fh, indent=1, sort_keys=True)
+    else:
+        out["map_refresh_skipped"] = skip_reason
+        print(f"# bench_queries.json NOT refreshed: {skip_reason}",
+              file=sys.stderr)
     print(json.dumps(out))
     spark.stop()
 

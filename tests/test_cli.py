@@ -165,3 +165,39 @@ def test_query_list_flag(capsys):
     assert len(out.strip().splitlines()) >= 120
     # neither --name nor --list is an error
     assert main(["query"]) == 2
+
+
+def test_bench_map_loadavg_gate(tmp_path):
+    """bench.py's committed-map hygiene (r08 VERDICT #3): a refresh
+    taken on a contended host must not clobber an idle-host map, while
+    every other combination still writes."""
+    import json as _json
+
+    from bench import map_refresh_verdict
+
+    mp = str(tmp_path / "bench_queries.json")
+
+    # no prior map -> always write, loaded or not
+    assert map_refresh_verdict(mp, 9.9, 2.0) == (True, None)
+    # idle host -> write
+    (tmp_path / "bench_queries.json").write_text(
+        _json.dumps({"host_loadavg_prerun_1_5_15": [0.4, 1.0, 1.0]})
+    )
+    assert map_refresh_verdict(mp, 0.5, 2.0) == (True, None)
+    # loaded host over an idle-host map -> REFUSE, reason names both
+    ok, reason = map_refresh_verdict(mp, 9.9, 2.0)
+    assert not ok and "9.9" in reason and "0.4" in reason
+    # loaded host over a map that was itself loaded -> write
+    (tmp_path / "bench_queries.json").write_text(
+        _json.dumps({"host_loadavg_prerun_1_5_15": [25.0, 9.0, 9.0]})
+    )
+    assert map_refresh_verdict(mp, 9.9, 2.0) == (True, None)
+    # prior map without loadavg (pre-r05 format) -> write
+    (tmp_path / "bench_queries.json").write_text(_json.dumps({"queries": {}}))
+    assert map_refresh_verdict(mp, 9.9, 2.0) == (True, None)
+    # corrupt prior map -> write
+    (tmp_path / "bench_queries.json").write_text("not json")
+    assert map_refresh_verdict(mp, 9.9, 2.0) == (True, None)
+    # gate disabled / loadavg unreadable -> write
+    assert map_refresh_verdict(mp, 9.9, 0.0) == (True, None)
+    assert map_refresh_verdict(mp, None, 2.0) == (True, None)
