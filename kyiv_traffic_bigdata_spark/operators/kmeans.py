@@ -39,19 +39,29 @@ from ..functions.vector import as_double, literal_matrix, sq_dist
 
 
 def initial_centroids(
-    df: DataFrame, k: int, id_col: str = "vec_id", vec_col: str = "embedding"
+    df: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    allow_fewer: bool = False,
 ) -> list[list[float]]:
     """Deterministic seed: the k lowest-id vectors (collect is k rows —
     bounded metadata, same contract as similarity.ann_ivf_topk's coarse
     quantizer). Production alternative: k-means|| style sampling; any
-    k x dim list can be passed straight to :func:`lloyd_iterations`."""
+    k x dim list can be passed straight to :func:`lloyd_iterations`.
+
+    ``allow_fewer=True`` returns whatever the corpus holds (possibly
+    fewer than k, possibly none) — the exact ``LIMIT k`` semantics of
+    the SQL oracles, so seed-only callers stay engine-parity on tiny
+    and empty corpora (the r08 empty-input contract); the default stays
+    a loud refusal because Lloyd TRAINING genuinely needs k seeds."""
     rows = (
         df.select(F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v"))
         .orderBy("id")
         .limit(k)
         .collect()
     )
-    if len(rows) < k:
+    if len(rows) < k and not allow_fewer:
         raise ValueError(f"need >= {k} vectors to seed {k} clusters, got {len(rows)}")
     return [[float(x) for x in r.v] for r in rows]
 

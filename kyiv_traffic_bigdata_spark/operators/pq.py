@@ -73,8 +73,11 @@ def fit_pq(
     if n_iters <= 0:
         # seed books are SUBVECTORS of the k lowest-id vectors, so one
         # k-row collect of the full vectors yields every book — m
-        # separate collect jobs would fetch the same rows m times
-        seeds = initial_centroids(df, k, id_col, vec_col)
+        # separate collect jobs would fetch the same rows m times.
+        # allow_fewer: the oracle's LIMIT-k semantics — a corpus with
+        # n < k seeds n codewords; an empty corpus yields m empty books
+        # (callers emit a typed empty frame, see q_emb_pq).
+        seeds = initial_centroids(df, k, id_col, vec_col, allow_fewer=True)
         return [
             [v[s * subdim : (s + 1) * subdim] for v in seeds]
             for s in range(m)

@@ -34,16 +34,19 @@ TABLES = (
     "documents embeddings"
 ).split()
 
-#: queries whose EMPTY-input contract is a loud refusal (k-seeded
-#: collect patterns: there is no meaningful cluster/codebook/probe over
-#: zero vectors) — matched against the start of the error message.
+#: queries whose EMPTY-input contract is a loud refusal — matched
+#: against the start of the error message. r09 shrank this from 6 to 1
+#: (VERDICT #6): the seed/probe collect operators (kmeans / semdedup /
+#: cluster_prune / pq / decontaminate) now return typed empty frames
+#: matching their oracles' LIMIT-k / CROSS JOIN zero-row output, and
+#: initial_centroids(allow_fewer=True) also seeds min(n, k) clusters on
+#: a 0 < n < k corpus — the same semantics as the oracles' LIMIT k.
+#: The survivor: doc_quality_classifier TRAINS a model (iterative GD);
+#: an "empty-trained" scorer that silently scores everything 0.5 is a
+#: worse failure mode than a loud refusal, so the refusal IS the
+#: contract (a serving pipeline must gate on training-set size anyway).
 EXPECTED_REFUSALS = {
     "doc_quality_classifier": "cannot train on an empty frame",
-    "emb_pq": "need >=",
-    "emb_cluster_prune": "need >=",
-    "emb_kmeans": "need >=",
-    "emb_semdedup": "need >=",
-    "emb_decontaminate": "probe_max_sim needs a non-empty probe set",
 }
 
 
@@ -81,6 +84,47 @@ def _vhash(c) -> str:
     for row in c.itertuples(index=False, name=None):
         h.update(("\x1f".join(row) + "\x1e").encode("utf-8", "replace"))
     return h.hexdigest()
+
+
+def test_emb_outliers_zero_variance_label_is_guarded(
+    spark, tmp_path_factory
+):
+    """Singleton / zero-variance labels (r08 ADVICE): a label whose
+    distance variance is 0 — one vector, or several identical vectors —
+    must yield z_score 0.0 / is_outlier false in BOTH engines, not an
+    ANSI DIVIDE_BY_ZERO abort in Spark vs NaN in DuckDB."""
+    root = tmp_path_factory.mktemp("sf_singleton")
+    rows = [
+        # label 0: three distinct vectors (normal variance)
+        (1, [1.0, 0.0, 0.25], 0),
+        (2, [0.0, 1.0, -0.5], 0),
+        (3, [0.5, 0.5, 2.0], 0),
+        # label 1: singleton (n = 1 -> zero variance)
+        (10, [0.1, 0.2, 0.3], 1),
+        # label 2: two identical vectors (n = 2, still zero variance)
+        (20, [0.4, -0.4, 0.9], 2),
+        (21, [0.4, -0.4, 0.9], 2),
+    ]
+    spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    ).coalesce(1).write.parquet(str(root / "embeddings.parquet"))
+
+    spdf = QUERIES["emb_outliers"](spark, str(root)).toPandas()
+    con = duckdb.connect()
+    try:
+        con.sql(
+            "CREATE VIEW embeddings AS SELECT * FROM "
+            f"read_parquet('{root}/embeddings.parquet/*.parquet')"
+        )
+        dpdf = con.sql(build_oracles()["emb_outliers"]).df()
+    finally:
+        con.close()
+
+    assert len(spdf) == len(dpdf) == len(rows)
+    assert _vhash(_canon(spdf)) == _vhash(_canon(dpdf))
+    zero_var = spdf[spdf["label"].isin([1, 2])]
+    assert (zero_var["z_score"] == 0.0).all()
+    assert (~zero_var["is_outlier"]).all()
 
 
 def test_every_oracle_query_handles_empty_tables(spark, empty_sf, empty_duck):

@@ -72,6 +72,17 @@ def test_initial_centroids_are_lowest_ids(spark):
         initial_centroids(d, 100)
 
 
+def test_initial_centroids_allow_fewer_matches_limit_k(spark):
+    """allow_fewer=True is the oracles' LIMIT-k semantics: a corpus
+    with n < k seeds all n vectors, and an empty corpus seeds none —
+    never a refusal (the r09 degenerate-input contract)."""
+    d = _toy(spark)
+    all_of_them = initial_centroids(d, 100, allow_fewer=True)
+    assert len(all_of_them) == d.count()
+    assert all_of_them[:2] == [[0.0, 0.1], [0.1, 0.0]]
+    assert initial_centroids(d.limit(0), 8, allow_fewer=True) == []
+
+
 def test_assignment_tie_breaks_to_lowest_cluster(spark):
     d = spark.createDataFrame(
         [(0, [1.0, 1.0], 0)], "vec_id long, embedding array<double>, label int"

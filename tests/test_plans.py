@@ -1083,3 +1083,24 @@ def test_r08_additions_plan_shapes(plans):
     contam = plans("doc_ngram_contamination")
     assert "CartesianProduct" not in contam
     assert "BroadcastNestedLoopJoin" not in contam
+
+
+def test_hard_negatives_mined_serving_shape(plans):
+    """The r09 scale-safe hard-negative miner (VERDICT r08 ask #4): the
+    corpus must never be exact-scored against a corpus-proportional
+    anchor set. Pinned shape:
+
+    - no cartesian anywhere;
+    - every join against the full corpus broadcasts the OTHER side
+      (fixed-k anchors / bounded shortlist): no sort-merge join — a
+      sort-merge here would shuffle the corpus for a constant-size
+      probe table;
+    - the float rerank stage ranks inside a per-anchor window bounded
+      by HARDNEG_SHORTLIST, which plan-wise means the only windows are
+      partitioned (no global Window without PARTITION BY)."""
+    plan = plans("emb_hard_negatives_mined")
+    assert "CartesianProduct" not in plan
+    assert sort_merge_join_count(plan) == 0, (
+        "corpus-side shuffle join in the serving path"
+    )
+    assert broadcast_join_count(plan) >= 2  # shortlist stage + rerank stage
