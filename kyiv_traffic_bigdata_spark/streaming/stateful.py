@@ -912,3 +912,102 @@ __all__ += [
     "streaming_idle_flush",
     "IDLE_FLUSH_OUTPUT_SCHEMA",
 ]
+
+
+class SessionizeProcessor(StatefulProcessor):
+    """Spark-4 ``transformWithState`` twin of :func:`make_session_fn`
+    (r09: the production sessionizer now ships on BOTH stateful APIs,
+    like trajectory speeds) — identical per-key semantics: events
+    extend the open session while the inter-event gap stays ≤ gap_s; a
+    larger gap closes and emits it; an idle key's open session is
+    flushed by a per-key PROCESSING-TIME TIMER (the TWS-native form of
+    GroupStateTimeout — re-armed on every batch, so it only fires after
+    ``state_ttl_s`` of real silence). State is the same O(1)
+    (start, last, n) triple, here a typed ValueState.
+
+    The late-data discipline matches make_session_fn line-for-line
+    (min/max widening; a late event > gap_us older than the open
+    session's start merges rather than re-opening a closed session —
+    append mode can't emit retroactively)."""
+
+    def __init__(self, gap_s: int = 1800, state_ttl_s: int = 3600):
+        self._gap_us = gap_s * 1_000_000
+        self._ttl_ms = state_ttl_s * 1000
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._cur = handle.getValueState("open_session", SESSION_STATE_SCHEMA)
+        self._handle = handle
+
+    def _row(self, key, start, last, n):
+        return pd.DataFrame(
+            {
+                "user_id": [int(key[0])],
+                "session_start_us": [int(start)],
+                "session_end_us": [int(last)],
+                "n_events": [int(n)],
+            }
+        )
+
+    def handleInputRows(self, key, rows, timer_values):  # noqa: ANN001
+        batch = pd.concat(list(rows), ignore_index=True)
+        if batch.empty:
+            return
+        ts = batch["ts_us"].sort_values(kind="mergesort", ignore_index=True)
+        cur = list(self._cur.get()) if self._cur.exists() else None
+        closed = []
+        for t in ts.to_numpy():
+            t = int(t)
+            if cur is None:
+                cur = [t, t, 0]
+            elif t - cur[1] > self._gap_us:
+                closed.append(tuple(cur))
+                cur = [t, t, 0]
+            cur[0] = min(cur[0], t)
+            cur[1] = max(cur[1], t)
+            cur[2] += 1
+        self._cur.update((int(cur[0]), int(cur[1]), int(cur[2])))
+        # one live idle timer per key, pushed out by every new batch
+        for t in self._handle.listTimers():
+            self._handle.deleteTimer(t)
+        self._handle.registerTimer(
+            timer_values.getCurrentProcessingTimeInMs() + self._ttl_ms
+        )
+        for start, last, n in closed:
+            yield self._row(key, start, last, n)
+
+    def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):  # noqa: ANN001,N803 — framework kwarg names
+        if not self._cur.exists():
+            return
+        start, last, n = self._cur.get()
+        self._cur.clear()
+        yield self._row(key, start, last, n)
+
+
+def streaming_sessionize_v2(
+    events: DataFrame, gap_s: int = 1800, state_ttl_s: int = 3600
+) -> DataFrame:
+    """Gap-based sessions on ``transformWithStateInPandas`` (same
+    contract as :func:`streaming_sessionize`: input (user_id long,
+    ts_us long), one append row per CLOSED session). Same platform
+    contract as the other transformWithState wrappers; timeMode must be
+    processingTime — the idle-close timer is part of the operator."""
+    from .state import ROCKSDB_PROVIDER, configure_state_store
+
+    provider = configure_state_store(events.sparkSession)
+    if provider != ROCKSDB_PROVIDER or not transform_with_state_available(
+        events.sparkSession
+    ):
+        raise RuntimeError(
+            "transformWithState requires the RocksDB state store and "
+            "google.protobuf in the Python workers; "
+            "use streaming_sessionize on this platform"
+        )
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=SessionizeProcessor(gap_s, state_ttl_s),
+        outputStructType=SESSION_OUTPUT_SCHEMA,
+        outputMode="append",
+        timeMode="processingTime",
+    )
+
+
+__all__ += ["SessionizeProcessor", "streaming_sessionize_v2"]

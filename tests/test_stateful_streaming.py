@@ -274,11 +274,29 @@ class _FakeValueState:
 class _FakeHandle:
     def __init__(self):
         self.states = {}
+        self.timers = []
 
     def getValueState(self, name, schema, ttlDurationMs=None):
         self.states[name] = _FakeValueState()
         self.ttl_ms = ttlDurationMs
         return self.states[name]
+
+    def listTimers(self):
+        return list(self.timers)
+
+    def deleteTimer(self, t):
+        self.timers.remove(t)
+
+    def registerTimer(self, t):
+        self.timers.append(t)
+
+
+class _FakeTimerValues:
+    def __init__(self, now_ms=0):
+        self._now = now_ms
+
+    def getCurrentProcessingTimeInMs(self):
+        return self._now
 
 
 def test_tws_processor_logic_sans_io():
@@ -1081,3 +1099,128 @@ def test_tws_timer_flush_end_to_end(spark, tmp_path):
         assert flushed == 3, f"timer flushes sum {flushed}, want 3"
     finally:
         q.stop()
+
+
+def test_tws_sessionize_logic_sans_io():
+    """SessionizeProcessor per-key logic against the fake handle:
+    cross-batch extension, gap-close emission, min/max late-data
+    widening (the make_session_fn discipline), idle-timer re-arming,
+    and the expired-timer flush — platform-independent."""
+    import pandas as pd
+
+    from kyiv_traffic_bigdata_spark.streaming.stateful import (
+        SessionizeProcessor,
+    )
+
+    US = 1_000_000
+    p = SessionizeProcessor(gap_s=300, state_ttl_s=60)
+    h = _FakeHandle()
+    p.init(h)
+
+    # batch 1 opens a session; nothing closes; timer armed at now+ttl
+    b1 = pd.DataFrame({"ts_us": [1000 * US, 1060 * US]})
+    out1 = list(p.handleInputRows((1,), iter([b1]), _FakeTimerValues(5_000)))
+    assert out1 == []
+    assert h.states["open_session"].get() == (1000 * US, 1060 * US, 2)
+    assert h.timers == [5_000 + 60_000]
+
+    # batch 2: 1100 extends (gap 40 <= 300); 3000 closes [1000..1100]x3;
+    # the stale timer is replaced by a fresh one
+    b2 = pd.DataFrame({"ts_us": [1100 * US, 3000 * US]})
+    out2 = pd.concat(list(p.handleInputRows((1,), iter([b2]), _FakeTimerValues(9_000))))
+    assert out2.to_dict("records") == [
+        {
+            "user_id": 1,
+            "session_start_us": 1000 * US,
+            "session_end_us": 1100 * US,
+            "n_events": 3,
+        }
+    ]
+    assert h.states["open_session"].get() == (3000 * US, 3000 * US, 1)
+    assert h.timers == [9_000 + 60_000]
+
+    # late event widens the open session's start (batch-twin parity)
+    b3 = pd.DataFrame({"ts_us": [2950 * US]})
+    assert list(p.handleInputRows((1,), iter([b3]), _FakeTimerValues(10_000))) == []
+    assert h.states["open_session"].get() == (2950 * US, 3000 * US, 2)
+
+    # expired timer flushes the open session exactly once
+    flushed = pd.concat(list(p.handleExpiredTimer((1,), None, None)))
+    assert flushed.to_dict("records") == [
+        {
+            "user_id": 1,
+            "session_start_us": 2950 * US,
+            "session_end_us": 3000 * US,
+            "n_events": 2,
+        }
+    ]
+    assert not h.states["open_session"].exists()
+    assert list(p.handleExpiredTimer((1,), None, None)) == []
+
+
+def test_tws_sessionize_matches_group_state_twin(spark, tmp_path):
+    """End-to-end: streaming_sessionize_v2 (transformWithState) must
+    emit the same gap-closed session as the applyInPandasWithState form
+    and the batch twin — the r09 TWS-parity-breadth item. Skips only
+    where the RocksDB provider is genuinely absent."""
+    import pytest
+
+    from kyiv_traffic_bigdata_spark.operators.windows import sessionize
+    from kyiv_traffic_bigdata_spark.streaming.stateful import (
+        streaming_sessionize_v2,
+        transform_with_state_available,
+    )
+
+    if not transform_with_state_available(spark):
+        pytest.skip("transformWithStateInPandas unavailable on this platform")
+
+    US = 1_000_000
+    src = tmp_path / "sess2_src"
+    src.mkdir()
+
+    def write(name, rows):
+        (src / name).write_text(
+            "\n".join(json.dumps({"user_id": u, "ts_us": t * US}) for u, t in rows)
+            + "\n"
+        )
+
+    write("b1.json", [(1, 1000), (1, 1060), (2, 1000)])
+    stream = spark.readStream.schema("user_id long, ts_us long").json(str(src))
+    q = (
+        streaming_sessionize_v2(stream, gap_s=300, state_ttl_s=3600)
+        .writeStream.format("memory")
+        .queryName("sess2_out")
+        .option("checkpointLocation", str(tmp_path / "sess2_ckpt"))
+        .outputMode("append")
+        .trigger(processingTime="1 seconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 90
+        time.sleep(2)
+        write("b2.json", [(1, 1100), (1, 3000)])
+        rows = []
+        while time.time() < deadline:
+            rows = spark.sql("SELECT * FROM sess2_out").collect()
+            if rows:
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+
+    assert len(rows) == 1
+    got = rows[0]
+    assert (got.user_id, got.n_events) == (1, 3)
+    assert got.session_start_us == 1000 * US and got.session_end_us == 1100 * US
+    # parity with the batch sessionizer on the full history
+    batch = spark.createDataFrame(
+        [(1, 1000 * US), (1, 1060 * US), (1, 1100 * US), (1, 3000 * US),
+         (2, 1000 * US)],
+        "user_id long, ts_us long",
+    )
+    first = {
+        (r.user_id, r.session_seq): r
+        for r in sessionize(batch, "user_id", "ts_us", 300).collect()
+    }[(1, 1)]
+    assert first.session_start_s == 1000 and first.session_end_s == 1100
+    assert first.n_events == 3
