@@ -13,16 +13,22 @@ Deliberate choices:
 - region/nation are NOT replicated: they are bounded enums (25/5 rows
   at every TPC-H scale); replicating them would change the schema's
   semantics, not its size.
-- documents get a per-copy salt token appended to ``text`` so copies
-  are not byte-identical (exact-dup queries would otherwise collapse
-  them); they remain ~97% shingle-identical, i.e. the scaled corpus
-  legitimately contains k-way near-duplicate families — pair-producing
-  dedup queries therefore grow their OUTPUT superlinearly by
-  construction and are excluded from the timing curve (documented in
-  tools/scaling_curve.py).
-- embeddings replicate with shifted vec_ids and unmodified vectors;
-  ANN queries are likewise excluded from the curve (k identical copies
-  of every vector change the neighbor structure, not just the size).
+- documents use PLANTED near-dup families (r09, VERDICT #5 — the old
+  light per-copy suffix left all k copies ~97% shingle-identical, so
+  pair output grew ~k²/2 and the dedup family had to be excluded from
+  the curve): copy 0 is pristine, copy 1 gets the light suffix (a
+  deliberate 2-member near-dup family per source doc — constant-size,
+  k-independent), and copies ≥ 2 get an INTERLEAVED per-copy salt
+  token (every inter-token gap), which zeroes their cross-copy shingle
+  overlap while preserving each copy's internal near-dup structure
+  (near-dup doc pairs inside one copy are transformed identically).
+  Net: pair-dedup output grows ~k — measurable on the timing curve.
+- embeddings replicate with shifted vec_ids; copies ≥ 1 get a small
+  deterministic per-(copy, dim) perturbation (±0.01) so replicated
+  vectors are not bit-identical (identical copies would make every
+  Hamming/cosine neighborhood a degenerate k-way tie). Neighbor
+  structure per copy is approximately preserved; the curve measures
+  TIME, not neighbor identity.
 
 Usage: python tools/scaleup.py [k] [src_dir] [out_dir]
 """
@@ -108,9 +114,35 @@ def scale_table(
                 col, F.col(col) + F.col("_copy") * F.lit(stride)
             )
     if table == "documents":
+        heavy = F.regexp_replace(
+            F.col("text"),
+            F.lit(" "),
+            F.concat(F.lit(" c"), F.col("_copy").cast("string"), F.lit(" ")),
+        )
         copies = copies.withColumn(
             "text",
-            F.concat(F.col("text"), F.lit(" copysalt"), F.col("_copy")),
+            F.when(F.col("_copy") == 0, F.col("text"))
+            .when(
+                F.col("_copy") == 1,
+                F.concat(F.col("text"), F.lit(" copysalt1")),
+            )
+            .otherwise(heavy),
+        )
+    if table == "embeddings":
+        copies = copies.withColumn(
+            "embedding",
+            F.transform(
+                F.col("embedding"),
+                lambda x, i: (
+                    x.cast("double")
+                    + F.when(F.col("_copy") == 0, F.lit(0.0)).otherwise(
+                        ((i * 13 + F.col("_copy") * 7) % 11 - 5).cast(
+                            "double"
+                        )
+                        * F.lit(2e-3)
+                    )
+                ).cast("float"),
+            ),
         )
     return copies.drop("_copy")
 
