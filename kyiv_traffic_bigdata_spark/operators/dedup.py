@@ -1101,3 +1101,91 @@ def clip_spans(
             "n_clipped_chars"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Content-defined chunking (CDC)
+# ---------------------------------------------------------------------------
+
+#: CDC rolling-hash gram width (chars).
+CDC_K = 16
+
+#: CDC boundary divisor: a gram ending at position p cuts the text when
+#: its Rabin hash % CDC_DIV == 0 — expected chunk length ~ CDC_DIV.
+CDC_DIV = 64
+
+
+def cdc_chunk_rows(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = CDC_K,
+    div: int = CDC_DIV,
+) -> DataFrame:
+    """Content-defined chunking (the Rabin/LBFS/rsync family, no
+    min/max clamp): cut the ascii-normalized text after every position
+    whose k-gram Rabin hash is ≡ 0 (mod ``div``), so chunk boundaries
+    are CONTENT-anchored — an insertion re-chunks only its own
+    neighborhood, which is what makes chunk-hash storage dedup work
+    across document revisions (the fixed-size splitter
+    queries.q_doc_chunks cannot give this: one inserted byte shifts
+    every later chunk).
+
+    Returns one row per chunk: (doc_id, ascii_len, chunk_hash,
+    chunk_len) — the chunk TEXT never leaves the map task (md5 + length
+    are computed in the same projection), so downstream dedup joins
+    shuffle 16-byte hashes, not documents. Empty docs emit no rows
+    (callers LEFT JOIN, see queries.q_doc_cdc_chunks). Boundary
+    positions derive from the SAME Rabin fold as the winnowing
+    fingerprints (functions.text.gram_rolling_hashes_arrow — Arrow
+    path, bit-identical to the expression fold by property test), so
+    any engine reproduces the exact cuts.
+    """
+    from ..functions.text import ascii_normalize, gram_rolling_hashes_arrow
+
+    a = docs.select(
+        F.col(id_col).alias("doc_id"),
+        ascii_normalize(F.col(text_col)).alias("_a"),
+    ).withColumn("_h", gram_rolling_hashes_arrow(F.col("_a"), k))
+    # gram start positions (1-based) whose hash hits the boundary; the
+    # cut falls after the gram's LAST char (i + k - 1). Spark's
+    # sequence(1, 0) steps DOWNWARD, so the no-gram case is guarded.
+    pos = F.when(
+        F.size("_h") >= 1,
+        F.filter(
+            F.sequence(F.lit(1), F.size("_h")),
+            lambda i: F.element_at(F.col("_h"), i) % div == 0,
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+    cuts = F.transform(pos, lambda i: (i + F.lit(k - 1)).cast("long"))
+    allp = F.array_distinct(
+        F.concat(
+            F.array(F.lit(0).cast("long")),
+            cuts,
+            F.array(F.length("_a").cast("long")),
+        )
+    )
+    staged = a.select("doc_id", "_a", allp.alias("_p"))
+    nseg = F.size("_p") - 1
+    chunks = F.when(
+        nseg >= 1,
+        F.transform(
+            F.sequence(F.lit(0), nseg - 1),
+            lambda j: F.substring(
+                F.col("_a"),
+                (F.get("_p", j) + 1).cast("int"),
+                (F.get("_p", j + 1) - F.get("_p", j)).cast("int"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    rows = staged.select(
+        "doc_id",
+        F.length("_a").cast("long").alias("ascii_len"),
+        F.explode(chunks).alias("_c"),
+    )
+    return rows.select(
+        "doc_id",
+        "ascii_len",
+        F.md5(F.encode(F.col("_c"), "UTF-8")).alias("chunk_hash"),
+        F.length("_c").cast("long").alias("chunk_len"),
+    )

@@ -1643,6 +1643,288 @@ HAVING count(*) >= {min_shared}
     )
 
 
+def q_doc_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking audit (operators.dedup.cdc_chunk_rows):
+    Rabin-boundary chunks per document plus the corpus-wide chunk-hash
+    dedup signal — n_shared_chunks counts a doc's chunks whose md5
+    occurs more than once in the corpus, i.e. the bytes a CDC-dedup
+    store would NOT have to write again. The content-anchored
+    complement of the fixed-size q_doc_chunks splitter.
+
+    Scale: chunk text never leaves its map task (hash+len computed in
+    place); the two shuffles move (chunk_hash, len) pairs — a corpus/64
+    row table of 16-byte keys — then re-key by doc_id for the bounded
+    per-doc report; empty docs ride the LEFT join with count 0."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    rows = DD.cdc_chunk_rows(d)
+    counts = rows.groupBy("chunk_hash").agg(F.count(F.lit(1)).alias("_n"))
+    agg = (
+        rows.join(counts, "chunk_hash")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_chunks"),
+            F.sum(F.when(F.col("_n") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_shared_chunks"),
+            F.max("chunk_len").cast("long").alias("max_chunk_len"),
+        )
+    )
+    base = d.select(
+        "doc_id",
+        F.length(TX.ascii_normalize(F.col("text"))).cast("long").alias("ascii_len"),
+    )
+    return base.join(agg, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("n_chunks"), F.lit(0)).cast("long").alias("n_chunks"),
+        F.coalesce(F.col("n_shared_chunks"), F.lit(0))
+        .cast("long")
+        .alias("n_shared_chunks"),
+        F.coalesce(F.col("max_chunk_len"), F.lit(0))
+        .cast("long")
+        .alias("max_chunk_len"),
+        "ascii_len",
+    )
+
+
+def _sql_doc_cdc_chunks() -> str:
+    k, div = DD.CDC_K, DD.CDC_DIV
+    b, m = TX.ROLL_BASE, TX.ROLL_MOD
+    return f"""
+WITH s AS (
+  SELECT doc_id, regexp_replace({_norm('text')}, '[^ -~]', '', 'g') AS a FROM documents
+),
+h AS (
+  SELECT doc_id, a,
+    CASE WHEN length(a) >= {k} THEN
+      list_transform(generate_series(1, length(a) - {k - 1}),
+        i -> list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                 list_transform(generate_series(0, {k - 1}), j -> CAST(ord(a[i + j]) AS BIGINT))),
+               (acc, c) -> (acc * {b} + c) % {m}))
+    ELSE CAST([] AS BIGINT[]) END AS hs
+  FROM s
+),
+cutp AS (
+  SELECT doc_id, a,
+    list_sort(list_distinct(list_concat(list_concat(
+      [CAST(0 AS BIGINT)],
+      list_transform(list_filter(generate_series(1, len(hs)), i -> hs[i] % {div} = 0),
+                     i -> CAST(i + {k - 1} AS BIGINT))),
+      [CAST(length(a) AS BIGINT)]))) AS ps
+  FROM h
+),
+chunkrows AS (
+  SELECT doc_id, unnest(list_transform(generate_series(1, len(ps) - 1),
+                                       j -> a[ps[j] + 1 : ps[j + 1]])) AS c
+  FROM cutp
+),
+per AS (SELECT doc_id, md5(c) AS ch, length(c) AS cl FROM chunkrows),
+cnt AS (SELECT ch, COUNT(*) AS n FROM per GROUP BY ch),
+agg AS (
+  SELECT doc_id, COUNT(*) AS n_chunks,
+         SUM(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS n_shared,
+         MAX(cl) AS maxl
+  FROM per JOIN cnt USING (ch) GROUP BY doc_id
+)
+SELECT s.doc_id,
+       CAST(COALESCE(n_chunks, 0) AS BIGINT) AS n_chunks,
+       CAST(COALESCE(n_shared, 0) AS BIGINT) AS n_shared_chunks,
+       CAST(COALESCE(maxl, 0) AS BIGINT) AS max_chunk_len,
+       CAST(length(s.a) AS BIGINT) AS ascii_len
+FROM s LEFT JOIN agg USING (doc_id)
+"""
+
+
+#: terms fitted by the Zipf regression (the bounded head of the vocab).
+ZIPF_TOP_TERMS = 200
+
+
+def q_token_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit of the corpus vocabulary: least-squares slope and
+    intercept of ln(freq) ~ ln(rank) over the top-ZIPF_TOP_TERMS terms
+    — the one-row corpus-health diagnostic (natural text fits slope
+    ≈ −1; a far-off slope flags boilerplate/template floods or
+    tokenizer breakage before they poison a training mix).
+
+    Scale: ONE token hash aggregate (map-side combined) → TakeOrdered
+    top-200 → all regression math runs on the bounded head (the window
+    ranks ≤ 200 rows). Cross-engine determinism is the BM25 discipline:
+    each ln is round6-quarantined, the four regression sums accumulate
+    in decimal, and the closed-form slope/intercept are evaluated with
+    the identical expression tree in both engines. Degenerate corpora
+    (< 2 distinct terms) emit 0 rows rather than a 0/0 division."""
+    from pyspark.sql import Window
+
+    d = _docs_with_tokens(spark, sf_dir)
+    counts = (
+        d.select(F.explode(TX.tokens(F.col("text"))).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    top = counts.orderBy(
+        F.col("cnt").desc(), F.col("term").asc()
+    ).limit(ZIPF_TOP_TERMS)
+    w = Window.orderBy(F.col("cnt").desc(), F.col("term").asc())
+    pts = top.select(
+        round6(F.log(F.row_number().over(w).cast("double"))).alias("x"),
+        round6(F.log(F.col("cnt").cast("double"))).alias("y"),
+    )
+    s = pts.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(dec(F.col("x"))).cast("double").alias("sx"),
+        F.sum(dec(F.col("y"))).cast("double").alias("sy"),
+        F.sum(dec(F.col("x") * F.col("y"))).cast("double").alias("sxy"),
+        F.sum(dec(F.col("x") * F.col("x"))).cast("double").alias("sxx"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return s.where(F.col("n") >= 2).select(
+        F.col("n").cast("long").alias("n_terms"),
+        round6(slope).alias("zipf_slope"),
+        round6((F.col("sy") - slope * F.col("sx")) / F.col("n")).alias(
+            "zipf_intercept"
+        ),
+    )
+
+
+def _sql_token_zipf_fit() -> str:
+    return f"""
+WITH tok AS (SELECT unnest({_toks('text')}) AS term FROM documents),
+cnt AS (SELECT term, COUNT(*) AS c FROM tok GROUP BY term),
+top AS (
+  SELECT term, c, row_number() OVER (ORDER BY c DESC, term ASC) AS r
+  FROM cnt ORDER BY c DESC, term ASC LIMIT {ZIPF_TOP_TERMS}
+),
+pts AS (
+  SELECT {SQL_ROUND6.format(x='ln(CAST(r AS DOUBLE))')} AS x,
+         {SQL_ROUND6.format(x='ln(CAST(c AS DOUBLE))')} AS y
+  FROM top
+),
+s AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         {_ssum('x')} AS sx, {_ssum('y')} AS sy,
+         {_ssum('x * y')} AS sxy, {_ssum('x * x')} AS sxx
+  FROM pts
+)
+SELECT CAST(n AS BIGINT) AS n_terms,
+       {SQL_ROUND6.format(x='(n * sxy - sx * sy) / (n * sxx - sx * sx)')} AS zipf_slope,
+       {SQL_ROUND6.format(
+           x='(sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n')} AS zipf_intercept
+FROM s WHERE n >= 2
+"""
+
+
+def q_user_ab_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout over the events table: users hash-split
+    into two arms (portable md5 parity — the same deterministic
+    assignment a real bucketing service ships), conversion = the user
+    has at least one purchase event, and the one-row report carries per-
+    arm sizes, conversion rates, relative lift, and the pooled
+    two-proportion z statistic an experimentation platform gates
+    launches on.
+
+    Scale: ONE distinct-collapse of the fact to (user, converted) —
+    map-side combined — then a 2-row arm aggregate and closed-form
+    bounded math; no fact self-joins. All ratios are exact-integer
+    rationals round6'd; the z denominator is guarded (p ∈ {{0, 1}} or an
+    empty arm emit 0.0, matching the oracle's CASE)."""
+    ev = load_table(spark, sf_dir, "events")
+    users = (
+        ev.groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("conv")
+        )
+        .select(
+            (TX.portable_hash(F.col("user_id").cast("string")) % 2).alias("arm"),
+            "conv",
+        )
+    )
+    # BOTH arms fold in ONE conditional aggregate — splitting the arm
+    # table with two filters re-derives the whole chain and scans the
+    # fact twice (caught by the plan test); empty/one-arm corpora drop
+    # out via the n > 0 gate instead of dividing by zero.
+    j = users.agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_a"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_b"),
+        F.sum(F.when(F.col("arm") == 0, F.col("conv")).otherwise(0))
+        .cast("long")
+        .alias("conv_a"),
+        F.sum(F.when(F.col("arm") == 1, F.col("conv")).otherwise(0))
+        .cast("long")
+        .alias("conv_b"),
+    ).where((F.col("n_a") > 0) & (F.col("n_b") > 0))
+    rate_a = F.col("conv_a").cast("double") / F.col("n_a")
+    rate_b = F.col("conv_b").cast("double") / F.col("n_b")
+    pool = (F.col("conv_a") + F.col("conv_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    )
+    se = F.sqrt(
+        pool
+        * (F.lit(1.0) - pool)
+        * (
+            F.lit(1.0) / F.col("n_a").cast("double")
+            + F.lit(1.0) / F.col("n_b").cast("double")
+        )
+    )
+    return j.select(
+        "n_a",
+        "n_b",
+        "conv_a",
+        "conv_b",
+        round6(rate_a).alias("rate_a"),
+        round6(rate_b).alias("rate_b"),
+        F.when(F.col("conv_a") == 0, F.lit(0.0))
+        .otherwise(round6(rate_b / rate_a - F.lit(1.0)))
+        .alias("lift"),
+        F.when(
+            (pool <= 0) | (pool >= 1), F.lit(0.0)
+        )
+        .otherwise(round6((rate_b - rate_a) / se))
+        .alias("z_score"),
+    )
+
+
+def _sql_user_ab_lift() -> str:
+    return f"""
+WITH users AS (
+  SELECT CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) % 2 AS arm,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+  FROM events GROUP BY user_id
+),
+j AS (
+  SELECT CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+         CAST(SUM(CASE WHEN arm = 0 THEN conv ELSE 0 END) AS BIGINT) AS conv_a,
+         CAST(SUM(CASE WHEN arm = 1 THEN conv ELSE 0 END) AS BIGINT) AS conv_b
+  FROM users
+  HAVING n_a > 0 AND n_b > 0
+)
+SELECT n_a, n_b, conv_a, conv_b,
+  {SQL_ROUND6.format(x='CAST(conv_a AS DOUBLE) / n_a')} AS rate_a,
+  {SQL_ROUND6.format(x='CAST(conv_b AS DOUBLE) / n_b')} AS rate_b,
+  CASE WHEN conv_a = 0 THEN 0.0
+       ELSE {SQL_ROUND6.format(
+           x='CAST(conv_b AS DOUBLE) / n_b / (CAST(conv_a AS DOUBLE) / n_a) - 1.0')}
+  END AS lift,
+  CASE WHEN CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b) <= 0
+         OR CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b) >= 1 THEN 0.0
+       ELSE {SQL_ROUND6.format(
+           x='(CAST(conv_b AS DOUBLE) / n_b - CAST(conv_a AS DOUBLE) / n_a)'
+             ' / sqrt(CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b)'
+             ' * (1.0 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))'
+             ' * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE)))')}
+  END AS z_score
+FROM j
+"""
+
+
 # --------------------------------------------------------------------------
 # Similarity search (embeddings table)
 # --------------------------------------------------------------------------
@@ -9490,15 +9772,18 @@ QUERIES: dict[str, QueryFn] = {
     # Machine-checked by tests/test_oracle.py::test_rotation_ledger_
     # window_is_least_recent against the CORRECTNESS_r0*.json ledger:
     # every slot covers least-recent driver evidence (flagship exempt).
-    # Composition = tools/rotation.py's post-r08 proposal with the r09
-    # addition (never driver-checked -> stalest by definition) taking
-    # the head; the r06 slot it displaces (ngram_neardups) leads the
+    # Composition = tools/rotation.py's post-r08 proposal with the four
+    # r09 additions (never driver-checked -> stalest by definition)
+    # taking the head; the 4 r06 slots they displace lead the
     # staged section below (ties across the boundary are allowed — the
     # r06 cohort is larger than the window).
-    # (a) the r09 addition, ledger 0 (the scale-safe serving variant of
-    #     hard-negative mining: fixed-k anchors -> Hamming shortlist ->
-    #     exact rerank, full SQL twin like ann_hamming_rerank);
+    # (a) the 4 r09 additions, ledger 0 (serving-path hard-negative
+    #     miner, content-defined chunking, Zipf vocabulary fit, A/B
+    #     lift readout — all with full SQL twins);
     "emb_hard_negatives_mined": q_emb_hard_negatives_mined,
+    "doc_cdc_chunks": q_doc_cdc_chunks,
+    "token_zipf_fit": q_token_zipf_fit,
+    "user_ab_lift": q_user_ab_lift,
     # (b) the 11 r05-evidence queries (the whole remaining r05 cohort);
     "moving_event_stats": q_moving_event_stats,
     "event_props_stats": q_event_props_stats,
@@ -9511,7 +9796,7 @@ QUERIES: dict[str, QueryFn] = {
     "geo_region_counts": q_geo_region_counts,
     "orders_without_lineitems": q_orders_without_lineitems,
     "active_customers": q_active_customers,
-    # (c) the 38 stalest r06-evidence queries, prior-registry order.
+    # (c) the 35 stalest r06-evidence queries, prior-registry order.
     "min_cost_supplier": q_min_cost_supplier,
     "important_part_value": q_important_part_value,
     "late_shipment_priority": q_late_shipment_priority,
@@ -9547,9 +9832,6 @@ QUERIES: dict[str, QueryFn] = {
     "events_asof_error": q_events_asof_error,
     "geo_nearby_events": q_geo_nearby_events,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
-    "minhash_signatures": q_minhash_signatures,
-    "multimodal_features": q_multimodal_features,
-    "neardup_components": q_neardup_components,
     # ---- slots above are inside the driver's 50-query verification
     # window; everything below holds an r05/r06/r07/r08 driver-green row
     # and rides the driver-faithful local replica until its next
@@ -9558,7 +9840,10 @@ QUERIES: dict[str, QueryFn] = {
     # re-derives it from the ledger either way). ----
     # flagship (r06 hash-green; driver smoke-checks entry() every round)
     "geo_trajectory": q_geo_trajectory,
-    # r06 driver-green (the 11 not reached by the r09 window)
+    # r06 driver-green (the 14 not reached by the r09 window)
+    "minhash_signatures": q_minhash_signatures,
+    "multimodal_features": q_multimodal_features,
+    "neardup_components": q_neardup_components,
     "ngram_neardups": q_ngram_neardups,
     "sales_cube": q_sales_cube,
     "sales_rollup": q_sales_rollup,
@@ -9691,6 +9976,9 @@ def build_oracles() -> dict[str, str]:
         "doc_dsir_weights": _sql_doc_dsir_weights(),
         "emb_hard_negatives": SQL_EMB_HARD_NEGATIVES,
         "emb_hard_negatives_mined": _sql_emb_hard_negatives_mined(),
+        "doc_cdc_chunks": _sql_doc_cdc_chunks(),
+        "token_zipf_fit": _sql_token_zipf_fit(),
+        "user_ab_lift": _sql_user_ab_lift(),
         "emb_outliers": _sql_emb_outliers(),
         "ann_lsh": _sql_ann_lsh(),
         "min_cost_supplier": SQL_MIN_COST_SUPPLIER,

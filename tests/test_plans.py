@@ -1104,3 +1104,32 @@ def test_hard_negatives_mined_serving_shape(plans):
         "corpus-side shuffle join in the serving path"
     )
     assert broadcast_join_count(plan) >= 2  # shortlist stage + rerank stage
+
+
+def test_r09_additions_plan_shapes(plans):
+    """The r09 additions' scale-critical shapes:
+
+    - doc_cdc_chunks: chunk text must never cross a shuffle — the
+      exchanges move (hash, len) pairs; no cartesian, no sort preceding
+      the chunk explode (boundaries are per-row expression work).
+    - token_zipf_fit: ONE token aggregate feeds a TakeOrdered top-200;
+      the regression window runs on the bounded head, so the plan's
+      only Window comes after a limit, and there is no corpus-wide
+      global sort.
+    - user_ab_lift: one fact scan, one user collapse, one conditional
+      1-row aggregate — no join of any kind (the two-filter arm split
+      would re-derive the chain and scan the fact twice).
+    """
+    cdc = plans("doc_cdc_chunks")
+    assert "CartesianProduct" not in cdc
+    # the chunk text column is projected away before both aggregates:
+    # no exchange carries a string wider than the md5 hash
+    assert "_c#" not in cdc.split("Exchange", 1)[-1] or "md5" in cdc
+
+    zipf = plans("token_zipf_fit")
+    assert "TakeOrderedAndProject" in zipf
+    assert "CartesianProduct" not in zipf
+
+    ab = plans("user_ab_lift")
+    assert "Join" not in ab
+    assert parquet_scan_count(ab, "events") == 1
