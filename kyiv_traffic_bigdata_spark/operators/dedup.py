@@ -116,41 +116,43 @@ def jaccard_verify(
     (doc_id, shingle) inverted index.
 
     Work is bounded by |candidates| × shingles/doc, independent of corpus
-    size: intersections come from candidates ⋈ index_a ⋈ index_b, never a
-    full index self-join. Output has NO false positives; shared by the
-    n-gram-Jaccard and MinHash-LSH paths so both report identical scores
-    for the same pair.
+    size. Output has NO false positives; shared by the n-gram-Jaccard
+    and MinHash-LSH paths so both report identical scores for the same
+    pair.
+
+    Shape (r09, found by the 100× scale point): the index collapses to
+    ONE row per doc — its distinct shingle array — before any pair
+    work, so the per-pair intersection is in-row ``array_intersect``
+    math and the only joins are candidates ⋈ doc-array equi-joins by
+    doc id. The previous shape joined candidates against the EXPLODED
+    index twice (a candidates × shingles/doc fan-out shuffle) and let
+    the planner pick join strategies; size estimates for the
+    checkpoint-staged index undershoot so badly that the 36.8M-row
+    index became a broadcast build side and OOM'd an 8 GB driver at
+    100× sf0.1. Every table here scales with the corpus (candidates ∝
+    near-dup density × n, doc arrays = one row per doc), so the
+    doc-array sides carry explicit shuffle_hash hints — nothing in
+    this function may ever broadcast.
     """
-    sizes = idx.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
-    ia, ib = idx.alias("ia"), idx.alias("ib")
-    inter = (
-        candidates.join(ia, F.col("id_a") == F.col("ia.doc_id"))
-        .join(
-            ib,
-            (F.col("id_b") == F.col("ib.doc_id"))
-            & (F.col("ia.shingle") == F.col("ib.shingle")),
-        )
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
+    doc_sh = idx.groupBy("doc_id").agg(
+        F.collect_set("shingle").alias("_sh")
     )
+    a = doc_sh.select(
+        F.col("doc_id").alias("id_a"), F.col("_sh").alias("_sha")
+    ).hint("shuffle_hash")
+    b = doc_sh.select(
+        F.col("doc_id").alias("id_b"), F.col("_sh").alias("_shb")
+    ).hint("shuffle_hash")
+    paired = candidates.join(a, "id_a").join(b, "id_b")
+    n_inter = F.size(F.array_intersect(F.col("_sha"), F.col("_shb")))
+    denom = (F.size("_sha") + F.size("_shb") - n_inter).cast("double")
     return (
-        inter.join(sizes.withColumnRenamed("doc_id", "id_a"), "id_a")
-        .withColumnRenamed("n_shingles", "n_a")
-        .join(
-            sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed(
-                "n_shingles", "n_b"
-            ),
+        paired.select(
+            "id_a",
             "id_b",
-        )
-        .withColumn(
-            "jaccard",
-            round6(
-                F.col("n_inter")
-                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double")
-            ),
+            round6(n_inter / denom).alias("jaccard"),
         )
         .where(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
     )
 
 

@@ -18,11 +18,13 @@ Deliberate choices:
   pair output grew ~k²/2 and the dedup family had to be excluded from
   the curve): copy 0 is pristine, copy 1 gets the light suffix (a
   deliberate 2-member near-dup family per source doc — constant-size,
-  k-independent), and copies ≥ 2 get an INTERLEAVED per-copy salt
-  token (every inter-token gap), which zeroes their cross-copy shingle
-  overlap while preserving each copy's internal near-dup structure
-  (near-dup doc pairs inside one copy are transformed identically).
-  Net: pair-dedup output grows ~k — measurable on the timing curve.
+  k-independent), and every token of copies ≥ 2 gets a per-copy
+  suffix — a BIJECTION on the token alphabet, so in-copy pairwise
+  Jaccard is preserved EXACTLY while cross-copy shingle overlap is
+  zero. (A first attempt interleaved a salt token between words; that
+  made unrelated same-copy docs share every (salt, w, salt) trigram
+  for each common word w and blew candidates up 13,700× — measured,
+  not hypothetical.) Net: pair-dedup output grows ~k.
 - embeddings replicate with shifted vec_ids; copies ≥ 1 get a small
   deterministic per-(copy, dim) perturbation (±0.01) so replicated
   vectors are not bit-identical (identical copies would make every
@@ -114,10 +116,12 @@ def scale_table(
                 col, F.col(col) + F.col("_copy") * F.lit(stride)
             )
     if table == "documents":
+        # per-copy token bijection: "dog" -> "dog~c7" (suffix rides the
+        # \S+ backreference; the replacement column varies per row)
         heavy = F.regexp_replace(
             F.col("text"),
-            F.lit(" "),
-            F.concat(F.lit(" c"), F.col("_copy").cast("string"), F.lit(" ")),
+            F.lit(r"(\S+)"),
+            F.concat(F.lit("$1~c"), F.col("_copy").cast("string")),
         )
         copies = copies.withColumn(
             "text",
