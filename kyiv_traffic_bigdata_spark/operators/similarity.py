@@ -250,6 +250,13 @@ def ann_ivf_topk(
         .limit(n_cells)
         .collect()
     )
+    if not cent_rows:
+        # empty corpus: no quantizer, no cells, no candidates — a typed
+        # empty frame, matching the SQL twin's empty seed CTE (an empty
+        # centroid literal would break zip_with's type resolution)
+        return corpus.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, cosine_sim double"
+        )
 
     def _unit(v):  # driver-side L2 normalize; zero vector -> zero dots
         n = math.sqrt(sum(float(x) * float(x) for x in v))

@@ -2066,12 +2066,77 @@ FROM ranked WHERE rn <= {k}
 
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-bucketed approximate NN (the second classic ANN scale path
-    next to ann_lsh; recall asserted in tests). No SQL oracle —
-    approximation is engine-defined; the driver records a rows-only
-    check and pytest compares recall against the exact baseline."""
+    next to ann_lsh; recall asserted in tests vs the exact baseline).
+    ORACLED as of r09 — like ann_lsh in r08, the registered shape is
+    fully deterministic end-to-end: seed centroids are the n_cells
+    lowest-id vectors unit-normalized with a sequential Python fold
+    (≡ list_reduce), cell dots are sequential folds, assignment is
+    first-occurrence argmax, probes rank by (score desc, cell asc) —
+    so the whole pipeline (quantizer, inverted lists, probe set, exact
+    rerank) is reproducible in DuckDB and the driver hash-checks it."""
     emb = _emb(spark, sf_dir)
     q = emb.where(F.col("vec_id") % 50 == 0)
     return SIM.ann_ivf_topk(q, emb, k=10, n_probe=4)
+
+
+def _sql_ann_ivf() -> str:
+    n_cells, n_probe, k = 16, 4, 10  # q_ann_ivf's geometry
+    sq_n2 = (
+        "list_reduce(list_transform({v}, x -> "
+        "CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b)"
+    )
+    return f"""
+WITH seed AS (
+  SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT {n_cells}
+),
+cent AS (
+  SELECT row_number() OVER (ORDER BY vec_id) AS cell,
+         CASE WHEN {sq_n2.format(v='embedding')} = 0
+              THEN list_transform(embedding, x -> 0.0)
+              ELSE list_transform(embedding,
+                     x -> CAST(x AS DOUBLE) / sqrt({sq_n2.format(v='embedding')}))
+         END AS cv
+  FROM seed
+),
+cdots AS (
+  SELECT e.vec_id, c.cell, {_SQL_SEQ_DOT.format(p='e.embedding', c='c.cv')} AS s
+  FROM embeddings e CROSS JOIN cent c
+),
+cmax AS (SELECT vec_id, MAX(s) AS m FROM cdots GROUP BY vec_id),
+assign AS (
+  SELECT vec_id, MIN(cell) AS cell
+  FROM cdots JOIN cmax USING (vec_id) WHERE s = m GROUP BY vec_id
+),
+qrank AS (
+  SELECT vec_id AS qid, cell,
+         row_number() OVER (
+           PARTITION BY vec_id ORDER BY s DESC, cell ASC) AS rn
+  FROM cdots WHERE vec_id % 50 = 0
+),
+probes AS (SELECT qid, cell FROM qrank WHERE rn <= {n_probe}),
+norms AS (
+  SELECT vec_id, sqrt({sq_n2.format(v='embedding')}) AS nn FROM embeddings
+),
+sims AS (
+  SELECT p.qid, a.vec_id AS nid,
+         CASE WHEN nq.nn * nc.nn = 0 THEN 0.0
+              ELSE {_SQL_SEQ_DOT.format(p='qe.embedding', c='ce.embedding')}
+                   / (nq.nn * nc.nn) END AS sim
+  FROM probes p
+  JOIN assign a ON a.cell = p.cell AND a.vec_id <> p.qid
+  JOIN embeddings qe ON qe.vec_id = p.qid
+  JOIN embeddings ce ON ce.vec_id = a.vec_id
+  JOIN norms nq ON nq.vec_id = p.qid
+  JOIN norms nc ON nc.vec_id = a.vec_id
+),
+ranked AS (
+  SELECT qid, nid, sim,
+         row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid ASC) AS rn
+  FROM sims
+)
+SELECT qid AS query_id, nid AS neighbor_id, round(sim, 6) AS cosine_sim
+FROM ranked WHERE rn <= {k}
+"""
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -9784,6 +9849,9 @@ QUERIES: dict[str, QueryFn] = {
     "doc_cdc_chunks": q_doc_cdc_chunks,
     "token_zipf_fit": q_token_zipf_fit,
     "user_ab_lift": q_user_ab_lift,
+    # (a2) ann_ivf, newly ORACLED in r09 (previously in the no-oracle
+    #      tail; its ledger is pre-r05-stale so it must take a slot);
+    "ann_ivf": q_ann_ivf,
     # (b) the 11 r05-evidence queries (the whole remaining r05 cohort);
     "moving_event_stats": q_moving_event_stats,
     "event_props_stats": q_event_props_stats,
@@ -9796,7 +9864,7 @@ QUERIES: dict[str, QueryFn] = {
     "geo_region_counts": q_geo_region_counts,
     "orders_without_lineitems": q_orders_without_lineitems,
     "active_customers": q_active_customers,
-    # (c) the 35 stalest r06-evidence queries, prior-registry order.
+    # (c) the 34 stalest r06-evidence queries, prior-registry order.
     "min_cost_supplier": q_min_cost_supplier,
     "important_part_value": q_important_part_value,
     "late_shipment_priority": q_late_shipment_priority,
@@ -9831,7 +9899,6 @@ QUERIES: dict[str, QueryFn] = {
     "event_union": q_event_union,
     "events_asof_error": q_events_asof_error,
     "geo_nearby_events": q_geo_nearby_events,
-    "minhash_lsh_pairs": q_minhash_lsh_pairs,
     # ---- slots above are inside the driver's 50-query verification
     # window; everything below holds an r05/r06/r07/r08 driver-green row
     # and rides the driver-faithful local replica until its next
@@ -9840,7 +9907,8 @@ QUERIES: dict[str, QueryFn] = {
     # re-derives it from the ledger either way). ----
     # flagship (r06 hash-green; driver smoke-checks entry() every round)
     "geo_trajectory": q_geo_trajectory,
-    # r06 driver-green (the 14 not reached by the r09 window)
+    # r06 driver-green (the 15 not reached by the r09 window)
+    "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "minhash_signatures": q_minhash_signatures,
     "multimodal_features": q_multimodal_features,
     "neardup_components": q_neardup_components,
@@ -9961,7 +10029,6 @@ QUERIES: dict[str, QueryFn] = {
     # never occupy a driver verification slot (accuracy pinned by
     # recall/error tests, not a SQL twin) ----
     "approx_event_stats": q_approx_event_stats,
-    "ann_ivf": q_ann_ivf,
     "ann_pq": q_ann_pq,
     "emb_pca": q_emb_pca,
     "order_price_rank_sketch": q_order_price_rank_sketch,
@@ -9977,6 +10044,7 @@ def build_oracles() -> dict[str, str]:
         "emb_hard_negatives": SQL_EMB_HARD_NEGATIVES,
         "emb_hard_negatives_mined": _sql_emb_hard_negatives_mined(),
         "doc_cdc_chunks": _sql_doc_cdc_chunks(),
+        "ann_ivf": _sql_ann_ivf(),
         "token_zipf_fit": _sql_token_zipf_fit(),
         "user_ab_lift": _sql_user_ab_lift(),
         "emb_outliers": _sql_emb_outliers(),
