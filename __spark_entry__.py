@@ -34,12 +34,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-runnable ANSI SQL twin for each query (ann_pq /
-    approx_event_stats omitted: approximate ops, checked by
-    recall/error tests; order_price_rank_sketch omitted: xxhash64 has
-    no DuckDB twin, one-sided error pinned by tests/test_rank.py;
-    emb_pca omitted: DuckDB has no eigen solver, accuracy pinned by
-    tests/test_pca.py numpy parity. ann_lsh gained a full oracle in
-    r08 and ann_ivf in r09 — their registered shapes are deterministic
-    end-to-end)."""
+    """DuckDB-runnable ANSI SQL twin for each query
+    (approx_event_stats omitted: sampling is engine-defined, error
+    pinned by tests/test_approx.py; order_price_rank_sketch omitted:
+    xxhash64 has no DuckDB twin, one-sided error pinned by
+    tests/test_rank.py; emb_pca omitted: DuckDB has no eigen solver,
+    accuracy pinned by tests/test_pca.py numpy parity. The whole ANN
+    family is now fully oracled — ann_lsh in r08, ann_ivf and ann_pq
+    in r09: their registered shapes are deterministic end-to-end)."""
     return build_oracles()

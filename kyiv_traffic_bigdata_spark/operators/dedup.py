@@ -615,7 +615,11 @@ def incremental_lsh_pairs(
     new_buckets = buckets.join(
         new_ids.select(F.col(new_ids.columns[0]).alias("doc_id")), "doc_id"
     )
-    a, b = buckets.alias("a"), new_buckets.alias("b")
+    # the full-corpus bucket side must never broadcast (see
+    # minhash_lsh_pairs); the new-batch probe side MAY be small, but a
+    # shuffle join costs it nothing extra — it shuffles either way
+    a = buckets.alias("a").hint("shuffle_hash")
+    b = new_buckets.alias("b")
     candidates = (
         a.join(b, ["band", "bh"])
         .where(F.col("a.doc_id") != F.col("b.doc_id"))
@@ -651,7 +655,12 @@ def minhash_lsh_pairs(
     idx = shingle_index(docs, id_col, text_col, ngram).transform(stage)
     sig = minhash_signatures(docs, id_col, text_col, ngram, index=idx)
     buckets = lsh_buckets(sig)
-    a, b = buckets.alias("a"), buckets.alias("b")
+    # the bucket table is corpus × bands rows — like everything else in
+    # this pipeline it must never be a broadcast build side (the
+    # jaccard_verify docstring's r09 OOM rationale), so the self-join
+    # is pinned shuffle_hash
+    a = buckets.alias("a").hint("shuffle_hash")
+    b = buckets.alias("b")
     candidates = (
         a.join(b, ["band", "bh"])
         .where(F.col("a.doc_id") < F.col("b.doc_id"))

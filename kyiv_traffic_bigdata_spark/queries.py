@@ -3407,8 +3407,14 @@ GROUP BY vec_id
 def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ asymmetric-distance approximate NN (the third ANN scale path
     next to ann_lsh/ann_ivf — this one compresses the CORPUS, not the
-    candidate set). No SQL oracle — approximation is engine-defined;
-    the driver records a rows-only check and tests/test_ann.py pins
+    candidate set). ORACLED as of r09 (completing the set: lsh r08,
+    ivf r09): with seed codebooks (n_iters=0) every stage is
+    deterministic — subvector→codeword squared distances are
+    sequential folds, code assignment is first-min argmin, the ADC
+    score folds the m per-subspace table lookups in subspace order —
+    so the DuckDB twin rebuilds codebooks, codes, distance tables and
+    the final ranking from the same parquet and the driver
+    hash-checks the whole pipeline. tests/test_ann.py still pins
     recall against the exact baseline."""
     from .operators.pq import adc_topk, encode_pq, fit_pq
 
@@ -3422,6 +3428,63 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     codes = encode_pq(emb, books)
     q = emb.where(F.col("vec_id") % 50 == 0)
     return adc_topk(q, codes, books, k=10)
+
+
+def _sql_ann_pq() -> str:
+    m, kk, topk = PQ_M, PQ_K, 10
+    subdim = 64 // m
+    # per-subspace sequential-fold squared distance — the identical
+    # IEEE accumulation order as operators.pq's sq_dist fold
+    seq_sqd = (
+        "list_reduce(list_transform(list_zip({a}, {b}), p -> "
+        "(struct_extract(p, 1) - struct_extract(p, 2)) * "
+        "(struct_extract(p, 1) - struct_extract(p, 2))), (x, y) -> x + y)"
+    )
+    sub_slice = (
+        "list_transform(generate_series(s.s * {sd} + 1, s.s * {sd} + {sd}), "
+        "i -> CAST({v}[i] AS DOUBLE))"
+    ).format(sd=subdim, v="{v}")
+    return f"""
+WITH ss AS (SELECT unnest(generate_series(0, {m - 1})) AS s),
+seed AS (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT {kk}),
+book AS (
+  SELECT s.s, row_number() OVER (PARTITION BY s.s ORDER BY seed.vec_id) - 1 AS cid,
+         {sub_slice.format(v='seed.embedding')} AS cw
+  FROM seed CROSS JOIN ss s
+),
+sub AS (
+  SELECT e.vec_id, s.s, {sub_slice.format(v='e.embedding')} AS sv
+  FROM embeddings e CROSS JOIN ss s
+),
+d AS (
+  SELECT sub.vec_id, sub.s, book.cid,
+         {seq_sqd.format(a='sub.sv', b='book.cw')} AS d
+  FROM sub JOIN book ON book.s = sub.s
+),
+codes AS (
+  SELECT vec_id, s, cid FROM (
+    SELECT vec_id, s, cid,
+           row_number() OVER (PARTITION BY vec_id, s ORDER BY d ASC, cid ASC) AS rn
+    FROM d
+  ) WHERE rn = 1
+),
+pair AS (
+  SELECT qd.vec_id AS qid, c.vec_id AS nid, qd.s, qd.d
+  FROM codes c JOIN d qd ON qd.s = c.s AND qd.cid = c.cid
+  WHERE qd.vec_id % 50 = 0 AND c.vec_id <> qd.vec_id
+),
+adist AS (
+  SELECT qid, nid, list_reduce(list(d ORDER BY s), (a, b) -> a + b) AS ad
+  FROM pair GROUP BY qid, nid
+),
+ranked AS (
+  SELECT qid, nid, ad,
+         row_number() OVER (PARTITION BY qid ORDER BY ad ASC, nid ASC) AS rn
+  FROM adist
+)
+SELECT qid AS query_id, nid AS neighbor_id, round(ad, 6) AS approx_sq_dist
+FROM ranked WHERE rn <= {topk}
+"""
 
 
 #: Exact-substring dedup gram length (chars). 40 on the synthetic corpus
@@ -9849,9 +9912,11 @@ QUERIES: dict[str, QueryFn] = {
     "doc_cdc_chunks": q_doc_cdc_chunks,
     "token_zipf_fit": q_token_zipf_fit,
     "user_ab_lift": q_user_ab_lift,
-    # (a2) ann_ivf, newly ORACLED in r09 (previously in the no-oracle
-    #      tail; its ledger is pre-r05-stale so it must take a slot);
+    # (a2) ann_ivf + ann_pq, newly ORACLED in r09 (previously in the
+    #      no-oracle tail; their ledgers are pre-r05-stale so they must
+    #      take slots);
     "ann_ivf": q_ann_ivf,
+    "ann_pq": q_ann_pq,
     # (b) the 11 r05-evidence queries (the whole remaining r05 cohort);
     "moving_event_stats": q_moving_event_stats,
     "event_props_stats": q_event_props_stats,
@@ -9864,7 +9929,7 @@ QUERIES: dict[str, QueryFn] = {
     "geo_region_counts": q_geo_region_counts,
     "orders_without_lineitems": q_orders_without_lineitems,
     "active_customers": q_active_customers,
-    # (c) the 34 stalest r06-evidence queries, prior-registry order.
+    # (c) the 33 stalest r06-evidence queries, prior-registry order.
     "min_cost_supplier": q_min_cost_supplier,
     "important_part_value": q_important_part_value,
     "late_shipment_priority": q_late_shipment_priority,
@@ -9898,7 +9963,6 @@ QUERIES: dict[str, QueryFn] = {
     "embedding_norms": q_embedding_norms,
     "event_union": q_event_union,
     "events_asof_error": q_events_asof_error,
-    "geo_nearby_events": q_geo_nearby_events,
     # ---- slots above are inside the driver's 50-query verification
     # window; everything below holds an r05/r06/r07/r08 driver-green row
     # and rides the driver-faithful local replica until its next
@@ -9907,7 +9971,8 @@ QUERIES: dict[str, QueryFn] = {
     # re-derives it from the ledger either way). ----
     # flagship (r06 hash-green; driver smoke-checks entry() every round)
     "geo_trajectory": q_geo_trajectory,
-    # r06 driver-green (the 15 not reached by the r09 window)
+    # r06 driver-green (the 16 not reached by the r09 window)
+    "geo_nearby_events": q_geo_nearby_events,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "minhash_signatures": q_minhash_signatures,
     "multimodal_features": q_multimodal_features,
@@ -10029,7 +10094,6 @@ QUERIES: dict[str, QueryFn] = {
     # never occupy a driver verification slot (accuracy pinned by
     # recall/error tests, not a SQL twin) ----
     "approx_event_stats": q_approx_event_stats,
-    "ann_pq": q_ann_pq,
     "emb_pca": q_emb_pca,
     "order_price_rank_sketch": q_order_price_rank_sketch,
 }
@@ -10045,6 +10109,7 @@ def build_oracles() -> dict[str, str]:
         "emb_hard_negatives_mined": _sql_emb_hard_negatives_mined(),
         "doc_cdc_chunks": _sql_doc_cdc_chunks(),
         "ann_ivf": _sql_ann_ivf(),
+        "ann_pq": _sql_ann_pq(),
         "token_zipf_fit": _sql_token_zipf_fit(),
         "user_ab_lift": _sql_user_ab_lift(),
         "emb_outliers": _sql_emb_outliers(),

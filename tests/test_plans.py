@@ -1133,3 +1133,16 @@ def test_r09_additions_plan_shapes(plans):
     ab = plans("user_ab_lift")
     assert "Join" not in ab
     assert parquet_scan_count(ab, "events") == 1
+
+
+def test_minhash_pipeline_never_broadcasts(plans):
+    """r09 scale find, pinned: every table in the MinHash-LSH pipeline
+    (bucket table, candidate pairs, per-doc shingle arrays) scales with
+    the corpus, so NO join in the plan may be broadcast — the staged
+    index's size estimate undershoots badly enough that a 36.8M-row
+    index became a broadcast build side and OOM'd an 8 GB driver at
+    the 100x scale point before the shuffle_hash pins."""
+    plan = plans("minhash_lsh_pairs")
+    assert "BroadcastHashJoin" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
