@@ -2,9 +2,10 @@
 
 Closes the last ``needs_codec`` gap in the multimodal pipeline
 (operators/multimodal.py): PNG was already real (zlib + unfilters), GIF
-real (LZW); this module decodes baseline sequential DCT JPEG (SOF0) AND
-progressive DCT JPEG (SOF2) — together the overwhelming majority of web
-crawl images — end-to-end:
+real (LZW); this module decodes baseline sequential DCT JPEG (SOF0), extended
+sequential (SOF1, incl. 12-bit precision) AND progressive DCT JPEG
+(SOF2, 8- or 12-bit) — together the overwhelming majority of web crawl
+images plus the medical/scientific 12-bit profile — end-to-end:
 
 * marker/segment walk (DQT, DHT, SOF0/SOF2, SOS, DRI; APPn/COM
   skipped; 0xFF fill bytes tolerated),
@@ -19,24 +20,30 @@ crawl images — end-to-end:
 * chroma upsampling for any (h, v) sampling factors (nearest), JFIF
   full-range YCbCr→RGB (BT.601) with clamp.
 
-Out of scope (returns None, callers fall back to ``needs_codec``):
-arithmetic coding, hierarchical, lossless, 12-bit precision,
->4 components. ``max_pixels`` bounds memory/CPU per payload — the same
-guard contract as decode_png_pixels/decode_gif_frames.
+12-bit handling (r09, closes the r07/r08 "medical imagery" residue):
+SOF1/SOF2 frames with precision 12 decode natively — level shift
+2^(P-1)=2048, chroma centered at 2048, extended Huffman magnitude
+categories (DC ≤ 15, AC size ≤ 14 ride the same generic tables) — and
+the result is scaled to the pipeline's 8-bit RGB contract (×255/4095).
+Verified by a 12-bit test encoder (SOF1, 16-bit DQT, extended tables)
+in tests/test_jpeg.py via decode(encode(img12)) error bounds.
 
-DECISION (r07, closes the codec thread): arithmetic-coded and 12-bit
-JPEG stay Pillow-gated rather than hand-implemented. Both are
-effectively absent from web corpora — arithmetic coding was
-patent-encumbered for the format's formative decades and virtually no
-encoder emits it (libjpeg ships with it disabled); 12-bit precision is
-a medical/scientific-imaging profile that browsers don't even render —
-so a from-scratch QM-coder would be ~500 lines of decode path exercised
-by no realistic training-data payload, while the existing optional
-Pillow probe (multimodal.py ``optional_image_codec``) already upgrades
-both to ``resized`` wherever a codec library exists. The honest per-row
-``needs_codec``
-status (never a failed batch) is the designed behavior for this
-residue, not a gap.
+Out of scope (returns None, callers fall back to ``needs_codec``):
+arithmetic coding, hierarchical, lossless, >4 components.
+``max_pixels`` bounds memory/CPU per payload — the same guard contract
+as decode_png_pixels/decode_gif_frames.
+
+DECISION (r07, narrowed r09): arithmetic-coded JPEG stays Pillow-gated
+rather than hand-implemented. It is effectively absent from real
+corpora — patent-encumbered for the format's formative decades,
+virtually no encoder emits it (libjpeg ships with it disabled), and
+browsers don't render it — and a from-scratch QM-coder needs the
+113-row empirical Qe state table from ITU T.81 Table D.3, which is not
+derivable from first principles; transcribing it from memory risks a
+decoder that silently mis-decodes spec-compliant files, strictly worse
+than the honest per-row ``needs_codec`` status (never a failed batch).
+The optional Pillow probe (multimodal.py ``optional_image_codec``)
+upgrades such rows to ``resized`` wherever a codec library exists.
 
 Reference parity note: the reference repo ships no image codecs (its
 multimodal surface is this repo's extension); the decoder exists so the
@@ -201,6 +208,7 @@ def _decode_jpeg(
     huff_ac: dict[int, dict] = {}
     comps: list[dict] = []
     w = h = 0
+    precision = 8
     restart_interval = 0
     i, n = 2, len(payload)
     sos_at = -1
@@ -251,9 +259,10 @@ def _decode_jpeg(
                     counts, symbols
                 )
                 j += 17 + total
-        elif marker == 0xC0:  # SOF0 baseline
-            if seg[0] != 8:
-                return None  # 12-bit precision unsupported
+        elif marker in (0xC0, 0xC1):  # SOF0 baseline / SOF1 extended seq.
+            precision = seg[0]
+            if precision not in (8, 12):
+                return None  # only 8/12-bit sample precision (B.2.2)
             h, w = struct.unpack(">HH", seg[1:5])
             nc = seg[5]
             if nc == 0 or nc > 4 or w == 0 or h == 0 or w * h > max_pixels:
@@ -268,9 +277,9 @@ def _decode_jpeg(
                     return None
         elif marker == 0xC2:  # SOF2: hand the whole payload to the
             return _decode_progressive(payload, max_pixels)  # multi-scan path
-        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
-            return None  # non-baseline SOF (arithmetic/hierarchical/lossless)
+            return None  # unsupported SOF (arithmetic/hierarchical/lossless)
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", seg[0:2])
         elif marker == 0xDA:  # SOS
@@ -379,7 +388,7 @@ def _decode_jpeg(
     planes = []
     for c in scan_comps:
         blocks = np.array(c["coef"], dtype=np.float64).reshape(-1, 8, 8)
-        spatial = _idct_blocks(blocks) + 128.0
+        spatial = _idct_blocks(blocks) + float(1 << (precision - 1))
         plane = np.zeros((c["bh"] * 8, c["bw"] * 8), dtype=np.float64)
         bi = 0
         if non_interleaved:  # raster block order
@@ -402,27 +411,38 @@ def _decode_jpeg(
             plane = np.repeat(np.repeat(plane, ry, axis=0), rx, axis=1)
         planes.append(plane[:h, :w])
 
-    return _planes_to_rgb(planes, w, h)
+    return _planes_to_rgb(planes, w, h, precision)
 
 
-def _planes_to_rgb(planes, w: int, h: int) -> tuple[int, int, bytes] | None:
+def _planes_to_rgb(
+    planes, w: int, h: int, precision: int = 8
+) -> tuple[int, int, bytes] | None:
     """Shared color tail (baseline + progressive): gray replication or
-    JFIF full-range YCbCr→RGB (BT.601) with clamp."""
+    JFIF full-range YCbCr→RGB (BT.601) with clamp. 12-bit samples
+    (extended sequential / 12-bit progressive) convert in the native
+    range — chroma centered at 2^(P-1) — then scale to the pipeline's
+    8-bit RGB contract (×255/4095); for P=8 the scale is exactly 1.0,
+    so the 8-bit path is bit-identical to the pre-12-bit code."""
     import numpy as np
 
+    maxval = float((1 << precision) - 1)
+    half = float(1 << (precision - 1))
     if len(planes) == 1:
-        ycc = np.clip(planes[0], 0, 255)
+        ycc = np.clip(planes[0], 0, maxval)
         rgb = np.repeat(ycc[:, :, None], 3, axis=2)
     elif len(planes) == 3:
         y, cb, cr = planes
-        r = y + 1.402 * (cr - 128.0)
-        g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
-        b = y + 1.772 * (cb - 128.0)
+        r = y + 1.402 * (cr - half)
+        g = y - 0.344136 * (cb - half) - 0.714136 * (cr - half)
+        b = y + 1.772 * (cb - half)
         rgb = np.stack(
-            [np.clip(r, 0, 255), np.clip(g, 0, 255), np.clip(b, 0, 255)], axis=2
+            [np.clip(r, 0, maxval), np.clip(g, 0, maxval), np.clip(b, 0, maxval)],
+            axis=2,
         )
     else:
         return None  # CMYK/4-component not supported
+    if precision != 8:
+        rgb = rgb * (255.0 / maxval)
     return w, h, np.round(rgb).astype(np.uint8).tobytes()
 
 
@@ -446,6 +466,7 @@ def _decode_progressive(
     comps: list[dict] = []
     state: dict[int, dict] = {}
     w = h = 0
+    precision = 8
     hmax = vmax = mcux = mcuy = 0
     restart_interval = 0
     i, n = 2, len(payload)
@@ -499,8 +520,9 @@ def _decode_progressive(
                 )
                 j += 17 + total
         elif marker == 0xC2:  # SOF2
-            if seg[0] != 8:
-                return None  # 12-bit precision unsupported
+            precision = seg[0]
+            if precision not in (8, 12):
+                return None  # only 8/12-bit sample precision (B.2.2)
             h, w = struct.unpack(">HH", seg[1:5])
             nc = seg[5]
             if nc == 0 or nc > 4 or w == 0 or h == 0 or w * h > max_pixels:
@@ -570,7 +592,7 @@ def _decode_progressive(
         for k in range(64):
             qnat[ZIGZAG[k]] = qt[c["tq"]][k]
         blocks = (st["coef"].astype(np.float64) * qnat).reshape(-1, 8, 8)
-        spatial = _idct_blocks(blocks) + 128.0
+        spatial = _idct_blocks(blocks) + float(1 << (precision - 1))
         plane = np.zeros((st["bh"] * 8, st["bw"] * 8), dtype=np.float64)
         for bi in range(st["bh"] * st["bw"]):
             by, bx = divmod(bi, st["bw"])
@@ -579,7 +601,7 @@ def _decode_progressive(
         if ry > 1 or rx > 1:
             plane = np.repeat(np.repeat(plane, ry, axis=0), rx, axis=1)
         planes.append(plane[:h, :w])
-    return _planes_to_rgb(planes, w, h)
+    return _planes_to_rgb(planes, w, h, precision)
 
 
 def _progressive_scan(

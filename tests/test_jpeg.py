@@ -62,6 +62,20 @@ def _codes(counts, symbols):
 _DC_CODES = _codes(_DC_COUNTS, _DC_SYMBOLS)
 _AC_CODES = _codes(_AC_COUNTS, _AC_SYMBOLS)
 
+# extended tables for 12-bit precision (F.1.2.1: DC categories 0..15,
+# AC magnitude sizes 1..14 — wider than the 8-bit 0..11 / 1..10 set)
+_DC12_SYMBOLS = bytes(range(16))
+_DC12_COUNTS = [0] * 16
+_DC12_COUNTS[7] = 16  # 16 codes of length 8
+_AC12_SYMBOLS = bytes(
+    [0x00, 0xF0] + [(run << 4) | size for run in range(16) for size in range(1, 15)]
+)
+_AC12_COUNTS = [0] * 16
+_AC12_COUNTS[11] = len(_AC12_SYMBOLS)  # 226 codes of length 12 (≤ 4096)
+
+_DC12_CODES = _codes(_DC12_COUNTS, _DC12_SYMBOLS)
+_AC12_CODES = _codes(_AC12_COUNTS, _AC12_SYMBOLS)
+
 
 def _dct_matrix():
     k = np.arange(8)
@@ -101,12 +115,15 @@ def _magnitude(v):
     return size, bits
 
 
-def _encode_block(bw, block_zz, pred):
+def _encode_block(bw, block_zz, pred, dc_codes=None, ac_codes=None):
     """Entropy-encode one quantized block (zigzag order); returns new DC
-    predictor."""
+    predictor. ``dc_codes``/``ac_codes`` default to the 8-bit tables;
+    the 12-bit encoder passes its extended tables."""
+    dc_codes = dc_codes if dc_codes is not None else _DC_CODES
+    ac_codes = ac_codes if ac_codes is not None else _AC_CODES
     diff = block_zz[0] - pred
     size, bits = _magnitude(diff)
-    ln, code = _DC_CODES[size]
+    ln, code = dc_codes[size]
     bw.put(code, ln)
     if size:
         bw.put(bits, size)
@@ -121,16 +138,16 @@ def _encode_block(bw, block_zz, pred):
             run += 1
             continue
         while run > 15:
-            ln, code = _AC_CODES[0xF0]
+            ln, code = ac_codes[0xF0]
             bw.put(code, ln)
             run -= 16
         size, bits = _magnitude(v)
-        ln, code = _AC_CODES[(run << 4) | size]
+        ln, code = ac_codes[(run << 4) | size]
         bw.put(code, ln)
         bw.put(bits, size)
         run = 0
     if last_nz < 63:
-        ln, code = _AC_CODES[0x00]
+        ln, code = ac_codes[0x00]
         bw.put(code, ln)
     return block_zz[0]
 
@@ -242,6 +259,81 @@ def encode_baseline_jpeg(rgb, q=4, subsample=False, gray=False, restart=0,
                         for bx in range(c["h"]):
                             emit(c, (my * c["v"] + by) * 8, (mx * c["h"] + bx) * 8)
                 mcu_i += 1
+    bw.flush()
+    out += bw.out + b"\xff\xd9"
+    return bytes(out)
+
+
+def encode_ext12_jpeg(img12, q=8):
+    """img12: (h, w) gray or (h, w, 3) RGB uint16 in [0, 4095] ->
+    EXTENDED SEQUENTIAL (SOF1, precision 12) JPEG bytes. Exercises the
+    12-bit decode path end-to-end: 16-bit (pq=1) quant table, level
+    shift 2048, extended Huffman tables (DC categories 0..15, AC sizes
+    1..14). Structure mirrors encode_baseline_jpeg (full-resolution
+    components, non-interleaved for gray); shares only the file format
+    with the decoder."""
+    h, w = img12.shape[:2]
+    C = _dct_matrix()
+    qtab = [q] * 64
+
+    if img12.ndim == 2:
+        comps = [{"plane": img12.astype(np.float64)}]
+    else:
+        r = img12[:, :, 0].astype(np.float64)
+        g = img12[:, :, 1].astype(np.float64)
+        b = img12[:, :, 2].astype(np.float64)
+        comps = [
+            {"plane": 0.299 * r + 0.587 * g + 0.114 * b},
+            {"plane": 2048.0 - 0.168736 * r - 0.331264 * g + 0.5 * b},
+            {"plane": 2048.0 + 0.5 * r - 0.418688 * g - 0.081312 * b},
+        ]
+    bxs, bys = (w + 7) // 8, (h + 7) // 8
+    for c in comps:
+        plane = np.full((bys * 8, bxs * 8), 2048.0)
+        src = c["plane"]
+        plane[:h, :w] = src
+        plane[h:, :w] = src[-1:, :]
+        plane[:, w:] = plane[:, w - 1 : w]
+        c["padded"] = plane
+        c["pred"] = 0
+
+    out = bytearray(b"\xff\xd8")
+    seg = bytes([0x10]) + b"".join(struct.pack(">H", v) for v in qtab)
+    out += b"\xff\xdb" + struct.pack(">H", 2 + len(seg)) + seg
+    nc = len(comps)
+    sof = struct.pack(">BHHB", 12, h, w, nc)
+    for idx in range(nc):
+        sof += bytes([idx + 1, 0x11, 0])
+    out += b"\xff\xc1" + struct.pack(">H", 2 + len(sof)) + sof
+    for tc, counts, symbols in (
+        (0, _DC12_COUNTS, _DC12_SYMBOLS),
+        (1, _AC12_COUNTS, _AC12_SYMBOLS),
+    ):
+        seg = bytes([tc << 4]) + bytes(counts) + symbols
+        out += b"\xff\xc4" + struct.pack(">H", 2 + len(seg)) + seg
+    sos = bytes([nc])
+    for idx in range(nc):
+        sos += bytes([idx + 1, 0x00])
+    sos += bytes([0, 63, 0])
+    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+
+    bw = _BitWriter()
+
+    def emit(c, y0, x0):
+        blk = c["padded"][y0 : y0 + 8, x0 : x0 + 8] - 2048.0
+        coef = C @ blk @ C.T
+        zz = [int(np.round(coef.flat[ZIGZAG[k]] / qtab[k])) for k in range(64)]
+        c["pred"] = _encode_block(bw, zz, c["pred"], _DC12_CODES, _AC12_CODES)
+
+    if nc == 1:  # non-interleaved raster (A.2.2)
+        for byi in range(bys):
+            for bxi in range(bxs):
+                emit(comps[0], byi * 8, bxi * 8)
+    else:  # all factors (1,1): one block per component per MCU
+        for byi in range(bys):
+            for bxi in range(bxs):
+                for c in comps:
+                    emit(c, byi * 8, bxi * 8)
     bw.flush()
     out += bw.out + b"\xff\xd9"
     return bytes(out)
@@ -498,9 +590,11 @@ class _ProgScanWriter:
 
 def encode_progressive_jpeg(
     rgb, q=4, gray=False, subsample=False, restart=0,
-    dc_al=1, ac_al=1, bands=((1, 5), (6, 63)),
+    dc_al=1, ac_al=1, bands=((1, 5), (6, 63)), precision=8,
 ):
     """rgb (h, w, 3) uint8 -> PROGRESSIVE (SOF2) JPEG bytes.
+    precision=12 accepts (h, w, 3) uint16 in [0, 4095] instead (narrow
+    dynamic range recommended — the scan tables cap AC size at 12).
 
     Scan script: interleaved DC first (Al=dc_al) → per-component AC
     first scans per spectral band (Al=ac_al) → DC refinement bit scans
@@ -511,13 +605,14 @@ def encode_progressive_jpeg(
     h, w = rgb.shape[:2]
     C = _dct_matrix()
     qtab = [q] * 64
+    half = float(1 << (precision - 1))
 
     r_ = rgb[:, :, 0].astype(np.float64)
     g_ = rgb[:, :, 1].astype(np.float64)
     b_ = rgb[:, :, 2].astype(np.float64)
     y = 0.299 * r_ + 0.587 * g_ + 0.114 * b_
-    cb = 128.0 - 0.168736 * r_ - 0.331264 * g_ + 0.5 * b_
-    cr = 128.0 + 0.5 * r_ - 0.418688 * g_ - 0.081312 * b_
+    cb = half - 0.168736 * r_ - 0.331264 * g_ + 0.5 * b_
+    cr = half + 0.5 * r_ - 0.418688 * g_ - 0.081312 * b_
 
     if gray:
         comps = [{"plane": y, "h": 1, "v": 1}]
@@ -540,7 +635,7 @@ def encode_progressive_jpeg(
 
     for c in comps:
         pw, ph = 8 * mcux * c["h"], 8 * mcuy * c["v"]
-        plane = np.full((ph, pw), 128.0)
+        plane = np.full((ph, pw), half)
         src = c["plane"]
         plane[: src.shape[0], : src.shape[1]] = src
         plane[src.shape[0]:, : src.shape[1]] = src[-1:, :]
@@ -549,7 +644,7 @@ def encode_progressive_jpeg(
         zz = np.zeros((bhb * bwb, 64), dtype=np.int64)
         for byi in range(bhb):
             for bxi in range(bwb):
-                blk = plane[byi * 8 : byi * 8 + 8, bxi * 8 : bxi * 8 + 8] - 128.0
+                blk = plane[byi * 8 : byi * 8 + 8, bxi * 8 : bxi * 8 + 8] - half
                 coefn = C @ blk @ C.T
                 zz[byi * bwb + bxi] = [
                     int(np.round(coefn.flat[ZIGZAG[k]] / qtab[k]))
@@ -563,7 +658,7 @@ def encode_progressive_jpeg(
     out = bytearray(b"\xff\xd8")
     out += b"\xff\xdb" + struct.pack(">H", 2 + 1 + 64) + bytes([0]) + bytes(qtab)
     nc = len(comps)
-    sof = struct.pack(">BHHB", 8, h, w, nc)
+    sof = struct.pack(">BHHB", precision, h, w, nc)
     for idx, c in enumerate(comps):
         sof += bytes([idx + 1, (c["h"] << 4) | c["v"], 0])
     out += b"\xff\xc2" + struct.pack(">H", 2 + len(sof)) + sof
@@ -831,6 +926,106 @@ def test_progressive_flows_through_resize_images(spark):
     img = np.zeros((8, 8, 3), np.uint8)
     img[:4, :4] = (200, 50, 50)
     payload = encode_progressive_jpeg(img, q=2)
+    df = spark.createDataFrame(
+        [(1, bytearray(payload))], "media_id long, payload binary"
+    )
+    row = resize_images(df, 2, 2).collect()[0]
+    assert row.status == "resized"
+
+
+# ---------------------------------------------------------------------------
+# 12-bit precision (SOF1 extended sequential + 12-bit progressive)
+# ---------------------------------------------------------------------------
+
+
+def test_ext12_gray_gradient_uses_full_dynamic_range():
+    """A 12-bit ramp spanning 0..4095 must decode to the full 0..255
+    output range — proving values above the 8-bit ceiling survive
+    (a clipped-at-255 decode would flatten the top half)."""
+    q = 8
+    ramp = np.linspace(0.0, 4095.0, 32)
+    img12 = np.tile(np.round(ramp).astype(np.uint16), (16, 1))
+    out = _decode_to_array(encode_ext12_jpeg(img12, q=q))
+    assert out.shape == (16, 32, 3)
+    expected = np.round(img12.astype(np.float64) * 255.0 / 4095.0)
+    err = np.abs(out[:, :, 0].astype(float) - expected)
+    # pixel-space quantization error ≤ 8q twelve-bit units → /16.06 in
+    # 8-bit units, +1 for the two rounding steps
+    assert err.max() <= 8 * q / 16.0 + 1.0
+    assert out[:, :, 0].min() == 0 and out[:, :, 0].max() == 255
+    assert (out[:, :, 0] == out[:, :, 1]).all() and (out[:, :, 0] == out[:, :, 2]).all()
+
+
+def test_ext12_flat_color_roundtrip():
+    img12 = np.zeros((16, 24, 3), np.uint16)
+    img12[:, :] = (3600, 1200, 300)  # values far above the 8-bit range
+    out = _decode_to_array(encode_ext12_jpeg(img12, q=4))
+    expected = np.round(img12.astype(np.float64) * 255.0 / 4095.0)
+    assert np.abs(out.astype(float) - expected).max() <= 2.0
+
+
+def test_ext12_random_bounded_and_never_raises():
+    rng = np.random.default_rng(23)
+    q = 8
+    img12 = rng.integers(0, 4096, size=(16, 16), dtype=np.uint16)
+    payload = encode_ext12_jpeg(img12, q=q)
+    out = _decode_to_array(payload)
+    expected = img12.astype(np.float64) * 255.0 / 4095.0
+    # random content: quantization-bounded, never structural
+    assert np.abs(out[:, :, 0].astype(float) - expected).max() <= 8 * q / 16.0 + 1.0
+    import random as _random
+
+    r = _random.Random(5)
+    b = bytearray(payload)
+    for _ in range(200):
+        i = r.randrange(len(b))
+        b[i] ^= 1 << r.randrange(8)
+        cut = r.randrange(len(b) + 1)
+        try:
+            decode_jpeg_pixels(bytes(b[:cut]))
+        except Exception as exc:  # noqa: BLE001
+            pytest.fail(f"decoder raised on fuzzed 12-bit input: {exc!r}")
+
+
+def test_ext12_odd_dimensions_cropped():
+    img12 = np.full((13, 11), 2048, np.uint16)
+    out = _decode_to_array(encode_ext12_jpeg(img12, q=2))
+    assert out.shape == (13, 11, 3)
+    assert np.abs(out[:, :, 0].astype(float) - round(2048 * 255 / 4095)).max() <= 1
+
+
+def test_unsupported_precision_refused():
+    img12 = np.full((8, 8), 100, np.uint16)
+    good = encode_ext12_jpeg(img12, q=4)
+    sof_at = good.index(b"\xff\xc1")
+    bad = bytearray(good)
+    bad[sof_at + 4] = 10  # precision 10: legal only for lossless
+    assert decode_jpeg_pixels(bytes(bad)) is None
+    bad[sof_at + 4] = 16
+    assert decode_jpeg_pixels(bytes(bad)) is None
+
+
+def test_progressive_12bit_narrow_band():
+    """12-bit progressive (SOF2, precision 12): spectral selection +
+    successive approximation over a narrow-band 12-bit image decodes to
+    the same pixels as the 12-bit sequential encoder's output."""
+    rng = np.random.default_rng(7)
+    img12 = (2048 + rng.integers(-200, 200, size=(16, 24, 3))).astype(np.uint16)
+    seq = _decode_to_array(encode_ext12_jpeg(img12, q=4))
+    prog = _decode_to_array(
+        encode_progressive_jpeg(img12, q=4, precision=12, dc_al=1, ac_al=1)
+    )
+    assert np.abs(prog.astype(int) - seq.astype(int)).max() <= 1
+
+
+def test_ext12_flows_through_resize_images(spark):
+    """multimodal upgrade: a 12-bit medical-profile payload resizes for
+    real instead of landing in needs_codec (the r07/r08 residue)."""
+    from kyiv_traffic_bigdata_spark.operators.multimodal import resize_images
+
+    img12 = np.zeros((8, 8, 3), np.uint16)
+    img12[:4, :4] = (4000, 500, 500)
+    payload = encode_ext12_jpeg(img12, q=2)
     df = spark.createDataFrame(
         [(1, bytearray(payload))], "media_id long, payload binary"
     )
