@@ -43,6 +43,42 @@ def tumbling_stats(
     )
 
 
+def hopping_stats(
+    df: DataFrame,
+    ts_col: str,
+    duration: str,
+    slide: str,
+    group_cols: list[str],
+    value_col: str,
+) -> DataFrame:
+    """Per (hopping window × group) count + stable mean — the
+    OVERLAPPING generalization of :func:`tumbling_stats` (``F.window``
+    with a ``slideDuration``): each event lands in duration/slide
+    windows, so the same row contributes to every window covering it.
+
+    Scale shape: Catalyst's TimeWindowing rule expands each row into its
+    duration/slide window assignments MAP-SIDE (an Expand, no join, no
+    extra shuffle) and the single hash aggregate that follows is the
+    only exchange — identical plan skeleton to the tumbling case, just
+    a constant-factor row fan-out. Window starts are epoch-aligned, so
+    the oracle can reproduce assignment exactly with a bounded offsets
+    cross join.
+    """
+    return (
+        df.groupBy(F.window(F.col(ts_col), duration, slide).alias("w"), *group_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            stable_avg(value_col).alias("avg_value"),
+        )
+        .select(
+            F.unix_timestamp("w.start").alias("window_start_s"),
+            *group_cols,
+            "n_events",
+            "avg_value",
+        )
+    )
+
+
 def moving_stats(
     df: DataFrame,
     key_col: str,

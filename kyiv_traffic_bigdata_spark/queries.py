@@ -45,7 +45,7 @@ from .operators.pivot import explode_parallel_arrays
 from .operators.proximity import proximity_join
 from .operators.topk import top_k
 from .operators.trajectory import trajectory_speeds, value_rate
-from .operators.windows import moving_stats, sessionize, tumbling_stats
+from .operators.windows import hopping_stats, moving_stats, sessionize, tumbling_stats
 from .tables import load_table
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -9876,6 +9876,140 @@ FROM dists JOIN mom USING (label)
 
 
 # --------------------------------------------------------------------------
+# r09 late additions: hopping windows, cumulative uniques, blocked fuzzy ER
+# --------------------------------------------------------------------------
+
+
+def q_event_hopping_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping (hopping) event-time windows: 2 h windows sliding by
+    1 h, per event_type — the sliding generalization of
+    ``hourly_event_stats`` (reference ST1 family, SURVEY §2.8). Each
+    event contributes to exactly 2 windows; the assignment is expanded
+    map-side by Catalyst's TimeWindowing rule (no join), so the single
+    group-by exchange is the whole shuffle story at any scale."""
+    ev = load_table(spark, sf_dir, "events")
+    return hopping_stats(ev, "ts", "2 hours", "1 hour", ["event_type"], "value")
+
+
+SQL_HOPPING = f"""
+SELECT epoch_us(date_trunc('hour', ts)) // 1000000 - 3600 * offs.o AS window_start_s,
+  event_type,
+  CAST(COUNT(*) AS BIGINT) AS n_events,
+  {_savg('value', 'COUNT(value)')} AS avg_value
+FROM events CROSS JOIN (VALUES (0), (1)) AS offs(o)
+GROUP BY 1, 2
+"""
+
+
+def q_user_cumulative_uniques(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct users per day ("uniques so far") WITHOUT a
+    per-day COUNT(DISTINCT) rescan: a user is new only on its
+    first-seen day, so one (user → min day) aggregate + a per-day count
+    + a running sum over the ≤|days| daily rows reproduces the
+    cumulative distinct exactly. The unpartitioned running-sum window
+    is safe at any corpus size: it runs on the day-level aggregate,
+    whose cardinality is the calendar, not the corpus."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy("user_id")
+        .agg(F.min(F.date_trunc("day", F.col("ts"))).alias("first_day"))
+        .groupBy("first_day")
+        .agg(F.count(F.lit(1)).alias("new_users"))
+    )
+    w = Window.orderBy("first_day").rowsBetween(Window.unboundedPreceding, 0)
+    return daily.select(
+        F.unix_timestamp("first_day").alias("day_s"),
+        "new_users",
+        F.sum("new_users").over(w).alias("cum_users"),
+    )
+
+
+SQL_CUMULATIVE_UNIQUES = """
+WITH fs AS (
+  SELECT user_id, min(date_trunc('day', ts)) AS first_day FROM events GROUP BY 1
+), d AS (
+  SELECT first_day, CAST(count(*) AS BIGINT) AS new_users FROM fs GROUP BY 1
+)
+SELECT epoch_us(first_day) // 1000000 AS day_s, new_users,
+  CAST(SUM(new_users) OVER (ORDER BY first_day ROWS UNBOUNDED PRECEDING) AS BIGINT)
+    AS cum_users
+FROM d
+"""
+
+
+def q_part_name_fuzzy_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy entity resolution on part names: nearest
+    edit-distance neighbor per DISTINCT normalized name, candidates
+    restricted to the same blocking key (first token) — the classic
+    blocking+matching ER shape (threshold-free: emits each name's
+    closest in-block neighbor and the edit distance, so reviewers pick
+    the cutoff downstream).
+
+    Scale contract: ER runs on the distinct-name DIMENSION, never the
+    part fact table — the first aggregate collapses duplicates, so the
+    in-block pair space is bounded by the name vocabulary squared per
+    block, not by corpus rows. Blocking is the standard recall trade
+    (a pair split across blocking keys is never considered) and is part
+    of the query's definition, which is why the SQL twin is exact.
+    ``levenshtein`` is JVM-side in Spark and native in DuckDB — no UDF."""
+    part = load_table(spark, sf_dir, "part")
+    from pyspark.sql import Window
+
+    names = (
+        part.groupBy(
+            F.regexp_replace(F.lower(F.trim(F.col("p_name"))), r"\s+", " ").alias(
+                "name"
+            )
+        )
+        .agg(F.count(F.lit(1)).alias("n_parts"))
+        .withColumn("bk", F.split(F.col("name"), " ").getItem(0))
+    )
+    a, b = names.alias("a"), names.alias("b")
+    # equi-join on the blocking key (hash-partitioned, skew bounded by
+    # block size); no forced broadcast — the name vocabulary grows with
+    # corpus diversity, so AQE decides the physical join at runtime
+    pairs = a.join(
+        b,
+        (F.col("a.bk") == F.col("b.bk")) & (F.col("a.name") != F.col("b.name")),
+    ).select(
+        F.col("a.name").alias("name"),
+        F.col("a.n_parts").alias("n_parts"),
+        F.col("b.name").alias("nearest_name"),
+        F.col("b.n_parts").alias("nearest_n_parts"),
+        F.levenshtein(F.col("a.name"), F.col("b.name")).cast("long").alias("distance"),
+    )
+    w = Window.partitionBy("name").orderBy("distance", "nearest_name")
+    return (
+        pairs.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+SQL_FUZZY_MATCHES = f"""
+WITH names AS (
+  SELECT {_norm('p_name')} AS name, CAST(count(*) AS BIGINT) AS n_parts
+  FROM part GROUP BY 1
+), keyed AS (
+  SELECT name, n_parts, string_split(name, ' ')[1] AS bk FROM names
+), pairs AS (
+  SELECT a.name AS name, a.n_parts AS n_parts,
+         b.name AS nearest_name, b.n_parts AS nearest_n_parts,
+         CAST(levenshtein(a.name, b.name) AS BIGINT) AS distance
+  FROM keyed a JOIN keyed b ON a.bk = b.bk AND a.name <> b.name
+), ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY name ORDER BY distance, nearest_name) AS _rn
+  FROM pairs
+)
+SELECT name, n_parts, nearest_name, nearest_n_parts, distance
+FROM ranked WHERE _rn = 1
+"""
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -9905,6 +10039,11 @@ QUERIES: dict[str, QueryFn] = {
     # taking the head; the 4 r06 slots they displace lead the
     # staged section below (ties across the boundary are allowed — the
     # r06 cohort is larger than the window).
+    # (a0) the 3 r09 late additions, ledger 0 (hopping windows,
+    #      cumulative uniques, blocked fuzzy ER — full SQL twins);
+    "event_hopping_stats": q_event_hopping_stats,
+    "user_cumulative_uniques": q_user_cumulative_uniques,
+    "part_name_fuzzy_matches": q_part_name_fuzzy_matches,
     # (a) the 4 r09 additions, ledger 0 (serving-path hard-negative
     #     miner, content-defined chunking, Zipf vocabulary fit, A/B
     #     lift readout — all with full SQL twins);
@@ -9960,9 +10099,6 @@ QUERIES: dict[str, QueryFn] = {
     "doc_sample_by_lang": q_doc_sample_by_lang,
     "doc_stats": q_doc_stats,
     "emb_cosine_neardups": q_emb_cosine_neardups,
-    "embedding_norms": q_embedding_norms,
-    "event_union": q_event_union,
-    "events_asof_error": q_events_asof_error,
     # ---- slots above are inside the driver's 50-query verification
     # window; everything below holds an r05/r06/r07/r08 driver-green row
     # and rides the driver-faithful local replica until its next
@@ -9971,6 +10107,11 @@ QUERIES: dict[str, QueryFn] = {
     # re-derives it from the ledger either way). ----
     # flagship (r06 hash-green; driver smoke-checks entry() every round)
     "geo_trajectory": q_geo_trajectory,
+    # r06 driver-green, displaced from the window by the 3 late r09
+    # additions (same-round tie with the window's r06 cohort)
+    "embedding_norms": q_embedding_norms,
+    "event_union": q_event_union,
+    "events_asof_error": q_events_asof_error,
     # r06 driver-green (the 16 not reached by the r09 window)
     "geo_nearby_events": q_geo_nearby_events,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -10101,6 +10242,9 @@ QUERIES: dict[str, QueryFn] = {
 
 def build_oracles() -> dict[str, str]:
     return {
+        "event_hopping_stats": SQL_HOPPING,
+        "user_cumulative_uniques": SQL_CUMULATIVE_UNIQUES,
+        "part_name_fuzzy_matches": SQL_FUZZY_MATCHES,
         "user_hll_sketch": _sql_user_hll_sketch(),
         "doc_ngram_contamination": _sql_doc_ngram_contamination(),
         "emb_mrl_recall": _sql_emb_mrl_recall(),

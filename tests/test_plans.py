@@ -1146,3 +1146,36 @@ def test_minhash_pipeline_never_broadcasts(plans):
     assert "BroadcastHashJoin" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_r09_late_additions_plan_shapes(plans):
+    """The 3 late-r09 additions' scale-critical shapes:
+
+    - event_hopping_stats: the 2-per-event window assignment must be a
+      map-side Expand (Catalyst's TimeWindowing rule), never a join —
+      one exchange total, the group-by's.
+    - user_cumulative_uniques: no join and no corpus-level window; the
+      single-partition exchange is legal ONLY because it feeds the
+      day-level aggregate (calendar-sized), pinned by it appearing
+      after both hash aggregates.
+    - part_name_fuzzy_matches: the blocked self-join must stay an
+      equi-join on the blocking key (no cartesian / nested-loop), and
+      the top-1-per-name rank must push down as a WindowGroupLimit so
+      in-block candidate lists never sort corpus-wide.
+    """
+    hop = plans("event_hopping_stats")
+    assert "Expand" in hop
+    assert "Join" not in hop
+    assert hop.count("Exchange") - hop.count("ENSURE_REQUIREMENTS") <= 1
+    assert parquet_scan_count(hop, "events") == 1
+
+    cum = plans("user_cumulative_uniques")
+    assert "Join" not in cum
+    assert "SinglePartition" in cum  # day-level only...
+    # ...proven bounded: it must sit after the first-seen collapse
+    assert cum.index("SinglePartition") > cum.index("hashpartitioning")
+
+    fz = plans("part_name_fuzzy_matches")
+    assert "CartesianProduct" not in fz
+    assert "BroadcastNestedLoopJoin" not in fz
+    assert "WindowGroupLimit" in fz
