@@ -9988,6 +9988,50 @@ def q_part_name_fuzzy_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Misra-Gries summary capacity for the token heavy-hitter query —
+#: heavy = exact frequency · (MG_HEAVY_K+1) > total tokens. Part of the
+#: query's definition (the oracle uses the same threshold).
+MG_HEAVY_K = 48
+
+
+def q_doc_token_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic frequent tokens over the corpus: Misra-Gries
+    bounded-memory candidates (capacity {MG_HEAVY_K} per partition) +
+    exact verification — every token whose exact frequency exceeds
+    N/(MG_HEAVY_K+1) of the N-token stream, with its exact count.
+
+    The deterministic counterpart of ``event_cms_heavy_hitters`` (CMS is
+    probabilistic, this is guaranteed-superset + exact-verify), and the
+    shuffle story at 100 TB is the point: the full token multiset never
+    reaches an exchange — only ≤ k·#partitions candidate values and
+    their partial counts do (operators/heavy.py docstring has the
+    mergeable-summaries proof sketch). The MG intermediate depends on
+    partition layout; the verified OUTPUT is exact and layout-free,
+    which is why a plain GROUP BY … HAVING oracle exists."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(TX.tokens(F.col("text"))).alias("token")
+    ).filter(F.col("token") != "")
+    from .operators.heavy import heavy_hitters_exact
+
+    return heavy_hitters_exact(toks, "token", MG_HEAVY_K)
+
+
+SQL_TOKEN_HEAVY_HITTERS = f"""
+WITH toks AS (
+  SELECT unnest({_toks('text')}) AS token FROM documents
+  WHERE length({_norm('text')}) > 0
+), tot AS (
+  SELECT count(*) AS n FROM toks WHERE token <> ''
+)
+SELECT token, CAST(count(*) AS BIGINT) AS n_occurrences
+FROM toks, tot
+WHERE token <> ''
+GROUP BY token, tot.n
+HAVING count(*) * {MG_HEAVY_K + 1} > tot.n
+"""
+
+
 SQL_FUZZY_MATCHES = f"""
 WITH names AS (
   SELECT {_norm('p_name')} AS name, CAST(count(*) AS BIGINT) AS n_parts
@@ -10039,11 +10083,13 @@ QUERIES: dict[str, QueryFn] = {
     # taking the head; the 4 r06 slots they displace lead the
     # staged section below (ties across the boundary are allowed — the
     # r06 cohort is larger than the window).
-    # (a0) the 3 r09 late additions, ledger 0 (hopping windows,
-    #      cumulative uniques, blocked fuzzy ER — full SQL twins);
+    # (a0) the 4 r09 late additions, ledger 0 (hopping windows,
+    #      cumulative uniques, blocked fuzzy ER, MG heavy hitters —
+    #      full SQL twins);
     "event_hopping_stats": q_event_hopping_stats,
     "user_cumulative_uniques": q_user_cumulative_uniques,
     "part_name_fuzzy_matches": q_part_name_fuzzy_matches,
+    "doc_token_heavy_hitters": q_doc_token_heavy_hitters,
     # (a) the 4 r09 additions, ledger 0 (serving-path hard-negative
     #     miner, content-defined chunking, Zipf vocabulary fit, A/B
     #     lift readout — all with full SQL twins);
@@ -10098,7 +10144,6 @@ QUERIES: dict[str, QueryFn] = {
     "doc_lang_token_stats": q_doc_lang_token_stats,
     "doc_sample_by_lang": q_doc_sample_by_lang,
     "doc_stats": q_doc_stats,
-    "emb_cosine_neardups": q_emb_cosine_neardups,
     # ---- slots above are inside the driver's 50-query verification
     # window; everything below holds an r05/r06/r07/r08 driver-green row
     # and rides the driver-faithful local replica until its next
@@ -10107,11 +10152,12 @@ QUERIES: dict[str, QueryFn] = {
     # re-derives it from the ledger either way). ----
     # flagship (r06 hash-green; driver smoke-checks entry() every round)
     "geo_trajectory": q_geo_trajectory,
-    # r06 driver-green, displaced from the window by the 3 late r09
+    # r06 driver-green, displaced from the window by the 4 late r09
     # additions (same-round tie with the window's r06 cohort)
     "embedding_norms": q_embedding_norms,
     "event_union": q_event_union,
     "events_asof_error": q_events_asof_error,
+    "emb_cosine_neardups": q_emb_cosine_neardups,
     # r06 driver-green (the 16 not reached by the r09 window)
     "geo_nearby_events": q_geo_nearby_events,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -10245,6 +10291,7 @@ def build_oracles() -> dict[str, str]:
         "event_hopping_stats": SQL_HOPPING,
         "user_cumulative_uniques": SQL_CUMULATIVE_UNIQUES,
         "part_name_fuzzy_matches": SQL_FUZZY_MATCHES,
+        "doc_token_heavy_hitters": SQL_TOKEN_HEAVY_HITTERS,
         "user_hll_sketch": _sql_user_hll_sketch(),
         "doc_ngram_contamination": _sql_doc_ngram_contamination(),
         "emb_mrl_recall": _sql_emb_mrl_recall(),

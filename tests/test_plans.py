@@ -1179,3 +1179,12 @@ def test_r09_late_additions_plan_shapes(plans):
     assert "CartesianProduct" not in fz
     assert "BroadcastNestedLoopJoin" not in fz
     assert "WindowGroupLimit" in fz
+
+    # doc_token_heavy_hitters: the full token multiset must never be
+    # sort-merge-shuffled — the candidate semi-join is a broadcast
+    # (bounded ≤ k·#partitions by the MG summary), pruning map-side
+    # before the only aggregate exchange.
+    hh = plans("doc_token_heavy_hitters")
+    assert "SortMergeJoin" not in hh
+    assert "CartesianProduct" not in hh
+    assert "LeftSemi" in hh and "Broadcast" in hh
