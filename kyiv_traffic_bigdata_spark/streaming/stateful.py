@@ -577,6 +577,88 @@ __all__ += [
 
 
 # ---------------------------------------------------------------------------
+# Streaming Misra-Gries summary (incremental twin of
+# operators/heavy.py / doc_token_heavy_hitters' candidate phase)
+# ---------------------------------------------------------------------------
+
+MG_OUTPUT_SCHEMA = (
+    "source string, token string, residual long, n_total long"
+)
+MG_STATE_SCHEMA = "tokens array<string>, counts array<long>, n_total long"
+
+
+def make_mg_fn(k: int = 48):
+    """Per-key incremental Misra-Gries summary — the streaming twin of
+    ``operators.heavy.mg_candidates``. The same mergeable rule runs per
+    micro-batch (add the batch's counts, subtract the (k+1)-th largest,
+    drop non-positive), so after ANY batching the summary satisfies the
+    batch operator's guarantee: every value with total frequency
+    > n_total/(k+1) for this key is present, and each ``residual`` is a
+    lower bound on the true count with error ≤ n_total/(k+1)
+    (Agarwal et al., mergeable summaries — merging preserves the MG
+    error bound). The exact-verify phase stays a batch/serving join;
+    the stream maintains the bounded candidate state.
+
+    State per key: ≤ k (token, residual) pairs + the running total.
+    No TTL — like KMV, the summary is cumulative; expiring it would
+    silently break the superset guarantee. Emits the refreshed summary
+    (one row per surviving token) each batch that touches the key."""
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    import heapq
+
+    def fn(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        if rows.empty:
+            return
+        if state.exists:
+            toks, counts, n_total = state.get
+            summ = dict(zip(toks, (int(c) for c in counts)))
+        else:
+            summ, n_total = {}, 0
+        n_total = int(n_total) + len(rows)
+        for v, c in rows["token"].value_counts().items():
+            summ[v] = summ.get(v, 0) + int(c)
+        if len(summ) > k:
+            m = heapq.nlargest(k + 1, summ.values())[-1]
+            summ = {v: c - m for v, c in summ.items() if c > m}
+        state.update((list(summ.keys()), list(summ.values()), n_total))
+        yield pd.DataFrame(
+            {
+                "source": key[0],
+                "token": list(summ.keys()),
+                "residual": list(summ.values()),
+                "n_total": n_total,
+            }
+        )
+
+    return fn
+
+
+def streaming_mg_summary(tokens: DataFrame, k: int = 48) -> DataFrame:
+    """Misra-Gries heavy-hitter candidate summary over a STREAMING
+    (source:string, token:string) frame, one bounded summary per source
+    (update mode — a source's summary refreshes as batches arrive)."""
+    from .state import configure_state_store
+
+    configure_state_store(tokens.sparkSession)
+    return tokens.groupBy("source").applyInPandasWithState(
+        make_mg_fn(k),
+        outputStructType=MG_OUTPUT_SCHEMA,
+        stateStructType=MG_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+__all__ += ["streaming_mg_summary", "make_mg_fn", "MG_OUTPUT_SCHEMA"]
+
+
+# ---------------------------------------------------------------------------
 # transformWithState twin (the Spark 4 StatefulProcessor API)
 # ---------------------------------------------------------------------------
 

@@ -1224,3 +1224,112 @@ def test_tws_sessionize_matches_group_state_twin(spark, tmp_path):
     }[(1, 1)]
     assert first.session_start_s == 1000 and first.session_end_s == 1100
     assert first.n_events == 3
+
+
+# ---------------------------------------------------------------------------
+# Streaming Misra-Gries summary twin
+# ---------------------------------------------------------------------------
+
+
+def _mg_true_heavy(freqs, k):
+    n = sum(freqs.values())
+    return {v for v, c in freqs.items() if c * (k + 1) > n}
+
+
+def test_mg_fn_superset_and_lower_bounds_across_batchings():
+    """Whatever the batching, the summary must (a) contain every value
+    with total frequency > n/(k+1) and (b) report residuals that lower-
+    bound the true counts with error <= n/(k+1) — the mergeable-MG
+    guarantee the batch operator (operators/heavy.py) relies on."""
+    import pandas as pd
+
+    from kyiv_traffic_bigdata_spark.streaming.stateful import make_mg_fn
+
+    freqs = {"x": 500, "y": 300, **{f"z{i}": 3 for i in range(50)}}
+    stream = [v for v, c in sorted(freqs.items()) for _ in range(c)]
+    k = 4
+    n = len(stream)
+    for cuts in ((len(stream),), (100, 500, len(stream) - 600), (7,) * (n // 7) + (n % 7,)):
+        fn = make_mg_fn(k)
+        state = _BurstFakeState()
+        out = None
+        i = 0
+        for c in cuts:
+            chunk = stream[i : i + c]
+            i += c
+            if not chunk:
+                continue
+            for df in fn(("web",), iter([pd.DataFrame({"token": chunk})]), state):
+                out = df
+        got = dict(zip(out["token"], out["residual"]))
+        assert int(out["n_total"].iloc[0]) == n
+        assert _mg_true_heavy(freqs, k) <= set(got)
+        for v, r in got.items():
+            assert r <= freqs[v]
+            assert freqs[v] - r <= n / (k + 1)
+
+
+def test_mg_fn_state_is_bounded_and_empty_batches_ignored():
+    import pandas as pd
+
+    from kyiv_traffic_bigdata_spark.streaming.stateful import make_mg_fn
+
+    fn = make_mg_fn(3)
+    state = _BurstFakeState()
+    assert list(fn(("s",), iter([pd.DataFrame({"token": []})]), state)) == []
+    assert not state.exists
+    for batch in (["a"] * 5 + [f"u{i}" for i in range(20)], ["b"] * 9):
+        list(fn(("s",), iter([pd.DataFrame({"token": batch})]), state))
+    toks, counts, n_total = state.get
+    assert len(toks) <= 3 and len(counts) == len(toks)
+    assert n_total == 34
+
+
+def test_streaming_mg_summary_end_to_end(spark, tmp_path):
+    """Real streaming run: the second micro-batch must merge into the
+    first's summary through applyInPandasWithState, and the merged
+    summary must contain the stream's one true heavy hitter with a
+    residual within the MG error bound."""
+    import json
+    import time
+
+    from kyiv_traffic_bigdata_spark.streaming.stateful import streaming_mg_summary
+
+    src = tmp_path / "src"
+    src.mkdir()
+
+    def write(name, toks):
+        (src / name).write_text(
+            "\n".join(json.dumps({"source": "web", "token": t}) for t in toks)
+        )
+
+    b1 = ["hot"] * 30 + [f"r{i}" for i in range(10)]
+    b2 = ["hot"] * 30 + [f"s{i}" for i in range(10)]
+    write("b1.json", b1)
+    stream = spark.readStream.schema("source string, token string").json(str(src))
+    q = (
+        streaming_mg_summary(stream, k=4)
+        .writeStream.format("memory")
+        .queryName("mgsum")
+        .option("checkpointLocation", str(tmp_path / "ckpt_mg"))
+        .outputMode("update")
+        .trigger(processingTime="1 seconds")
+        .start()
+    )
+    try:
+        n = len(b1) + len(b2)
+        deadline = time.time() + 90
+        write("b2.json", b2)
+        got = None
+        while time.time() < deadline:
+            rows = spark.sql(
+                "SELECT * FROM mgsum WHERE n_total = %d AND token = 'hot'" % n
+            ).collect()
+            if rows:
+                got = rows[0]
+                break
+            time.sleep(0.5)
+        assert got is not None, "merged summary row never appeared"
+        assert 60 - got.residual <= n / 5  # k=4 -> error <= n/(k+1)
+    finally:
+        q.stop()
