@@ -39,7 +39,10 @@ def oracle_sql() -> dict[str, str]:
     pinned by tests/test_approx.py; order_price_rank_sketch omitted:
     xxhash64 has no DuckDB twin, one-sided error pinned by
     tests/test_rank.py; emb_pca omitted: DuckDB has no eigen solver,
-    accuracy pinned by tests/test_pca.py numpy parity. The whole ANN
+    accuracy pinned by tests/test_pca.py numpy parity;
+    doc_unigram_tokenize omitted: the EM lattice / Viterbi DP are not
+    SQL-expressible, pinned by tests/test_unigram.py brute-force
+    references. The whole ANN
     family is now fully oracled — ann_lsh in r08, ann_ivf and ann_pq
     in r09: their registered shapes are deterministic end-to-end)."""
     return build_oracles()

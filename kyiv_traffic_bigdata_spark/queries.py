@@ -9988,6 +9988,54 @@ def q_part_name_fuzzy_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_unigram_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM (SentencePiece-family) tokenizer end-to-end: EM-train
+    a piece vocabulary on the corpus's distinct-word table, then
+    Viterbi-encode every document — per doc: word count, piece count,
+    and the pieces-per-word fertility ratio (round6). The second
+    tokenizer-training family next to BPE (`doc_token_pair_stats`).
+
+    NO SQL ORACLE: the EM lattice and Viterbi DP are not expressible in
+    DuckDB SQL; correctness is pinned by tests/test_unigram.py instead
+    (forward-backward vs brute-force segmentation enumeration, Viterbi
+    vs exhaustive argmax, layout-independence of the trained table via
+    the 10-dp decimal aggregate, coverage/reconstruction properties).
+    Driver records the weaker rows-only check, like emb_pca.
+
+    Scale: training touches the corpus once (distinct-word collapse);
+    EM cost rides the word vocabulary; the vocab broadcast is ≤
+    UNIGRAM_VOCAB rows of driver metadata; encode is map-only."""
+    from .operators.unigram import em_train, viterbi_encode, word_counts
+
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = em_train(
+        word_counts(docs),
+        max_piece_len=6,
+        max_pieces=UNIGRAM_SEED_PIECES,
+        vocab_size=UNIGRAM_VOCAB,
+        iters=2,
+    )
+    if not vocab:
+        return _typed_empty(
+            spark,
+            "doc_id long, n_words long, n_pieces long, pieces_per_word double",
+        )
+    enc = viterbi_encode(docs, "text", vocab, max_piece_len=6)
+    n_words = F.size(TX.tokens(F.col("text")))
+    return enc.select(
+        "doc_id",
+        n_words.cast("long").alias("n_words"),
+        F.size("pieces").cast("long").alias("n_pieces"),
+        round6(
+            F.size("pieces") / F.greatest(n_words, F.lit(1))
+        ).alias("pieces_per_word"),
+    )
+
+
+UNIGRAM_SEED_PIECES = 256
+UNIGRAM_VOCAB = 96
+
+
 #: Misra-Gries summary capacity for the token heavy-hitter query —
 #: heavy = exact frequency · (MG_HEAVY_K+1) > total tokens. Part of the
 #: query's definition (the oracle uses the same threshold).
@@ -10283,6 +10331,7 @@ QUERIES: dict[str, QueryFn] = {
     "approx_event_stats": q_approx_event_stats,
     "emb_pca": q_emb_pca,
     "order_price_rank_sketch": q_order_price_rank_sketch,
+    "doc_unigram_tokenize": q_doc_unigram_tokenize,
 }
 
 
