@@ -1093,3 +1093,79 @@ def streaming_sessionize_v2(
 
 
 __all__ += ["SessionizeProcessor", "streaming_sessionize_v2"]
+
+
+class MGSummaryProcessor(StatefulProcessor):
+    """Spark-4 ``transformWithState`` twin of :func:`make_mg_fn` — the
+    Misra-Gries candidate summary on the StatefulProcessor API, so the
+    newest stateful op ships on BOTH APIs like trajectory speeds and
+    sessions. Identical per-key semantics: per batch, add the batch's
+    token counts to the summary, apply the mergeable prune (subtract
+    the (k+1)-th largest, drop non-positive), emit the refreshed
+    summary. State is a typed ValueState of the ≤ k (tokens, counts)
+    arrays + running total — cumulative, so NO timer/TTL (expiring a
+    summary breaks the superset guarantee, same rationale as KMV)."""
+
+    def __init__(self, k: int = 48):
+        if k < 2:
+            raise ValueError("k must be >= 2")
+        self._k = k
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._summ = handle.getValueState("mg_summary", MG_STATE_SCHEMA)
+
+    def handleInputRows(self, key, rows, timer_values):  # noqa: ANN001
+        import heapq
+
+        batch = pd.concat(list(rows), ignore_index=True)
+        if batch.empty:
+            return
+        if self._summ.exists():
+            toks, counts, n_total = self._summ.get()
+            summ = dict(zip(toks, (int(c) for c in counts)))
+        else:
+            summ, n_total = {}, 0
+        n_total = int(n_total) + len(batch)
+        for v, c in batch["token"].value_counts().items():
+            summ[v] = summ.get(v, 0) + int(c)
+        if len(summ) > self._k:
+            m = heapq.nlargest(self._k + 1, summ.values())[-1]
+            summ = {v: c - m for v, c in summ.items() if c > m}
+        self._summ.update((list(summ.keys()), list(summ.values()), n_total))
+        yield pd.DataFrame(
+            {
+                "source": key[0],
+                "token": list(summ.keys()),
+                "residual": list(summ.values()),
+                "n_total": n_total,
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def streaming_mg_summary_v2(tokens: DataFrame, k: int = 48) -> DataFrame:
+    """Misra-Gries summary on ``transformWithStateInPandas`` (same
+    contract as :func:`streaming_mg_summary`: input (source string,
+    token string), update-mode summary refresh per batch)."""
+    from .state import ROCKSDB_PROVIDER, configure_state_store
+
+    provider = configure_state_store(tokens.sparkSession)
+    if provider != ROCKSDB_PROVIDER or not transform_with_state_available(
+        tokens.sparkSession
+    ):
+        raise RuntimeError(
+            "transformWithState requires the RocksDB state store and "
+            "google.protobuf in the Python workers; "
+            "use streaming_mg_summary on this platform"
+        )
+    return tokens.groupBy("source").transformWithStateInPandas(
+        statefulProcessor=MGSummaryProcessor(k),
+        outputStructType=MG_OUTPUT_SCHEMA,
+        outputMode="update",
+        timeMode="none",
+    )
+
+
+__all__ += ["MGSummaryProcessor", "streaming_mg_summary_v2"]

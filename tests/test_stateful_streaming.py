@@ -1333,3 +1333,96 @@ def test_streaming_mg_summary_end_to_end(spark, tmp_path):
         assert 60 - got.residual <= n / 5  # k=4 -> error <= n/(k+1)
     finally:
         q.stop()
+
+
+def test_tws_mg_summary_logic_sans_io():
+    """MGSummaryProcessor per-key logic against the fake handle must
+    match make_mg_fn batch-for-batch (the two APIs implement the same
+    mergeable rule): identical surviving tokens, residuals, totals, and
+    bounded state."""
+    import pandas as pd
+
+    from kyiv_traffic_bigdata_spark.streaming.stateful import (
+        MGSummaryProcessor,
+        make_mg_fn,
+    )
+
+    batches = [
+        ["a"] * 10 + [f"u{i}" for i in range(12)],
+        ["b"] * 7 + ["a"] * 3,
+        [f"v{i}" for i in range(9)] + ["b"],
+    ]
+    p = MGSummaryProcessor(k=4)
+    h = _FakeHandle()
+    p.init(h)
+    fn = make_mg_fn(4)
+    state = _BurstFakeState()
+    for chunk in batches:
+        pdf = pd.DataFrame({"token": chunk})
+        out_tws = pd.concat(
+            list(p.handleInputRows(("s",), iter([pdf]), _FakeTimerValues(0)))
+        )
+        out_gs = pd.concat(list(fn(("s",), iter([pdf]), state)))
+        a = out_tws.sort_values("token", ignore_index=True)
+        b = out_gs.sort_values("token", ignore_index=True)
+        assert a.to_dict("records") == b.to_dict("records")
+    toks, counts, n_total = h.states["mg_summary"].get()
+    assert len(toks) <= 4
+    assert n_total == sum(len(b) for b in batches)
+
+
+def test_tws_mg_summary_matches_group_state_twin(spark, tmp_path):
+    """End-to-end: streaming_mg_summary_v2 (transformWithState) must
+    reach the same merged summary as the applyInPandasWithState form —
+    TWS parity breadth for the newest stateful op. Skips only where the
+    RocksDB provider is genuinely absent."""
+    import pytest
+
+    from kyiv_traffic_bigdata_spark.streaming.stateful import (
+        streaming_mg_summary_v2,
+        transform_with_state_available,
+    )
+
+    if not transform_with_state_available(spark):
+        pytest.skip("transformWithStateInPandas unavailable on this platform")
+
+    src = tmp_path / "mg2_src"
+    src.mkdir()
+
+    def write(name, toks):
+        (src / name).write_text(
+            "\n".join(json.dumps({"source": "web", "token": t}) for t in toks)
+            + "\n"
+        )
+
+    b1 = ["hot"] * 30 + [f"r{i}" for i in range(10)]
+    b2 = ["hot"] * 30 + [f"s{i}" for i in range(10)]
+    write("b1.json", b1)
+    stream = spark.readStream.schema("source string, token string").json(str(src))
+    q = (
+        streaming_mg_summary_v2(stream, k=4)
+        .writeStream.format("memory")
+        .queryName("mg2_out")
+        .option("checkpointLocation", str(tmp_path / "mg2_ckpt"))
+        .outputMode("update")
+        .trigger(processingTime="1 seconds")
+        .start()
+    )
+    try:
+        n = len(b1) + len(b2)
+        deadline = time.time() + 90
+        time.sleep(2)
+        write("b2.json", b2)
+        got = None
+        while time.time() < deadline:
+            rows = spark.sql(
+                "SELECT * FROM mg2_out WHERE n_total = %d AND token = 'hot'" % n
+            ).collect()
+            if rows:
+                got = rows[0]
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    assert got is not None, "merged summary row never appeared"
+    assert 60 - got.residual <= n / 5  # k=4 -> MG error bound n/(k+1)

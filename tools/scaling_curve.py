@@ -60,6 +60,11 @@ CURVE_QUERIES = [
     "doc_unigram_logprob",
     "doc_hash_sample",
     "doc_chunks",
+    # r09 late additions
+    "event_hopping_stats",
+    "user_cumulative_uniques",
+    "part_name_fuzzy_matches",
+    "doc_token_heavy_hitters",
 ]
 
 #: pair-producing dedup/ANN representatives (r09): measurable because
