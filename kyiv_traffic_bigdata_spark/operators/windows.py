@@ -125,6 +125,43 @@ def moving_stats(
     )
 
 
+def trailing_range_stats(
+    df: DataFrame,
+    key_col: str,
+    ts_s_col: str,
+    value_col: str,
+    range_s: int,
+) -> DataFrame:
+    """VALUE-based (RANGE) trailing window: per key, for every row, the
+    count and decimal-exact sum of rows whose timestamp lies in
+    ``[ts - range_s, ts]`` — the time-based sibling of
+    :func:`moving_stats`' ROWS frames (SURVEY §2.6 frame
+    generalization; e.g. "this user's events in the trailing hour").
+
+    RANGE frames are tie-inclusive: rows sharing a timestamp are peers
+    and every peer sees the full peer group, so the result is a pure
+    function of the data — no tiebreaker column is needed (the opposite
+    of ROWS frames, where ties make frames undefined). One hash
+    partition + one in-partition sort serves both aggregates; the frame
+    bound evaluation is streaming within the sort — same single-shuffle
+    plan as moving_stats at any scale.
+    """
+    from .aggregates import dec
+
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(F.col(ts_s_col).cast("long"))
+        .rangeBetween(-range_s, 0)
+    )
+    return df.select(
+        key_col,
+        F.col(ts_s_col),
+        F.col(value_col),
+        F.count(F.lit(1)).over(w).alias("n_trailing"),
+        F.sum(dec(value_col)).over(w).cast("double").alias("sum_trailing"),
+    )
+
+
 def sessionize(
     df: DataFrame,
     key_col: str,

@@ -9939,6 +9939,35 @@ FROM d
 """
 
 
+def q_event_trailing_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based (RANGE) trailing window: per user and event, the
+    count and exact sum of the user's events in the trailing hour —
+    the VALUE-based frame mechanism next to the ROWS frames of
+    ``moving_event_stats`` (SURVEY §2.6). RANGE frames are
+    tie-inclusive, so the output is a pure function of the data with
+    no tiebreaker column; one shuffle + one in-partition sort serves
+    both window aggregates (operators/windows.py:trailing_range_stats)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_timestamp(F.col("ts").cast("timestamp")).alias("ts_s"),
+        "value",
+    )
+    from .operators.windows import trailing_range_stats
+
+    return trailing_range_stats(ev, "user_id", "ts_s", "value", 3600)
+
+
+SQL_TRAILING_WINDOW = f"""
+SELECT user_id, epoch_us(ts) // 1000000 AS ts_s, value,
+  CAST(COUNT(*) OVER w AS BIGINT) AS n_trailing,
+  CAST(CAST(SUM(CAST(value AS {DEC})) OVER w AS VARCHAR) AS DOUBLE)
+    AS sum_trailing
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts) // 1000000
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+"""
+
+
 def q_part_name_fuzzy_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocked fuzzy entity resolution on part names: nearest
     edit-distance neighbor per DISTINCT normalized name, candidates
@@ -10131,13 +10160,14 @@ QUERIES: dict[str, QueryFn] = {
     # taking the head; the 4 r06 slots they displace lead the
     # staged section below (ties across the boundary are allowed — the
     # r06 cohort is larger than the window).
-    # (a0) the 4 r09 late additions, ledger 0 (hopping windows,
-    #      cumulative uniques, blocked fuzzy ER, MG heavy hitters —
-    #      full SQL twins);
+    # (a0) the 5 r09 late additions, ledger 0 (hopping windows,
+    #      cumulative uniques, blocked fuzzy ER, MG heavy hitters,
+    #      RANGE-frame trailing window — full SQL twins);
     "event_hopping_stats": q_event_hopping_stats,
     "user_cumulative_uniques": q_user_cumulative_uniques,
     "part_name_fuzzy_matches": q_part_name_fuzzy_matches,
     "doc_token_heavy_hitters": q_doc_token_heavy_hitters,
+    "event_trailing_window_stats": q_event_trailing_window_stats,
     # (a) the 4 r09 additions, ledger 0 (serving-path hard-negative
     #     miner, content-defined chunking, Zipf vocabulary fit, A/B
     #     lift readout — all with full SQL twins);
@@ -10191,7 +10221,6 @@ QUERIES: dict[str, QueryFn] = {
     "doc_exact_dups": q_doc_exact_dups,
     "doc_lang_token_stats": q_doc_lang_token_stats,
     "doc_sample_by_lang": q_doc_sample_by_lang,
-    "doc_stats": q_doc_stats,
     # ---- slots above are inside the driver's 50-query verification
     # window; everything below holds an r05/r06/r07/r08 driver-green row
     # and rides the driver-faithful local replica until its next
@@ -10206,6 +10235,7 @@ QUERIES: dict[str, QueryFn] = {
     "event_union": q_event_union,
     "events_asof_error": q_events_asof_error,
     "emb_cosine_neardups": q_emb_cosine_neardups,
+    "doc_stats": q_doc_stats,
     # r06 driver-green (the 16 not reached by the r09 window)
     "geo_nearby_events": q_geo_nearby_events,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -10341,6 +10371,7 @@ def build_oracles() -> dict[str, str]:
         "user_cumulative_uniques": SQL_CUMULATIVE_UNIQUES,
         "part_name_fuzzy_matches": SQL_FUZZY_MATCHES,
         "doc_token_heavy_hitters": SQL_TOKEN_HEAVY_HITTERS,
+        "event_trailing_window_stats": SQL_TRAILING_WINDOW,
         "user_hll_sketch": _sql_user_hll_sketch(),
         "doc_ngram_contamination": _sql_doc_ngram_contamination(),
         "emb_mrl_recall": _sql_emb_mrl_recall(),
