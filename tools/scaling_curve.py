@@ -65,6 +65,7 @@ CURVE_QUERIES = [
     "user_cumulative_uniques",
     "part_name_fuzzy_matches",
     "doc_token_heavy_hitters",
+    "event_trailing_window_stats",
 ]
 
 #: pair-producing dedup/ANN representatives (r09): measurable because
