@@ -106,3 +106,55 @@ def duplicate_groups(
         F.count(F.lit(1)).alias("n_members"),
         F.min("node").alias("canonical_id"),
     )
+
+
+def bfs_depths(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    seed_mod: int = 4,
+    max_depth: int = 4,
+) -> DataFrame:
+    """(node, depth) multi-source BFS over the undirected pair graph:
+    depth = unweighted hop distance to the NEAREST seed, seeds being
+    the graph nodes with ``node % seed_mod == 0``; nodes farther than
+    ``max_depth`` from every seed are excluded. Completes the graph
+    family (components / LPA / k-core / triangles / PageRank / link
+    prediction) with the hop-distance primitive.
+
+    The depth BOUND is part of the operator's definition, not a
+    convergence heuristic — it makes the result identical to a
+    depth-capped recursive-CTE oracle, and it is the scale contract:
+    each round is one frontier ⋈ edges equi-join + one anti-join
+    against the settled set, so total work is O(max_depth) bounded
+    passes whatever the graph size (near-dup graphs are shallow — a
+    duplicate family's diameter is tiny — so a small cap loses nothing
+    while keeping the iteration count corpus-independent). Frontiers
+    are staged (lineage-truncated) every round, the same discipline as
+    connected_components.
+    """
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    sym = (
+        e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .transform(stage)
+    )
+    nodes = sym.select(F.col("a").alias("node")).distinct()
+    depths = (
+        nodes.where(F.col("node") % seed_mod == 0)
+        .select("node", F.lit(0).cast("long").alias("depth"))
+        .transform(stage)
+    )
+    frontier = depths.select("node")
+    for d in range(1, max_depth + 1):
+        nxt = (
+            frontier.join(sym, frontier["node"] == sym["a"])
+            .select(F.col("b").alias("node"))
+            .distinct()
+            .join(depths, "node", "left_anti")
+            .select("node", F.lit(d).cast("long").alias("depth"))
+            .transform(stage)
+        )
+        depths = depths.unionByName(nxt).transform(stage)
+        frontier = nxt.select("node")
+    return depths

@@ -2216,6 +2216,53 @@ SELECT node AS doc_id, MIN(lbl) AS component FROM reach GROUP BY node
 """
 
 
+#: BFS contract constants — part of the query definition (the oracle
+#: uses the same seed rule and depth cap)
+BFS_SEED_MOD = 4
+BFS_MAX_DEPTH = 4
+
+
+def q_neardup_bfs_depths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS hop distance on the MinHash-LSH near-dup graph:
+    every paired doc's distance to the nearest seed doc (doc_id %
+    {BFS_SEED_MOD} == 0), capped at {BFS_MAX_DEPTH} hops — the
+    hop-distance primitive completing the graph family (components /
+    LPA / k-core / triangles / PageRank / link prediction). The depth
+    cap is part of the definition: it bounds the iteration count
+    corpus-independently AND makes the Spark frontier iteration equal a
+    depth-capped recursive-CTE oracle exactly (near-dup families are
+    shallow, so the cap loses nothing real)."""
+    from .operators.cluster import bfs_depths
+
+    pairs = DD.minhash_lsh_pairs(_docs_with_tokens(spark, sf_dir), threshold=0.2)
+    return bfs_depths(
+        pairs, seed_mod=BFS_SEED_MOD, max_depth=BFS_MAX_DEPTH
+    ).select(F.col("node").alias("doc_id"), "depth")
+
+
+def _sql_neardup_bfs() -> str:
+    """Oracle: depth-capped recursive CTE; UNION dedups (node, depth)
+    states and MIN picks the first-discovery depth, which is exactly
+    the frontier iteration's anti-join semantics."""
+    return f"""
+WITH RECURSIVE
+prs AS (SELECT id_a, id_b FROM ({_sql_minhash_lsh()}) q),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM prs
+  UNION
+  SELECT id_b AS a, id_a AS b FROM prs
+),
+bfs(node, depth) AS (
+  SELECT DISTINCT a AS node, 0 AS depth FROM edges WHERE a % {BFS_SEED_MOD} = 0
+  UNION
+  SELECT e.b, bfs.depth + 1 FROM bfs JOIN edges e ON e.a = bfs.node
+  WHERE bfs.depth < {BFS_MAX_DEPTH}
+)
+SELECT node AS doc_id, CAST(MIN(depth) AS BIGINT) AS depth
+FROM bfs GROUP BY node
+"""
+
+
 def q_doc_sample_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic stratified sample: exactly min(20, |stratum|) docs
     per language by content-hash order (operators.sample) — reproducible
@@ -10160,14 +10207,15 @@ QUERIES: dict[str, QueryFn] = {
     # taking the head; the 4 r06 slots they displace lead the
     # staged section below (ties across the boundary are allowed — the
     # r06 cohort is larger than the window).
-    # (a0) the 5 r09 late additions, ledger 0 (hopping windows,
+    # (a0) the 6 r09 late additions, ledger 0 (hopping windows,
     #      cumulative uniques, blocked fuzzy ER, MG heavy hitters,
-    #      RANGE-frame trailing window — full SQL twins);
+    #      RANGE-frame trailing window, near-dup BFS — full SQL twins);
     "event_hopping_stats": q_event_hopping_stats,
     "user_cumulative_uniques": q_user_cumulative_uniques,
     "part_name_fuzzy_matches": q_part_name_fuzzy_matches,
     "doc_token_heavy_hitters": q_doc_token_heavy_hitters,
     "event_trailing_window_stats": q_event_trailing_window_stats,
+    "neardup_bfs_depths": q_neardup_bfs_depths,
     # (a) the 4 r09 additions, ledger 0 (serving-path hard-negative
     #     miner, content-defined chunking, Zipf vocabulary fit, A/B
     #     lift readout — all with full SQL twins);
@@ -10220,7 +10268,6 @@ QUERIES: dict[str, QueryFn] = {
     "cosine_topk": q_cosine_topk,
     "doc_exact_dups": q_doc_exact_dups,
     "doc_lang_token_stats": q_doc_lang_token_stats,
-    "doc_sample_by_lang": q_doc_sample_by_lang,
     # ---- slots above are inside the driver's 50-query verification
     # window; everything below holds an r05/r06/r07/r08 driver-green row
     # and rides the driver-faithful local replica until its next
@@ -10236,6 +10283,7 @@ QUERIES: dict[str, QueryFn] = {
     "events_asof_error": q_events_asof_error,
     "emb_cosine_neardups": q_emb_cosine_neardups,
     "doc_stats": q_doc_stats,
+    "doc_sample_by_lang": q_doc_sample_by_lang,
     # r06 driver-green (the 16 not reached by the r09 window)
     "geo_nearby_events": q_geo_nearby_events,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -10372,6 +10420,7 @@ def build_oracles() -> dict[str, str]:
         "part_name_fuzzy_matches": SQL_FUZZY_MATCHES,
         "doc_token_heavy_hitters": SQL_TOKEN_HEAVY_HITTERS,
         "event_trailing_window_stats": SQL_TRAILING_WINDOW,
+        "neardup_bfs_depths": _sql_neardup_bfs(),
         "user_hll_sketch": _sql_user_hll_sketch(),
         "doc_ngram_contamination": _sql_doc_ngram_contamination(),
         "emb_mrl_recall": _sql_emb_mrl_recall(),
