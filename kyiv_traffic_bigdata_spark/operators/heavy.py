@@ -51,7 +51,14 @@ def mg_candidates(values: DataFrame, col: str, k: int) -> DataFrame:
 
     Guaranteed superset of every value with global frequency
     > N/(k+1). Output: one column ``col``, ≤ k rows per input
-    partition before the final distinct."""
+    partition before the final distinct.
+
+    NULLs are excluded up front (here AND in the N of
+    :func:`heavy_hitters_exact`): pandas ``value_counts`` silently
+    drops NaN, so a null-heavy column would otherwise inflate N
+    without null ever being a candidate — breaking the superset
+    guarantee for exactly the value the stream has most of."""
+    values = values.where(F.col(col).isNotNull())
 
     def summarize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         summ: dict = {}
@@ -74,7 +81,9 @@ def heavy_hitters_exact(values: DataFrame, col: str, k: int) -> DataFrame:
     of candidates only → integer-exact threshold filter.
 
     Output: ``col`` plus ``n_occurrences`` (exact long count), only for
-    values strictly above the N/(k+1) frequency threshold."""
+    values strictly above the N/(k+1) frequency threshold. N counts
+    non-null values only (matching the candidate phase)."""
+    values = values.where(F.col(col).isNotNull())
     cands = mg_candidates(values, col, k)
     total = values.agg(F.count(F.lit(1)).alias("_n"))
     return (

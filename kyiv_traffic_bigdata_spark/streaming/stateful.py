@@ -613,6 +613,8 @@ def make_mg_fn(k: int = 48):
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
         rows = pd.concat(list(pdfs), ignore_index=True)
+        if not rows.empty:
+            rows = rows[rows["token"].notna()]  # N must match value_counts
         if rows.empty:
             return
         if state.exists:
@@ -1118,6 +1120,8 @@ class MGSummaryProcessor(StatefulProcessor):
         import heapq
 
         batch = pd.concat(list(rows), ignore_index=True)
+        if not batch.empty:
+            batch = batch[batch["token"].notna()]  # N must match value_counts
         if batch.empty:
             return
         if self._summ.exists():

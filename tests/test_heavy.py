@@ -79,6 +79,18 @@ def test_tiny_capacity_still_exact(spark):
     assert got == want
 
 
+def test_nulls_excluded_from_candidates_and_total(spark):
+    """NULLs must not count toward N (pandas value_counts drops NaN, so
+    an unfiltered N would inflate the threshold and could hide real
+    heavy hitters behind null mass)."""
+    rows = [("x",)] * 10 + [(None,)] * 100 + [("y",)] * 3
+    df = spark.createDataFrame(rows, "token string").repartition(3)
+    # N(non-null) = 13, k=2 -> threshold 13/3: x (10) qualifies, y (3) not.
+    # With nulls wrongly counted N would be 113 and x (10*3=30 < 113) lost.
+    got = {(r.token, r.n_occurrences) for r in heavy_hitters_exact(df, "token", 2).collect()}
+    assert got == {("x", 10)}
+
+
 def test_empty_stream_yields_empty_frame(spark):
     df = spark.createDataFrame([], "token string")
     out = heavy_hitters_exact(df, "token", 8)
