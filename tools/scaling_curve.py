@@ -114,6 +114,15 @@ def main() -> None:
         PAIR_CURVE_QUERIES.items()
     )
     for name, bar in plan:
+        if name == next(iter(PAIR_CURVE_QUERIES)):
+            # fresh JVM for the pair block: ~30 headliner queries leave
+            # enough accumulated shuffle/broadcast state in the shared
+            # local JVM that minhash_lsh_pairs at 100x OOMs an 8 GB heap
+            # it comfortably fits when run fresh (measured r09 — the
+            # single-JVM analogue of executor heap hygiene on long-lived
+            # contexts)
+            spark.stop()
+            spark = get_spark("scaling_curve_pairs")
         fn = QUERIES[name]
         t_base = time_query(fn, spark, src)
         t_scaled = time_query(fn, spark, scaled)
