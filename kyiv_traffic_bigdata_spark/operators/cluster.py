@@ -155,6 +155,12 @@ def bfs_depths(
             .select("node", F.lit(d).cast("long").alias("depth"))
             .transform(stage)
         )
+        if nxt.isEmpty():
+            # an empty frontier stays empty — skipping the remaining
+            # rounds changes nothing (every later union is a no-op) and
+            # saves max_depth-d staged join rounds; near-dup graphs
+            # usually settle in 1-2 hops
+            break
         depths = depths.unionByName(nxt).transform(stage)
         frontier = nxt.select("node")
     return depths
