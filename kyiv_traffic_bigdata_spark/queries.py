@@ -9986,6 +9986,46 @@ FROM d
 """
 
 
+def q_order_priority_marginals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — the two single-dimension marginals
+    ((o_orderpriority), (o_orderstatus)) WITHOUT the pair or the grand
+    total, a set combination neither CUBE nor ROLLUP can express (any
+    3-set chain is a reordered rollup; this 2-set antichain is not).
+    Completes the grouping-analytics family next to q_sales_cube /
+    q_sales_rollup, with the same two-phase shape: aggregate to the
+    finest grouping FIRST, then expand the handful of partials —
+    decimal sums re-aggregate exactly, and the Expand multiplies
+    partial rows, never fact rows."""
+    o = load_table(spark, sf_dir, "orders")
+    base = o.groupBy("o_orderpriority", "o_orderstatus").agg(
+        F.sum(dec("o_totalprice")).alias("_p"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    return (
+        base.groupingSets(
+            [["o_orderpriority"], ["o_orderstatus"]],
+            "o_orderpriority",
+            "o_orderstatus",
+        )
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.sum("_p").cast("double").alias("sum_price"),
+            F.sum("_n").alias("n_orders"),
+        )
+        .select("gid", "o_orderpriority", "o_orderstatus", "sum_price", "n_orders")
+    )
+
+
+SQL_ORDER_MARGINALS = f"""
+SELECT CAST(GROUPING(o_orderpriority, o_orderstatus) AS BIGINT) AS gid,
+  o_orderpriority, o_orderstatus,
+  {_ssum('o_totalprice')} AS sum_price,
+  CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders
+GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus))
+"""
+
+
 def q_event_trailing_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-based (RANGE) trailing window: per user and event, the
     count and exact sum of the user's events in the trailing hour —
@@ -10207,15 +10247,17 @@ QUERIES: dict[str, QueryFn] = {
     # taking the head; the 4 r06 slots they displace lead the
     # staged section below (ties across the boundary are allowed — the
     # r06 cohort is larger than the window).
-    # (a0) the 6 r09 late additions, ledger 0 (hopping windows,
+    # (a0) the 7 r09 late additions, ledger 0 (hopping windows,
     #      cumulative uniques, blocked fuzzy ER, MG heavy hitters,
-    #      RANGE-frame trailing window, near-dup BFS — full SQL twins);
+    #      RANGE-frame trailing window, near-dup BFS, GROUPING SETS
+    #      marginals — full SQL twins);
     "event_hopping_stats": q_event_hopping_stats,
     "user_cumulative_uniques": q_user_cumulative_uniques,
     "part_name_fuzzy_matches": q_part_name_fuzzy_matches,
     "doc_token_heavy_hitters": q_doc_token_heavy_hitters,
     "event_trailing_window_stats": q_event_trailing_window_stats,
     "neardup_bfs_depths": q_neardup_bfs_depths,
+    "order_priority_marginals": q_order_priority_marginals,
     # (a) the 4 r09 additions, ledger 0 (serving-path hard-negative
     #     miner, content-defined chunking, Zipf vocabulary fit, A/B
     #     lift readout — all with full SQL twins);
@@ -10267,7 +10309,6 @@ QUERIES: dict[str, QueryFn] = {
     "event_cms_heavy_hitters": q_event_cms_heavy_hitters,
     "cosine_topk": q_cosine_topk,
     "doc_exact_dups": q_doc_exact_dups,
-    "doc_lang_token_stats": q_doc_lang_token_stats,
     # ---- slots above are inside the driver's 50-query verification
     # window; everything below holds an r05/r06/r07/r08 driver-green row
     # and rides the driver-faithful local replica until its next
@@ -10284,6 +10325,7 @@ QUERIES: dict[str, QueryFn] = {
     "emb_cosine_neardups": q_emb_cosine_neardups,
     "doc_stats": q_doc_stats,
     "doc_sample_by_lang": q_doc_sample_by_lang,
+    "doc_lang_token_stats": q_doc_lang_token_stats,
     # r06 driver-green (the 16 not reached by the r09 window)
     "geo_nearby_events": q_geo_nearby_events,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -10421,6 +10463,7 @@ def build_oracles() -> dict[str, str]:
         "doc_token_heavy_hitters": SQL_TOKEN_HEAVY_HITTERS,
         "event_trailing_window_stats": SQL_TRAILING_WINDOW,
         "neardup_bfs_depths": _sql_neardup_bfs(),
+        "order_priority_marginals": SQL_ORDER_MARGINALS,
         "user_hll_sketch": _sql_user_hll_sketch(),
         "doc_ngram_contamination": _sql_doc_ngram_contamination(),
         "emb_mrl_recall": _sql_emb_mrl_recall(),

@@ -385,3 +385,48 @@ def test_prune_snapshots_keeps_current_and_newest(tmp_path):
     assert prune_snapshots(str(store), keep=2) == []
     assert prune_snapshots(str(store), keep=1) == ["v7"]
     assert sorted(p.name for p in store.iterdir() if p.is_dir()) == ["v10", "v2"]
+
+
+def test_sliding_windows_streaming_end_to_end(spark, tmp_path):
+    """Hopping (sliding) variant of the windowed stats: the same
+    streaming graph runs with slide < window, and the batch twin shows
+    every position contributing to exactly window/slide = 2 windows —
+    the overlap contract behind the batch hopping_stats operator."""
+    src = tmp_path / "src_slide"
+    src.mkdir()
+    lines = [
+        f'42["locations",["{v},7,50.45,30.52,0,0,{1_770_000_000 + v}"]]'
+        for v in range(1, 6)
+    ]
+    (src / "a.txt").write_text("\n".join(lines) + "\n")
+
+    raw = replay_text_stream(spark, str(src))
+    positions = ingest_transform(raw, dedup_ttl_s=None)
+    stats = windowed_position_stats(
+        positions, window="5 minutes", slide="150 seconds"
+    )
+    q = (
+        stats.writeStream.format("memory")
+        .queryName("slidestats")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_slide"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert spark.sql("select * from slidestats").columns == [
+        "window_start", "window_end", "route_id", "n_positions", "n_vehicles",
+    ]
+    batch = spark.read.text(str(src))
+    batch_stats = windowed_position_stats(
+        ingest_transform(batch, dedup_ttl_s=None),
+        window="5 minutes",
+        slide="150 seconds",
+    )
+    rows = batch_stats.collect()
+    # all 5 fixes share one wall-clock instant bucket: they land in
+    # exactly 2 overlapping windows, each window seeing all 5
+    assert len(rows) == 2
+    assert all(r.n_positions == 5 and r.n_vehicles == 5 for r in rows)
+    starts = sorted(r.window_start for r in rows)
+    assert (starts[1] - starts[0]).total_seconds() == 150.0
