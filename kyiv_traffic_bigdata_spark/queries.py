@@ -9986,6 +9986,81 @@ FROM d
 """
 
 
+def q_doc_length_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of the document-length (token-count)
+    distribution — the corpus-balance inequality readout (0 = all docs
+    equal, →1 = token mass concentrated in few docs).
+
+    Scale shape: NO global sort of the corpus. Lengths collapse to a
+    bounded histogram (distinct token-counts), the sorted-position sum
+    uses the grouped-data identity Σ i·x over a group of c docs at
+    length v starting after prev docs = v·(c·prev + c·(c+1)/2) — a
+    cumulative window over HISTOGRAM rows (the quantile_disc_slab
+    pattern) — and everything stays exact integer/decimal arithmetic
+    until the final round6 ratio, so the DuckDB twin matches by
+    construction. Output: one row (n_docs, total_tokens, gini)."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    hist = (
+        docs.select(F.size(TX.tokens(F.col("text"))).cast("long").alias("len"))
+        .groupBy("len")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = Window.orderBy("len").rowsBetween(Window.unboundedPreceding, -1)
+    big = "decimal(38,0)"
+    slab = hist.select(
+        "len",
+        "c",
+        F.coalesce(F.sum("c").over(w), F.lit(0)).alias("prev"),
+    ).select(
+        (
+            F.col("len").cast(big)
+            * (
+                F.col("c").cast(big) * F.col("prev").cast(big)
+                + (F.col("c").cast(big) * (F.col("c") + 1).cast(big)) / 2
+            )
+        ).cast(big).alias("s_part"),
+        (F.col("len").cast(big) * F.col("c").cast(big)).alias("mass"),
+        "c",
+    )
+    return slab.agg(
+        F.sum("c").alias("n_docs"),
+        F.sum("mass").cast("long").alias("total_tokens"),
+        round6(
+            (F.lit(2).cast(big) * F.sum("s_part")).cast("double")
+            / (F.sum("c").cast(big) * F.sum("mass")).cast("double")
+            - (F.sum("c") + 1).cast("double") / F.sum("c").cast("double")
+        ).alias("gini"),
+    )
+
+
+SQL_DOC_GINI = f"""
+WITH hist AS (
+  SELECT CAST(len(CASE WHEN length({_norm('text')}) = 0 THEN []
+                       ELSE {_toks('text')} END) AS BIGINT) AS len,
+         CAST(count(*) AS BIGINT) AS c
+  FROM documents GROUP BY 1
+), slab AS (
+  SELECT len, c,
+    COALESCE(SUM(c) OVER (ORDER BY len
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev
+  FROM hist
+), parts AS (
+  SELECT CAST(len AS HUGEINT) * (CAST(c AS HUGEINT) * prev
+           + CAST(c AS HUGEINT) * (c + 1) // 2) AS s_part,
+         CAST(len AS HUGEINT) * c AS mass, c
+  FROM slab
+)
+SELECT CAST(SUM(c) AS BIGINT) AS n_docs,
+  CAST(SUM(mass) AS BIGINT) AS total_tokens,
+  {SQL_ROUND6.format(x="(CAST(CAST(2 * SUM(s_part) AS VARCHAR) AS DOUBLE)"
+                       " / CAST(CAST(SUM(c) * SUM(mass) AS VARCHAR) AS DOUBLE)"
+                       " - CAST(SUM(c) + 1 AS DOUBLE) / SUM(c))")} AS gini
+FROM parts
+"""
+
+
 def q_order_priority_marginals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit GROUPING SETS — the two single-dimension marginals
     ((o_orderpriority), (o_orderstatus)) WITHOUT the pair or the grand
@@ -10247,10 +10322,10 @@ QUERIES: dict[str, QueryFn] = {
     # taking the head; the 4 r06 slots they displace lead the
     # staged section below (ties across the boundary are allowed — the
     # r06 cohort is larger than the window).
-    # (a0) the 7 r09 late additions, ledger 0 (hopping windows,
+    # (a0) the 8 r09 late additions, ledger 0 (hopping windows,
     #      cumulative uniques, blocked fuzzy ER, MG heavy hitters,
     #      RANGE-frame trailing window, near-dup BFS, GROUPING SETS
-    #      marginals — full SQL twins);
+    #      marginals, corpus Gini — full SQL twins);
     "event_hopping_stats": q_event_hopping_stats,
     "user_cumulative_uniques": q_user_cumulative_uniques,
     "part_name_fuzzy_matches": q_part_name_fuzzy_matches,
@@ -10258,6 +10333,7 @@ QUERIES: dict[str, QueryFn] = {
     "event_trailing_window_stats": q_event_trailing_window_stats,
     "neardup_bfs_depths": q_neardup_bfs_depths,
     "order_priority_marginals": q_order_priority_marginals,
+    "doc_length_gini": q_doc_length_gini,
     # (a) the 4 r09 additions, ledger 0 (serving-path hard-negative
     #     miner, content-defined chunking, Zipf vocabulary fit, A/B
     #     lift readout — all with full SQL twins);
@@ -10308,7 +10384,6 @@ QUERIES: dict[str, QueryFn] = {
     "event_type_ewma": q_event_type_ewma,
     "event_cms_heavy_hitters": q_event_cms_heavy_hitters,
     "cosine_topk": q_cosine_topk,
-    "doc_exact_dups": q_doc_exact_dups,
     # ---- slots above are inside the driver's 50-query verification
     # window; everything below holds an r05/r06/r07/r08 driver-green row
     # and rides the driver-faithful local replica until its next
@@ -10326,6 +10401,7 @@ QUERIES: dict[str, QueryFn] = {
     "doc_stats": q_doc_stats,
     "doc_sample_by_lang": q_doc_sample_by_lang,
     "doc_lang_token_stats": q_doc_lang_token_stats,
+    "doc_exact_dups": q_doc_exact_dups,
     # r06 driver-green (the 16 not reached by the r09 window)
     "geo_nearby_events": q_geo_nearby_events,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -10464,6 +10540,7 @@ def build_oracles() -> dict[str, str]:
         "event_trailing_window_stats": SQL_TRAILING_WINDOW,
         "neardup_bfs_depths": _sql_neardup_bfs(),
         "order_priority_marginals": SQL_ORDER_MARGINALS,
+        "doc_length_gini": SQL_DOC_GINI,
         "user_hll_sketch": _sql_user_hll_sketch(),
         "doc_ngram_contamination": _sql_doc_ngram_contamination(),
         "emb_mrl_recall": _sql_emb_mrl_recall(),
