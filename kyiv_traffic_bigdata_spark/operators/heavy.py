@@ -57,8 +57,16 @@ def mg_candidates(values: DataFrame, col: str, k: int) -> DataFrame:
     :func:`heavy_hitters_exact`): pandas ``value_counts`` silently
     drops NaN, so a null-heavy column would otherwise inflate N
     without null ever being a candidate — breaking the superset
-    guarantee for exactly the value the stream has most of."""
+    guarantee for exactly the value the stream has most of.
+
+    The candidate frame keeps the input column's exact Spark type
+    (derived from ``values.schema``, not hardcoded to string): the
+    downstream semi-join in :func:`heavy_hitters_exact` must compare
+    keys at their native type — a stringified candidate column would
+    make Spark cast the join keys, risking precision loss for large
+    longs and a silent type change for any non-string caller."""
     values = values.where(F.col(col).isNotNull())
+    col_type = values.schema[col].dataType.simpleString()
 
     def summarize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         summ: dict = {}
@@ -72,7 +80,7 @@ def mg_candidates(values: DataFrame, col: str, k: int) -> DataFrame:
                 summ = {v: c - m for v, c in summ.items() if c > m}
         yield pd.DataFrame({col: list(summ.keys())})
 
-    return values.mapInPandas(summarize, f"{col} string").distinct()
+    return values.mapInPandas(summarize, f"`{col}` {col_type}").distinct()
 
 
 def heavy_hitters_exact(values: DataFrame, col: str, k: int) -> DataFrame:

@@ -198,8 +198,14 @@ def em_train(
 
 def vocab_frame(spark, vocab: list[tuple[str, float]]) -> DataFrame:
     """(piece, prob, logprob) frame of a trained vocabulary, probs
-    rounded to 6 dp for engine-portable display."""
-    rows = [(p, round(pr, 6), round(math.log(pr), 6)) for p, pr in vocab]
+    rounded to 6 dp for engine-portable display. Pieces whose trained
+    probability collapsed to exactly 0 (possible when every 10-dp
+    expected-count contribution rounds to 0) are dropped — log(0)
+    raises, and a zero-probability piece is unusable by Viterbi anyway
+    (its segmentations fall back to per-char UNK_LOGPROB)."""
+    rows = [
+        (p, round(pr, 6), round(math.log(pr), 6)) for p, pr in vocab if pr > 0
+    ]
     return spark.createDataFrame(rows, "piece string, prob double, logprob double")
 
 
@@ -243,8 +249,11 @@ def viterbi_encode(
 ) -> DataFrame:
     """Adds ``out_col``: the Viterbi piece segmentation of the
     normalized text (word-by-word, concatenation-preserving). The vocab
-    rides the closure — bounded metadata, same as centroids."""
-    logprobs = {p: math.log(pr) for p, pr in vocab}
+    rides the closure — bounded metadata, same as centroids.
+    Zero-probability pieces are excluded (log(0) raises; excluding them
+    makes their characters take the UNK single-char fallback, the same
+    cost an untrained character pays)."""
+    logprobs = {p: math.log(pr) for p, pr in vocab if pr > 0}
 
     @F.pandas_udf("array<string>")
     def seg(texts: pd.Series) -> pd.Series:

@@ -7844,12 +7844,17 @@ def q_order_price_rank_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     membership=Bloom, rank=this) and the streaming-friendly twin of
     the exact `order_price_quantiles`.
 
-    No oracle BY DESIGN (registry tail): the estimate depends on CMS
-    collision structure, not on a SQL-expressible computation; accuracy
-    is pinned by the one-sided error-bound tests in tests/test_rank.py
-    (descent never overshoots the exact quantile; rank shortfall ≤ the
-    levels·e·n/width CMS budget) and exact batch↔streaming cell parity
-    by additivity (streaming.stateful.streaming_rank_sketch_cells).
+    FULL SQL oracle (r10 — previously no-oracle tail): the estimate
+    depends only on the deterministic xxhash64 cell addressing, so
+    `_sql_rank_sketch` replicates Spark's XxHash64 long path in DuckDB
+    HUGEINT arithmetic and unrolls the identical tree descent — the
+    collision structure is part of the definition, exactly like the
+    CMS heavy-hitters and PQ codebook oracles. Accuracy (not just
+    reproducibility) stays pinned by the one-sided error-bound tests
+    in tests/test_rank.py (descent never overshoots the exact
+    quantile; rank shortfall ≤ the levels·e·n/width CMS budget) and
+    exact batch↔streaming cell parity by additivity
+    (streaming.stateful.streaming_rank_sketch_cells).
 
     Scale: constant levels×depth explode off ONE orders scan, map-side
     combined to ≤ groups·levels·depth·width cells; the driver holds
@@ -7875,6 +7880,173 @@ def q_order_price_rank_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         [("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100)],
         group_alias="o_orderpriority",
         count_alias="n_orders",
+    )
+
+
+def _sql_rank_sketch() -> str:
+    """DuckDB twin of the dyadic-CMS rank sketch (r09 VERDICT ask #4).
+
+    The sketch is fully deterministic given its hash family, so the
+    oracle rebuilds the identical counter table and walks the identical
+    tree descent: Spark's XxHash64 long path is replicated in pure SQL
+    over HUGEINT — 64-bit wraparound multiplication via split 32-bit
+    partial products (DuckDB UBIGINT arithmetic raises on overflow
+    instead of wrapping), rotations as shift-and-add, xor() natively.
+
+    Two structural constraints, both measured:
+
+    * every hash mixing step is its OWN CTE stage — DuckDB inlines
+      lateral column aliases, so a single-SELECT chain of the 24
+      dependent steps explodes to ~2^24 expression nodes and hangs the
+      planner;
+    * the build hashes only the DISTINCT (level, bucket) pairs and
+      joins back to the fact rows, so the expensive staged hashing runs
+      on the value-domain table, not the row stream.
+
+    The descent is unrolled level-by-level (the LPA/k-core fixed-round
+    discipline): at each level the ≤16 children's CMS point queries
+    (min over depth rows, absent cell = 0 — but the PROBE's hash is
+    always computed, so collisions overcount exactly as in
+    operators.qsketch.estimate_interval) feed a first-child-that-fits
+    selection with running prior subtraction, replicating
+    descend_quantile's sibling walk."""
+    from .operators.qsketch import (
+        QSKETCH_BRANCH,
+        QSKETCH_BRANCH_BITS,
+        QSKETCH_DEPTH,
+        QSKETCH_LEVELS,
+        QSKETCH_WIDTH,
+    )
+
+    m64 = 1 << 64
+    p1 = 0x9E3779B185EBCA87
+    p2 = 0xC2B2AE3D27D4EB4F
+    p3 = 0x165667B19E3779F9
+    p4 = 0x85EBCA77C2B2AE63
+    p5 = 0x27D4EB2F165667C5
+    width = QSKETCH_WIDTH
+    levels = QSKETCH_LEVELS
+    depth = QSKETCH_DEPTH
+    branch = QSKETCH_BRANCH
+    bits = QSKETCH_BRANCH_BITS
+
+    def mul64(a: str, b: int | str) -> str:
+        return (
+            f"((({a})%4294967296)*(({b})%4294967296)"
+            f" + (((({a})//4294967296)*(({b})%4294967296)"
+            f" + (({a})%4294967296)*(({b})//4294967296))%4294967296)"
+            f"*4294967296) % {m64}"
+        )
+
+    def rotl(x: str, r: int) -> str:
+        lo = 1 << (64 - r)
+        return f"((({x})%{lo})*{1 << r} + ({x})//{lo})"
+
+    ctes: list[str] = []
+
+    def hash_pipe(prefix: str, src: str, keep: list[str]) -> str:
+        """CTE stages turning columns (j, lvl, bucket) of ``src`` into
+        the cell address ``b`` (chained xxhash64, seed 42, pmod width),
+        threading ``keep`` through; returns the final CTE name."""
+        keep_sql = ", ".join(keep)
+        cur = src
+
+        def stage(name: str, exprs: list[str]) -> None:
+            nonlocal cur
+            ctes.append(
+                f"{prefix}_{name} AS (SELECT {keep_sql}, "
+                f"{', '.join(exprs)} FROM {cur})"
+            )
+            cur = f"{prefix}_{name}"
+
+        def xx64(tag: str, value: str, seed: str) -> None:
+            stage(f"{tag}1", [f"(({seed}) + {p5 + 8}) % {m64} AS acc",
+                              f"{mul64(value, p2)} AS t"])
+            stage(f"{tag}2", ["acc", f"{mul64(rotl('t', 31), p1)} AS k1"])
+            stage(f"{tag}3",
+                  [f"({mul64(rotl('xor(acc, k1)', 27), p1)} + {p4}) % {m64} AS hv"])
+            stage(f"{tag}4", ["xor(hv, hv // 8589934592) AS hv2"])  # >>33
+            stage(f"{tag}5", [f"{mul64('hv2', p2)} AS hv3"])
+            stage(f"{tag}6", ["xor(hv3, hv3 // 536870912) AS hv4"])  # >>29
+            stage(f"{tag}7", [f"{mul64('hv4', p3)} AS hv5"])
+            stage(f"{tag}8", [f"xor(hv5, hv5 // 4294967296) AS {tag}"])  # >>32
+
+        xx64("xa", "CAST(j AS HUGEINT)", "CAST(42 AS HUGEINT)")
+        xx64("xb", "CAST(lvl AS HUGEINT)", "xa")
+        xx64("xc", "CAST(bucket AS HUGEINT)", "xb")
+        signed = f"(CASE WHEN xc >= {1 << 63} THEN xc - {m64} ELSE xc END)"
+        stage("bfin", [
+            f"CAST((({signed}) % {width} + {width}) % {width} AS BIGINT) AS b"
+        ])
+        return cur
+
+    ctes.append(
+        "vals AS (SELECT o_orderpriority AS g, "
+        "CAST(ROUND(o_totalprice * 100) AS BIGINT) AS v FROM orders)"
+    )
+    ctes.append("totals AS (SELECT g, COUNT(*) AS n FROM vals GROUP BY g)")
+    ctes.append(f"lvls AS (SELECT UNNEST(range({levels})) AS lvl)")
+    ctes.append(f"js AS (SELECT UNNEST(range({depth})) AS j)")
+    ctes.append(
+        f"bkt AS (SELECT DISTINCT lvl, v >> (lvl * {bits}) AS bucket "
+        "FROM vals CROSS JOIN lvls)"
+    )
+    ctes.append("probe_build AS (SELECT j, lvl, bucket FROM bkt CROSS JOIN js)")
+    hb = hash_pipe("hb", "probe_build", ["j", "lvl", "bucket"])
+    ctes.append(
+        "cells AS (SELECT t.g, t.lvl, h.j, h.b, CAST(COUNT(*) AS BIGINT) AS c "
+        f"FROM (SELECT g, lvl, v >> (lvl * {bits}) AS bucket "
+        "FROM vals CROSS JOIN lvls) t "
+        f"JOIN {hb} h ON h.lvl = t.lvl AND h.bucket = t.bucket "
+        "GROUP BY 1, 2, 3, 4)"
+    )
+    ctes.append(
+        "targets AS (SELECT g, qname, (num * n + den - 1) // den AS remaining "
+        "FROM totals CROSS JOIN (VALUES ('p50', 1, 2), ('p90', 9, 10), "
+        "('p99', 99, 100)) AS qq(qname, num, den))"
+    )
+    ctes.append(
+        f"st{levels} AS (SELECT g, qname, CAST(0 AS BIGINT) AS p, remaining "
+        "FROM targets)"
+    )
+    probe_keep = ["g", "qname", "remaining", "cidx", "bucket", "lvl", "j"]
+    for lvl in range(levels - 1, -1, -1):
+        ctes.append(
+            f"pr{lvl} AS (SELECT g, qname, remaining, cc.c AS cidx, "
+            f"p * {branch} + cc.c AS bucket, CAST({lvl} AS BIGINT) AS lvl, j "
+            f"FROM st{lvl + 1} "
+            f"CROSS JOIN (SELECT UNNEST(range({branch})) AS c) cc "
+            "CROSS JOIN js)"
+        )
+        hd = hash_pipe(f"hd{lvl}", f"pr{lvl}", probe_keep)
+        ctes.append(
+            f"est{lvl} AS (SELECT h.g, h.qname, h.remaining, h.cidx, h.bucket, "
+            "MIN(COALESCE(cl.c, 0)) AS cnt "
+            f"FROM {hd} h LEFT JOIN cells cl ON cl.g = h.g AND cl.lvl = h.lvl "
+            "AND cl.j = h.j AND cl.b = h.b GROUP BY 1, 2, 3, 4, 5)"
+        )
+        ctes.append(
+            f"sel{lvl} AS (SELECT *, COALESCE(SUM(cnt) OVER ("
+            "PARTITION BY g, qname ORDER BY cidx "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior "
+            f"FROM est{lvl})"
+        )
+        ctes.append(
+            f"st{lvl} AS (SELECT g, qname, bucket AS p, "
+            "remaining - prior AS remaining FROM ("
+            "SELECT *, ROW_NUMBER() OVER (PARTITION BY g, qname "
+            f"ORDER BY cidx) AS rn FROM sel{lvl} "
+            f"WHERE remaining - prior <= cnt OR cidx = {branch - 1}"
+            ") WHERE rn = 1)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes) + "\n"
+        "SELECT t.g AS o_orderpriority, CAST(MIN(t.n) AS BIGINT) AS n_orders,\n"
+        "       MAX(CASE WHEN s.qname = 'p50' THEN s.p END) / 100.0 AS p50,\n"
+        "       MAX(CASE WHEN s.qname = 'p90' THEN s.p END) / 100.0 AS p90,\n"
+        "       MAX(CASE WHEN s.qname = 'p99' THEN s.p END) / 100.0 AS p99\n"
+        "FROM st0 s JOIN totals t USING (g)\n"
+        "GROUP BY t.g"
     )
 
 
@@ -10130,10 +10302,17 @@ WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts) // 1000000
 """
 
 
+#: Second ER blocking key: names are only compared within the same
+#: FUZZY_LEN_BAND-character length band (part of the query definition —
+#: the oracle bands identically).
+FUZZY_LEN_BAND = 8
+
+
 def q_part_name_fuzzy_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocked fuzzy entity resolution on part names: nearest
     edit-distance neighbor per DISTINCT normalized name, candidates
-    restricted to the same blocking key (first token) — the classic
+    restricted to the same COMPOUND blocking key — (first token,
+    length band of ``FUZZY_LEN_BAND`` chars) — the classic
     blocking+matching ER shape (threshold-free: emits each name's
     closest in-block neighbor and the edit distance, so reviewers pick
     the cutoff downstream).
@@ -10141,9 +10320,15 @@ def q_part_name_fuzzy_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale contract: ER runs on the distinct-name DIMENSION, never the
     part fact table — the first aggregate collapses duplicates, so the
     in-block pair space is bounded by the name vocabulary squared per
-    block, not by corpus rows. Blocking is the standard recall trade
-    (a pair split across blocking keys is never considered) and is part
-    of the query's definition, which is why the SQL twin is exact.
+    block, not by corpus rows. The length band is the second blocking
+    key (r09 VERDICT what's-wrong #3): on a diverse real-world entity
+    corpus one hot first-token block ("the", "new", …) could still go
+    quadratic; banding by length caps every block at (names per token ×
+    band occupancy)² and is cheap recall to give up — a near-duplicate
+    pair at small edit distance rarely differs by ≥ the band width in
+    length (band-STRADDLING near-equal-length pairs are the real
+    recall cost, the standard multi-pass-blocking trade). Blocking is
+    part of the query's definition, which is why the SQL twin is exact.
     ``levenshtein`` is JVM-side in Spark and native in DuckDB — no UDF."""
     part = load_table(spark, sf_dir, "part")
     from pyspark.sql import Window
@@ -10156,14 +10341,19 @@ def q_part_name_fuzzy_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_parts"))
         .withColumn("bk", F.split(F.col("name"), " ").getItem(0))
+        .withColumn(
+            "lb", F.floor(F.length(F.col("name")) / FUZZY_LEN_BAND).cast("long")
+        )
     )
     a, b = names.alias("a"), names.alias("b")
-    # equi-join on the blocking key (hash-partitioned, skew bounded by
-    # block size); no forced broadcast — the name vocabulary grows with
-    # corpus diversity, so AQE decides the physical join at runtime
+    # equi-join on the compound blocking key (hash-partitioned, skew
+    # bounded by block size); no forced broadcast — the name vocabulary
+    # grows with corpus diversity, so AQE decides the physical join
     pairs = a.join(
         b,
-        (F.col("a.bk") == F.col("b.bk")) & (F.col("a.name") != F.col("b.name")),
+        (F.col("a.bk") == F.col("b.bk"))
+        & (F.col("a.lb") == F.col("b.lb"))
+        & (F.col("a.name") != F.col("b.name")),
     ).select(
         F.col("a.name").alias("name"),
         F.col("a.n_parts").alias("n_parts"),
@@ -10276,12 +10466,15 @@ WITH names AS (
   SELECT {_norm('p_name')} AS name, CAST(count(*) AS BIGINT) AS n_parts
   FROM part GROUP BY 1
 ), keyed AS (
-  SELECT name, n_parts, string_split(name, ' ')[1] AS bk FROM names
+  SELECT name, n_parts, string_split(name, ' ')[1] AS bk,
+         length(name) // {FUZZY_LEN_BAND} AS lb
+  FROM names
 ), pairs AS (
   SELECT a.name AS name, a.n_parts AS n_parts,
          b.name AS nearest_name, b.n_parts AS nearest_n_parts,
          CAST(levenshtein(a.name, b.name) AS BIGINT) AS distance
-  FROM keyed a JOIN keyed b ON a.bk = b.bk AND a.name <> b.name
+  FROM keyed a JOIN keyed b
+    ON a.bk = b.bk AND a.lb = b.lb AND a.name <> b.name
 ), ranked AS (
   SELECT *, row_number() OVER (
     PARTITION BY name ORDER BY distance, nearest_name) AS _rn
@@ -10313,87 +10506,18 @@ FROM ranked WHERE _rn = 1
 # the very tail so no window slot is spent on a permanent no_oracle
 # row).
 QUERIES: dict[str, QueryFn] = {
-    # r09 window composition (driver verifies the FIRST 50 entries).
+    # r10 window composition (driver verifies the FIRST 50 entries).
     # Machine-checked by tests/test_oracle.py::test_rotation_ledger_
     # window_is_least_recent against the CORRECTNESS_r0*.json ledger:
     # every slot covers least-recent driver evidence (flagship exempt).
-    # Composition = tools/rotation.py's post-r08 proposal with the four
-    # r09 additions (never driver-checked -> stalest by definition)
-    # taking the head; the 4 r06 slots they displace lead the
-    # staged section below (ties across the boundary are allowed — the
-    # r06 cohort is larger than the window).
-    # (a0) the 8 r09 late additions, ledger 0 (hopping windows,
-    #      cumulative uniques, blocked fuzzy ER, MG heavy hitters,
-    #      RANGE-frame trailing window, near-dup BFS, GROUPING SETS
-    #      marginals, corpus Gini — full SQL twins);
-    "event_hopping_stats": q_event_hopping_stats,
-    "user_cumulative_uniques": q_user_cumulative_uniques,
-    "part_name_fuzzy_matches": q_part_name_fuzzy_matches,
-    "doc_token_heavy_hitters": q_doc_token_heavy_hitters,
-    "event_trailing_window_stats": q_event_trailing_window_stats,
-    "neardup_bfs_depths": q_neardup_bfs_depths,
-    "order_priority_marginals": q_order_priority_marginals,
-    "doc_length_gini": q_doc_length_gini,
-    # (a) the 4 r09 additions, ledger 0 (serving-path hard-negative
-    #     miner, content-defined chunking, Zipf vocabulary fit, A/B
-    #     lift readout — all with full SQL twins);
-    "emb_hard_negatives_mined": q_emb_hard_negatives_mined,
-    "doc_cdc_chunks": q_doc_cdc_chunks,
-    "token_zipf_fit": q_token_zipf_fit,
-    "user_ab_lift": q_user_ab_lift,
-    # (a2) ann_ivf + ann_pq, newly ORACLED in r09 (previously in the
-    #      no-oracle tail; their ledgers are pre-r05-stale so they must
-    #      take slots);
-    "ann_ivf": q_ann_ivf,
-    "ann_pq": q_ann_pq,
-    # (b) the 11 r05-evidence queries (the whole remaining r05 cohort);
-    "moving_event_stats": q_moving_event_stats,
-    "event_props_stats": q_event_props_stats,
-    "event_type_pivot": q_event_type_pivot,
-    "value_buckets": q_value_buckets,
-    "dedup_events": q_dedup_events,
-    "top_customers": q_top_customers,
-    "global_event_stats": q_global_event_stats,
-    "geo_speed_by_type": q_geo_speed_by_type,
-    "geo_region_counts": q_geo_region_counts,
-    "orders_without_lineitems": q_orders_without_lineitems,
-    "active_customers": q_active_customers,
-    # (c) the 33 stalest r06-evidence queries, prior-registry order.
-    "min_cost_supplier": q_min_cost_supplier,
-    "important_part_value": q_important_part_value,
-    "late_shipment_priority": q_late_shipment_priority,
-    "supplier_part_variety": q_supplier_part_variety,
-    "dominant_part_suppliers": q_dominant_part_suppliers,
-    "suppliers_kept_waiting": q_suppliers_kept_waiting,
-    "doc_token_entropy": q_doc_token_entropy,
-    "doc_containment_dups": q_doc_containment_dups,
-    "event_bursts": q_event_bursts,
-    "emb_range_search": q_emb_range_search,
-    "neardup_kcore": q_neardup_kcore,
-    "neardup_prefix_pairs": q_neardup_prefix_pairs,
-    "sorted_neighborhood_pairs": q_sorted_neighborhood_pairs,
-    "event_top_paths": q_event_top_paths,
-    "user_distinct_sketch": q_user_distinct_sketch,
-    "doc_priority_sample": q_doc_priority_sample,
-    "order_price_quantiles": q_order_price_quantiles,
-    "user_overlap_sketch": q_user_overlap_sketch,
-    "neardup_communities": q_neardup_communities,
-    "token_pmi": q_token_pmi,
-    "neardup_link_prediction": q_neardup_link_prediction,
-    "event_assoc_rules": q_event_assoc_rules,
-    "event_type_ewma": q_event_type_ewma,
-    "event_cms_heavy_hitters": q_event_cms_heavy_hitters,
-    "cosine_topk": q_cosine_topk,
-    # ---- slots above are inside the driver's 50-query verification
-    # window; everything below holds an r05/r06/r07/r08 driver-green row
-    # and rides the driver-faithful local replica until its next
-    # rotation. Non-window entries are kept stalest-first so the head of
-    # this section IS the staged r10 window (tools/rotation.py
-    # re-derives it from the ledger either way). ----
-    # flagship (r06 hash-green; driver smoke-checks entry() every round)
-    "geo_trajectory": q_geo_trajectory,
-    # r06 driver-green, displaced from the window by the 4 late r09
-    # additions (same-round tie with the window's r06 cohort)
+    # Composition = tools/rotation.py's post-r09 proposal:
+    # (a) order_price_rank_sketch, ledger 0 — never driver-checked
+    #     while it sat in the no-oracle tail; r10 gave it a full
+    #     deterministic SQL twin (_sql_rank_sketch) so it now takes a
+    #     verification slot;
+    "order_price_rank_sketch": q_order_price_rank_sketch,
+    # (b) the 24 r06-evidence queries (the whole remaining r06 cohort
+    #     minus the flagship);
     "embedding_norms": q_embedding_norms,
     "event_union": q_event_union,
     "events_asof_error": q_events_asof_error,
@@ -10402,7 +10526,6 @@ QUERIES: dict[str, QueryFn] = {
     "doc_sample_by_lang": q_doc_sample_by_lang,
     "doc_lang_token_stats": q_doc_lang_token_stats,
     "doc_exact_dups": q_doc_exact_dups,
-    # r06 driver-green (the 16 not reached by the r09 window)
     "geo_nearby_events": q_geo_nearby_events,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "minhash_signatures": q_minhash_signatures,
@@ -10419,7 +10542,7 @@ QUERIES: dict[str, QueryFn] = {
     "weather_pivot": q_weather_pivot,
     "winnow_fingerprints": q_winnow_fingerprints,
     "winnow_overlap": q_winnow_overlap,
-    # r07 driver-green
+    # (c) the 25 stalest r07-evidence queries, prior-registry order.
     "bloom_join_filter": q_bloom_join_filter,
     "doc_hybrid_rrf": q_doc_hybrid_rrf,
     "doc_phrase_search": q_doc_phrase_search,
@@ -10445,6 +10568,15 @@ QUERIES: dict[str, QueryFn] = {
     "doc_langid_confusion": q_doc_langid_confusion,
     "doc_pii_scrub": q_doc_pii_scrub,
     "doc_quality_filter": q_doc_quality_filter,
+    # ---- slots above are inside the driver's 50-query verification
+    # window; everything below holds an r06/r07/r08/r09 driver-green
+    # row and rides the driver-faithful local replica until its next
+    # rotation. Non-window entries are kept stalest-first so the head
+    # of this section IS the staged r11 window (tools/rotation.py
+    # re-derives it from the ledger either way). ----
+    # flagship (r06 hash-green; driver smoke-checks entry() every round)
+    "geo_trajectory": q_geo_trajectory,
+    # r07/r08/r09 driver-green, stalest-first
     "doc_repeated_spans": q_doc_repeated_spans,
     "doc_repetition_filter": q_doc_repetition_filter,
     "doc_source_drift": q_doc_source_drift,
@@ -10470,7 +10602,6 @@ QUERIES: dict[str, QueryFn] = {
     "local_supplier_volume": q_local_supplier_volume,
     "neardup_pagerank": q_neardup_pagerank,
     "priority_count": q_priority_count,
-    # r08 driver-green (the full r08 window, freshest evidence)
     "user_hll_sketch": q_user_hll_sketch,
     "doc_ngram_contamination": q_doc_ngram_contamination,
     "emb_mrl_recall": q_emb_mrl_recall,
@@ -10521,18 +10652,68 @@ QUERIES: dict[str, QueryFn] = {
     "user_sessions": q_user_sessions,
     "user_session_windows": q_user_session_windows,
     "event_retention": q_event_retention,
+    "event_hopping_stats": q_event_hopping_stats,
+    "user_cumulative_uniques": q_user_cumulative_uniques,
+    "part_name_fuzzy_matches": q_part_name_fuzzy_matches,
+    "doc_token_heavy_hitters": q_doc_token_heavy_hitters,
+    "event_trailing_window_stats": q_event_trailing_window_stats,
+    "neardup_bfs_depths": q_neardup_bfs_depths,
+    "order_priority_marginals": q_order_priority_marginals,
+    "doc_length_gini": q_doc_length_gini,
+    "emb_hard_negatives_mined": q_emb_hard_negatives_mined,
+    "doc_cdc_chunks": q_doc_cdc_chunks,
+    "token_zipf_fit": q_token_zipf_fit,
+    "user_ab_lift": q_user_ab_lift,
+    "ann_ivf": q_ann_ivf,
+    "ann_pq": q_ann_pq,
+    "moving_event_stats": q_moving_event_stats,
+    "event_props_stats": q_event_props_stats,
+    "event_type_pivot": q_event_type_pivot,
+    "value_buckets": q_value_buckets,
+    "dedup_events": q_dedup_events,
+    "top_customers": q_top_customers,
+    "global_event_stats": q_global_event_stats,
+    "geo_speed_by_type": q_geo_speed_by_type,
+    "geo_region_counts": q_geo_region_counts,
+    "orders_without_lineitems": q_orders_without_lineitems,
+    "active_customers": q_active_customers,
+    "min_cost_supplier": q_min_cost_supplier,
+    "important_part_value": q_important_part_value,
+    "late_shipment_priority": q_late_shipment_priority,
+    "supplier_part_variety": q_supplier_part_variety,
+    "dominant_part_suppliers": q_dominant_part_suppliers,
+    "suppliers_kept_waiting": q_suppliers_kept_waiting,
+    "doc_token_entropy": q_doc_token_entropy,
+    "doc_containment_dups": q_doc_containment_dups,
+    "event_bursts": q_event_bursts,
+    "emb_range_search": q_emb_range_search,
+    "neardup_kcore": q_neardup_kcore,
+    "neardup_prefix_pairs": q_neardup_prefix_pairs,
+    "sorted_neighborhood_pairs": q_sorted_neighborhood_pairs,
+    "event_top_paths": q_event_top_paths,
+    "user_distinct_sketch": q_user_distinct_sketch,
+    "doc_priority_sample": q_doc_priority_sample,
+    "order_price_quantiles": q_order_price_quantiles,
+    "user_overlap_sketch": q_user_overlap_sketch,
+    "neardup_communities": q_neardup_communities,
+    "token_pmi": q_token_pmi,
+    "neardup_link_prediction": q_neardup_link_prediction,
+    "event_assoc_rules": q_event_assoc_rules,
+    "event_type_ewma": q_event_type_ewma,
+    "event_cms_heavy_hitters": q_event_cms_heavy_hitters,
+    "cosine_topk": q_cosine_topk,
     # ---- no-oracle approximates: permanently at the tail so they
     # never occupy a driver verification slot (accuracy pinned by
     # recall/error tests, not a SQL twin) ----
     "approx_event_stats": q_approx_event_stats,
     "emb_pca": q_emb_pca,
-    "order_price_rank_sketch": q_order_price_rank_sketch,
     "doc_unigram_tokenize": q_doc_unigram_tokenize,
 }
 
 
 def build_oracles() -> dict[str, str]:
     return {
+        "order_price_rank_sketch": _sql_rank_sketch(),
         "event_hopping_stats": SQL_HOPPING,
         "user_cumulative_uniques": SQL_CUMULATIVE_UNIQUES,
         "part_name_fuzzy_matches": SQL_FUZZY_MATCHES,
@@ -10625,8 +10806,6 @@ def build_oracles() -> dict[str, str]:
         "winnow_overlap": _sql_winnow_overlap(),
         "cosine_topk": SQL_COSINE_TOPK,
         "embedding_norms": SQL_EMB_NORMS,
-        # ann_lsh / ann_ivf / approx_event_stats: intentionally no oracle
-        # (approximate by design; accuracy pinned by recall/error tests)
         "multimodal_features": SQL_MULTIMODAL,
         "weather_pivot": _sql_weather(),
         "neardup_components": _sql_neardup_components(),
@@ -10664,8 +10843,6 @@ def build_oracles() -> dict[str, str]:
         "idle_rich_customers": SQL_IDLE_RICH_CUSTOMERS,
         "emb_semdedup": SQL_EMB_SEMDEDUP,
         "emb_pq": SQL_EMB_PQ,
-        # ann_pq: intentionally no oracle (approximate; recall pinned
-        # by tests/test_ann.py against the exact baseline)
         "doc_chunks": SQL_DOC_CHUNKS,
         "doc_subword_stats": SQL_DOC_SUBWORD_STATS,
         "doc_token_pair_stats": SQL_TOKEN_PAIR_STATS,

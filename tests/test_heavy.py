@@ -96,3 +96,22 @@ def test_empty_stream_yields_empty_frame(spark):
     out = heavy_hitters_exact(df, "token", 8)
     assert out.count() == 0
     assert [f.name for f in out.schema.fields] == ["token", "n_occurrences"]
+
+
+def test_non_string_key_type_is_preserved(spark):
+    """The candidate frame must carry the input column's native Spark
+    type (r09 ADVICE): a hardcoded string schema would stringify long
+    keys and force a casting join in the exact phase — precision loss
+    past 2^53 and a silent type change for any non-string caller."""
+    big = 2**62 + 7  # not exactly representable as float64
+    rows = [(big,)] * 9 + [(big + 1,)] * 2 + [(12,)] * 1
+    df = spark.createDataFrame(rows, "user_id long").repartition(3)
+    from kyiv_traffic_bigdata_spark.operators.heavy import mg_candidates
+
+    cands = mg_candidates(df, "user_id", 3)
+    assert cands.schema["user_id"].dataType.simpleString() == "bigint"
+    out = heavy_hitters_exact(df, "user_id", 2)
+    assert out.schema["user_id"].dataType.simpleString() == "bigint"
+    # N = 12, k = 2 -> threshold 4: only the 9-count key qualifies, and
+    # it must come back bit-exact (big and big+1 collide as float64).
+    assert {(r.user_id, r.n_occurrences) for r in out.collect()} == {(big, 9)}

@@ -275,7 +275,9 @@ def test_rank_sketch_interval_estimates_never_underestimate(spark):
 
 
 def test_rank_sketch_quantiles_one_sided_within_cms_budget(spark, sf_dir):
-    """The headline accuracy pin (no-oracle query order_price_rank_sketch):
+    """The headline ACCURACY pin for order_price_rank_sketch (its SQL
+    oracle, added r10, proves reproducibility — identical hash-addressed
+    cells and descent — but says nothing about estimate quality):
     per (priority, quantile) the descent estimate never EXCEEDS the
     exact discrete quantile (earlier-sibling overestimates can only
     steer the descent left), and its rank shortfall stays inside the

@@ -133,3 +133,17 @@ def test_unk_logprob_is_a_floor():
     # a known piece always beats the UNK fallback on the same span
     got = viterbi_segment("ab", {"ab": UNK_LOGPROB + 1.0}, max_len=2)
     assert got == ["ab"]
+
+
+def test_zero_probability_pieces_never_reach_log(spark):
+    """A trained piece whose probability collapsed to exactly 0.0 (all
+    10-dp expected-count contributions rounded to 0) must not crash
+    vocab_frame / viterbi_encode with log(0) (r09 ADVICE): it is
+    dropped, and its characters pay the UNK single-char fallback."""
+    vocab = [("ab", 0.0), ("a", 0.5), ("b", 0.0), ("c", 0.5)]
+    vf = vocab_frame(spark, vocab)
+    assert {r.piece for r in vf.collect()} == {"a", "c"}
+    docs = spark.createDataFrame([(1, "abca")], "doc_id long, text string")
+    rows = viterbi_encode(docs, "text", vocab, max_piece_len=2).collect()
+    # "ab" and "b" are unusable; "b" segments via the UNK fallback
+    assert rows[0].pieces == ["a", "b", "c", "a"]

@@ -68,6 +68,24 @@ CURVE_QUERIES = [
     "event_trailing_window_stats",
 ]
 
+#: r09 heavyweights added to the curve in r10 (VERDICT #6): each with
+#: an explicit growth-law note like the pair family.
+NOTED_CURVE_QUERIES = {
+    "doc_unigram_tokenize": (
+        "EM cost rides the DISTINCT-WORD vocabulary, not the corpus: "
+        "scaleup's salted copies add salt tokens so the vocab grows "
+        "sublinearly with k; encode is map-only ~k"
+    ),
+    "doc_cdc_chunks": (
+        "~k: Rabin boundary fold is map-only per doc; shuffles carry "
+        "16-byte chunk hashes only"
+    ),
+    "order_price_rank_sketch": (
+        "~k fact explode into a BOUNDED groups*levels*depth*width "
+        "counter table; descent is driver-side constant work"
+    ),
+}
+
 #: pair-producing dedup/ANN representatives (r09): measurable because
 #: scaleup plants bounded near-dup families; ``bar`` states the growth
 #: law the ratio is judged against on local[32] (fixed parallelism).
@@ -88,6 +106,11 @@ PAIR_CURVE_QUERIES = {
     "emb_hard_negatives_mined": (
         "~k: fixed 20-anchor serving shape — corpus scan grows, "
         "anchors do not"
+    ),
+    "neardup_bfs_depths": (
+        "~k: rides the LSH pair pipeline (planted bounded families); "
+        "frontier rounds are corpus-independent (<= max_depth) and "
+        "exit early on an empty frontier"
     ),
 }
 
@@ -110,8 +133,10 @@ def main() -> None:
     scaled = sys.argv[3] if len(sys.argv) > 3 else f"/tmp/sf_scaled_x{k}"
     spark = get_spark("scaling_curve")
     rows = []
-    plan = [(n, None) for n in CURVE_QUERIES] + list(
-        PAIR_CURVE_QUERIES.items()
+    plan = (
+        [(n, None) for n in CURVE_QUERIES]
+        + list(NOTED_CURVE_QUERIES.items())
+        + list(PAIR_CURVE_QUERIES.items())
     )
     for name, bar in plan:
         if name == next(iter(PAIR_CURVE_QUERIES)):
