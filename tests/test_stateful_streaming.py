@@ -1426,3 +1426,152 @@ def test_tws_mg_summary_matches_group_state_twin(spark, tmp_path):
         q.stop()
     assert got is not None, "merged summary row never appeared"
     assert 60 - got.residual <= n / 5  # k=4 -> MG error bound n/(k+1)
+
+
+def test_tws_cell_counter_logic_sans_io():
+    """CellCounterProcessor against the fake handle must match the
+    applyInPandasWithState counter fns batch-for-batch for BOTH key
+    shapes it serves — flat CMS (j, b) and dyadic rank (g, lvl, j, b):
+    identical emitted totals and single-long state."""
+    import pandas as pd
+
+    from kyiv_traffic_bigdata_spark.streaming.stateful import (
+        CellCounterProcessor,
+        make_cms_fn,
+        make_rank_cell_fn,
+    )
+
+    # flat CMS: key (j, b); batches of 3, 0, 5 touches
+    p = CellCounterProcessor(["j", "b"])
+    h = _FakeHandle()
+    p.init(h)
+    fn = make_cms_fn()
+    state = _BurstFakeState()
+    for n in (3, 0, 5):
+        pdf = pd.DataFrame({"j": [1] * n, "b": [7] * n})
+        out_tws = list(p.handleInputRows((1, 7), iter([pdf]), _FakeTimerValues(0)))
+        out_gs = list(fn((1, 7), iter([pdf]), state))
+        assert [o.to_dict("records") for o in out_tws] == [
+            o.to_dict("records") for o in out_gs
+        ]
+    assert h.states["cell_count"].get() == (8,)
+
+    # dyadic rank: key (g, lvl, j, b)
+    p2 = CellCounterProcessor(["g", "lvl", "j", "b"])
+    h2 = _FakeHandle()
+    p2.init(h2)
+    fn2 = make_rank_cell_fn()
+    state2 = _BurstFakeState()
+    key = ("1-URGENT", 3, 0, 99)
+    for n in (2, 4):
+        pdf = pd.DataFrame({"x": list(range(n))})
+        out_tws = pd.concat(
+            list(p2.handleInputRows(key, iter([pdf]), _FakeTimerValues(0)))
+        )
+        out_gs = pd.concat(list(fn2(key, iter([pdf]), state2)))
+        assert out_tws.to_dict("records") == out_gs.to_dict("records")
+    assert h2.states["cell_count"].get() == (6,)
+
+
+def test_tws_kmv_logic_sans_io():
+    """KMVProcessor against the fake handle must match make_kmv_fn
+    batch-for-batch: same merged bottom-k state, same floor-form
+    estimate, both below and at sketch capacity."""
+    import pandas as pd
+
+    from kyiv_traffic_bigdata_spark.streaming.stateful import (
+        KMVProcessor,
+        make_kmv_fn,
+    )
+
+    p = KMVProcessor(k=4)
+    h = _FakeHandle()
+    p.init(h)
+    fn = make_kmv_fn(4)
+    state = _BurstFakeState()
+    batches = [
+        [50_000_000_000, 60_000_000_000],
+        [50_000_000_000, 10_000_000_000, 70_000_000_000],
+        [5_000_000_000, 80_000_000_000],
+    ]
+    for hashes in batches:
+        pdf = pd.DataFrame({"h": hashes})
+        out_tws = pd.concat(
+            list(p.handleInputRows(("click",), iter([pdf]), _FakeTimerValues(0)))
+        )
+        out_gs = pd.concat(list(fn(("click",), iter([pdf]), state)))
+        assert out_tws.to_dict("records") == out_gs.to_dict("records")
+    kept = h.states["kmv_hashes"].get()[0]
+    assert len(kept) == 4 and kept == sorted(kept)
+
+
+def test_tws_rank_cells_match_group_state_twin(spark, tmp_path):
+    """End-to-end: streaming_rank_sketch_cells_v2 (transformWithState)
+    must reach the same counter table as the applyInPandasWithState
+    form for the same cell stream — completing TWS breadth for the
+    sketch-cell family. Skips only where RocksDB is genuinely absent."""
+    import pytest
+
+    from kyiv_traffic_bigdata_spark.streaming.stateful import (
+        streaming_rank_sketch_cells_v2,
+        transform_with_state_available,
+    )
+
+    if not transform_with_state_available(spark):
+        pytest.skip("transformWithStateInPandas unavailable on this platform")
+
+    src = tmp_path / "qr2_src"
+    src.mkdir()
+
+    def write(name, cells):
+        (src / name).write_text(
+            "\n".join(
+                json.dumps({"g": g, "lvl": lvl, "j": j, "b": b})
+                for g, lvl, j, b in cells
+            )
+            + "\n"
+        )
+
+    # cell (gA,0,0,5) touched in both batches (2 then 3 = 5 total);
+    # (gA,1,0,9) only in batch 1; (gB,0,0,5) only in batch 2.
+    write("b1.json", [("gA", 0, 0, 5)] * 2 + [("gA", 1, 0, 9)])
+    stream = spark.readStream.schema("g string, lvl int, j int, b int").json(
+        str(src)
+    )
+    q = (
+        streaming_rank_sketch_cells_v2(stream)
+        .writeStream.format("memory")
+        .queryName("qr2_out")
+        .option("checkpointLocation", str(tmp_path / "qr2_ckpt"))
+        .outputMode("update")
+        .trigger(processingTime="1 seconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 90
+        time.sleep(2)
+        write("b2.json", [("gA", 0, 0, 5)] * 3 + [("gB", 0, 0, 5)])
+        got = None
+        while time.time() < deadline:
+            rows = spark.sql(
+                "SELECT g, lvl, j, b, c FROM qr2_out "
+                "WHERE g = 'gA' AND lvl = 0 AND c = 5"
+            ).collect()
+            if rows:
+                got = {
+                    (r.g, r.lvl, r.j, r.b): r.c
+                    for r in spark.sql("SELECT * FROM qr2_out").collect()
+                }
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    assert got is not None, "merged cell row never appeared"
+    # update-mode memory sink keeps every refresh; the MAX per cell is
+    # the final counter value — exactly the batch sketch over the union
+    final = {}
+    for k_, c in got.items():
+        final[k_] = max(final.get(k_, 0), c)
+    assert final[("gA", 0, 0, 5)] == 5
+    assert final[("gA", 1, 0, 9)] == 1
+    assert final[("gB", 0, 0, 5)] == 1
