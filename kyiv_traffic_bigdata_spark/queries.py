@@ -10485,6 +10485,513 @@ FROM ranked WHERE _rn = 1
 """
 
 
+#: Kneser-Ney absolute discount — the standard 0.75 (Chen & Goodman
+#: 1999 use held-out-estimated D; a fixed D is the common production
+#: simplification and keeps both engines bit-equal).
+KN_DISCOUNT = 0.75
+
+
+def q_doc_kn_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc mean bigram log-probability under an INTERPOLATED
+    KNESER-NEY LM trained on the corpus itself — the KenLM-family
+    scorer real pretraining pipelines use for perplexity-based quality
+    stratification (CCNet's actual filter is KN-smoothed, not the
+    add-1 LM of ``doc_bigram_logprob``; this closes that gap):
+
+        P(b|a) = (max(c(a,b) − D, 0) + D·N1+(a·)·P_cont(b)) / c(a·)
+        P_cont(b) = N1+(·b) / |bigram types|
+
+    where N1+(a·)/N1+(·b) are the forward/backward continuation type
+    counts and c(a·) = Σ_b c(a,b) (history mass, so each history's
+    conditional sums to 1). All counts are exact integers; the log
+    expression is written with IDENTICAL parenthesization in both
+    engines so the doubles agree bit-for-bit before the decimal sum.
+
+    Shape: the bigram tf table is STAGED (it feeds the count marginals
+    AND the scoring join); every marginal (cab, per-a stats, per-b
+    continuation counts) derives from cab — gram-table equi-joins on
+    pre-aggregated sides, |bigram types| on a 1-row broadcast. ONE
+    documents scan total; no windows; AQE handles hot-gram skew."""
+    from .operators.staging import stage
+
+    d = _docs_with_tokens(spark, sf_dir)
+    t = TX.tokens(F.col("text"))
+    pairs = (
+        d.select("doc_id", t.alias("_t"))
+        .where(F.size("_t") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.arrays_zip(
+                    F.slice("_t", 1, F.size("_t") - 1).alias("a"),
+                    F.slice("_t", 2, F.size("_t") - 1).alias("b"),
+                )
+            ).alias("_p"),
+        )
+        .select("doc_id", F.col("_p.a").alias("a"), F.col("_p.b").alias("b"))
+    )
+    tf = (
+        pairs.groupBy("doc_id", "a", "b")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .transform(stage)
+    )
+    cab = tf.groupBy("a", "b").agg(F.sum("tf").alias("cab")).transform(stage)
+    astats = cab.groupBy("a").agg(
+        F.sum("cab").alias("ca"), F.count(F.lit(1)).alias("n1f")
+    )
+    n1r = cab.groupBy("b").agg(F.count(F.lit(1)).alias("n1r"))
+    tt = cab.agg(F.count(F.lit(1)).alias("_t"))
+    j = (
+        tf.join(cab, ["a", "b"])
+        .join(astats, "a")
+        .join(n1r, "b")
+        .crossJoin(F.broadcast(tt))
+    )
+    d_ = F.lit(KN_DISCOUNT)
+    prob = (
+        F.greatest(F.col("cab") - d_, F.lit(0.0))
+        + d_ * F.col("n1f") * (F.col("n1r") / F.col("_t"))
+    ) / F.col("ca")
+    contrib = (F.col("tf") * F.log(prob)).cast(DEC)
+    return j.groupBy("doc_id").agg(
+        F.sum("tf").cast("long").alias("n_bigrams"),
+        round6(F.sum(contrib).cast("double") / F.sum("tf")).alias(
+            "avg_kn_logprob"
+        ),
+    )
+
+
+SQL_KN_LOGPROB = f"""
+WITH toks AS (
+  SELECT doc_id, generate_subscripts({_toks('text')}, 1) AS i,
+         unnest({_toks('text')}) AS term
+  FROM documents
+),
+pairs AS (
+  SELECT t1.doc_id, t1.term AS a, t2.term AS b
+  FROM toks t1 JOIN toks t2 ON t2.doc_id = t1.doc_id AND t2.i = t1.i + 1
+),
+tf AS (SELECT doc_id, a, b, CAST(COUNT(*) AS BIGINT) AS tf FROM pairs GROUP BY 1, 2, 3),
+cab AS (SELECT a, b, CAST(SUM(tf) AS BIGINT) AS cab FROM tf GROUP BY a, b),
+astats AS (SELECT a, CAST(SUM(cab) AS BIGINT) AS ca,
+                  CAST(COUNT(*) AS BIGINT) AS n1f FROM cab GROUP BY a),
+n1r AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS n1r FROM cab GROUP BY b),
+tt AS (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM cab),
+j AS (
+  SELECT tf.doc_id, tf.tf, cab.cab, astats.ca, astats.n1f, n1r.n1r, tt.t
+  FROM tf JOIN cab USING (a, b) JOIN astats USING (a) JOIN n1r USING (b)
+  CROSS JOIN tt
+)
+SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_bigrams,
+       {SQL_ROUND6.format(x=_ssum(
+           'tf * ln((GREATEST(cab - ' + str(KN_DISCOUNT) + ', 0.0)'
+           ' + ' + str(KN_DISCOUNT) + ' * n1f * (n1r / t)) / ca)'
+       ) + ' / SUM(tf)')} AS avg_kn_logprob
+FROM j GROUP BY doc_id
+"""
+
+
+def q_event_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample KOLMOGOROV-SMIRNOV drift per event type: the exact KS
+    statistic between the value distribution of the first and second
+    half of the time range — the standard nonparametric detector for
+    "did this metric's distribution move?", next to the token-level
+    KL (`doc_source_drift`) and χ² (`token_chi2_drift`) drift family.
+
+    EXACT, not approximate: sup|F_a − F_b| is computed in INTEGER
+    arithmetic as max|cum_a·n_b − cum_b·n_a| over the merged value
+    histogram (the double division happens once at the end, identical
+    in both engines), so there is no ECDF float accumulation anywhere.
+
+    Scale: one fact scan → (type, value, side) histogram (map-side
+    partials absorb duplicates; the slab is ≤ distinct values per
+    type, the gini/quantile-slab discipline) → one cumulative window
+    over the bounded slab → one max aggregate. The time midpoint rides
+    a 1-row broadcast; NULL values are excluded on both engines."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    mid = ev.agg(
+        ((F.min("ts_us") + F.max("ts_us")) / F.lit(2)).cast("long").alias("_mid")
+    )
+    sided = ev.crossJoin(F.broadcast(mid)).select(
+        "event_type",
+        "value",
+        F.when(F.col("ts_us") <= F.col("_mid"), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("_a"),
+    )
+    hist = sided.groupBy("event_type", "value").agg(
+        F.sum("_a").alias("_ca"),
+        F.sum(F.lit(1) - F.col("_a")).alias("_cb"),
+    )
+    from pyspark.sql import Window
+
+    wg = Window.partitionBy("event_type")
+    wcum = wg.orderBy(F.col("value").asc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = (
+        hist.withColumn("_na", F.sum("_ca").over(wg))
+        .withColumn("_nb", F.sum("_cb").over(wg))
+        .withColumn("_cuma", F.sum("_ca").over(wcum))
+        .withColumn("_cumb", F.sum("_cb").over(wcum))
+    )
+    return (
+        cum.where((F.col("_na") > 0) & (F.col("_nb") > 0))
+        .groupBy("event_type")
+        .agg(
+            F.max("_na").cast("long").alias("n_first"),
+            F.max("_nb").cast("long").alias("n_second"),
+            # products in decimal(38,0): cum·n reaches n² (long overflow
+            # past n ≈ 3e9 per type — real at the 100 TB posture); the
+            # oracle's window SUMs are HUGEINT so DuckDB is 128-bit
+            # exact natively
+            F.max(
+                F.abs(
+                    F.col("_cuma").cast("decimal(38,0)") * F.col("_nb")
+                    - F.col("_cumb").cast("decimal(38,0)") * F.col("_na")
+                )
+            )
+            .cast("long")
+            .alias("d_num"),
+        )
+        .select(
+            "event_type",
+            "n_first",
+            "n_second",
+            "d_num",
+            round6(
+                F.col("d_num")
+                / (
+                    F.col("n_first").cast("double")
+                    * F.col("n_second").cast("double")
+                )
+            ).alias("ks_stat"),
+        )
+    )
+
+
+SQL_KS_DRIFT = f"""
+WITH ev AS (
+  SELECT event_type, value, epoch_us(ts) AS ts_us FROM events
+  WHERE value IS NOT NULL
+),
+mid AS (SELECT CAST((MIN(ts_us) + MAX(ts_us)) / 2 AS BIGINT) AS m FROM ev),
+hist AS (
+  SELECT event_type, value,
+         CAST(SUM(CASE WHEN ts_us <= mid.m THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+         CAST(SUM(CASE WHEN ts_us <= mid.m THEN 0 ELSE 1 END) AS BIGINT) AS cb
+  FROM ev CROSS JOIN mid GROUP BY 1, 2
+),
+cum AS (
+  SELECT event_type,
+         SUM(ca) OVER (PARTITION BY event_type) AS na,
+         SUM(cb) OVER (PARTITION BY event_type) AS nb,
+         SUM(ca) OVER (PARTITION BY event_type ORDER BY value ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cuma,
+         SUM(cb) OVER (PARTITION BY event_type ORDER BY value ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumb
+  FROM hist
+),
+agg AS (
+  SELECT event_type, CAST(MAX(na) AS BIGINT) AS n_first,
+         CAST(MAX(nb) AS BIGINT) AS n_second,
+         CAST(MAX(ABS(cuma * nb - cumb * na)) AS BIGINT) AS d_num
+  FROM cum WHERE na > 0 AND nb > 0 GROUP BY event_type
+)
+SELECT event_type, n_first, n_second, d_num,
+       {SQL_ROUND6.format(
+           x='d_num / (CAST(n_first AS DOUBLE) * CAST(n_second AS DOUBLE))'
+       )} AS ks_stat
+FROM agg
+"""
+
+
+def q_event_value_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust dispersion per event type: exact discrete MEDIAN ABSOLUTE
+    DEVIATION — median of |value − median| — the outlier-resistant
+    scale statistic (a single corrupt 1e12 reading moves a stddev
+    arbitrarily, moves the MAD not at all). Both medians are EXACT
+    discrete quantiles via the histogram-slab operator
+    (operators.rank.quantile_disc_slab): a hash aggregate + bounded
+    cumulative window each, never a per-group sort; the deviation pass
+    re-reads the fact once with the per-type median on a broadcast.
+
+    Determinism: discrete quantiles select actual data values (no
+    interpolation), and |x − med| is one IEEE subtraction — identical
+    in both engines, so even the second slab's keys agree exactly."""
+    from .operators.rank import quantile_disc_slab
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull())
+        .select("event_type", "value")
+    )
+    med = quantile_disc_slab(
+        ev, "event_type", "value", [("med", 1, 2)], count_alias="n_values"
+    )
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        F.abs(F.col("value") - F.col("med")).alias("_adev"),
+    )
+    mad = quantile_disc_slab(
+        dev, "event_type", "_adev", [("mad", 1, 2)], count_alias="_n2"
+    ).drop("_n2")
+    return med.join(mad, "event_type").select(
+        "event_type", "n_values", "med", "mad"
+    )
+
+
+SQL_EVENT_MAD = """
+WITH ev AS (
+  SELECT event_type AS g, value AS v FROM events WHERE value IS NOT NULL
+),
+h1 AS (SELECT g, v, COUNT(*) AS c FROM ev GROUP BY 1, 2),
+c1 AS (
+  SELECT g, v,
+         SUM(c) OVER (PARTITION BY g ORDER BY v ASC) AS cm,
+         SUM(c) OVER (PARTITION BY g) AS n
+  FROM h1
+),
+med AS (
+  SELECT g, CAST(MAX(n) AS BIGINT) AS n_values,
+         MIN(CASE WHEN cm >= (1 * n + 1) // 2 THEN v END) AS med
+  FROM c1 GROUP BY g
+),
+dev AS (
+  SELECT ev.g, ABS(ev.v - med.med) AS av, med.n_values, med.med
+  FROM ev JOIN med ON med.g = ev.g
+),
+h2 AS (SELECT g, av, n_values, med, COUNT(*) AS c FROM dev GROUP BY 1, 2, 3, 4),
+c2 AS (
+  SELECT g, av, n_values, med,
+         SUM(c) OVER (PARTITION BY g ORDER BY av ASC) AS cm,
+         SUM(c) OVER (PARTITION BY g) AS n
+  FROM h2
+)
+SELECT g AS event_type, MAX(n_values) AS n_values, MAX(med) AS med,
+       MIN(CASE WHEN cm >= (1 * n + 1) // 2 THEN av END) AS mad
+FROM c2 GROUP BY g
+"""
+
+
+#: Singularity guard for the closed-form OLS: groups whose normal
+#: matrix determinant falls below this (computed identically in both
+#: engines) emit NULL coefficients instead of garbage.
+OLS_DET_EPS = 1e-9
+
+
+def q_brand_price_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form MULTIVARIATE least squares per group — per part
+    brand, regress line-item revenue on quantity and discount
+    (y = b0 + b1·qty + b2·disc) by solving the 3×3 normal equations
+    with Cramer's rule over EXACT decimal-accumulated moments. The
+    multi-feature extension of the simple-regression forecast
+    (`forecast_revenue`): grouped model fitting as ONE aggregate, the
+    k×dim-metadata convention (9 moments per group, never a matrix
+    library on the hot path).
+
+    Determinism: every moment (Σx, Σx², Σxy …) is a decimal(28,10) sum
+    of IEEE products — layout-free and engine-identical; the Cramer
+    determinants are then plain double arithmetic with IDENTICAL
+    parenthesization in both engines. Near-singular groups (|det| <
+    OLS_DET_EPS) yield NULL coefficients on both sides.
+
+    Scale: fact scan → broadcast dim join (brand) → one hash aggregate
+    to groups×9 moments → map-only closed form. No windows, no
+    iteration, no driver solve."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.col("l_quantity").alias("x1"),
+        F.col("l_discount").alias("x2"),
+        F.col("l_extendedprice").alias("y"),
+    )
+    part = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey"), F.col("p_brand").alias("brand")
+    )
+    dsum = lambda c: F.sum(c.cast(DEC)).cast("double")  # noqa: E731
+    m = (
+        li.join(F.broadcast(part), "l_partkey")
+        .groupBy("brand")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            dsum(F.col("x1")).alias("s1"),
+            dsum(F.col("x2")).alias("s2"),
+            dsum(F.col("x1") * F.col("x1")).alias("s11"),
+            dsum(F.col("x2") * F.col("x2")).alias("s22"),
+            dsum(F.col("x1") * F.col("x2")).alias("s12"),
+            dsum(F.col("y")).alias("sy"),
+            dsum(F.col("x1") * F.col("y")).alias("s1y"),
+            dsum(F.col("x2") * F.col("y")).alias("s2y"),
+        )
+    )
+    n, s1, s2 = F.col("n"), F.col("s1"), F.col("s2")
+    s11, s22, s12 = F.col("s11"), F.col("s22"), F.col("s12")
+    sy, s1y, s2y = F.col("sy"), F.col("s1y"), F.col("s2y")
+    det = (
+        n * (s11 * s22 - s12 * s12)
+        - s1 * (s1 * s22 - s12 * s2)
+        + s2 * (s1 * s12 - s11 * s2)
+    )
+    d0 = (
+        sy * (s11 * s22 - s12 * s12)
+        - s1 * (s1y * s22 - s12 * s2y)
+        + s2 * (s1y * s12 - s11 * s2y)
+    )
+    d1 = (
+        n * (s1y * s22 - s12 * s2y)
+        - sy * (s1 * s22 - s12 * s2)
+        + s2 * (s1 * s2y - s1y * s2)
+    )
+    d2 = (
+        n * (s11 * s2y - s1y * s12)
+        - s1 * (s1 * s2y - s1y * s2)
+        + sy * (s1 * s12 - s11 * s2)
+    )
+    ok = F.abs(det) >= F.lit(OLS_DET_EPS)
+    return m.select(
+        "brand",
+        n.cast("long").alias("n_rows"),
+        F.when(ok, round6(d0 / det)).alias("b0"),
+        F.when(ok, round6(d1 / det)).alias("b1"),
+        F.when(ok, round6(d2 / det)).alias("b2"),
+    )
+
+
+def _ols_sql() -> str:
+    det = (
+        "(n * (s11 * s22 - s12 * s12)"
+        " - s1 * (s1 * s22 - s12 * s2)"
+        " + s2 * (s1 * s12 - s11 * s2))"
+    )
+    d0 = (
+        "(sy * (s11 * s22 - s12 * s12)"
+        " - s1 * (s1y * s22 - s12 * s2y)"
+        " + s2 * (s1y * s12 - s11 * s2y))"
+    )
+    d1 = (
+        "(n * (s1y * s22 - s12 * s2y)"
+        " - sy * (s1 * s22 - s12 * s2)"
+        " + s2 * (s1 * s2y - s1y * s2))"
+    )
+    d2 = (
+        "(n * (s11 * s2y - s1y * s12)"
+        " - s1 * (s1 * s2y - s1y * s2)"
+        " + sy * (s1 * s12 - s11 * s2))"
+    )
+    def coef(dn: str) -> str:
+        return (
+            f"CASE WHEN ABS({det}) >= {OLS_DET_EPS} THEN "
+            + SQL_ROUND6.format(x=f"{dn} / {det}")
+            + " END"
+        )
+    return f"""
+WITH j AS (
+  SELECT p.p_brand AS brand, l.l_quantity AS x1, l.l_discount AS x2,
+         l.l_extendedprice AS y
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+),
+m AS (
+  SELECT brand, CAST(COUNT(*) AS DOUBLE) AS n,
+         {_ssum('x1')} AS s1, {_ssum('x2')} AS s2,
+         {_ssum('x1 * x1')} AS s11, {_ssum('x2 * x2')} AS s22,
+         {_ssum('x1 * x2')} AS s12, {_ssum('y')} AS sy,
+         {_ssum('x1 * y')} AS s1y, {_ssum('x2 * y')} AS s2y
+  FROM j GROUP BY brand
+)
+SELECT brand, CAST(n AS BIGINT) AS n_rows,
+       {coef(d0)} AS b0, {coef(d1)} AS b1, {coef(d2)} AS b2
+FROM m
+"""
+
+
+#: How many most-drifted tokens the χ² readout returns.
+CHI2_TOP_K = 30
+
+
+def q_token_chi2_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-TOKEN χ² drift between the English slice and the rest of the
+    corpus: for each token a 2×2 contingency table (token vs all other
+    tokens × en vs rest) scored with the closed-form chi-square
+    N·(ad−bc)²/((a+b)(c+d)(a+c)(b+d)) — the token-level companion of
+    the distribution-level KL (`doc_source_drift`): KL says "this slice
+    drifted", χ² says WHICH tokens carry the drift. Top
+    ``CHI2_TOP_K`` by score (token ascending on ties — the cutoff is
+    deterministic because the rounded scores are bit-identical).
+
+    Determinism: all eight table cells are exact integers; the χ²
+    arithmetic is IEEE double with identical parenthesization in both
+    engines and is round6-ed BEFORE the ordering, so equal-to-6dp
+    scores tie-break lexically the same way everywhere.
+
+    Scale: one explode → (token, side) counts (map-side combine) →
+    1-row margin broadcast → map-only χ² → TakeOrdered top-k (no full
+    sort)."""
+    d = _docs_with_tokens(spark, sf_dir)
+    toks = d.select(
+        F.explode(TX.tokens(F.col("text"))).alias("token"),
+        F.when(F.col("lang") == "en", F.lit(1)).otherwise(F.lit(0)).alias("_en"),
+    )
+    counts = toks.groupBy("token").agg(
+        F.sum("_en").alias("a"),
+        F.sum(F.lit(1) - F.col("_en")).alias("b"),
+    )
+    margins = counts.agg(
+        F.sum("a").alias("_na"), F.sum("b").alias("_nb")
+    )
+    j = counts.crossJoin(F.broadcast(margins)).where(
+        (F.col("_na") > 0) & (F.col("_nb") > 0)
+    )
+    a = F.col("a").cast("double")
+    b = F.col("b").cast("double")
+    c = (F.col("_na") - F.col("a")).cast("double")
+    dd = (F.col("_nb") - F.col("b")).cast("double")
+    num = (a + b + c + dd) * ((a * dd - b * c) * (a * dd - b * c))
+    den = ((a + b) * (c + dd)) * ((a + c) * (b + dd))
+    scored = j.select(
+        "token",
+        F.col("a").cast("long").alias("n_en"),
+        F.col("b").cast("long").alias("n_rest"),
+        round6(num / den).alias("chi2"),
+    )
+    return scored.orderBy(F.col("chi2").desc(), F.col("token").asc()).limit(
+        CHI2_TOP_K
+    )
+
+
+SQL_CHI2_DRIFT = f"""
+WITH toks AS (
+  SELECT unnest({_toks('text')}) AS token,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS en
+  FROM documents
+),
+counts AS (
+  SELECT token, CAST(SUM(en) AS BIGINT) AS a,
+         CAST(SUM(1 - en) AS BIGINT) AS b
+  FROM toks GROUP BY token
+),
+margins AS (SELECT SUM(a) AS na, SUM(b) AS nb FROM counts),
+scored AS (
+  SELECT token, a AS n_en, b AS n_rest,
+         {SQL_ROUND6.format(x=(
+             '(CAST(a AS DOUBLE) + CAST(b AS DOUBLE)'
+             ' + CAST(na - a AS DOUBLE) + CAST(nb - b AS DOUBLE))'
+             ' * ((CAST(a AS DOUBLE) * CAST(nb - b AS DOUBLE)'
+             ' - CAST(b AS DOUBLE) * CAST(na - a AS DOUBLE))'
+             ' * (CAST(a AS DOUBLE) * CAST(nb - b AS DOUBLE)'
+             ' - CAST(b AS DOUBLE) * CAST(na - a AS DOUBLE)))'
+             ' / (((CAST(a AS DOUBLE) + CAST(b AS DOUBLE))'
+             ' * (CAST(na - a AS DOUBLE) + CAST(nb - b AS DOUBLE)))'
+             ' * ((CAST(a AS DOUBLE) + CAST(na - a AS DOUBLE))'
+             ' * (CAST(b AS DOUBLE) + CAST(nb - b AS DOUBLE))))'
+         ))} AS chi2
+  FROM counts CROSS JOIN margins
+  WHERE na > 0 AND nb > 0
+)
+SELECT token, n_en, n_rest, chi2
+FROM scored ORDER BY chi2 DESC, token ASC LIMIT {CHI2_TOP_K}
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -10516,6 +11023,16 @@ QUERIES: dict[str, QueryFn] = {
     #     deterministic SQL twin (_sql_rank_sketch) so it now takes a
     #     verification slot;
     "order_price_rank_sketch": q_order_price_rank_sketch,
+    # (a2) the 5 r10 additions, ledger 0 (Kneser-Ney LM scoring,
+    #      two-sample KS drift, median absolute deviation, closed-form
+    #      multivariate OLS, chi-square token drift — all with full SQL
+    #      twins); they displace the 5 freshest r07 slots into the
+    #      staged section head;
+    "doc_kn_logprob": q_doc_kn_logprob,
+    "event_ks_drift": q_event_ks_drift,
+    "event_value_mad": q_event_value_mad,
+    "brand_price_ols": q_brand_price_ols,
+    "token_chi2_drift": q_token_chi2_drift,
     # (b) the 24 r06-evidence queries (the whole remaining r06 cohort
     #     minus the flagship);
     "embedding_norms": q_embedding_norms,
@@ -10563,11 +11080,6 @@ QUERIES: dict[str, QueryFn] = {
     "doc_curation_pipeline": q_doc_curation_pipeline,
     "doc_data_card": q_doc_data_card,
     "doc_decontaminate": q_doc_decontaminate,
-    "doc_gopher_quality": q_doc_gopher_quality,
-    "doc_hash_sample": q_doc_hash_sample,
-    "doc_langid_confusion": q_doc_langid_confusion,
-    "doc_pii_scrub": q_doc_pii_scrub,
-    "doc_quality_filter": q_doc_quality_filter,
     # ---- slots above are inside the driver's 50-query verification
     # window; everything below holds an r06/r07/r08/r09 driver-green
     # row and rides the driver-faithful local replica until its next
@@ -10577,6 +11089,11 @@ QUERIES: dict[str, QueryFn] = {
     # flagship (r06 hash-green; driver smoke-checks entry() every round)
     "geo_trajectory": q_geo_trajectory,
     # r07/r08/r09 driver-green, stalest-first
+    "doc_gopher_quality": q_doc_gopher_quality,
+    "doc_hash_sample": q_doc_hash_sample,
+    "doc_langid_confusion": q_doc_langid_confusion,
+    "doc_pii_scrub": q_doc_pii_scrub,
+    "doc_quality_filter": q_doc_quality_filter,
     "doc_repeated_spans": q_doc_repeated_spans,
     "doc_repetition_filter": q_doc_repetition_filter,
     "doc_source_drift": q_doc_source_drift,
@@ -10714,6 +11231,11 @@ QUERIES: dict[str, QueryFn] = {
 def build_oracles() -> dict[str, str]:
     return {
         "order_price_rank_sketch": _sql_rank_sketch(),
+        "doc_kn_logprob": SQL_KN_LOGPROB,
+        "event_ks_drift": SQL_KS_DRIFT,
+        "event_value_mad": SQL_EVENT_MAD,
+        "brand_price_ols": _ols_sql(),
+        "token_chi2_drift": SQL_CHI2_DRIFT,
         "event_hopping_stats": SQL_HOPPING,
         "user_cumulative_uniques": SQL_CUMULATIVE_UNIQUES,
         "part_name_fuzzy_matches": SQL_FUZZY_MATCHES,

@@ -1188,3 +1188,53 @@ def test_r09_late_additions_plan_shapes(plans):
     assert "SortMergeJoin" not in hh
     assert "CartesianProduct" not in hh
     assert "LeftSemi" in hh and "Broadcast" in hh
+
+
+def test_r10_additions_plan_shapes(plans):
+    """The 5 r10 additions' scale-critical shapes:
+
+    - doc_kn_logprob: tf AND cab are staged (every KN marginal derives
+      from cab), so the visible plan must contain ZERO documents
+      rescans (un-staged Catalyst re-derives the tokenize/zip subtree
+      per marginal — the doc_bigram_logprob lesson) and join gram
+      tables with equi-joins only.
+    - event_ks_drift: one events scan; the only join is the 1-row
+      midpoint broadcast — the KS statistic itself is a window over the
+      bounded value slab, never a self-join of the fact.
+    - event_value_mad: the per-type median returns to the fact on a
+      BROADCAST join (the slab is ≤ |types| rows); no sort-merge join
+      of the fact against itself.
+    - brand_price_ols: dimension join broadcast, moments in ONE
+      partial-aggregated hash aggregate, no window anywhere (the
+      closed form is map-only post-aggregate).
+    - token_chi2_drift: the top-k must be a TakeOrdered, not a global
+      sort of the vocabulary.
+    """
+    kn = plans("doc_kn_logprob")
+    assert parquet_scan_count(kn, "documents") == 0
+    assert "CartesianProduct" not in kn
+    # the |bigram types| total legitimately rides a 1-row broadcast
+    # nested-loop (crossJoin); more than one would mean a gram join
+    # degraded to a loop join
+    assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", kn)) <= 1
+
+    ks = plans("event_ks_drift")
+    # two passes BY CONSTRUCTION: the midpoint (min/max of one column)
+    # must be known before rows take sides — pass 1 reads ts only,
+    # pass 2 the three working columns; anything beyond 2 is a rescan
+    assert parquet_scan_count(ks, "events") == 2
+    assert sort_merge_join_count(ks) == 0
+    assert "CartesianProduct" not in ks
+
+    mad = plans("event_value_mad")
+    assert sort_merge_join_count(mad) == 0
+    assert broadcast_join_count(mad) >= 1
+
+    ols = plans("brand_price_ols")
+    assert broadcast_join_count(ols) >= 1
+    assert sort_merge_join_count(ols) == 0
+    assert "Window" not in ols
+    assert "partial_count" in ols or "partial_sum" in ols
+
+    chi = plans("token_chi2_drift")
+    assert "TakeOrdered" in chi
