@@ -1329,3 +1329,92 @@ __all__ += [
     "streaming_rank_sketch_cells_v2",
     "streaming_user_distinct_sketch_v2",
 ]
+
+
+class BurstProcessor(StatefulProcessor):
+    """``transformWithState`` twin of :func:`make_burst_fn` — the k-th-
+    event-within-window burst detector on the StatefulProcessor API,
+    completing the both-APIs matrix for EVERY stateful op in this
+    module. Identical per-key semantics: O(k) state (the last k−1 event
+    timestamps), per batch the sorted new timestamps chain onto the
+    history and each new event whose span back to its (k−1)-th
+    predecessor fits the window emits a burst row (append — a burst
+    flag never changes). The idle-state TTL is a per-key processing-
+    time TIMER (the TWS-native GroupStateTimeout form, re-armed each
+    batch); on expiry the history is DROPPED, not emitted — with
+    ``state_ttl_s >= window_s`` (enforced) an idle gap long enough to
+    expire the state is also long enough that no burst window can span
+    it, so expiry never loses a burst."""
+
+    def __init__(self, k: int = 3, window_s: int = 14400,
+                 state_ttl_s: int = 86400):
+        if k < 2:
+            raise ValueError("k must be >= 2 (a 1-event burst is every event)")
+        if state_ttl_s < window_s:
+            raise ValueError(
+                "state_ttl_s must be >= window_s (burst-loss guard)"
+            )
+        self._k = k
+        self._window_us = window_s * 1_000_000
+        self._ttl_ms = state_ttl_s * 1000
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._hist = handle.getValueState("burst_hist", BURST_STATE_SCHEMA)
+        self._handle = handle
+
+    def handleInputRows(self, key, rows, timer_values):  # noqa: ANN001
+        batch = pd.concat(list(rows), ignore_index=True)
+        if batch.empty:
+            return
+        hist = list(self._hist.get()[0]) if self._hist.exists() else []
+        new_ts = sorted(int(t) for t in batch["ts_us"].to_numpy())
+        chain = hist + new_ts
+        out_ts, out_span = [], []
+        for j in range(len(hist), len(chain)):
+            if j >= self._k - 1:
+                span = chain[j] - chain[j - (self._k - 1)]
+                if span <= self._window_us:
+                    out_ts.append(chain[j])
+                    out_span.append(span)
+        self._hist.update((chain[-(self._k - 1):],))
+        for t in self._handle.listTimers():
+            self._handle.deleteTimer(t)
+        self._handle.registerTimer(
+            timer_values.getCurrentProcessingTimeInMs() + self._ttl_ms
+        )
+        if out_ts:
+            yield pd.DataFrame(
+                {
+                    "user_id": [int(key[0])] * len(out_ts),
+                    "ts_us": out_ts,
+                    "span_us": out_span,
+                }
+            )
+
+    def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):  # noqa: ANN001,N803 — framework kwarg names
+        self._hist.clear()
+        return
+        yield  # pragma: no cover — generator contract, no emission on expiry
+
+    def close(self) -> None:
+        pass
+
+
+def streaming_event_bursts_v2(
+    events: DataFrame, k: int = 3, window_s: int = 14400,
+    state_ttl_s: int = 86400,
+) -> DataFrame:
+    """Burst detection on ``transformWithStateInPandas`` (same contract
+    as :func:`streaming_event_bursts`: input (user_id long, ts_us
+    long), append rows; timeMode processingTime — the idle-expiry
+    timer is part of the operator)."""
+    _require_tws(events, "streaming_event_bursts")
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=BurstProcessor(k, window_s, state_ttl_s),
+        outputStructType=BURST_OUTPUT_SCHEMA,
+        outputMode="append",
+        timeMode="processingTime",
+    )
+
+
+__all__ += ["BurstProcessor", "streaming_event_bursts_v2"]

@@ -1575,3 +1575,96 @@ def test_tws_rank_cells_match_group_state_twin(spark, tmp_path):
     assert final[("gA", 0, 0, 5)] == 5
     assert final[("gA", 1, 0, 9)] == 1
     assert final[("gB", 0, 0, 5)] == 1
+
+
+def test_tws_burst_logic_sans_io():
+    """BurstProcessor per-key logic against the fake handle must match
+    make_burst_fn batch-for-batch: same burst rows (incl. cross-batch
+    chains), same O(k-1) retained history, and the idle timer re-armed
+    each batch."""
+    import pandas as pd
+
+    from kyiv_traffic_bigdata_spark.streaming.stateful import (
+        BurstProcessor,
+        make_burst_fn,
+    )
+
+    M = 1_000_000
+    batches = [
+        [0 * M, 100 * M],          # no burst yet (k=3)
+        [200 * M],                 # 0,100,200 within 400s -> burst @200
+        [9_000 * M, 9_100 * M],    # far gap; 200,9000,9100 span too wide
+        [9_150 * M],               # 9000,9100,9150 -> burst @9150
+    ]
+    p = BurstProcessor(k=3, window_s=400, state_ttl_s=86400)
+    h = _FakeHandle()
+    p.init(h)
+    fn = make_burst_fn(3, 400, 86400)
+    state = _BurstFakeState()
+    for ts in batches:
+        pdf = pd.DataFrame({"ts_us": ts})
+        out_tws = list(p.handleInputRows((7,), iter([pdf]), _FakeTimerValues(0)))
+        out_gs = list(fn((7,), iter([pdf]), state))
+        a = pd.concat(out_tws).to_dict("records") if out_tws else []
+        b = pd.concat(out_gs).to_dict("records") if out_gs else []
+        assert a == b
+    assert len(h.states["burst_hist"].get()[0]) == 2  # k-1 retained
+    assert len(h.timers) == 1  # re-armed, never accumulated
+    # expiry drops the history without emitting
+    assert list(p.handleExpiredTimer((7,), _FakeTimerValues(0), None)) == []
+    assert not h.states["burst_hist"].exists()
+
+
+def test_tws_bursts_match_group_state_twin(spark, tmp_path):
+    """End-to-end: streaming_event_bursts_v2 (transformWithState) must
+    flag the same burst events as the applyInPandasWithState form,
+    including a chain split across micro-batches. Skips only where
+    RocksDB is genuinely absent."""
+    import pytest
+
+    from kyiv_traffic_bigdata_spark.streaming.stateful import (
+        streaming_event_bursts_v2,
+        transform_with_state_available,
+    )
+
+    if not transform_with_state_available(spark):
+        pytest.skip("transformWithStateInPandas unavailable on this platform")
+
+    src = tmp_path / "b2_src"
+    src.mkdir()
+    M = 1_000_000
+
+    def write(name, rows):
+        (src / name).write_text(
+            "\n".join(json.dumps({"user_id": u, "ts_us": t}) for u, t in rows)
+            + "\n"
+        )
+
+    write("b1.json", [(1, 0 * M), (1, 100 * M), (2, 0 * M)])
+    stream = spark.readStream.schema("user_id long, ts_us long").json(str(src))
+    q = (
+        streaming_event_bursts_v2(stream, k=3, window_s=400)
+        .writeStream.format("memory")
+        .queryName("b2_out")
+        .option("checkpointLocation", str(tmp_path / "b2_ckpt"))
+        .outputMode("append")
+        .trigger(processingTime="1 seconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 90
+        time.sleep(2)
+        # cross-batch chain: user 1's third event arrives a batch later
+        write("b2.json", [(1, 200 * M), (2, 10_000 * M)])
+        got = None
+        while time.time() < deadline:
+            rows = spark.sql("SELECT * FROM b2_out").collect()
+            if rows:
+                got = {(r.user_id, r.ts_us, r.span_us) for r in rows}
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    # exactly user 1's 200s event bursts (span 200s back to ts 0);
+    # user 2 never accumulates 3 events inside 400 s
+    assert got == {(1, 200 * M, 200 * M)}

@@ -66,6 +66,12 @@ CURVE_QUERIES = [
     "part_name_fuzzy_matches",
     "doc_token_heavy_hitters",
     "event_trailing_window_stats",
+    # r10 additions
+    "doc_kn_logprob",
+    "event_ks_drift",
+    "event_value_mad",
+    "brand_price_ols",
+    "token_chi2_drift",
 ]
 
 #: r09 heavyweights added to the curve in r10 (VERDICT #6): each with
