@@ -131,18 +131,31 @@ def jaccard_verify(
     index became a broadcast build side and OOM'd an 8 GB driver at
     100× sf0.1. Every table here scales with the corpus (candidates ∝
     near-dup density × n, doc arrays = one row per doc), so the
-    doc-array sides carry explicit shuffle_hash hints — nothing in
-    this function may ever broadcast.
+    doc-array sides carry explicit join hints — nothing in this
+    function may ever broadcast.
+
+    Hint choice (r10, found by the 100× BFS scale point): the doc-array
+    sides pin ``shuffle_merge``, NOT ``shuffle_hash`` — a shuffle-hash
+    join must materialize its whole build partition as an in-memory
+    hash relation (NON-spillable by design), and a partition of
+    shingle ARRAYS is fat: at 100× the 64 MB relation page could not be
+    acquired once concurrent tasks fragmented the unified region
+    (r09's shuffle_hash pin fixed the broadcast OOM but parked the
+    fragility one level down). Sort-merge streams both sorted sides
+    and SPILLS — the extra sort of the one-row-per-doc array table is
+    noise next to the pipeline, and the no-broadcast pin is exactly as
+    satisfied. The narrow-row bucket self-joins keep shuffle_hash
+    (their builds are bounded and thin; no sort needed).
     """
     doc_sh = idx.groupBy("doc_id").agg(
         F.collect_set("shingle").alias("_sh")
     )
     a = doc_sh.select(
         F.col("doc_id").alias("id_a"), F.col("_sh").alias("_sha")
-    ).hint("shuffle_hash")
+    ).hint("shuffle_merge")
     b = doc_sh.select(
         F.col("doc_id").alias("id_b"), F.col("_sh").alias("_shb")
-    ).hint("shuffle_hash")
+    ).hint("shuffle_merge")
     paired = candidates.join(a, "id_a").join(b, "id_b")
     n_inter = F.size(F.array_intersect(F.col("_sha"), F.col("_shb")))
     denom = (F.size("_sha") + F.size("_shb") - n_inter).cast("double")

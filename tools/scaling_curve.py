@@ -145,15 +145,20 @@ def main() -> None:
         + list(PAIR_CURVE_QUERIES.items())
     )
     for name, bar in plan:
-        if name == next(iter(PAIR_CURVE_QUERIES)):
-            # fresh JVM for the pair block: ~30 headliner queries leave
-            # enough accumulated shuffle/broadcast state in the shared
-            # local JVM that minhash_lsh_pairs at 100x OOMs an 8 GB heap
-            # it comfortably fits when run fresh (measured r09 — the
-            # single-JVM analogue of executor heap hygiene on long-lived
-            # contexts)
+        if name in PAIR_CURVE_QUERIES:
+            # fresh JVM for EVERY pair-family query: r09 restarted once
+            # before the block (~30 headliners of accumulated state
+            # OOM'd minhash at 100x); r10 found the same dynamic INSIDE
+            # the block — each pair query localCheckpoints corpus-sized
+            # staged frames whose storage blocks outlive the query (they
+            # free on Python GC, not query end) and squeeze execution
+            # memory until a pinned shuffle-hash BUILD (non-spillable by
+            # design) can't acquire its page: neardup_bfs_depths at 100x
+            # died at 4-queries-deep accumulation. Per-query restart =
+            # the single-JVM analogue of per-job executor hygiene; it
+            # also makes each pair measurement independent.
             spark.stop()
-            spark = get_spark("scaling_curve_pairs")
+            spark = get_spark(f"scaling_curve_{name}")
         fn = QUERIES[name]
         t_base = time_query(fn, spark, src)
         t_scaled = time_query(fn, spark, scaled)
