@@ -36,13 +36,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL twin for each query
     (approx_event_stats omitted: sampling is engine-defined, error
-    pinned by tests/test_approx.py; order_price_rank_sketch omitted:
-    xxhash64 has no DuckDB twin, one-sided error pinned by
-    tests/test_rank.py; emb_pca omitted: DuckDB has no eigen solver,
-    accuracy pinned by tests/test_pca.py numpy parity;
+    pinned by tests/test_approx.py; emb_pca omitted: DuckDB has no
+    eigen solver, accuracy pinned by tests/test_pca.py numpy parity;
     doc_unigram_tokenize omitted: the EM lattice / Viterbi DP are not
     SQL-expressible, pinned by tests/test_unigram.py brute-force
-    references. The whole ANN
-    family is now fully oracled — ann_lsh in r08, ann_ivf and ann_pq
-    in r09: their registered shapes are deterministic end-to-end)."""
+    references. The whole ANN family is fully oracled — ann_lsh in
+    r08, ann_ivf and ann_pq in r09 — and so is the dyadic rank sketch
+    since r10: _sql_rank_sketch replicates Spark's XxHash64 in
+    staged-CTE HUGEINT SQL, so its registered shape is deterministic
+    end-to-end like the PQ codebooks)."""
     return build_oracles()

@@ -10992,6 +10992,102 @@ FROM scored ORDER BY chi2 DESC, token ASC LIMIT {CHI2_TOP_K}
 """
 
 
+def q_doc_gate_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COHEN'S KAPPA between the two deterministic quality gates — the
+    absolute Gopher rule gate and the relative per-language percentile
+    gate: do they agree beyond what their keep rates force by chance?
+    The standard inter-rater statistic, here used the way curation
+    teams actually use it (κ near 0 means the gates rank different
+    things — keep both; κ near 1 means one is redundant).
+
+    One row: the 2×2 agreement table (both-keep / gopher-only /
+    quality-only / both-drop), raw agreement p_o, and κ =
+    (p_o − p_e)/(1 − p_e) with p_e the chance agreement of the
+    marginal keep rates. All four cells are exact integers; p_o, p_e,
+    κ are IEEE doubles with identical parenthesization in both engines
+    (round6 output); κ is NULL when p_e = 1 (both gates constant —
+    0/0 by convention).
+
+    Scale: the Gopher side is map-only; the percentile side is the
+    bounded quality-slab gate; one doc_id equi-join + ONE 1-row
+    conditional aggregate. Composition of verified pieces, like
+    doc_curation_pipeline."""
+    g = q_doc_gopher_quality(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("_a")
+    )
+    qf = q_doc_quality_filter(spark, sf_dir).select(
+        "doc_id", F.lit(True).alias("_b")
+    )
+    j = g.join(qf, "doc_id", "left").select(
+        "_a", F.coalesce(F.col("_b"), F.lit(False)).alias("_b")
+    )
+    cell = lambda pa, pb: F.sum(  # noqa: E731
+        F.when((F.col("_a") == pa) & (F.col("_b") == pb), 1).otherwise(0)
+    ).cast("long")
+    m = j.agg(
+        cell(True, True).alias("n_both_keep"),
+        cell(True, False).alias("n_gopher_only"),
+        cell(False, True).alias("n_quality_only"),
+        cell(False, False).alias("n_both_drop"),
+    )
+    a = F.col("n_both_keep").cast("double")
+    b = F.col("n_gopher_only").cast("double")
+    c = F.col("n_quality_only").cast("double")
+    d = F.col("n_both_drop").cast("double")
+    n = a + b + c + d
+    po = (a + d) / n
+    pe = ((a + b) * (a + c) + (c + d) * (b + d)) / (n * n)
+    return m.select(
+        (F.col("n_both_keep") + F.col("n_gopher_only")
+         + F.col("n_quality_only") + F.col("n_both_drop")).alias("n_docs"),
+        "n_both_keep",
+        "n_gopher_only",
+        "n_quality_only",
+        "n_both_drop",
+        round6(po).alias("agreement"),
+        F.when(pe != F.lit(1.0), round6((po - pe) / (F.lit(1.0) - pe))).alias(
+            "kappa"
+        ),
+    )
+
+
+def _sql_gate_agreement() -> str:
+    a = "CAST(n_both_keep AS DOUBLE)"
+    b = "CAST(n_gopher_only AS DOUBLE)"
+    c = "CAST(n_quality_only AS DOUBLE)"
+    d = "CAST(n_both_drop AS DOUBLE)"
+    n = f"({a} + {b} + {c} + {d})"
+    po = f"(({a} + {d}) / {n})"
+    pe = (
+        f"((({a} + {b}) * ({a} + {c}) + ({c} + {d}) * ({b} + {d}))"
+        f" / ({n} * {n}))"
+    )
+    return f"""
+WITH gq AS ({_sql_gopher_quality()}),
+qf AS ({_sql_quality_filter()}),
+j AS (
+  SELECT gq.keep AS a, qf.doc_id IS NOT NULL AS b
+  FROM gq LEFT JOIN qf ON qf.doc_id = gq.doc_id
+),
+m AS (
+  SELECT
+    CAST(SUM(CASE WHEN a AND b THEN 1 ELSE 0 END) AS BIGINT) AS n_both_keep,
+    CAST(SUM(CASE WHEN a AND NOT b THEN 1 ELSE 0 END) AS BIGINT) AS n_gopher_only,
+    CAST(SUM(CASE WHEN NOT a AND b THEN 1 ELSE 0 END) AS BIGINT) AS n_quality_only,
+    CAST(SUM(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END) AS BIGINT) AS n_both_drop
+  FROM j
+)
+SELECT CAST(n_both_keep + n_gopher_only + n_quality_only + n_both_drop AS BIGINT)
+         AS n_docs,
+       n_both_keep, n_gopher_only, n_quality_only, n_both_drop,
+       {SQL_ROUND6.format(x=po)} AS agreement,
+       CASE WHEN {pe} <> 1.0
+            THEN {SQL_ROUND6.format(x=f'({po} - {pe}) / (1.0 - {pe})')}
+       END AS kappa
+FROM m
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -11033,6 +11129,7 @@ QUERIES: dict[str, QueryFn] = {
     "event_value_mad": q_event_value_mad,
     "brand_price_ols": q_brand_price_ols,
     "token_chi2_drift": q_token_chi2_drift,
+    "doc_gate_agreement": q_doc_gate_agreement,
     # (b) the 24 r06-evidence queries (the whole remaining r06 cohort
     #     minus the flagship);
     "embedding_norms": q_embedding_norms,
@@ -11079,7 +11176,6 @@ QUERIES: dict[str, QueryFn] = {
     "doc_corpus_mix": q_doc_corpus_mix,
     "doc_curation_pipeline": q_doc_curation_pipeline,
     "doc_data_card": q_doc_data_card,
-    "doc_decontaminate": q_doc_decontaminate,
     # ---- slots above are inside the driver's 50-query verification
     # window; everything below holds an r06/r07/r08/r09 driver-green
     # row and rides the driver-faithful local replica until its next
@@ -11089,6 +11185,7 @@ QUERIES: dict[str, QueryFn] = {
     # flagship (r06 hash-green; driver smoke-checks entry() every round)
     "geo_trajectory": q_geo_trajectory,
     # r07/r08/r09 driver-green, stalest-first
+    "doc_decontaminate": q_doc_decontaminate,
     "doc_gopher_quality": q_doc_gopher_quality,
     "doc_hash_sample": q_doc_hash_sample,
     "doc_langid_confusion": q_doc_langid_confusion,
@@ -11236,6 +11333,7 @@ def build_oracles() -> dict[str, str]:
         "event_value_mad": SQL_EVENT_MAD,
         "brand_price_ols": _ols_sql(),
         "token_chi2_drift": SQL_CHI2_DRIFT,
+        "doc_gate_agreement": _sql_gate_agreement(),
         "event_hopping_stats": SQL_HOPPING,
         "user_cumulative_uniques": SQL_CUMULATIVE_UNIQUES,
         "part_name_fuzzy_matches": SQL_FUZZY_MATCHES,

@@ -1238,3 +1238,12 @@ def test_r10_additions_plan_shapes(plans):
 
     chi = plans("token_chi2_drift")
     assert "TakeOrdered" in chi
+
+    # doc_gate_agreement: the gopher side reads documents once (the
+    # percentile side is staged); the gate join is corpus-by-corpus on
+    # doc_id so sort-merge is the RIGHT strategy (broadcast would ship
+    # the corpus) — only cartesians are banned
+    ka = plans("doc_gate_agreement")
+    assert parquet_scan_count(ka, "documents") <= 1
+    assert "CartesianProduct" not in ka
+    assert "BroadcastNestedLoopJoin" not in ka
