@@ -35,8 +35,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL twin for each query
-    (approx_event_stats omitted: sampling is engine-defined, error
-    pinned by tests/test_approx.py; emb_pca omitted: DuckDB has no
+    (emb_pca omitted: DuckDB has no
     eigen solver, accuracy pinned by tests/test_pca.py numpy parity;
     doc_unigram_tokenize omitted: the EM lattice / Viterbi DP are not
     SQL-expressible, pinned by tests/test_unigram.py brute-force
@@ -44,5 +43,9 @@ def oracle_sql() -> dict[str, str]:
     r08, ann_ivf and ann_pq in r09 — and so is the dyadic rank sketch
     since r10: _sql_rank_sketch replicates Spark's XxHash64 in
     staged-CTE HUGEINT SQL, so its registered shape is deterministic
-    end-to-end like the PQ codebooks)."""
+    end-to-end like the PQ codebooks. approx_event_stats joined the
+    oracled set in r11 by re-basing on the portable md5-register HLL —
+    the native approx_count_distinct path survives as
+    operators.aggregates.approx_grouped_stats, pinned by
+    tests/test_approx.py)."""
     return build_oracles()

@@ -244,6 +244,40 @@ def main() -> None:
     write_map, skip_reason = map_refresh_verdict(
         map_path, loadavg_start[0] if loadavg_start else None, max_load
     )
+    # Measured-noise-band mover check (r10 VERDICT #2): the prior map
+    # may carry a `noise_band` derived by tools/noise_band.py from two
+    # back-to-back idle runs on identical code. Flag only queries whose
+    # delta vs the prior map exceeds that measured host jitter — the
+    # r10 idle diff mixed a real spill-rung cost with 2x environment
+    # movers, and without a band they are indistinguishable.
+    try:
+        with open(map_path) as fh:
+            prior = json.load(fh)
+        nb = prior.get("noise_band")
+        if nb:
+            floor = nb.get("abs_floor_sec", 0.1)
+            movers = {
+                n: {"prior_s": prior["queries"][n], "now_s": t}
+                for n, t in timings.items()
+                if n in prior["queries"]
+                and abs(t - prior["queries"][n]) > floor
+                and abs(t - prior["queries"][n])
+                / max(min(t, prior["queries"][n]), 1e-9)
+                > nb["p95_rel"]
+            }
+            out["movers_beyond_noise_band"] = len(movers)
+            if movers:
+                detail["movers_beyond_noise_band"] = movers
+                for n, d in sorted(movers.items()):
+                    print(
+                        f"# MOVER beyond p95 noise band: {n} "
+                        f"{d['prior_s']:.3f}s -> {d['now_s']:.3f}s",
+                        file=sys.stderr,
+                    )
+            # the band survives refreshes until noise_band.py recomputes
+            detail["noise_band"] = nb
+    except (OSError, ValueError, KeyError):
+        pass
     if write_map:
         with open(map_path, "w") as fh:
             json.dump(detail, fh, indent=1, sort_keys=True)

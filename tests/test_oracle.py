@@ -211,7 +211,7 @@ def test_rotation_ledger_window_is_least_recent():
     composition was narrated in comments, not asserted).
 
     Ledger: name → latest round with a driver CORRECTNESS row, computed
-    from the CORRECTNESS_r0*.json files at the repo root (never-checked
+    from the CORRECTNESS_r*.json files at the repo root (never-checked
     queries ledger at 0). Invariant: no window slot may re-verify a
     query FRESHER than the stalest non-window oracle-checkable query —
     i.e. the 50 slots always cover least-recent driver evidence. The
@@ -238,7 +238,7 @@ def test_rotation_ledger_window_is_least_recent():
 
     root = Path(__file__).resolve().parent.parent
     rounds: dict[int, list[str]] = {}
-    for f in sorted(root.glob("CORRECTNESS_r0*.json")):
+    for f in sorted(root.glob("CORRECTNESS_r*.json")):
         rnd = int(re.search(r"r0*(\d+)", f.stem).group(1))
         rounds[rnd] = list(json.loads(f.read_text()))
 

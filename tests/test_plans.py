@@ -1247,3 +1247,37 @@ def test_r10_additions_plan_shapes(plans):
     assert parquet_scan_count(ka, "documents") <= 1
     assert "CartesianProduct" not in ka
     assert "BroadcastNestedLoopJoin" not in ka
+
+
+def test_r11_additions_plan_shapes(plans):
+    """The 3 r11 drift/change-point additions' scale-critical shapes:
+
+    - event_mwu_drift: same contract as the KS twin — exactly the two
+      by-construction events scans (midpoint pass + sided pass), the
+      midrank math a window over the bounded (type, value) slab, never
+      a fact self-join.
+    - event_welch_drift: ONE sided pass (the moments are conditional
+      sums in a single hash aggregate — no per-side join), so two
+      events scans total with the midpoint pass; map-side partials; no
+      window and no sort-merge join anywhere.
+    - event_cusum_shift: single events scan (no midpoint needed); the
+      CUSUM windows run over the bounded (type, hour) slab after the
+      count aggregate, and the peak row_number must not introduce a
+      join.
+    """
+    mwu = plans("event_mwu_drift")
+    assert parquet_scan_count(mwu, "events") == 2
+    assert sort_merge_join_count(mwu) == 0
+    assert "CartesianProduct" not in mwu
+
+    w = plans("event_welch_drift")
+    assert parquet_scan_count(w, "events") == 2
+    assert sort_merge_join_count(w) == 0
+    assert "Window" not in w
+    assert "partial_count" in w or "partial_sum" in w
+
+    cs = plans("event_cusum_shift")
+    assert parquet_scan_count(cs, "events") == 1
+    assert sort_merge_join_count(cs) == 0
+    assert broadcast_join_count(cs) == 0
+    assert "CartesianProduct" not in cs

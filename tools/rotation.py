@@ -49,7 +49,7 @@ def no_oracle_tail() -> set[str]:
 
 def ledger() -> dict[str, int]:
     out: dict[str, int] = {}
-    for f in sorted(ROOT.glob("CORRECTNESS_r0*.json")):
+    for f in sorted(ROOT.glob("CORRECTNESS_r*.json")):
         rnd = int(re.search(r"r0*(\d+)", f.stem).group(1))
         for q in json.loads(f.read_text()):
             out[q] = max(rnd, out.get(q, 0))
