@@ -18,6 +18,8 @@ recomputing old signatures.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from ..functions.rounding import round6
@@ -108,6 +110,18 @@ def shingle_index(
 #: score (recall-only, zero-false-positive pruning — same contract as LSH).
 NGRAM_MAX_DOC_FREQ = 100
 
+#: Join hint for the fat per-doc shingle-ARRAY sides of jaccard_verify.
+#: Production value is ``shuffle_merge`` (sorts and SPILLS — the r10
+#: 100× finding: shuffle-hash builds a non-spillable in-memory hash
+#: relation, which OOMs on fat array partitions once the unified region
+#: fragments). The env override exists ONLY so tools/spill_rung_ab.py
+#: can measure the merge-vs-hash cost on identical code — never set it
+#: in production, and never to ``broadcast`` (every side here scales
+#: with the corpus; tests/test_plans.py pins no-broadcast).
+ARRAY_SIDE_JOIN_HINT = os.environ.get(
+    "SPARK_GRAFT_ARRAY_JOIN_HINT", "shuffle_merge"
+)
+
 
 def jaccard_verify(
     candidates: DataFrame, idx: DataFrame, threshold: float
@@ -152,10 +166,10 @@ def jaccard_verify(
     )
     a = doc_sh.select(
         F.col("doc_id").alias("id_a"), F.col("_sh").alias("_sha")
-    ).hint("shuffle_merge")
+    ).hint(ARRAY_SIDE_JOIN_HINT)
     b = doc_sh.select(
         F.col("doc_id").alias("id_b"), F.col("_sh").alias("_shb")
-    ).hint("shuffle_merge")
+    ).hint(ARRAY_SIDE_JOIN_HINT)
     paired = candidates.join(a, "id_a").join(b, "id_b")
     n_inter = F.size(F.array_intersect(F.col("_sha"), F.col("_shb")))
     denom = (F.size("_sha") + F.size("_shb") - n_inter).cast("double")

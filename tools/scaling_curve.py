@@ -72,6 +72,14 @@ CURVE_QUERIES = [
     "event_value_mad",
     "brand_price_ols",
     "token_chi2_drift",
+    # r11 additions (VERDICT r10 #7 + the three new drift/change-point
+    # queries): gate agreement joins two corpus-scale gates on doc_id
+    # (~k); MWU/Welch are midpoint pass + bounded-slab window/aggregate
+    # (~k); CUSUM is one scan + windows over the types*hours slab (~k)
+    "doc_gate_agreement",
+    "event_mwu_drift",
+    "event_welch_drift",
+    "event_cusum_shift",
 ]
 
 #: r09 heavyweights added to the curve in r10 (VERDICT #6): each with
