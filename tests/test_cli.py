@@ -201,3 +201,42 @@ def test_bench_map_loadavg_gate(tmp_path):
     # gate disabled / loadavg unreadable -> write
     assert map_refresh_verdict(mp, 9.9, 0.0) == (True, None)
     assert map_refresh_verdict(mp, None, 2.0) == (True, None)
+
+
+def test_noise_band_derivation():
+    """tools/noise_band.py (r10 VERDICT #2): the band is derived from
+    two idle runs' per-query deltas; sub-floor queries are excluded
+    from the distribution; the percentile summary is monotone."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+    from noise_band import band, rel_delta
+
+    qa = {"q1": 1.00, "q2": 2.00, "q3": 0.05, "q4": 4.00}
+    qb = {"q1": 1.10, "q2": 2.00, "q3": 0.08, "q4": 4.80}
+    nb = band(qa, qb)
+    # q3 is under the 0.1 s floor on both sides with a 0.03 s delta —
+    # its 60% ratio must NOT inflate the band
+    assert nb["max_rel"] <= 0.21
+    assert nb["p50_rel"] <= nb["p95_rel"] <= nb["max_rel"]
+    assert nb["n_queries"] == 4
+    assert rel_delta(1.0, 1.1) == rel_delta(1.1, 1.0)
+
+
+def test_bench_mover_flagging_logic():
+    """The mover rule bench.py applies: |delta| must exceed BOTH the
+    absolute floor and the band's p95 relative delta (vs the smaller
+    of the two timings)."""
+    nb = {"p95_rel": 0.2, "abs_floor_sec": 0.1}
+    prior = {"fast": 0.05, "steady": 2.0, "mover": 1.0, "tiny_move": 3.0}
+    now = {"fast": 0.09, "steady": 2.3, "mover": 1.5, "tiny_move": 3.05}
+
+    def is_mover(n):
+        d = abs(now[n] - prior[n])
+        return d > nb["abs_floor_sec"] and d / min(now[n], prior[n]) > nb["p95_rel"]
+
+    assert not is_mover("fast")       # 80% rel but under the abs floor
+    assert not is_mover("steady")     # 0.3 s but only 15% rel
+    assert is_mover("mover")          # 0.5 s and 50% rel
+    assert not is_mover("tiny_move")  # under the floor
