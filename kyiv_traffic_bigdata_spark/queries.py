@@ -11151,6 +11151,252 @@ FROM peak WHERE rn = 1
 """
 
 
+#: PSI decile edges: 9 interior cut points = 10 buckets, the industry
+#: convention for the population-stability readout.
+PSI_DECILES = [(f"_d{i}", i, 10) for i in range(1, 10)]
+
+
+def q_event_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POPULATION STABILITY INDEX per event type (r11) — the credit-
+    risk/ML-monitoring industry's standard drift score: decile buckets
+    are frozen on the FIRST half's value distribution, the second
+    half's population shares are compared bucket-by-bucket, and
+    PSI = Σ (p_i − q_i)·ln(p_i/q_i) (rule of thumb: <0.1 stable, >0.25
+    action). Complements the hypothesis-test family (KS/MWU/Welch give
+    significance, PSI gives the magnitude score dashboards threshold).
+
+    Determinism: the decile edges are EXACT discrete quantiles
+    (quantile_disc_slab's integer-arithmetic ranks); bucket assignment
+    is an identical ≤-edge CASE chain in both engines; shares and the
+    ln terms are IEEE doubles with identical parenthesization; and the
+    ≤10-term PSI sum rides a decimal cast so addition order cannot
+    matter. Buckets empty on either side are EXCLUDED from the sum
+    (the epsilon-free convention — deterministic, no tuning constant)
+    and reported via n_buckets_used.
+
+    Scale: midpoint broadcast → one slab pass on the first half
+    (bounded histogram window) → edges broadcast back (≤ |types|·9
+    doubles) → ONE (type, bucket) cell aggregate (≤ |types|·10 rows)
+    → windows and the PSI fold over that bounded slab."""
+    from .operators.rank import quantile_disc_slab
+
+    ev = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    mid = ev.agg(F.expr("(min(ts_us) + max(ts_us)) div 2").alias("_mid"))
+    sided = ev.crossJoin(F.broadcast(mid)).select(
+        "event_type",
+        "value",
+        F.when(F.col("ts_us") <= F.col("_mid"), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("_a"),
+    )
+    edges = quantile_disc_slab(
+        sided.where(F.col("_a") == 1),
+        "event_type",
+        "value",
+        PSI_DECILES,
+        count_alias="_n1",
+    ).drop("_n1")
+    bucket = F.lit(10)
+    for name, _, _ in reversed(PSI_DECILES):
+        bucket = F.when(
+            F.col("value") <= F.col(name), F.lit(int(name[2:]))
+        ).otherwise(bucket)
+    cells = (
+        sided.join(F.broadcast(edges), "event_type")
+        .select("event_type", "_a", bucket.alias("_b"))
+        .groupBy("event_type", "_b")
+        .agg(
+            F.sum("_a").alias("_ca"),
+            F.sum(F.lit(1) - F.col("_a")).alias("_cb"),
+        )
+    )
+    from pyspark.sql import Window
+
+    wg = Window.partitionBy("event_type")
+    tot = cells.withColumn("_na", F.sum("_ca").over(wg)).withColumn(
+        "_nb", F.sum("_cb").over(wg)
+    )
+    p = F.col("_ca").cast("double") / F.col("_na").cast("double")
+    q = F.col("_cb").cast("double") / F.col("_nb").cast("double")
+    term = (p - q) * F.log(p / q)
+    used = (F.col("_ca") > 0) & (F.col("_cb") > 0)
+    return (
+        tot.where((F.col("_na") > 0) & (F.col("_nb") > 0))
+        .groupBy("event_type")
+        .agg(
+            F.max("_na").cast("long").alias("n_first"),
+            F.max("_nb").cast("long").alias("n_second"),
+            F.count_if(used).cast("long").alias("n_buckets_used"),
+            round6(
+                F.sum(F.when(used, term).cast(DEC)).cast("double")
+            ).alias("psi"),
+        )
+    )
+
+
+def _sql_psi_drift() -> str:
+    edge_sel = ",\n         ".join(
+        f"MIN(CASE WHEN cm >= ({num} * n + {den - 1}) // {den} THEN v END)"
+        f" AS d{num}"
+        for _, num, den in PSI_DECILES
+    )
+    chain = " ".join(
+        f"WHEN s.value <= e.d{num} THEN {num}" for _, num, den in PSI_DECILES
+    )
+    p = "CAST(ca AS DOUBLE) / CAST(na AS DOUBLE)"
+    q = "CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE)"
+    return f"""
+WITH ev AS (
+  SELECT event_type, value, epoch_us(ts) AS ts_us FROM events
+  WHERE value IS NOT NULL
+),
+mid AS (SELECT (MIN(ts_us) + MAX(ts_us)) // 2 AS m FROM ev),
+sided AS (
+  SELECT event_type, value,
+         CASE WHEN ts_us <= mid.m THEN 1 ELSE 0 END AS a
+  FROM ev CROSS JOIN mid
+),
+h1 AS (
+  SELECT event_type, value AS v, COUNT(*) AS c FROM sided
+  WHERE a = 1 GROUP BY 1, 2
+),
+c1 AS (
+  SELECT event_type, v,
+         SUM(c) OVER (PARTITION BY event_type ORDER BY v ASC) AS cm,
+         SUM(c) OVER (PARTITION BY event_type) AS n
+  FROM h1
+),
+edges AS (
+  SELECT event_type,
+         {edge_sel}
+  FROM c1 GROUP BY event_type
+),
+cells AS (
+  SELECT s.event_type,
+         CASE {chain} ELSE 10 END AS b,
+         CAST(SUM(s.a) AS BIGINT) AS ca,
+         CAST(SUM(1 - s.a) AS BIGINT) AS cb
+  FROM sided s JOIN edges e ON e.event_type = s.event_type
+  GROUP BY 1, 2
+),
+tot AS (
+  SELECT event_type, ca, cb,
+         SUM(ca) OVER (PARTITION BY event_type) AS na,
+         SUM(cb) OVER (PARTITION BY event_type) AS nb
+  FROM cells
+)
+SELECT event_type,
+       CAST(MAX(na) AS BIGINT) AS n_first,
+       CAST(MAX(nb) AS BIGINT) AS n_second,
+       CAST(count_if(ca > 0 AND cb > 0) AS BIGINT) AS n_buckets_used,
+       {SQL_ROUND6.format(
+           x=f"CAST(CAST(SUM(CAST(CASE WHEN ca > 0 AND cb > 0 THEN"
+             f" (({p}) - ({q})) * ln(({p}) / ({q})) END AS {DEC}))"
+             f" AS VARCHAR) AS DOUBLE)"
+       )} AS psi
+FROM tot WHERE na > 0 AND nb > 0
+GROUP BY event_type
+"""
+
+
+def q_event_winsor_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WINSORIZED per-type stats (r11): clip values to the exact
+    discrete [p05, p95] before the mean — the robust-estimation
+    counterpart to the MAD (MAD makes dispersion outlier-proof,
+    winsorizing makes the LOCATION estimate outlier-proof; the raw
+    mean is reported next to it so the gap itself reads as an outlier
+    score). Every serious metrics pipeline winsorizes heavy-tailed
+    monetary/latency columns before averaging.
+
+    Determinism: the clip bounds are exact discrete quantiles
+    (integer-rank slab), LEAST/GREATEST is pure IEEE comparison, and
+    the winsorized mean rides the same decimal-stable sum as every
+    other avg in the engine.
+
+    Scale: one slab pass (bounded histogram window) + one fact pass
+    with the ≤ |types|-row bounds on a broadcast — the exact
+    event_value_mad shape."""
+    from .operators.rank import quantile_disc_slab
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull())
+        .select("event_type", "value")
+    )
+    bounds = quantile_disc_slab(
+        ev,
+        "event_type",
+        "value",
+        [("p05", 1, 20), ("p95", 19, 20)],
+        count_alias="n_values",
+    )
+    w = F.greatest(F.least(F.col("value"), F.col("p95")), F.col("p05"))
+    return (
+        ev.join(F.broadcast(bounds), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.max("n_values").cast("long").alias("n_values"),
+            F.max("p05").alias("p05"),
+            F.max("p95").alias("p95"),
+            stable_avg("value").alias("mean_raw"),
+            F.sum(w.cast(DEC)).cast("double").alias("_ws"),
+            F.count_if(F.col("value") < F.col("p05"))
+            .cast("long")
+            .alias("n_clipped_low"),
+            F.count_if(F.col("value") > F.col("p95"))
+            .cast("long")
+            .alias("n_clipped_high"),
+        )
+        .select(
+            "event_type",
+            "n_values",
+            "p05",
+            "p95",
+            round6(F.col("mean_raw")).alias("mean_raw"),
+            round6(
+                F.col("_ws") / F.col("n_values").cast("double")
+            ).alias("mean_winsor"),
+            "n_clipped_low",
+            "n_clipped_high",
+        )
+    )
+
+
+SQL_WINSOR_STATS = f"""
+WITH ev AS (
+  SELECT event_type AS g, value AS v FROM events WHERE value IS NOT NULL
+),
+h1 AS (SELECT g, v, COUNT(*) AS c FROM ev GROUP BY 1, 2),
+c1 AS (
+  SELECT g, v,
+         SUM(c) OVER (PARTITION BY g ORDER BY v ASC) AS cm,
+         SUM(c) OVER (PARTITION BY g) AS n
+  FROM h1
+),
+bounds AS (
+  SELECT g, CAST(MAX(n) AS BIGINT) AS n_values,
+         MIN(CASE WHEN cm >= (1 * n + 19) // 20 THEN v END) AS p05,
+         MIN(CASE WHEN cm >= (19 * n + 19) // 20 THEN v END) AS p95
+  FROM c1 GROUP BY g
+)
+SELECT ev.g AS event_type,
+       MAX(bounds.n_values) AS n_values,
+       MAX(bounds.p05) AS p05,
+       MAX(bounds.p95) AS p95,
+       {SQL_ROUND6.format(x=_savg('ev.v', 'COUNT(ev.v)'))} AS mean_raw,
+       {SQL_ROUND6.format(
+           x=_savg(
+               'GREATEST(LEAST(ev.v, bounds.p95), bounds.p05)',
+               'MAX(bounds.n_values)',
+           )
+       )} AS mean_winsor,
+       CAST(count_if(ev.v < bounds.p05) AS BIGINT) AS n_clipped_low,
+       CAST(count_if(ev.v > bounds.p95) AS BIGINT) AS n_clipped_high
+FROM ev JOIN bounds ON bounds.g = ev.g
+GROUP BY ev.g
+"""
+
+
 def q_event_value_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust dispersion per event type: exact discrete MEDIAN ABSOLUTE
     DEVIATION — median of |value − median| — the outlier-resistant
@@ -11616,21 +11862,24 @@ QUERIES: dict[str, QueryFn] = {
     "shipping_priority": q_shipping_priority,
     "small_quantity_revenue": q_small_quantity_revenue,
     "top_revenue_supplier": q_top_revenue_supplier,
-    "doc_url_normalize": q_doc_url_normalize,
-    "doc_mixture_weights": q_doc_mixture_weights,
-    # (e) the 3 r11 additions, ledger 0 (Mann-Whitney U drift, Welch
-    #     t-test drift, CUSUM change-point — all with full SQL twins);
-    #     they displace the 3 freshest r08 slots into the staged head.
+    # (e) the 5 r11 additions, ledger 0 (Mann-Whitney U drift, Welch
+    #     t-test drift, CUSUM change-point, PSI population-stability
+    #     score, winsorized robust stats — all with full SQL twins);
+    #     they displace the 5 freshest r08 slots into the staged head.
     "event_mwu_drift": q_event_mwu_drift,
     "event_welch_drift": q_event_welch_drift,
     "event_cusum_shift": q_event_cusum_shift,
+    "event_psi_drift": q_event_psi_drift,
+    "event_winsor_stats": q_event_winsor_stats,
     # ---- slots above are inside the driver's 50-query verification
     # window; everything below holds an r08/r09/r10 driver-green
     # row and rides the driver-faithful local replica until its next
     # rotation. Non-window entries are kept stalest-first so the head
     # of this section IS the staged r12 window (tools/rotation.py
     # re-derives it from the ledger either way). ----
-    # r08 driver-green (head: the 3 slots displaced by the r11 additions)
+    # r08 driver-green (head: the 5 slots displaced by the r11 additions)
+    "doc_url_normalize": q_doc_url_normalize,
+    "doc_mixture_weights": q_doc_mixture_weights,
     "doc_html_extract": q_doc_html_extract,
     "doc_novelty": q_doc_novelty,
     "doc_quality_classifier": q_doc_quality_classifier,
@@ -11786,6 +12035,8 @@ def build_oracles() -> dict[str, str]:
         "event_mwu_drift": SQL_MWU_DRIFT,
         "event_welch_drift": SQL_WELCH_DRIFT,
         "event_cusum_shift": SQL_CUSUM_SHIFT,
+        "event_psi_drift": _sql_psi_drift(),
+        "event_winsor_stats": SQL_WINSOR_STATS,
         "order_price_rank_sketch": _sql_rank_sketch(),
         "doc_kn_logprob": SQL_KN_LOGPROB,
         "event_ks_drift": SQL_KS_DRIFT,

@@ -154,3 +154,69 @@ def test_cusum_matches_bruteforce_argmax(duck):
         assert frac == pytest.approx(
             _round6(best[0] / (big_h * total)), abs=1e-9
         )
+
+
+def test_psi_matches_bruteforce(duck, rows):
+    """PSI recomputed by literally freezing first-half deciles
+    (discrete: smallest value with cum count ≥ ceil(i·n/10)), bucketing
+    both halves with the same ≤-edge scan, and summing the textbook
+    terms over buckets populated on both sides."""
+    from kyiv_traffic_bigdata_spark.queries import _sql_psi_drift
+
+    got = {r[0]: r for r in duck.sql(_sql_psi_drift()).fetchall()}
+    for t, (a, b) in _halves(rows).items():
+        if not a or not b:
+            assert t not in got
+            continue
+        sa = sorted(a)
+        n = len(sa)
+        edges = [sa[(i * n + 9) // 10 - 1] for i in range(1, 10)]
+
+        def bucket(v):
+            for i, e in enumerate(edges, start=1):
+                if v <= e:
+                    return i
+            return 10
+
+        ca = [0] * 11
+        cb = [0] * 11
+        for v in a:
+            ca[bucket(v)] += 1
+        for v in b:
+            cb[bucket(v)] += 1
+        terms = []
+        used = 0
+        for i in range(1, 11):
+            if ca[i] > 0 and cb[i] > 0:
+                used += 1
+                p, q = ca[i] / len(a), cb[i] / len(b)
+                terms.append((p - q) * math.log(p / q))
+        name, n1, n2, nb_used, psi = got[t]
+        assert (n1, n2, nb_used) == (len(a), len(b), used)
+        assert psi == pytest.approx(sum(terms), abs=1e-6)
+
+
+def test_winsor_matches_bruteforce(duck):
+    """Winsorized mean recomputed from the discrete p05/p95 definition
+    (clip then average) per type."""
+    from kyiv_traffic_bigdata_spark.queries import SQL_WINSOR_STATS
+
+    vals: dict[str, list[float]] = {}
+    for t, v in duck.sql(
+        "SELECT event_type, value FROM events WHERE value IS NOT NULL"
+    ).fetchall():
+        vals.setdefault(t, []).append(v)
+    got = {r[0]: r for r in duck.sql(SQL_WINSOR_STATS).fetchall()}
+    assert set(got) == set(vals)
+    for t, vs in vals.items():
+        sv = sorted(vs)
+        n = len(sv)
+        p05 = sv[(1 * n + 19) // 20 - 1]
+        p95 = sv[(19 * n + 19) // 20 - 1]
+        clipped = [min(max(v, p05), p95) for v in vs]
+        name, n_values, g05, g95, mean_raw, mean_w, lo, hi = got[t]
+        assert (n_values, g05, g95) == (n, p05, p95)
+        assert lo == sum(1 for v in vs if v < p05)
+        assert hi == sum(1 for v in vs if v > p95)
+        assert mean_raw == pytest.approx(sum(vs) / n, abs=1e-6)
+        assert mean_w == pytest.approx(sum(clipped) / n, abs=1e-6)

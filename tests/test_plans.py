@@ -1281,3 +1281,31 @@ def test_r11_additions_plan_shapes(plans):
     assert sort_merge_join_count(cs) == 0
     assert broadcast_join_count(cs) == 0
     assert "CartesianProduct" not in cs
+
+
+def test_psi_and_winsor_plan_shapes(plans):
+    """r11 late additions:
+
+    - event_psi_drift: four events scans — the by-construction trio
+      (midpoint, first-half decile histogram, bucket-cell pass) plus
+      one duplicate of the single-column midpoint min/max, because the
+      1-row mid subtree feeds TWO consumers (edges and cells) and
+      Catalyst re-derives, it does not CTE-share; each extra scan is a
+      ts_us-only pruned pass, the cheapest possible. The decile edges
+      return on a BROADCAST (≤ |types| rows); the PSI fold is an
+      aggregate over the bounded (type, bucket) slab — no sort-merge
+      join, no cartesian.
+    - event_winsor_stats: the event_value_mad shape — slab pass + one
+      fact pass with the bounds on a broadcast; two scans, no SMJ.
+    """
+    psi = plans("event_psi_drift")
+    assert parquet_scan_count(psi, "events") == 4
+    assert sort_merge_join_count(psi) == 0
+    assert "CartesianProduct" not in psi
+    assert broadcast_join_count(psi) >= 1
+
+    w = plans("event_winsor_stats")
+    assert parquet_scan_count(w, "events") == 2
+    assert sort_merge_join_count(w) == 0
+    assert broadcast_join_count(w) >= 1
+    assert "CartesianProduct" not in w

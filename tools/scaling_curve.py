@@ -80,6 +80,8 @@ CURVE_QUERIES = [
     "event_mwu_drift",
     "event_welch_drift",
     "event_cusum_shift",
+    "event_psi_drift",
+    "event_winsor_stats",
 ]
 
 #: r09 heavyweights added to the curve in r10 (VERDICT #6): each with
