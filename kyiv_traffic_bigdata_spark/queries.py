@@ -11780,6 +11780,694 @@ FROM m
 
 
 # --------------------------------------------------------------------------
+# r11 additions, batch 2: survival / resampling / multi-criteria / spatial
+# --------------------------------------------------------------------------
+
+#: Benford's-law expected first-digit shares log10(1 + 1/d), d = 1..9.
+#: Hard-coded full-precision doubles (computed once offline) so NEITHER
+#: engine evaluates log10 at query time — constant parity by construction.
+BENFORD_SHARES = (
+    0.3010299956639812,
+    0.17609125905568124,
+    0.12493873660829992,
+    0.09691001300805642,
+    0.07918124604762482,
+    0.06694678963061322,
+    0.05799194697768673,
+    0.05115252244738129,
+    0.04575749056067514,
+)
+
+
+def q_order_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BENFORD first-digit audit per order priority — the classic
+    forensic-accounting / data-quality test: natural multi-scale
+    monetary amounts follow P(d) = log10(1+1/d); a fabricated or
+    truncated feed does not. Reports the observed vs expected share per
+    digit and the per-priority chi-square distance (9-1 df).
+
+    Determinism: the first digit is extracted from the DECIMAL STRING
+    of the integer cent amount (substr of CAST(bigint AS string) —
+    pure integer/string ops, no log10 at query time; the expected
+    shares are hard-coded constants). The chi-square fold is a 9-term
+    decimal-cast sum over a bounded per-priority slab. Digits absent
+    from a priority are zero-filled from a dense |priorities|×9 frame
+    so the chi-square always has all 9 terms.
+
+    Scale: one fact pass to (priority, digit) cells (≤ 5×9 rows), a
+    broadcast dense frame, and windows over the 9-row slabs — nothing
+    downstream of the first aggregate touches fact cardinality."""
+    od = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5)).cast(
+        "long"
+    )
+    digit = F.substring(cents.cast("string"), 1, 1).cast("long")
+    cells = (
+        od.select(F.col("o_orderpriority"), digit.alias("digit"))
+        .groupBy("o_orderpriority", "digit")
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    frame = (
+        od.select("o_orderpriority")
+        .distinct()
+        .crossJoin(
+            F.broadcast(
+                spark.range(1).select(
+                    F.explode(F.sequence(F.lit(1), F.lit(9))).alias("digit")
+                )
+            )
+        )
+    )
+    bshare = F.element_at(
+        F.array(*[F.lit(c) for c in BENFORD_SHARES]),
+        F.col("digit").cast("int"),
+    )
+    dense = (
+        frame.join(cells, ["o_orderpriority", "digit"], "left")
+        .select(
+            "o_orderpriority",
+            "digit",
+            F.coalesce(F.col("_n"), F.lit(0)).cast("long").alias("n"),
+            bshare.alias("_e"),
+        )
+    )
+    from pyspark.sql import Window
+
+    wp = Window.partitionBy("o_orderpriority")
+    tot = dense.withColumn("_tot", F.sum("n").over(wp))
+    exp_n = F.col("_tot").cast("double") * F.col("_e")
+    term = (F.col("n").cast("double") - exp_n) * (
+        F.col("n").cast("double") - exp_n
+    ) / exp_n
+    return tot.select(
+        "o_orderpriority",
+        "digit",
+        "n",
+        round6(F.col("n").cast("double") / F.col("_tot").cast("double")).alias(
+            "obs_share"
+        ),
+        round6(F.col("_e")).alias("benford_share"),
+        round6(
+            F.sum(term.cast(DEC)).over(wp).cast("double")
+        ).alias("chi2"),
+    )
+
+
+def _sql_benford() -> str:
+    bcase = " ".join(
+        f"WHEN d.digit = {i + 1} THEN {c}"
+        for i, c in enumerate(BENFORD_SHARES)
+    )
+    exp_n = "CAST(tot AS DOUBLE) * e"
+    term = f"(CAST(n AS DOUBLE) - {exp_n}) * (CAST(n AS DOUBLE) - {exp_n}) / ({exp_n})"
+    return f"""
+WITH cells AS (
+  SELECT o_orderpriority,
+         CAST(substr(CAST(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)
+                          AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+         COUNT(*) AS n
+  FROM orders GROUP BY 1, 2
+),
+frame AS (
+  SELECT p.o_orderpriority, d.digit, CASE {bcase} END AS e
+  FROM (SELECT DISTINCT o_orderpriority FROM orders) p
+  CROSS JOIN (SELECT unnest(range(1, 10)) AS digit) d
+),
+dense AS (
+  SELECT f.o_orderpriority, f.digit,
+         CAST(COALESCE(c.n, 0) AS BIGINT) AS n, f.e
+  FROM frame f
+  LEFT JOIN cells c
+    ON c.o_orderpriority = f.o_orderpriority AND c.digit = f.digit
+),
+tot AS (
+  SELECT *, SUM(n) OVER (PARTITION BY o_orderpriority) AS tot FROM dense
+)
+SELECT o_orderpriority, digit, n,
+       {SQL_ROUND6.format(x="CAST(n AS DOUBLE) / CAST(tot AS DOUBLE)")}
+         AS obs_share,
+       {SQL_ROUND6.format(x="e")} AS benford_share,
+       {SQL_ROUND6.format(
+           x=f"CAST(CAST(SUM(CAST({term} AS {DEC})) OVER "
+             f"(PARTITION BY o_orderpriority) AS VARCHAR) AS DOUBLE)"
+       )} AS chi2
+FROM tot
+"""
+
+
+def q_event_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JENSEN-SHANNON drift of the event-TYPE mix between the two time
+    halves — the symmetric, bounded ([0,1] bit) companion to the PSI
+    (which scores VALUE distributions) and the chi-square token drift:
+    JSD(P‖Q) = ½·KL(P‖M) + ½·KL(Q‖M), M = (P+Q)/2, reported as the
+    per-type contribution so the drifting types are directly ranked.
+
+    Determinism: integer midpoint split (`div 2`, the ks-drift
+    convention), shares over exact counts, log2 on identical IEEE
+    doubles, per-type term emitted directly (no cross-row sum order to
+    pin — each contribution is ≥ 0 by the log-sum inequality, so the
+    portable floor-round applies).
+
+    Scale: ONE fact pass to |types| cells; the half totals ride a
+    broadcast 1-row aggregate; everything after the first hash
+    aggregate is map-side arithmetic on a bounded slab."""
+    ev = load_table(spark, sf_dir, "events")
+    mid = ev.agg(F.expr("(min(ts_us) + max(ts_us)) div 2").alias("_mid"))
+    cells = (
+        ev.crossJoin(F.broadcast(mid))
+        .select(
+            "event_type",
+            F.when(F.col("ts_us") <= F.col("_mid"), F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("_a"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.sum("_a").cast("long").alias("n_first"),
+            F.sum(F.lit(1) - F.col("_a")).cast("long").alias("n_second"),
+        )
+    )
+    tots = cells.agg(
+        F.sum("n_first").alias("_na"), F.sum("n_second").alias("_nb")
+    )
+    p = F.col("n_first").cast("double") / F.col("_na").cast("double")
+    q = F.col("n_second").cast("double") / F.col("_nb").cast("double")
+    m = (p + q) / F.lit(2.0)
+    term = (
+        F.when(F.col("n_first") > 0, p * F.log2(p / m)).otherwise(F.lit(0.0))
+        + F.when(F.col("n_second") > 0, q * F.log2(q / m)).otherwise(
+            F.lit(0.0)
+        )
+    ) / F.lit(2.0)
+    return (
+        cells.crossJoin(F.broadcast(tots))
+        .where((F.col("_na") > 0) & (F.col("_nb") > 0))
+        .select(
+            "event_type",
+            "n_first",
+            "n_second",
+            round6(p).alias("p_share"),
+            round6(q).alias("q_share"),
+            round6(term).alias("jsd_term_bits"),
+        )
+    )
+
+
+SQL_JS_DIVERGENCE = f"""
+WITH ev AS (SELECT event_type, epoch_us(ts) AS ts_us FROM events),
+mid AS (SELECT (MIN(ts_us) + MAX(ts_us)) // 2 AS m FROM ev),
+cells AS (
+  SELECT event_type,
+         CAST(SUM(CASE WHEN ts_us <= mid.m THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_first,
+         CAST(SUM(CASE WHEN ts_us <= mid.m THEN 0 ELSE 1 END) AS BIGINT)
+           AS n_second
+  FROM ev CROSS JOIN mid GROUP BY event_type, mid.m
+),
+tots AS (SELECT SUM(n_first) AS na, SUM(n_second) AS nb FROM cells)
+SELECT event_type, n_first, n_second,
+       {SQL_ROUND6.format(x="p")} AS p_share,
+       {SQL_ROUND6.format(x="q")} AS q_share,
+       {SQL_ROUND6.format(
+           x="(CASE WHEN n_first > 0 THEN p * log2(p / ((p + q) / 2.0))"
+             " ELSE 0.0 END"
+             " + CASE WHEN n_second > 0 THEN q * log2(q / ((p + q) / 2.0))"
+             " ELSE 0.0 END) / 2.0"
+       )} AS jsd_term_bits
+FROM (
+  SELECT event_type, n_first, n_second,
+         CAST(n_first AS DOUBLE) / CAST(na AS DOUBLE) AS p,
+         CAST(n_second AS DOUBLE) / CAST(nb AS DOUBLE) AS q
+  FROM cells CROSS JOIN tots
+  WHERE na > 0 AND nb > 0
+) s
+"""
+
+
+#: Administrative-censoring horizon for the survival query: a user whose
+#: last event falls within 7 days of the corpus end is CENSORED (still
+#: alive at the observation boundary), not churned.
+KM_CENSOR_US = 7 * 24 * 3600 * 1_000_000
+
+
+def q_user_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KAPLAN-MEIER survival curve over user lifetimes — the standard
+    product-limit estimator every retention/churn analysis reports:
+    S(t) = Π_{tᵢ ≤ t} (1 − dᵢ/nᵢ) with right-censoring. Lifetime =
+    whole hours between a user's first and last event; a user whose
+    last event lands within KM_CENSOR_US of the corpus end is censored
+    (the study ended, not the user). Output is the life table: at-risk
+    count, deaths, censorings and the survival estimate per distinct
+    duration.
+
+    Determinism: durations and the censor flag are pure integer
+    arithmetic; the product rides exp(Σ ln(1−dᵢ/nᵢ)) with the ln terms
+    decimal-cast inside an ORDERED cumulative window (defined addition
+    order AND defined decimal truncation — doubly pinned); a cummax
+    flag forces survival to exactly 0 from the first duration where
+    the whole risk set dies (so ln(0) is never evaluated).
+
+    Scale: one shuffle to per-user (first, last), one hash aggregate to
+    the life table — |distinct durations| rows, bounded by the corpus
+    time span in hours — and the cumulative windows run on that
+    bounded slab (documented single-partition window over the life
+    table, not the fact)."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min("ts_us").alias("_first"), F.max("ts_us").alias("_last")
+    )
+    horizon = per_user.agg(F.max("_last").alias("_tmax"))
+    lifet = per_user.crossJoin(F.broadcast(horizon)).select(
+        F.expr("(_last - _first) div 3600000000").alias("duration_h"),
+        F.when(
+            F.col("_last") <= F.col("_tmax") - F.lit(KM_CENSOR_US), F.lit(1)
+        )
+        .otherwise(F.lit(0))
+        .alias("_e"),
+    )
+    km = lifet.groupBy("duration_h").agg(
+        F.sum("_e").cast("long").alias("n_death"),
+        F.sum(F.lit(1) - F.col("_e")).cast("long").alias("n_censor"),
+    )
+    n_total = km.agg(
+        F.sum(F.col("n_death") + F.col("n_censor")).alias("_n")
+    )
+    from pyspark.sql import Window
+
+    w_prev = Window.orderBy("duration_h").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_curr = Window.orderBy("duration_h").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    staged = (
+        km.crossJoin(F.broadcast(n_total))
+        .withColumn(
+            "n_risk",
+            (
+                F.col("_n")
+                - F.coalesce(
+                    F.sum(F.col("n_death") + F.col("n_censor")).over(w_prev),
+                    F.lit(0),
+                )
+            ).cast("long"),
+        )
+        .withColumn(
+            "_term",
+            F.when(
+                (F.col("n_death") > 0) & (F.col("n_death") < F.col("n_risk")),
+                F.log(
+                    F.lit(1.0)
+                    - F.col("n_death").cast("double")
+                    / F.col("n_risk").cast("double")
+                ),
+            ).otherwise(F.lit(0.0)),
+        )
+        .withColumn(
+            "_dead",
+            F.max(
+                F.when(F.col("n_death") >= F.col("n_risk"), 1).otherwise(0)
+            ).over(w_curr),
+        )
+        .withColumn("_cumln", F.sum(F.col("_term").cast(DEC)).over(w_curr))
+    )
+    return staged.select(
+        "duration_h",
+        "n_risk",
+        "n_death",
+        "n_censor",
+        F.when(F.col("_dead") == 1, F.lit(0.0))
+        .otherwise(round6(F.exp(F.col("_cumln").cast("double"))))
+        .alias("survival"),
+    )
+
+
+SQL_KAPLAN_MEIER = f"""
+WITH per_user AS (
+  SELECT user_id, MIN(epoch_us(ts)) AS f, MAX(epoch_us(ts)) AS l
+  FROM events GROUP BY user_id
+),
+horizon AS (SELECT MAX(l) AS tmax FROM per_user),
+lifet AS (
+  SELECT (l - f) // 3600000000 AS duration_h,
+         CASE WHEN l <= horizon.tmax - {KM_CENSOR_US} THEN 1 ELSE 0 END AS e
+  FROM per_user CROSS JOIN horizon
+),
+km AS (
+  SELECT duration_h,
+         CAST(SUM(e) AS BIGINT) AS n_death,
+         CAST(SUM(1 - e) AS BIGINT) AS n_censor
+  FROM lifet GROUP BY duration_h
+),
+tot AS (SELECT SUM(n_death + n_censor) AS n FROM km),
+staged AS (
+  SELECT duration_h, n_death, n_censor,
+         CAST(tot.n - COALESCE(SUM(n_death + n_censor) OVER
+           (ORDER BY duration_h ROWS BETWEEN UNBOUNDED PRECEDING
+            AND 1 PRECEDING), 0) AS BIGINT) AS n_risk
+  FROM km CROSS JOIN tot
+),
+folded AS (
+  SELECT duration_h, n_risk, n_death, n_censor,
+         MAX(CASE WHEN n_death >= n_risk THEN 1 ELSE 0 END) OVER w AS dead,
+         SUM(CAST(CASE WHEN n_death > 0 AND n_death < n_risk
+                  THEN ln(1.0 - CAST(n_death AS DOUBLE)
+                                / CAST(n_risk AS DOUBLE))
+                  ELSE 0.0 END AS {DEC})) OVER w AS cumln
+  FROM staged
+  WINDOW w AS (ORDER BY duration_h ROWS BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW)
+)
+SELECT duration_h, n_risk, n_death, n_censor,
+       CASE WHEN dead = 1 THEN 0.0
+            ELSE {SQL_ROUND6.format(
+                x="exp(CAST(CAST(cumln AS VARCHAR) AS DOUBLE))"
+            )}
+       END AS survival
+FROM folded
+"""
+
+
+#: Poisson(1) cumulative probabilities P(X <= k), k = 0..8 — the
+#: inverse-CDF thresholds for the hash-deterministic bootstrap weights.
+#: Hard-coded full-precision doubles so neither engine evaluates exp/
+#: factorial at query time; the tail above k = 8 (mass < 1.2e-6) caps
+#: at weight 9.
+POISSON1_CDF = (
+    0.36787944117144233,
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238463,
+    0.9963401531726563,
+    0.9994058151824183,
+    0.999916758850712,
+    0.9999897508033253,
+    0.999998874797402,
+)
+
+#: Bootstrap replicate count (kept a power of two so the p05/p95 ranks
+#: land on exact order statistics of the replicate slab).
+BOOT_REPS = 32
+
+
+def q_event_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POISSON BOOTSTRAP confidence interval for the per-type mean —
+    THE distributed bootstrap (Chamandy et al., "Estimating Uncertainty
+    for Massive Data Streams", Google 2012): instead of resampling n
+    rows with replacement (which needs global coordination), every row
+    independently draws a Poisson(1) multiplicity per replicate, which
+    converges to multinomial resampling and needs only ONE pass over
+    the fact. Reports the point mean and the p05/p95 of the
+    BOOT_REPS replicate means per event type.
+
+    Determinism: the multiplicity is the Poisson(1) inverse CDF at
+    u = portable_hash(event_id ':' replicate) / 2³² — the md5-derived
+    32-bit hash both engines share — against hard-coded CDF constants;
+    replicate sums are decimal-cast; the percentile picks exact order
+    statistics (integer ceil ranks) with the replicate id as the tie
+    breaker.
+
+    Scale: the ×BOOT_REPS expansion is map-side (explode straight into
+    a partial aggregate — never materialized) and collapses to
+    |types|×BOOT_REPS cells in the same shuffle that the plain mean
+    would need; the percentile window runs on the bounded replicate
+    slab."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull())
+        .select("event_type", "event_id", "value")
+    )
+    point = ev.groupBy("event_type").agg(
+        F.count("value").alias("n"),
+        stable_avg("value").alias("_mean"),
+    )
+    rep = ev.select(
+        "event_type",
+        "value",
+        F.explode(
+            F.sequence(F.lit(0), F.lit(BOOT_REPS - 1))
+        ).alias("b"),
+        "event_id",
+    )
+    u = (
+        TX.portable_hash(
+            F.concat_ws(":", F.col("event_id"), F.col("b"))
+        ).cast("double")
+        / F.lit(4294967296.0)
+    )
+    w = F.lit(9)
+    for k in range(len(POISSON1_CDF) - 1, -1, -1):
+        w = F.when(u < F.lit(POISSON1_CDF[k]), F.lit(k)).otherwise(w)
+    cells = (
+        rep.select("event_type", "b", w.alias("_w"), "value")
+        .groupBy("event_type", "b")
+        .agg(
+            F.sum("_w").alias("_sw"),
+            F.sum((F.col("_w") * F.col("value")).cast(DEC)).alias("_swv"),
+        )
+        .where(F.col("_sw") > 0)
+        .select(
+            "event_type",
+            "b",
+            (F.col("_swv").cast("double") / F.col("_sw").cast("double")).alias(
+                "_bm"
+            ),
+        )
+    )
+    from pyspark.sql import Window
+
+    wt = Window.partitionBy("event_type")
+    ranked = cells.withColumn(
+        "_rk",
+        F.row_number().over(
+            Window.partitionBy("event_type").orderBy("_bm", "b")
+        ),
+    ).withColumn("_nb", F.count(F.lit(1)).over(wt))
+    lo_rk = F.expr("(_nb + 19) div 20")
+    hi_rk = F.expr("(19 * _nb + 19) div 20")
+    boots = ranked.groupBy("event_type").agg(
+        F.max("_nb").cast("long").alias("n_reps"),
+        F.min(F.when(F.col("_rk") == lo_rk, F.col("_bm"))).alias("_lo"),
+        F.min(F.when(F.col("_rk") == hi_rk, F.col("_bm"))).alias("_hi"),
+    )
+    return point.join(F.broadcast(boots), "event_type").select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        "n_reps",
+        round6(F.col("_mean")).alias("mean_value"),
+        round6(F.col("_lo")).alias("boot_p05"),
+        round6(F.col("_hi")).alias("boot_p95"),
+    )
+
+
+def _sql_poisson_bootstrap() -> str:
+    h = _PORTABLE_HASH.format(
+        s="CONCAT(CAST(event_id AS VARCHAR), ':', CAST(b AS VARCHAR))"
+    )
+    ladder = " ".join(
+        f"WHEN u < {c} THEN {k}" for k, c in enumerate(POISSON1_CDF)
+    )
+    return f"""
+WITH ev AS (
+  SELECT event_type, event_id, value FROM events WHERE value IS NOT NULL
+),
+point AS (
+  SELECT event_type, CAST(COUNT(value) AS BIGINT) AS n,
+         {_savg('value', 'COUNT(value)')} AS mean_raw
+  FROM ev GROUP BY event_type
+),
+rep AS (
+  SELECT event_type, value,
+         CAST({h} AS DOUBLE) / 4294967296.0 AS u, b
+  FROM ev CROSS JOIN (SELECT unnest(range(0, {BOOT_REPS})) AS b)
+),
+weighted AS (
+  SELECT event_type, b, CASE {ladder} ELSE 9 END AS w, value FROM rep
+),
+cells AS (
+  SELECT event_type, b,
+         CAST(CAST(SUM(CAST(w * value AS {DEC})) AS VARCHAR) AS DOUBLE)
+           / CAST(SUM(w) AS DOUBLE) AS bm
+  FROM weighted GROUP BY event_type, b
+  HAVING SUM(w) > 0
+),
+ranked AS (
+  SELECT event_type, bm,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY bm, b) AS rk,
+         COUNT(*) OVER (PARTITION BY event_type) AS nb
+  FROM cells
+),
+boots AS (
+  SELECT event_type, CAST(MAX(nb) AS BIGINT) AS n_reps,
+         MIN(CASE WHEN rk = (nb + 19) // 20 THEN bm END) AS lo,
+         MIN(CASE WHEN rk = (19 * nb + 19) // 20 THEN bm END) AS hi
+  FROM ranked GROUP BY event_type
+)
+SELECT p.event_type, p.n, b.n_reps,
+       {SQL_ROUND6.format(x="p.mean_raw")} AS mean_value,
+       {SQL_ROUND6.format(x="b.lo")} AS boot_p05,
+       {SQL_ROUND6.format(x="b.hi")} AS boot_p95
+FROM point p JOIN boots b ON b.event_type = p.event_type
+"""
+
+
+def q_part_price_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SKYLINE (Pareto frontier) of parts under minimise-(price, size)
+    — the multi-criteria operator of Borzsony/Kossmann/Stocker (ICDE
+    2001): every part for which no other part is at least as cheap AND
+    at least as small with one strict improvement. No single ORDER BY
+    expresses this; it is the canonical "best trade-offs" query.
+
+    Spark shape (operators/skyline.py): per-x MIN(y) hash reduce →
+    bucket-local strict-cummin prune (parallel) → global cummin sweep
+    over the few survivors (bounded candidate slab) → broadcast join
+    back to list every part on a frontier point. The oracle is the
+    textbook brute-force NOT EXISTS dominance anti-join (DuckDB's
+    IEJoin handles the two-inequality correlation).
+
+    Determinism: dominance is pure comparison on stored doubles/ints —
+    no arithmetic at all — so both engines see identical frontiers."""
+    from .operators.skyline import skyline_points_2d
+
+    part = load_table(spark, sf_dir, "part")
+    sky = skyline_points_2d(
+        part.select("p_retailprice", "p_size"),
+        x_col="p_retailprice",
+        y_col="p_size",
+        bucket_width=100.0,
+    )
+    return part.join(
+        F.broadcast(sky), ["p_retailprice", "p_size"]
+    ).select("p_partkey", "p_brand", "p_retailprice", "p_size")
+
+
+SQL_PART_SKYLINE = """
+SELECT p.p_partkey, p.p_brand, p.p_retailprice, p.p_size
+FROM part p
+WHERE NOT EXISTS (
+  SELECT 1 FROM part q
+  WHERE q.p_retailprice <= p.p_retailprice
+    AND q.p_size <= p.p_size
+    AND (q.p_retailprice < p.p_retailprice OR q.p_size < p.p_size)
+)
+"""
+
+
+#: Morton-grid resolution: 2^10 cells per axis over the narrow bbox.
+MORTON_BITS = 10
+
+
+def _morton_terms(xi: str, yi: str, div: str) -> str:
+    """Interleaved Z-order code as pure integer arithmetic, identical
+    in both engines up to the integer-division spelling (`div`/`//`):
+    lon bits land on even positions, lat bits on odd."""
+    terms = []
+    for i in range(MORTON_BITS):
+        terms.append(f"(({xi} {div} {1 << i}) % 2) * {1 << (2 * i)}")
+        terms.append(f"(({yi} {div} {1 << i}) % 2) * {1 << (2 * i + 1)}")
+    return " + ".join(terms)
+
+
+def q_geo_morton_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-ORDER (Morton) spatial density grid — geohash's integer core:
+    interleave the bits of the quantized (lon, lat) so 2-D proximity
+    becomes 1-D key locality, then count fixes per cell and rank the
+    top 100 hotspots. The same curve is what big-table layouts cluster
+    on (Delta OPTIMIZE ZORDER, Hudi space-filling-curve sort): at
+    100 TB the cell code doubles as the repartitionByRange key that
+    co-locates neighbouring traffic without a geometry library.
+
+    Determinism: quantization is floor((coord−min)/range·2^bits)
+    clamped to the last cell — identical IEEE double ops on identical
+    synthetic coordinates — and the interleave is pure integer
+    div/mod/add, generated from ONE Python template for both engines.
+
+    Scale: map-side integer math → ONE hash aggregate over ≤ 4^bits
+    cells → broadcast total for the share → TakeOrdered top-100."""
+    bbox = KYIV_BBOX_NARROW
+    n = 1 << MORTON_BITS
+    pos = _geo_positions(spark, sf_dir).where(
+        in_bbox(F.col("lat"), F.col("lon"), bbox)
+    )
+    xi = F.least(
+        F.floor(
+            (F.col("lon") - F.lit(bbox.lon_min))
+            / F.lit(bbox.lon_max - bbox.lon_min)
+            * F.lit(float(n))
+        ).cast("long"),
+        F.lit(n - 1),
+    )
+    yi = F.least(
+        F.floor(
+            (F.col("lat") - F.lit(bbox.lat_min))
+            / F.lit(bbox.lat_max - bbox.lat_min)
+            * F.lit(float(n))
+        ).cast("long"),
+        F.lit(n - 1),
+    )
+    cells = (
+        pos.select(xi.alias("_xi"), yi.alias("_yi"))
+        .select(
+            "_xi",
+            "_yi",
+            F.expr(_morton_terms("_xi", "_yi", "div")).alias("cell"),
+        )
+        .groupBy("cell", "_xi", "_yi")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = cells.agg(F.sum("n").alias("_tot"))
+    return (
+        cells.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("cell").cast("long").alias("cell"),
+            F.col("_xi").cast("long").alias("cell_x"),
+            F.col("_yi").cast("long").alias("cell_y"),
+            F.col("n").cast("long").alias("n"),
+            round6(
+                F.col("n").cast("double") / F.col("_tot").cast("double")
+            ).alias("share"),
+        )
+        .orderBy(F.col("n").desc(), F.col("cell").asc())
+        .limit(100)
+    )
+
+
+def _sql_morton_density() -> str:
+    bbox = KYIV_BBOX_NARROW
+    n = 1 << MORTON_BITS
+    xi = (
+        f"LEAST(CAST(floor((lon - {bbox.lon_min}) / "
+        f"{bbox.lon_max - bbox.lon_min} * {float(n)}) AS BIGINT), {n - 1})"
+    )
+    yi = (
+        f"LEAST(CAST(floor((lat - {bbox.lat_min}) / "
+        f"{bbox.lat_max - bbox.lat_min} * {float(n)}) AS BIGINT), {n - 1})"
+    )
+    return f"""
+WITH pos AS ({_GEO_POS_SQL}),
+filt AS (
+  SELECT {xi} AS xi, {yi} AS yi FROM pos
+  WHERE lat BETWEEN {bbox.lat_min} AND {bbox.lat_max}
+    AND lon BETWEEN {bbox.lon_min} AND {bbox.lon_max}
+),
+cells AS (
+  SELECT {_morton_terms('xi', 'yi', '//')} AS cell, xi, yi, COUNT(*) AS n
+  FROM filt GROUP BY 1, 2, 3
+),
+tot AS (SELECT SUM(n) AS t FROM cells)
+SELECT CAST(cell AS BIGINT) AS cell,
+       CAST(xi AS BIGINT) AS cell_x,
+       CAST(yi AS BIGINT) AS cell_y,
+       CAST(n AS BIGINT) AS n,
+       {SQL_ROUND6.format(x="CAST(n AS DOUBLE) / CAST(t AS DOUBLE)")}
+         AS share
+FROM cells CROSS JOIN tot
+ORDER BY n DESC, cell ASC
+LIMIT 100
+"""
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -11849,35 +12537,46 @@ QUERIES: dict[str, QueryFn] = {
     "local_supplier_volume": q_local_supplier_volume,
     "neardup_pagerank": q_neardup_pagerank,
     "priority_count": q_priority_count,
-    # (d) the 17 stalest r08-evidence queries, prior order.
+    # (d) the 6 stalest r08-evidence queries, prior order.
     "user_hll_sketch": q_user_hll_sketch,
     "doc_ngram_contamination": q_doc_ngram_contamination,
     "emb_mrl_recall": q_emb_mrl_recall,
     "doc_dsir_weights": q_doc_dsir_weights,
     "emb_hard_negatives": q_emb_hard_negatives,
     "emb_outliers": q_emb_outliers,
-    "ann_lsh": q_ann_lsh,
-    "promo_revenue": q_promo_revenue,
-    "returned_items": q_returned_items,
-    "shipping_priority": q_shipping_priority,
-    "small_quantity_revenue": q_small_quantity_revenue,
-    "top_revenue_supplier": q_top_revenue_supplier,
-    # (e) the 5 r11 additions, ledger 0 (Mann-Whitney U drift, Welch
+    # (e) the 11 r11 additions, ledger 0 (Mann-Whitney U drift, Welch
     #     t-test drift, CUSUM change-point, PSI population-stability
-    #     score, winsorized robust stats — all with full SQL twins);
-    #     they displace the 5 freshest r08 slots into the staged head.
+    #     score, winsorized robust stats, Benford digit audit,
+    #     Jensen-Shannon type drift, Kaplan-Meier survival, Poisson
+    #     bootstrap CI, 2-D skyline, Morton density grid — all with
+    #     full SQL twins); never-driver-checked queries MUST hold
+    #     window slots (the rotation invariant counts them as the
+    #     stalest), displacing the 11 freshest r08 slots into the
+    #     staged head below the marker.
     "event_mwu_drift": q_event_mwu_drift,
     "event_welch_drift": q_event_welch_drift,
     "event_cusum_shift": q_event_cusum_shift,
     "event_psi_drift": q_event_psi_drift,
     "event_winsor_stats": q_event_winsor_stats,
+    "order_benford_digits": q_order_benford_digits,
+    "event_js_divergence": q_event_js_divergence,
+    "user_kaplan_meier": q_user_kaplan_meier,
+    "event_poisson_bootstrap": q_event_poisson_bootstrap,
+    "part_price_skyline": q_part_price_skyline,
+    "geo_morton_density": q_geo_morton_density,
     # ---- slots above are inside the driver's 50-query verification
     # window; everything below holds an r08/r09/r10 driver-green
     # row and rides the driver-faithful local replica until its next
     # rotation. Non-window entries are kept stalest-first so the head
     # of this section IS the staged r12 window (tools/rotation.py
     # re-derives it from the ledger either way). ----
-    # r08 driver-green (head: the 5 slots displaced by the r11 additions)
+    # r08 driver-green (head: the 11 slots displaced by the r11 additions)
+    "ann_lsh": q_ann_lsh,
+    "promo_revenue": q_promo_revenue,
+    "returned_items": q_returned_items,
+    "shipping_priority": q_shipping_priority,
+    "small_quantity_revenue": q_small_quantity_revenue,
+    "top_revenue_supplier": q_top_revenue_supplier,
     "doc_url_normalize": q_doc_url_normalize,
     "doc_mixture_weights": q_doc_mixture_weights,
     "doc_html_extract": q_doc_html_extract,
@@ -12037,6 +12736,12 @@ def build_oracles() -> dict[str, str]:
         "event_cusum_shift": SQL_CUSUM_SHIFT,
         "event_psi_drift": _sql_psi_drift(),
         "event_winsor_stats": SQL_WINSOR_STATS,
+        "order_benford_digits": _sql_benford(),
+        "event_js_divergence": SQL_JS_DIVERGENCE,
+        "user_kaplan_meier": SQL_KAPLAN_MEIER,
+        "event_poisson_bootstrap": _sql_poisson_bootstrap(),
+        "part_price_skyline": SQL_PART_SKYLINE,
+        "geo_morton_density": _sql_morton_density(),
         "order_price_rank_sketch": _sql_rank_sketch(),
         "doc_kn_logprob": SQL_KN_LOGPROB,
         "event_ks_drift": SQL_KS_DRIFT,

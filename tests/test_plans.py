@@ -1309,3 +1309,67 @@ def test_psi_and_winsor_plan_shapes(plans):
     assert sort_merge_join_count(w) == 0
     assert broadcast_join_count(w) >= 1
     assert "CartesianProduct" not in w
+
+
+def test_r11_batch2_plan_shapes(plans):
+    """The r11 batch-2 additions' scale-critical shapes:
+
+    - order_benford_digits: the fact collapses to <= |priorities|x9
+      cells in ONE pass; the dense digit frame and the chi-square
+      windows run on bounded slabs; no sort-merge join.
+    - event_js_divergence: |types| cells in one logical pass (the
+      1-row midpoint and total aggregates re-derive the pruned scan,
+      the PSI convention); everything joins back on broadcasts.
+    - user_kaplan_meier: per-user reduce -> life-table aggregate; the
+      cumulative windows run on the bounded life table (the
+      single-partition Window is over distinct DURATIONS, not users).
+    - event_poisson_bootstrap: exactly TWO fact scans (point mean +
+      replicate pass) -- the x32 explode must flow straight into a
+      partial aggregate, never through a join or extra shuffle of
+      exploded rows; the percentile window rides the bounded
+      (type, replicate) slab.
+    - part_price_skyline: per-x reduce, bucket-local windows, and the
+      frontier returns on a BROADCAST to the base table -- no SMJ, no
+      cartesian.
+    - geo_morton_density: map-side integer interleave -> one hash
+      aggregate -> TakeOrdered top-100; the share total is a 1-row
+      broadcast.
+    """
+    bf = plans("order_benford_digits")
+    assert parquet_scan_count(bf, "orders") <= 3
+    assert sort_merge_join_count(bf) == 0
+    assert "CartesianProduct" not in bf
+    assert "partial_count" in bf or "partial_sum" in bf
+
+    js = plans("event_js_divergence")
+    assert parquet_scan_count(js, "events") <= 4
+    assert sort_merge_join_count(js) == 0
+    assert "CartesianProduct" not in js
+    assert broadcast_join_count(js) >= 2
+
+    km = plans("user_kaplan_meier")
+    assert parquet_scan_count(km, "events") <= 4
+    assert sort_merge_join_count(km) == 0
+    assert "CartesianProduct" not in km
+    assert broadcast_join_count(km) >= 2
+
+    pb = plans("event_poisson_bootstrap")
+    assert parquet_scan_count(pb, "events") == 2
+    assert sort_merge_join_count(pb) == 0
+    assert "CartesianProduct" not in pb
+    # the explode must feed a partial aggregate (map-side combine of
+    # the 32x expansion), and the only join is the broadcast stitch
+    assert "Generate" in pb and "partial_sum" in pb
+    assert broadcast_join_count(pb) >= 1
+
+    sk = plans("part_price_skyline")
+    assert parquet_scan_count(sk, "part") == 2
+    assert sort_merge_join_count(sk) == 0
+    assert "CartesianProduct" not in sk
+    assert broadcast_join_count(sk) >= 1
+
+    mo = plans("geo_morton_density")
+    assert parquet_scan_count(mo, "events") == 2
+    assert sort_merge_join_count(mo) == 0
+    assert "CartesianProduct" not in mo
+    assert "TakeOrdered" in mo

@@ -82,6 +82,18 @@ CURVE_QUERIES = [
     "event_cusum_shift",
     "event_psi_drift",
     "event_winsor_stats",
+    # r11 batch 2: all single-fact-pass + bounded-slab shapes (~k) —
+    # benford collapses to priorities*9 cells, JS to |types| cells,
+    # Kaplan-Meier to the life table, the Poisson bootstrap's x32
+    # explode is map-side into the same one shuffle, the skyline's
+    # windows run on per-x points then candidates, and the Morton grid
+    # aggregates <= 4^bits cells
+    "order_benford_digits",
+    "event_js_divergence",
+    "user_kaplan_meier",
+    "event_poisson_bootstrap",
+    "part_price_skyline",
+    "geo_morton_density",
 ]
 
 #: r09 heavyweights added to the curve in r10 (VERDICT #6): each with
