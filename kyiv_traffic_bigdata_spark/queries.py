@@ -12474,6 +12474,266 @@ LIMIT 100
 """
 
 
+def q_event_trend_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THEIL-SEN slope + MANN-KENDALL trend test per event type over the
+    hourly count series — the robust, distribution-free trend pack
+    (hydrology/monitoring standard): the Sen slope is the MEDIAN of all
+    pairwise slopes (a single corrupted hour moves an OLS slope
+    arbitrarily, moves the median not at all), and the MK statistic
+    S = Σ sign(c_j − c_i) with the tie-corrected normal approximation
+    gives the significance. Complements CUSUM (WHERE did it shift) with
+    IS there a monotone trend and HOW steEP.
+
+    Determinism: the hourly grid is integer; pairwise slopes are one
+    IEEE divide each; the median picks an exact order statistic (lower
+    median, ties broken by the pair's hour coordinates); S and the tie
+    correction are pure integer arithmetic; z's sqrt runs on the same
+    integer-derived double in both engines.
+
+    Scale: the fact collapses to the (type, hour) grid in ONE pass; the
+    pairwise self-join runs on that BOUNDED slab (≤ span-in-hours rows
+    per type — 720 here — so ≤ h(h−1)/2 pairs per type, INDEPENDENT of
+    corpus row count: 100× the events is the same 259k pairs)."""
+    ev = load_table(spark, sf_dir, "events")
+    cells = (
+        ev.select(
+            "event_type", F.expr("ts_us div 3600000000").alias("_h")
+        )
+        .groupBy("event_type", "_h")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    a, b = cells.alias("a"), cells.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.event_type") == F.col("b.event_type"))
+        & (F.col("b._h") > F.col("a._h")),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        F.col("a._h").alias("_h1"),
+        F.col("b._h").alias("_h2"),
+        (
+            (F.col("b._c") - F.col("a._c")).cast("double")
+            / (F.col("b._h") - F.col("a._h")).cast("double")
+        ).alias("_slope"),
+        F.signum((F.col("b._c") - F.col("a._c")).cast("double"))
+        .cast("long")
+        .alias("_sgn"),
+    )
+    from pyspark.sql import Window
+
+    wt = Window.partitionBy("event_type")
+    ranked = pairs.withColumn(
+        "_rk",
+        F.row_number().over(
+            Window.partitionBy("event_type").orderBy("_slope", "_h1", "_h2")
+        ),
+    ).withColumn("_np", F.count(F.lit(1)).over(wt))
+    per_pairs = ranked.groupBy("event_type").agg(
+        F.max("_np").cast("long").alias("n_pairs"),
+        F.sum("_sgn").cast("long").alias("mk_s"),
+        F.min(
+            F.when(F.col("_rk") == F.expr("(_np + 1) div 2"), F.col("_slope"))
+        ).alias("_sen"),
+    )
+    ties = (
+        cells.groupBy("event_type", "_c")
+        .agg(F.count(F.lit(1)).alias("_tj"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("_ngroups"),
+            F.sum(
+                F.col("_tj")
+                * (F.col("_tj") - 1)
+                * (2 * F.col("_tj") + 5)
+            ).alias("_tie18"),
+            F.sum("_tj").cast("long").alias("n_hours"),
+        )
+    )
+    n = F.col("n_hours")
+    var18 = (n * (n - 1) * (2 * n + 5) - F.col("_tie18")).cast("double")
+    s = F.col("mk_s").cast("double")
+    z = F.when(var18 <= 0, F.lit(0.0)).otherwise(
+        F.when(s > 0, (s - 1) / F.sqrt(var18 / F.lit(18.0)))
+        .when(s < 0, (s + 1) / F.sqrt(var18 / F.lit(18.0)))
+        .otherwise(F.lit(0.0))
+    )
+    return per_pairs.join(F.broadcast(ties), "event_type").select(
+        "event_type",
+        "n_hours",
+        "n_pairs",
+        round6(F.col("_sen")).alias("sen_slope"),
+        "mk_s",
+        round6(z).alias("mk_z"),
+    )
+
+
+SQL_TREND_ROBUST = f"""
+WITH cells AS (
+  SELECT event_type, epoch_us(ts) // 3600000000 AS h, COUNT(*) AS c
+  FROM events GROUP BY 1, 2
+),
+pairs AS (
+  SELECT a.event_type,
+         CAST(b.c - a.c AS DOUBLE) / CAST(b.h - a.h AS DOUBLE) AS slope,
+         CASE WHEN b.c > a.c THEN 1 WHEN b.c < a.c THEN -1 ELSE 0 END AS sgn,
+         a.h AS h1, b.h AS h2
+  FROM cells a JOIN cells b
+    ON b.event_type = a.event_type AND b.h > a.h
+),
+ranked AS (
+  SELECT event_type, slope, sgn,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY slope, h1, h2) AS rk,
+         COUNT(*) OVER (PARTITION BY event_type) AS np
+  FROM pairs
+),
+per_pairs AS (
+  SELECT event_type,
+         CAST(MAX(np) AS BIGINT) AS n_pairs,
+         CAST(SUM(sgn) AS BIGINT) AS mk_s,
+         MIN(CASE WHEN rk = (np + 1) // 2 THEN slope END) AS sen
+  FROM ranked GROUP BY event_type
+),
+ties AS (
+  SELECT event_type,
+         CAST(SUM(tj) AS BIGINT) AS n_hours,
+         SUM(tj * (tj - 1) * (2 * tj + 5)) AS tie18
+  FROM (SELECT event_type, c, COUNT(*) AS tj FROM cells GROUP BY 1, 2)
+  GROUP BY event_type
+),
+joined AS (
+  SELECT p.event_type, t.n_hours, p.n_pairs, p.sen, p.mk_s,
+         CAST(t.n_hours * (t.n_hours - 1) * (2 * t.n_hours + 5)
+              - t.tie18 AS DOUBLE) AS var18,
+         CAST(p.mk_s AS DOUBLE) AS s
+  FROM per_pairs p JOIN ties t ON t.event_type = p.event_type
+)
+SELECT event_type, n_hours, n_pairs,
+       {SQL_ROUND6.format(x="sen")} AS sen_slope,
+       mk_s,
+       {SQL_ROUND6.format(
+           x="CASE WHEN var18 <= 0 THEN 0.0"
+             " WHEN s > 0 THEN (s - 1) / sqrt(var18 / 18.0)"
+             " WHEN s < 0 THEN (s + 1) / sqrt(var18 / 18.0)"
+             " ELSE 0.0 END"
+       )} AS mk_z
+FROM joined
+"""
+
+
+def q_doc_quality_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LANGUAGE-BIAS AUC of the composite quality score — the
+    calibration audit every multilingual curation pipeline needs: the
+    C4-style score leans on an ENGLISH stopword list, so ranking the
+    whole corpus by it silently up-weights English. This query
+    measures that bias exactly: the ROC-AUC of the score separating
+    English from non-English docs via the midrank identity
+    AUC = (R₁ − n₁(n₁+1)/2)/(n₁n₀) (the Mann-Whitney U statistic) —
+    0.5 = language-neutral, 1.0 = perfectly sorts English on top.
+    Gini = 2·AUC − 1 is reported next to it.
+
+    Determinism: scores are floor-rounded rationals; ranks are exact
+    integer midranks over the (score) histogram slab (2·midrank stays
+    integral: 2·cumprev + cnt + 1); the single final divide runs on
+    integer-exact doubles.
+
+    Scale: one map-side scoring pass (zero joins), then the AUC folds
+    over the BOUNDED score histogram (≤ 10⁶+1 distinct 6-dp scores, in
+    practice a few thousand). The rank sums ride decimal(38,0) so a
+    trillion-doc corpus cannot overflow the integer rank arithmetic."""
+    d = _docs_with_tokens(spark, sf_dir)
+    staged = d.select(
+        "doc_id",
+        "lang",
+        "text",
+        TX.tokens(F.col("text")).alias("_tok"),
+    )
+    lab = staged.select(
+        TX.quality_score(F.col("text"), tok=F.col("_tok")).alias("_score"),
+        F.when(F.col("lang") == "en", F.lit(1)).otherwise(F.lit(0)).alias(
+            "_pos"
+        ),
+    )
+    cells = lab.groupBy("_score").agg(
+        F.sum("_pos").alias("_n1"), F.count(F.lit(1)).alias("_n")
+    )
+    from pyspark.sql import Window
+
+    w_prev = Window.orderBy("_score").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    staged2 = cells.withColumn(
+        "_cumprev", F.coalesce(F.sum("_n").over(w_prev), F.lit(0))
+    )
+    term = F.col("_n1") * (
+        2 * F.col("_cumprev") + F.col("_n") + F.lit(1)
+    )
+    agg = staged2.agg(
+        F.sum("_n1").cast("long").alias("n_pos"),
+        F.sum(F.col("_n") - F.col("_n1")).cast("long").alias("n_neg"),
+        F.count(F.lit(1)).cast("long").alias("n_scores"),
+        F.sum(term.cast("decimal(38,0)")).alias("_r1x2"),
+    )
+    n1 = F.col("n_pos").cast("double")
+    n0 = F.col("n_neg").cast("double")
+    auc = (
+        F.col("_r1x2").cast("double") - n1 * (n1 + 1)
+    ) / (F.lit(2.0) * n1 * n0)
+    return agg.select(
+        "n_pos",
+        "n_neg",
+        "n_scores",
+        F.when(
+            (F.col("n_pos") > 0) & (F.col("n_neg") > 0), round6(auc)
+        ).alias("auc"),
+        F.when(
+            (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+            round6(F.lit(2.0) * auc - F.lit(1.0)),
+        ).alias("gini"),
+    )
+
+
+def _sql_quality_auc() -> str:
+    auc = "(CAST(r1x2 AS DOUBLE) - n1d * (n1d + 1)) / (2.0 * n1d * n0d)"
+    return f"""
+WITH toks AS (SELECT lang, text, {_toks('text')} AS t FROM documents),
+lab AS (
+  SELECT {_sql_quality_expr()} AS score,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+  FROM toks
+),
+cells AS (
+  SELECT score, SUM(pos) AS n1, COUNT(*) AS n FROM lab GROUP BY score
+),
+cum AS (
+  SELECT *,
+         COALESCE(SUM(n) OVER (ORDER BY score ROWS BETWEEN UNBOUNDED
+                               PRECEDING AND 1 PRECEDING), 0) AS cumprev
+  FROM cells
+),
+agg AS (
+  SELECT CAST(SUM(n1) AS BIGINT) AS n_pos,
+         CAST(SUM(n - n1) AS BIGINT) AS n_neg,
+         CAST(COUNT(*) AS BIGINT) AS n_scores,
+         SUM(CAST(n1 * (2 * cumprev + n + 1) AS DECIMAL(38,0))) AS r1x2
+  FROM cum
+)
+SELECT n_pos, n_neg, n_scores,
+       CASE WHEN n_pos > 0 AND n_neg > 0
+            THEN {SQL_ROUND6.format(x="auc_v")} END AS auc,
+       CASE WHEN n_pos > 0 AND n_neg > 0
+            THEN {SQL_ROUND6.format(x="2.0 * auc_v - 1.0")} END AS gini
+FROM (
+  SELECT n_pos, n_neg, n_scores, {auc} AS auc_v
+  FROM (
+    SELECT n_pos, n_neg, n_scores, r1x2,
+           CAST(n_pos AS DOUBLE) AS n1d, CAST(n_neg AS DOUBLE) AS n0d
+    FROM agg
+  ) x
+) y
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -12544,21 +12804,20 @@ QUERIES: dict[str, QueryFn] = {
     "local_supplier_volume": q_local_supplier_volume,
     "neardup_pagerank": q_neardup_pagerank,
     "priority_count": q_priority_count,
-    # (d) the 6 stalest r08-evidence queries, prior order.
+    # (d) the 4 stalest r08-evidence queries, prior order.
     "user_hll_sketch": q_user_hll_sketch,
     "doc_ngram_contamination": q_doc_ngram_contamination,
     "emb_mrl_recall": q_emb_mrl_recall,
     "doc_dsir_weights": q_doc_dsir_weights,
-    "emb_hard_negatives": q_emb_hard_negatives,
-    "emb_outliers": q_emb_outliers,
-    # (e) the 11 r11 additions, ledger 0 (Mann-Whitney U drift, Welch
+    # (e) the 13 r11 additions, ledger 0 (Mann-Whitney U drift, Welch
     #     t-test drift, CUSUM change-point, PSI population-stability
     #     score, winsorized robust stats, Benford digit audit,
     #     Jensen-Shannon type drift, Kaplan-Meier survival, Poisson
-    #     bootstrap CI, 2-D skyline, Morton density grid — all with
+    #     bootstrap CI, 2-D skyline, Morton density grid, Theil-Sen +
+    #     Mann-Kendall robust trend, quality-score ROC-AUC — all with
     #     full SQL twins); never-driver-checked queries MUST hold
     #     window slots (the rotation invariant counts them as the
-    #     stalest), displacing the 11 freshest r08 slots into the
+    #     stalest), displacing the 13 freshest r08 slots into the
     #     staged head below the marker.
     "event_mwu_drift": q_event_mwu_drift,
     "event_welch_drift": q_event_welch_drift,
@@ -12571,13 +12830,17 @@ QUERIES: dict[str, QueryFn] = {
     "event_poisson_bootstrap": q_event_poisson_bootstrap,
     "part_price_skyline": q_part_price_skyline,
     "geo_morton_density": q_geo_morton_density,
+    "event_trend_robust": q_event_trend_robust,
+    "doc_quality_auc": q_doc_quality_auc,
     # ---- slots above are inside the driver's 50-query verification
     # window; everything below holds an r08/r09/r10 driver-green
     # row and rides the driver-faithful local replica until its next
     # rotation. Non-window entries are kept stalest-first so the head
     # of this section IS the staged r12 window (tools/rotation.py
     # re-derives it from the ledger either way). ----
-    # r08 driver-green (head: the 11 slots displaced by the r11 additions)
+    # r08 driver-green (head: the 13 slots displaced by the r11 additions)
+    "emb_hard_negatives": q_emb_hard_negatives,
+    "emb_outliers": q_emb_outliers,
     "ann_lsh": q_ann_lsh,
     "promo_revenue": q_promo_revenue,
     "returned_items": q_returned_items,
@@ -12749,6 +13012,8 @@ def build_oracles() -> dict[str, str]:
         "event_poisson_bootstrap": _sql_poisson_bootstrap(),
         "part_price_skyline": SQL_PART_SKYLINE,
         "geo_morton_density": _sql_morton_density(),
+        "event_trend_robust": SQL_TREND_ROBUST,
+        "doc_quality_auc": _sql_quality_auc(),
         "order_price_rank_sketch": _sql_rank_sketch(),
         "doc_kn_logprob": SQL_KN_LOGPROB,
         "event_ks_drift": SQL_KS_DRIFT,

@@ -1373,3 +1373,21 @@ def test_r11_batch2_plan_shapes(plans):
     assert sort_merge_join_count(mo) == 0
     assert "CartesianProduct" not in mo
     assert "TakeOrdered" in mo
+
+    # event_trend_robust: the fact collapses to the bounded hourly grid
+    # first; the pairwise self-join and the median/tie windows all run
+    # on that slab (<= 720 rows/type regardless of corpus size), so the
+    # join may broadcast and must never SMJ or go cartesian
+    tr = plans("event_trend_robust")
+    assert parquet_scan_count(tr, "events") <= 3
+    assert sort_merge_join_count(tr) == 0
+    assert "CartesianProduct" not in tr
+
+    # doc_quality_auc: ONE corpus scan, zero joins — the label is a
+    # map-side expression and the AUC folds over the bounded score
+    # histogram
+    auc = plans("doc_quality_auc")
+    assert parquet_scan_count(auc, "documents") == 1
+    assert sort_merge_join_count(auc) == 0
+    assert broadcast_join_count(auc) == 0
+    assert "CartesianProduct" not in auc

@@ -38,7 +38,7 @@ SF_DIR = "/root/testdata/sf0.001"
 @pytest.fixture(scope="module")
 def duck():
     con = duckdb.connect()
-    for t in ("events", "orders", "part"):
+    for t in ("events", "orders", "part", "documents"):
         con.sql(
             f"CREATE VIEW {t} AS SELECT * FROM "
             f"read_parquet('{SF_DIR}/{t}.parquet')"
@@ -374,3 +374,100 @@ def test_morton_interleave_is_bijective():
     codes = {interleave(x, y) for x, y in sample}
     assert len(codes) == len(set(sample))
     assert max(codes) < 4**MORTON_BITS
+
+
+# ------------------------------------------------- Theil-Sen / Mann-Kendall
+
+
+def test_trend_robust_matches_textbook(duck):
+    """Sen slope (lower median of all pairwise slopes) and the
+    tie-corrected Mann-Kendall z recomputed literally."""
+    from kyiv_traffic_bigdata_spark.queries import SQL_TREND_ROBUST
+
+    rows = duck.sql(
+        "SELECT event_type, epoch_us(ts) // 3600000000, COUNT(*) "
+        "FROM events GROUP BY 1, 2"
+    ).fetchall()
+    series: dict[str, list[tuple[int, int]]] = {}
+    for t, h, c in rows:
+        series.setdefault(t, []).append((h, c))
+
+    got = {r[0]: r for r in duck.sql(SQL_TREND_ROBUST).fetchall()}
+    assert set(got) == set(series)
+    for t, pts in series.items():
+        pts.sort()
+        slopes = []
+        s = 0
+        for i in range(len(pts)):
+            for j in range(i + 1, len(pts)):
+                (h1, c1), (h2, c2) = pts[i], pts[j]
+                slopes.append(((c2 - c1) / (h2 - h1), h1, h2))
+                s += (c2 > c1) - (c2 < c1)
+        slopes.sort()
+        sen = slopes[(len(slopes) + 1) // 2 - 1][0]
+        n = len(pts)
+        from collections import Counter
+
+        tie18 = sum(
+            tj * (tj - 1) * (2 * tj + 5)
+            for tj in Counter(c for _, c in pts).values()
+        )
+        var18 = n * (n - 1) * (2 * n + 5) - tie18
+        if var18 <= 0:
+            z = 0.0
+        elif s > 0:
+            z = (s - 1) / math.sqrt(var18 / 18.0)
+        elif s < 0:
+            z = (s + 1) / math.sqrt(var18 / 18.0)
+        else:
+            z = 0.0
+        _, n_hours, n_pairs, sen_slope, mk_s, mk_z = got[t]
+        assert (n_hours, n_pairs, mk_s) == (n, len(slopes), s)
+        assert sen_slope == _round6(sen)
+        assert mk_z == _round6(z)
+
+
+# --------------------------------------------------------------- ROC-AUC
+
+
+def test_quality_auc_matches_rank_sum(duck):
+    """AUC recomputed as the direct pairwise concordance probability
+    (O(n1*n0) brute force, ties count half) — the definition the
+    midrank identity is derived FROM. The score staging is shared with
+    the oracle (the composite score itself is already brute-force-
+    verified by the quality-gate tests); what this test pins is the
+    rank-sum MATH."""
+    from kyiv_traffic_bigdata_spark.queries import (
+        _sql_quality_auc,
+        _sql_quality_expr,
+        _toks,
+    )
+
+    rows = duck.sql(
+        f"WITH toks AS (SELECT lang, text, {_toks('text')} AS t "
+        "FROM documents) "
+        f"SELECT {_sql_quality_expr()}, CASE WHEN lang = 'en' THEN 1 "
+        "ELSE 0 END FROM toks"
+    ).fetchall()
+    scores = [(sc, pos) for sc, pos in rows]
+    n1 = sum(p for _, p in scores)
+    n0 = len(scores) - n1
+    # direct pairwise concordance (O(n^2) brute force)
+    conc = 0.0
+    for s_pos, p in scores:
+        if p != 1:
+            continue
+        for s_neg, q in scores:
+            if q != 0:
+                continue
+            conc += 1.0 if s_pos > s_neg else (0.5 if s_pos == s_neg else 0.0)
+    auc = conc / (n1 * n0)
+
+    (n_pos, n_neg, n_scores, got_auc, got_gini) = duck.sql(
+        _sql_quality_auc()
+    ).fetchone()
+    assert (n_pos, n_neg) == (n1, n0)
+    assert n_scores == len({s for s, _ in scores})
+    assert got_auc == pytest.approx(auc, abs=1e-6)
+    assert got_gini == pytest.approx(2 * auc - 1, abs=1e-6)
+    assert 0.0 <= got_auc <= 1.0

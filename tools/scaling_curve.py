@@ -94,6 +94,11 @@ CURVE_QUERIES = [
     "event_poisson_bootstrap",
     "part_price_skyline",
     "geo_morton_density",
+    # trend pack: the pairwise slab is corpus-INDEPENDENT (720 hours
+    # fixed span), so growth is the cells aggregate alone (~k); the
+    # AUC is one corpus scan into a bounded score histogram (~k)
+    "event_trend_robust",
+    "doc_quality_auc",
 ]
 
 #: r09 heavyweights added to the curve in r10 (VERDICT #6): each with
