@@ -12734,6 +12734,287 @@ FROM (
 """
 
 
+def q_event_markov_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ENTROPY RATE of the per-user behavior chain — the information-
+    theoretic summary of the Markov transition matrix: per state i the
+    conditional entropy H(next|i) = −Σⱼ p_ij·log2(p_ij) (how
+    predictable is the next action from here), the stationary-empirical
+    weight πᵢ, and the contribution πᵢ·H(next|i) whose total is the
+    chain's entropy rate in bits/transition. Low-entropy states are
+    bot-like; a sudden entropy-rate shift is a behavioral drift signal
+    the count-based drift tests cannot see.
+
+    Determinism: counts are exact integers from the same lag pairs the
+    transition-matrix query uses; each per-state entropy is a ≤|types|-
+    term decimal-cast sum of p·log2(p) on identical IEEE doubles;
+    πᵢ rides a broadcast 1-row total.
+
+    Scale: one per-user lag window (bounded history per user — the safe
+    window axis) → |types|² cells; everything downstream is arithmetic
+    on that bounded slab."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts_us", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts_us").asc(), F.col("event_id").asc()
+    )
+    pairs = (
+        ev.withColumn("next_type", F.lead("event_type").over(w))
+        .where(F.col("next_type").isNotNull())
+        .select(F.col("event_type").alias("state"), "next_type")
+    )
+    m = pairs.groupBy("state", "next_type").agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    row_n = F.sum("_n").over(Window.partitionBy("state"))
+    p = F.col("_n").cast("double") / F.col("_row").cast("double")
+    per_state = (
+        m.withColumn("_row", row_n)
+        .select("state", "_row", (-p * F.log2(p)).alias("_hterm"))
+        .groupBy("state")
+        .agg(
+            F.max("_row").cast("long").alias("n_out"),
+            F.sum(F.col("_hterm").cast(DEC)).cast("double").alias("_h"),
+        )
+    )
+    tot = per_state.agg(F.sum("n_out").alias("_tot"))
+    pi = F.col("n_out").cast("double") / F.col("_tot").cast("double")
+    return per_state.crossJoin(F.broadcast(tot)).select(
+        "state",
+        "n_out",
+        round6(pi).alias("pi"),
+        round6(F.col("_h")).alias("h_bits"),
+        round6(pi * F.col("_h")).alias("rate_term_bits"),
+    )
+
+
+SQL_MARKOV_ENTROPY = f"""
+WITH seq AS (
+  SELECT user_id, event_type AS state,
+         LEAD(event_type) OVER (PARTITION BY user_id
+                                ORDER BY epoch_us(ts), event_id) AS next_type
+  FROM events
+),
+m AS (
+  SELECT state, next_type, COUNT(*) AS n FROM seq
+  WHERE next_type IS NOT NULL GROUP BY 1, 2
+),
+rowed AS (
+  SELECT state, n, SUM(n) OVER (PARTITION BY state) AS row_n FROM m
+),
+per_state AS (
+  SELECT state, CAST(MAX(row_n) AS BIGINT) AS n_out,
+         CAST(CAST(SUM(CAST(
+           -(CAST(n AS DOUBLE) / CAST(row_n AS DOUBLE))
+             * log2(CAST(n AS DOUBLE) / CAST(row_n AS DOUBLE))
+           AS {DEC})) AS VARCHAR) AS DOUBLE) AS h
+  FROM rowed GROUP BY state
+),
+tot AS (SELECT SUM(n_out) AS t FROM per_state)
+SELECT state, n_out,
+       {SQL_ROUND6.format(
+           x="CAST(n_out AS DOUBLE) / CAST(t AS DOUBLE)"
+       )} AS pi,
+       {SQL_ROUND6.format(x="h")} AS h_bits,
+       {SQL_ROUND6.format(
+           x="(CAST(n_out AS DOUBLE) / CAST(t AS DOUBLE)) * h"
+       )} AS rate_term_bits
+FROM per_state CROSS JOIN tot
+"""
+
+
+#: Split-conformal miscoverage level: the interval targets 90% coverage.
+CONFORMAL_ALPHA_NUM, CONFORMAL_ALPHA_DEN = 1, 10
+
+
+def q_event_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPLIT-CONFORMAL prediction interval per event type — the
+    distribution-free uncertainty quantification every model-monitoring
+    stack is adopting (Vovk et al.; Angelopoulos & Bates 2021): on the
+    CALIBRATION half (first time half) fit the point predictor (exact
+    discrete median) and take q̂ = the ⌈(n+1)(1−α)⌉-th smallest
+    nonconformity score |v − med|; the interval med ± q̂ then covers a
+    fresh point with probability ≥ 1−α by exchangeability — no
+    distributional assumption. The TEST half (second time half) reports
+    the realized coverage next to the guarantee.
+
+    Determinism: integer midpoint split; both the median and q̂ are
+    exact discrete order statistics via the histogram-slab operator
+    (integer ceil rank ⌈(n+1)·9/10⌉ clamped to n); the score is one
+    IEEE subtraction + abs; coverage is an exact count ratio.
+
+    Scale: the chain is inherently sequential (median → scores → q̂ →
+    coverage), and leaving it lazy makes Catalyst re-derive every
+    upstream slab per consumer (8 fact scans measured). So the three
+    BOUNDED intermediates ride the repo's driver-metadata convention
+    (the kmeans-centroid pattern): the 1-row midpoint and the ≤|types|
+    (med, n_cal) and q̂ tables are collected and re-enter as literal
+    maps, giving exactly FOUR pruned fact passes — midpoint, median
+    slab, score slab, test pass — the logical minimum for this op."""
+    from .operators.rank import quantile_disc_slab
+
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("value").isNotNull()
+    )
+    mid_row = ev.agg(
+        F.expr("(min(ts_us) + max(ts_us)) div 2").alias("_mid")
+    ).collect()[0][0]
+    if mid_row is None:
+        return ev.select(
+            "event_type",
+            F.lit(0).cast("long").alias("n_cal"),
+            F.lit(0).cast("long").alias("n_test"),
+            F.lit(0.0).alias("med"),
+            F.lit(0.0).alias("qhat"),
+            F.lit(0.0).alias("coverage"),
+        ).limit(0)
+    cal = ev.where(F.col("ts_us") <= F.lit(mid_row)).select(
+        "event_type", "value"
+    )
+    med_rows = quantile_disc_slab(
+        cal, "event_type", "value", [("med", 1, 2)], count_alias="n_cal"
+    ).collect()
+    if not med_rows:
+        return ev.select(
+            "event_type",
+            F.lit(0).cast("long").alias("n_cal"),
+            F.lit(0).cast("long").alias("n_test"),
+            F.lit(0.0).alias("med"),
+            F.lit(0.0).alias("qhat"),
+            F.lit(0.0).alias("coverage"),
+        ).limit(0)
+    med_map = F.create_map(
+        *[F.lit(x) for r in med_rows for x in (r["event_type"], r["med"])]
+    )
+    ncal_map = F.create_map(
+        *[F.lit(x) for r in med_rows for x in (r["event_type"], r["n_cal"])]
+    )
+    scores = cal.select(
+        "event_type",
+        F.abs(F.col("value") - med_map[F.col("event_type")]).alias("_s"),
+    )
+    # rank ceil((n+1)*(1-alpha)) clamped to n, on the SCORE slab.
+    from pyspark.sql import Window
+
+    sc = scores.groupBy("event_type", "_s").agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy(F.col("_s").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("event_type")
+    num = CONFORMAL_ALPHA_DEN - CONFORMAL_ALPHA_NUM
+    den = CONFORMAL_ALPHA_DEN
+    staged = (
+        sc.withColumn("_cm", F.sum("_c").over(wcum))
+        .withColumn("_n", F.sum("_c").over(wall))
+        .withColumn(
+            "_rank",
+            F.least(
+                F.expr(f"(({num} * (_n + 1)) + {den} - 1) div {den}"),
+                F.col("_n"),
+            ),
+        )
+    )
+    qhat_rows = (
+        staged.groupBy("event_type")
+        .agg(
+            F.min(
+                F.when(F.col("_cm") >= F.col("_rank"), F.col("_s"))
+            ).alias("qhat")
+        )
+        .collect()
+    )
+    qhat_map = F.create_map(
+        *[F.lit(x) for r in qhat_rows for x in (r["event_type"], r["qhat"])]
+    )
+    test = ev.where(F.col("ts_us") > F.lit(mid_row)).select(
+        "event_type", "value"
+    )
+    med_c = med_map[F.col("event_type")]
+    qhat_c = qhat_map[F.col("event_type")]
+    return (
+        test.where(med_c.isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.max(ncal_map[F.col("event_type")]).cast("long").alias("n_cal"),
+            F.count(F.lit(1)).cast("long").alias("n_test"),
+            F.max(med_c).alias("med"),
+            F.max(qhat_c).alias("qhat"),
+            round6(
+                F.count_if(
+                    F.abs(F.col("value") - med_c) <= qhat_c
+                ).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("coverage"),
+        )
+    )
+
+
+def _sql_conformal_interval() -> str:
+    num = CONFORMAL_ALPHA_DEN - CONFORMAL_ALPHA_NUM
+    den = CONFORMAL_ALPHA_DEN
+    return f"""
+WITH ev AS (
+  SELECT event_type, value, epoch_us(ts) AS ts_us FROM events
+  WHERE value IS NOT NULL
+),
+mid AS (SELECT (MIN(ts_us) + MAX(ts_us)) // 2 AS m FROM ev),
+sided AS (
+  SELECT event_type, value, ts_us <= mid.m AS cal FROM ev CROSS JOIN mid
+),
+calh AS (SELECT event_type, value FROM sided WHERE cal),
+h1 AS (SELECT event_type, value AS v, COUNT(*) AS c FROM calh GROUP BY 1, 2),
+c1 AS (
+  SELECT event_type, v,
+         SUM(c) OVER (PARTITION BY event_type ORDER BY v ASC) AS cm,
+         SUM(c) OVER (PARTITION BY event_type) AS n
+  FROM h1
+),
+med AS (
+  SELECT event_type, CAST(MAX(n) AS BIGINT) AS n_cal,
+         MIN(CASE WHEN cm >= (1 * n + 1) // 2 THEN v END) AS med
+  FROM c1 GROUP BY event_type
+),
+scores AS (
+  SELECT c.event_type, abs(c.value - m.med) AS s
+  FROM calh c JOIN med m ON m.event_type = c.event_type
+),
+s1 AS (SELECT event_type, s, COUNT(*) AS c FROM scores GROUP BY 1, 2),
+s2 AS (
+  SELECT event_type, s,
+         SUM(c) OVER (PARTITION BY event_type ORDER BY s ASC) AS cm,
+         SUM(c) OVER (PARTITION BY event_type) AS n
+  FROM s1
+),
+qh AS (
+  SELECT event_type,
+         MIN(CASE WHEN cm >= LEAST((({num} * (n + 1)) + {den} - 1)
+                                   // {den}, n)
+                  THEN s END) AS qhat
+  FROM s2 GROUP BY event_type
+),
+testh AS (SELECT event_type, value FROM sided WHERE NOT cal)
+SELECT t.event_type,
+       CAST(MAX(m.n_cal) AS BIGINT) AS n_cal,
+       CAST(COUNT(*) AS BIGINT) AS n_test,
+       MAX(m.med) AS med,
+       MAX(q.qhat) AS qhat,
+       {SQL_ROUND6.format(
+           x="CAST(count_if(abs(t.value - m.med) <= q.qhat) AS DOUBLE)"
+             " / CAST(COUNT(*) AS DOUBLE)"
+       )} AS coverage
+FROM testh t
+JOIN med m ON m.event_type = t.event_type
+JOIN qh q ON q.event_type = t.event_type
+GROUP BY t.event_type
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -12804,20 +13085,19 @@ QUERIES: dict[str, QueryFn] = {
     "local_supplier_volume": q_local_supplier_volume,
     "neardup_pagerank": q_neardup_pagerank,
     "priority_count": q_priority_count,
-    # (d) the 4 stalest r08-evidence queries, prior order.
+    # (d) the 2 stalest r08-evidence queries, prior order.
     "user_hll_sketch": q_user_hll_sketch,
     "doc_ngram_contamination": q_doc_ngram_contamination,
-    "emb_mrl_recall": q_emb_mrl_recall,
-    "doc_dsir_weights": q_doc_dsir_weights,
-    # (e) the 13 r11 additions, ledger 0 (Mann-Whitney U drift, Welch
+    # (e) the 15 r11 additions, ledger 0 (Mann-Whitney U drift, Welch
     #     t-test drift, CUSUM change-point, PSI population-stability
     #     score, winsorized robust stats, Benford digit audit,
     #     Jensen-Shannon type drift, Kaplan-Meier survival, Poisson
     #     bootstrap CI, 2-D skyline, Morton density grid, Theil-Sen +
-    #     Mann-Kendall robust trend, quality-score ROC-AUC — all with
-    #     full SQL twins); never-driver-checked queries MUST hold
+    #     Mann-Kendall robust trend, quality-score ROC-AUC, Markov
+    #     entropy rate, split-conformal intervals — all with full SQL
+    #     twins); never-driver-checked queries MUST hold
     #     window slots (the rotation invariant counts them as the
-    #     stalest), displacing the 13 freshest r08 slots into the
+    #     stalest), displacing the 15 freshest r08 slots into the
     #     staged head below the marker.
     "event_mwu_drift": q_event_mwu_drift,
     "event_welch_drift": q_event_welch_drift,
@@ -12832,13 +13112,17 @@ QUERIES: dict[str, QueryFn] = {
     "geo_morton_density": q_geo_morton_density,
     "event_trend_robust": q_event_trend_robust,
     "doc_quality_auc": q_doc_quality_auc,
+    "event_markov_entropy": q_event_markov_entropy,
+    "event_conformal_interval": q_event_conformal_interval,
     # ---- slots above are inside the driver's 50-query verification
     # window; everything below holds an r08/r09/r10 driver-green
     # row and rides the driver-faithful local replica until its next
     # rotation. Non-window entries are kept stalest-first so the head
     # of this section IS the staged r12 window (tools/rotation.py
     # re-derives it from the ledger either way). ----
-    # r08 driver-green (head: the 13 slots displaced by the r11 additions)
+    # r08 driver-green (head: the 15 slots displaced by the r11 additions)
+    "emb_mrl_recall": q_emb_mrl_recall,
+    "doc_dsir_weights": q_doc_dsir_weights,
     "emb_hard_negatives": q_emb_hard_negatives,
     "emb_outliers": q_emb_outliers,
     "ann_lsh": q_ann_lsh,
@@ -13014,6 +13298,8 @@ def build_oracles() -> dict[str, str]:
         "geo_morton_density": _sql_morton_density(),
         "event_trend_robust": SQL_TREND_ROBUST,
         "doc_quality_auc": _sql_quality_auc(),
+        "event_markov_entropy": SQL_MARKOV_ENTROPY,
+        "event_conformal_interval": _sql_conformal_interval(),
         "order_price_rank_sketch": _sql_rank_sketch(),
         "doc_kn_logprob": SQL_KN_LOGPROB,
         "event_ks_drift": SQL_KS_DRIFT,

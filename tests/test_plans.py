@@ -1391,3 +1391,20 @@ def test_r11_batch2_plan_shapes(plans):
     assert sort_merge_join_count(auc) == 0
     assert broadcast_join_count(auc) == 0
     assert "CartesianProduct" not in auc
+
+    # event_markov_entropy: per-user lag pairs -> |types|^2 cells;
+    # the entropy folds and the pi total are slab arithmetic
+    me = plans("event_markov_entropy")
+    assert parquet_scan_count(me, "events") <= 2
+    assert sort_merge_join_count(me) == 0
+    assert "CartesianProduct" not in me
+
+    # event_conformal_interval: the bounded intermediates (midpoint,
+    # per-type med/n_cal, qhat) are collected driver metadata (the
+    # kmeans-centroid convention), so the RETURNED plan is a single
+    # pruned fact pass with literal-map bounds — no joins at all
+    ci = plans("event_conformal_interval")
+    assert parquet_scan_count(ci, "events") == 1
+    assert sort_merge_join_count(ci) == 0
+    assert broadcast_join_count(ci) == 0
+    assert "CartesianProduct" not in ci

@@ -471,3 +471,88 @@ def test_quality_auc_matches_rank_sum(duck):
     assert got_auc == pytest.approx(auc, abs=1e-6)
     assert got_gini == pytest.approx(2 * auc - 1, abs=1e-6)
     assert 0.0 <= got_auc <= 1.0
+
+
+# ------------------------------------------------- Markov entropy rate
+
+
+def test_markov_entropy_matches_textbook(duck):
+    """Per-state conditional entropy and the stationary-empirical
+    weights recomputed from explicitly built transition counts."""
+    from kyiv_traffic_bigdata_spark.queries import SQL_MARKOV_ENTROPY
+
+    rows = duck.sql(
+        "SELECT user_id, epoch_us(ts), event_id, event_type FROM events "
+        "ORDER BY user_id, epoch_us(ts), event_id"
+    ).fetchall()
+    trans: dict[str, dict[str, int]] = {}
+    prev_user = prev_type = None
+    for uid, _, _, t in rows:
+        if uid == prev_user:
+            trans.setdefault(prev_type, {}).setdefault(t, 0)
+            trans[prev_type][t] += 1
+        prev_user, prev_type = uid, t
+
+    got = {r[0]: r for r in duck.sql(SQL_MARKOV_ENTROPY).fetchall()}
+    assert set(got) == set(trans)
+    total = sum(sum(d.values()) for d in trans.values())
+    rate = 0.0
+    for state, outs in trans.items():
+        n_out = sum(outs.values())
+        h = -sum(
+            (c / n_out) * math.log2(c / n_out) for c in outs.values()
+        )
+        pi = n_out / total
+        _, g_nout, g_pi, g_h, g_term = got[state]
+        assert g_nout == n_out
+        assert g_pi == _round6(pi)
+        assert abs(g_h - h) < 1e-6  # decimal fold vs float accumulation
+        assert abs(g_term - pi * h) < 1e-6
+        assert 0.0 <= g_h <= math.log2(max(len(outs), 2)) + 1e-9
+        rate += pi * h
+    assert rate >= 0.0
+
+
+# ---------------------------------------------------- Split conformal
+
+
+def test_conformal_interval_matches_textbook(duck):
+    """Median, q-hat (the ceil((n+1)(1-alpha)) order statistic of
+    |v - med| on the calibration half) and the test-half coverage
+    recomputed literally; also pins the finite-sample guarantee
+    direction on the calibration half itself."""
+    from kyiv_traffic_bigdata_spark.queries import (
+        CONFORMAL_ALPHA_DEN,
+        CONFORMAL_ALPHA_NUM,
+        _sql_conformal_interval,
+    )
+
+    rows = duck.sql(
+        "SELECT event_type, value, epoch_us(ts) FROM events "
+        "WHERE value IS NOT NULL"
+    ).fetchall()
+    mid = (min(r[2] for r in rows) + max(r[2] for r in rows)) // 2
+    cal: dict[str, list[float]] = {}
+    test: dict[str, list[float]] = {}
+    for t, v, ts in rows:
+        (cal if ts <= mid else test).setdefault(t, []).append(v)
+
+    got = {r[0]: r for r in duck.sql(_sql_conformal_interval()).fetchall()}
+    assert set(got) == {t for t in test if t in cal}
+    num = CONFORMAL_ALPHA_DEN - CONFORMAL_ALPHA_NUM
+    den = CONFORMAL_ALPHA_DEN
+    for t in got:
+        cs = sorted(cal[t])
+        n = len(cs)
+        med = cs[(n + 1) // 2 - 1]  # lower median (discrete)
+        scores = sorted(abs(v - med) for v in cal[t])
+        rank = min((num * (n + 1) + den - 1) // den, n)
+        qhat = scores[rank - 1]
+        cov = sum(1 for v in test[t] if abs(v - med) <= qhat) / len(test[t])
+        _, n_cal, n_test, g_med, g_qhat, g_cov = got[t]
+        assert (n_cal, n_test) == (n, len(test[t]))
+        assert g_med == med and g_qhat == qhat
+        assert g_cov == _round6(cov)
+        # the guarantee holds BY CONSTRUCTION on the calibration half
+        cal_cov = sum(1 for v in cal[t] if abs(v - med) <= qhat) / n
+        assert cal_cov >= num / den - 1e-12

@@ -99,6 +99,10 @@ CURVE_QUERIES = [
     # AUC is one corpus scan into a bounded score histogram (~k)
     "event_trend_robust",
     "doc_quality_auc",
+    # info-theory + UQ pack: lag pairs -> |types|^2 cells (~k); the
+    # conformal chain is 4 bounded passes with collected slab bounds
+    "event_markov_entropy",
+    "event_conformal_interval",
 ]
 
 #: r09 heavyweights added to the curve in r10 (VERDICT #6): each with
