@@ -13026,9 +13026,11 @@ GROUP BY t.event_type
 # window verified the newly-oracled rank sketch, the five r10
 # statistics queries, the remaining r06 cohort, and the stalest r07
 # queries; the r11 window below verifies the newly-oracled
-# approx_event_stats, refreshes the flagship's r6-stale hash row, and
-# clears the whole r07 cohort plus the 17 stalest r08 queries (the r10
-# VERDICT asks #1/#3/#5). The rotation is no longer
+# approx_event_stats, refreshes the flagship's r6-stale hash row,
+# clears the whole r07 cohort plus the 2 stalest r08 queries (the r10
+# VERDICT asks #1/#3/#5), and verifies the 15 r11 statistics/UQ/
+# multi-criteria additions (never-checked = stalest by the
+# invariant). The rotation is no longer
 # narrated prose: test_rotation_ledger_window_is_least_recent computes
 # the name → last-driver-round ledger from the CORRECTNESS_r*.json
 # files and fails if any window slot re-verifies a query fresher than
