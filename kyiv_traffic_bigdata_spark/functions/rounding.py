@@ -36,5 +36,14 @@ SQL_ROUND6 = "(floor(({x}) * 1000000.0 + 0.5) / 1000000.0)"
 
 
 def round6(col: Column) -> Column:
-    """Portable 6-decimal rounding of a non-negative double column."""
+    """Portable 6-decimal rounding of a double column.
+
+    Sign convention (see module docstring): non-negative inputs round
+    HALF_UP; negative inputs round half-toward-+inf (floor(x*1e6+0.5)
+    maps -0.1234565 to -0.123456). Both are bit-identical cross-engine
+    because :data:`SQL_ROUND6` is the same IEEE expression, so signed
+    columns (sen_slope, mk_z, gini, bootstrap CI bounds, pmi, signed
+    cosine) may use it freely — callers only need to know the negative
+    half-boundary direction differs from HALF_UP by one ulp of output.
+    """
     return F.floor(col * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)

@@ -4533,6 +4533,114 @@ def q_emb_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_emb_pca_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial SQL oracle for the PCA eigensolve (r11 VERDICT ask #4):
+    the eigendecomposition itself is un-SQL-able, but its INVARIANTS
+    are not. This query fits the FULL spectrum (k = d) with the same
+    operators.pca path q_emb_pca uses, then emits one row of checks:
+
+    * ``trace6`` — the covariance trace computed PORTABLY (per-dim
+      decimal sums of IEEE products over a posexplode, variance with
+      brand_price_ols parenthesization, cross-dim sum decimal-cast so
+      no float addition order exists) — the DuckDB twin computes the
+      identical expression, so this column is a genuinely
+      dual-computed hash-matched value;
+    * ``eigsum_matches_trace`` — Σλ (all d eigenvalues, driver
+      metadata) equals the portable trace within 1e-6 relative: the
+      linear-algebra identity trace(C) = Σλ pins the eigensolve's
+      spectrum sum to a plain SQL aggregate;
+    * ``eigs_nonnegative`` / ``eigs_descending`` — covariance is PSD,
+      eigh output ordered (tolerance 1e-9·trace for float noise);
+    * ``components_orthonormal`` — max |V·Vᵀ − I| ≤ 1e-6 over the
+      returned component matrix (the Gram residual the VERDICT names).
+
+    The oracle emits TRUE for the four invariant columns: a violated
+    invariant flips the Spark value and the driver's hash compare
+    fails — the CHECK-constraint oracle pattern. Scale: the spectrum
+    is d×d driver metadata (operators/pca.py step 2); the corpus-sized
+    work is the gram pass inside fit_pca plus this query's ONE
+    posexplode aggregate — both single-pass, map-side combined."""
+    import numpy as np
+
+    from .operators.pca import fit_pca
+
+    emb = _emb(spark, sf_dir)
+    head = emb.select("embedding").take(2)
+    if len(head) < 2:  # fit_pca needs >= 2 rows; oracle HAVING mirrors
+        return _typed_empty(
+            spark,
+            "dim int, n_vecs bigint, trace6 double,"
+            " eigsum_matches_trace boolean, eigs_nonnegative boolean,"
+            " eigs_descending boolean, components_orthonormal boolean",
+        )
+    dim = len(head[0][0])
+    comps, vals, _mean = fit_pca(emb, k=dim)
+
+    xs = emb.select(
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "dim", "x"
+        )
+    )
+    g = xs.groupBy("dim").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(dec("x")).alias("_s"),
+        F.sum(dec(F.col("x") * F.col("x"))).alias("_s2"),
+    )
+    n = F.col("n").cast("double")
+    var_j = (F.col("_s2").cast("double") / n) - (
+        F.col("_s").cast("double") / n
+    ) * (F.col("_s").cast("double") / n)
+    trace_df = g.agg(
+        F.count(F.lit(1)).cast("int").alias("dim"),
+        F.max("n").alias("n_vecs"),
+        F.sum(dec(var_j)).cast("double").alias("_tr"),
+    )
+    # bounded driver metadata (1 row) — the kmeans-centroid convention
+    trace_row = trace_df.first()
+    trace = float(trace_row["_tr"])
+    eigsum = float(vals.sum())
+    tol = 1e-9 * max(abs(trace), 1.0)
+    eigsum_ok = abs(eigsum - trace) <= 1e-6 * max(abs(trace), 1e-12)
+    nonneg = bool((vals >= -tol).all())
+    descending = bool((np.diff(vals) <= tol).all())
+    gram_resid = float(np.abs(comps @ comps.T - np.eye(dim)).max())
+    ortho = gram_resid <= 1e-6
+    return trace_df.select(
+        "dim",
+        "n_vecs",
+        round6(F.col("_tr")).alias("trace6"),
+        F.lit(bool(eigsum_ok)).alias("eigsum_matches_trace"),
+        F.lit(nonneg).alias("eigs_nonnegative"),
+        F.lit(descending).alias("eigs_descending"),
+        F.lit(bool(ortho)).alias("components_orthonormal"),
+    )
+
+
+SQL_EMB_PCA_INVARIANTS = f"""
+WITH xs AS (
+  SELECT generate_subscripts(embedding, 1) - 1 AS dim,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings
+),
+g AS (
+  SELECT dim, CAST(COUNT(*) AS BIGINT) AS n,
+         {_ssum('x')} AS s, {_ssum('x * x')} AS s2
+  FROM xs GROUP BY dim
+),
+v AS (
+  SELECT n, (s2 / CAST(n AS DOUBLE)) -
+         (s / CAST(n AS DOUBLE)) * (s / CAST(n AS DOUBLE)) AS var_j
+  FROM g
+)
+SELECT CAST(COUNT(*) AS INT) AS dim, MAX(n) AS n_vecs,
+       {SQL_ROUND6.format(x=_ssum('var_j'))} AS trace6,
+       TRUE AS eigsum_matches_trace, TRUE AS eigs_nonnegative,
+       TRUE AS eigs_descending, TRUE AS components_orthonormal
+FROM v
+HAVING COUNT(*) > 0 AND MAX(n) >= 2
+"""
+
+
 #: End-to-end curation keep-rate after quality + dedup gates.
 CURATION_SAMPLE_RATE = 0.8
 
@@ -12540,7 +12648,6 @@ def q_event_trend_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("_tj"))
         .groupBy("event_type")
         .agg(
-            F.count(F.lit(1)).cast("long").alias("_ngroups"),
             F.sum(
                 F.col("_tj")
                 * (F.col("_tj") - 1)
@@ -13040,89 +13147,21 @@ GROUP BY t.event_type
 # the very tail so no window slot is spent on a permanent no_oracle
 # row).
 QUERIES: dict[str, QueryFn] = {
-    # r11 window composition (driver verifies the FIRST 50 entries).
+    # r12 window composition (driver verifies the FIRST 50 entries).
     # Machine-checked by tests/test_oracle.py::test_rotation_ledger_
-    # window_is_least_recent against the CORRECTNESS_r*.json ledger:
-    # every slot covers least-recent driver evidence (flagship exempt).
+    # window_is_least_recent against the CORRECTNESS_r*.json ledger.
+    # Post-r11 ledger histogram: r8x48, r9x50, r10x50, r11x50 — so the
+    # window = the never-checked r12 addition + the whole r08 cohort
+    # + the stalest r09 slot (ties across the boundary allowed: the
+    # remaining r09 cohort is equally stale as the last slot).
     # Composition:
-    # (a) approx_event_stats — never hash-green (its only driver rows
-    #     were err:no_oracle at r03): r11 re-based it on the portable
-    #     md5-register HLL (operators/hll.py) with a full DuckDB twin
-    #     (_sql_approx_event_stats), shrinking the no-oracle tail to
-    #     the 2 genuinely un-SQL-able entries (eigensolver + EM DP);
-    "approx_event_stats": q_approx_event_stats,
-    # (b) the flagship — hash evidence dated to r6 (its entry() smoke
-    #     runs every round but never refreshes the hash row); one
-    #     window slot per the r10 VERDICT ask #5;
-    "geo_trajectory": q_geo_trajectory,
-    # (c) the whole remaining r07-evidence cohort (31), prior order;
-    "doc_decontaminate": q_doc_decontaminate,
-    "doc_gopher_quality": q_doc_gopher_quality,
-    "doc_hash_sample": q_doc_hash_sample,
-    "doc_langid_confusion": q_doc_langid_confusion,
-    "doc_pii_scrub": q_doc_pii_scrub,
-    "doc_quality_filter": q_doc_quality_filter,
-    "doc_repeated_spans": q_doc_repeated_spans,
-    "doc_repetition_filter": q_doc_repetition_filter,
-    "doc_source_drift": q_doc_source_drift,
-    "doc_splits": q_doc_splits,
-    "doc_subword_stats": q_doc_subword_stats,
-    "doc_tfidf_terms": q_doc_tfidf_terms,
-    "doc_token_pair_stats": q_doc_token_pair_stats,
-    "doc_unigram_logprob": q_doc_unigram_logprob,
-    "doc_upsample_mix": q_doc_upsample_mix,
-    "doc_version_diff": q_doc_version_diff,
-    "doc_vocab_coverage": q_doc_vocab_coverage,
-    "emb_decontaminate": q_emb_decontaminate,
-    "emb_kmeans": q_emb_kmeans,
-    "emb_semdedup": q_emb_semdedup,
-    "event_anomaly_profile": q_event_anomaly_profile,
-    "event_audience_overlap": q_event_audience_overlap,
-    "event_funnel": q_event_funnel,
-    "event_gap_fill": q_event_gap_fill,
-    "event_pivot_roundtrip": q_event_pivot_roundtrip,
-    "forecast_revenue": q_forecast_revenue,
-    "idle_rich_customers": q_idle_rich_customers,
-    "large_orders": q_large_orders,
-    "local_supplier_volume": q_local_supplier_volume,
-    "neardup_pagerank": q_neardup_pagerank,
-    "priority_count": q_priority_count,
-    # (d) the 2 stalest r08-evidence queries, prior order.
-    "user_hll_sketch": q_user_hll_sketch,
-    "doc_ngram_contamination": q_doc_ngram_contamination,
-    # (e) the 15 r11 additions, ledger 0 (Mann-Whitney U drift, Welch
-    #     t-test drift, CUSUM change-point, PSI population-stability
-    #     score, winsorized robust stats, Benford digit audit,
-    #     Jensen-Shannon type drift, Kaplan-Meier survival, Poisson
-    #     bootstrap CI, 2-D skyline, Morton density grid, Theil-Sen +
-    #     Mann-Kendall robust trend, quality-score ROC-AUC, Markov
-    #     entropy rate, split-conformal intervals — all with full SQL
-    #     twins); never-driver-checked queries MUST hold
-    #     window slots (the rotation invariant counts them as the
-    #     stalest), displacing the 15 freshest r08 slots into the
-    #     staged head below the marker.
-    "event_mwu_drift": q_event_mwu_drift,
-    "event_welch_drift": q_event_welch_drift,
-    "event_cusum_shift": q_event_cusum_shift,
-    "event_psi_drift": q_event_psi_drift,
-    "event_winsor_stats": q_event_winsor_stats,
-    "order_benford_digits": q_order_benford_digits,
-    "event_js_divergence": q_event_js_divergence,
-    "user_kaplan_meier": q_user_kaplan_meier,
-    "event_poisson_bootstrap": q_event_poisson_bootstrap,
-    "part_price_skyline": q_part_price_skyline,
-    "geo_morton_density": q_geo_morton_density,
-    "event_trend_robust": q_event_trend_robust,
-    "doc_quality_auc": q_doc_quality_auc,
-    "event_markov_entropy": q_event_markov_entropy,
-    "event_conformal_interval": q_event_conformal_interval,
-    # ---- slots above are inside the driver's 50-query verification
-    # window; everything below holds an r08/r09/r10 driver-green
-    # row and rides the driver-faithful local replica until its next
-    # rotation. Non-window entries are kept stalest-first so the head
-    # of this section IS the staged r12 window (tools/rotation.py
-    # re-derives it from the ledger either way). ----
-    # r08 driver-green (head: the 15 slots displaced by the r11 additions)
+    # (a) emb_pca_invariants — NEW in r12 (never driver-checked; the
+    #     rotation invariant counts ledger-0 queries as the stalest):
+    #     the partial SQL oracle for the PCA eigensolve (r11 VERDICT
+    #     ask #4) — trace dual-computed, Σλ=trace / PSD / descending /
+    #     orthonormality as CHECK-style boolean columns;
+    "emb_pca_invariants": q_emb_pca_invariants,
+    # (b) the full 48-query r08-evidence cohort, prior order;
     "emb_mrl_recall": q_emb_mrl_recall,
     "doc_dsir_weights": q_doc_dsir_weights,
     "emb_hard_negatives": q_emb_hard_negatives,
@@ -13171,8 +13210,15 @@ QUERIES: dict[str, QueryFn] = {
     "user_sessions": q_user_sessions,
     "user_session_windows": q_user_session_windows,
     "event_retention": q_event_retention,
-    # r09 driver-green
+    # (c) the stalest r09 slot (next in prior r09 order).
     "event_hopping_stats": q_event_hopping_stats,
+    # ---- slots above are inside the driver's 50-query verification
+    # window; everything below holds an r09/r10/r11 driver-green row
+    # and rides the driver-faithful local replica until its next
+    # rotation. Non-window entries are kept stalest-first so the head
+    # of this section IS the staged r13 window (tools/rotation.py
+    # re-derives it from the ledger either way). ----
+    # r09 driver-green (head: the 49 remaining r09 slots)
     "user_cumulative_uniques": q_user_cumulative_uniques,
     "part_name_fuzzy_matches": q_part_name_fuzzy_matches,
     "doc_token_heavy_hitters": q_doc_token_heavy_hitters,
@@ -13273,12 +13319,65 @@ QUERIES: dict[str, QueryFn] = {
     "doc_corpus_mix": q_doc_corpus_mix,
     "doc_curation_pipeline": q_doc_curation_pipeline,
     "doc_data_card": q_doc_data_card,
+    # r11 driver-green (the previous window, prior order — incl. the
+    # flagship, whose entry() smoke runs every round regardless)
+    "approx_event_stats": q_approx_event_stats,
+    "geo_trajectory": q_geo_trajectory,
+    "doc_decontaminate": q_doc_decontaminate,
+    "doc_gopher_quality": q_doc_gopher_quality,
+    "doc_hash_sample": q_doc_hash_sample,
+    "doc_langid_confusion": q_doc_langid_confusion,
+    "doc_pii_scrub": q_doc_pii_scrub,
+    "doc_quality_filter": q_doc_quality_filter,
+    "doc_repeated_spans": q_doc_repeated_spans,
+    "doc_repetition_filter": q_doc_repetition_filter,
+    "doc_source_drift": q_doc_source_drift,
+    "doc_splits": q_doc_splits,
+    "doc_subword_stats": q_doc_subword_stats,
+    "doc_tfidf_terms": q_doc_tfidf_terms,
+    "doc_token_pair_stats": q_doc_token_pair_stats,
+    "doc_unigram_logprob": q_doc_unigram_logprob,
+    "doc_upsample_mix": q_doc_upsample_mix,
+    "doc_version_diff": q_doc_version_diff,
+    "doc_vocab_coverage": q_doc_vocab_coverage,
+    "emb_decontaminate": q_emb_decontaminate,
+    "emb_kmeans": q_emb_kmeans,
+    "emb_semdedup": q_emb_semdedup,
+    "event_anomaly_profile": q_event_anomaly_profile,
+    "event_audience_overlap": q_event_audience_overlap,
+    "event_funnel": q_event_funnel,
+    "event_gap_fill": q_event_gap_fill,
+    "event_pivot_roundtrip": q_event_pivot_roundtrip,
+    "forecast_revenue": q_forecast_revenue,
+    "idle_rich_customers": q_idle_rich_customers,
+    "large_orders": q_large_orders,
+    "local_supplier_volume": q_local_supplier_volume,
+    "neardup_pagerank": q_neardup_pagerank,
+    "priority_count": q_priority_count,
+    "user_hll_sketch": q_user_hll_sketch,
+    "doc_ngram_contamination": q_doc_ngram_contamination,
+    "event_mwu_drift": q_event_mwu_drift,
+    "event_welch_drift": q_event_welch_drift,
+    "event_cusum_shift": q_event_cusum_shift,
+    "event_psi_drift": q_event_psi_drift,
+    "event_winsor_stats": q_event_winsor_stats,
+    "order_benford_digits": q_order_benford_digits,
+    "event_js_divergence": q_event_js_divergence,
+    "user_kaplan_meier": q_user_kaplan_meier,
+    "event_poisson_bootstrap": q_event_poisson_bootstrap,
+    "part_price_skyline": q_part_price_skyline,
+    "geo_morton_density": q_geo_morton_density,
+    "event_trend_robust": q_event_trend_robust,
+    "doc_quality_auc": q_doc_quality_auc,
+    "event_markov_entropy": q_event_markov_entropy,
+    "event_conformal_interval": q_event_conformal_interval,
     # ---- no-oracle approximates: permanently at the tail so they
     # never occupy a driver verification slot (accuracy pinned by
-    # recall/error tests, not a SQL twin). r11 note: approx_event_stats
-    # left this tail — re-based on the portable md5-register HLL it
-    # now holds a full DuckDB twin and a window slot; only the two
-    # genuinely un-SQL-able entries remain (eigensolver + EM DP) ----
+    # recall/error tests, not a SQL twin). r12 note: emb_pca now has a
+    # PARTIAL oracle via the emb_pca_invariants window query (trace
+    # dual-computed, eigen invariants CHECK-pinned); the raw projection
+    # query itself stays un-SQL-able (DuckDB has no eigen solver), as
+    # does the EM/Viterbi DP in doc_unigram_tokenize. ----
     "emb_pca": q_emb_pca,
     "doc_unigram_tokenize": q_doc_unigram_tokenize,
 }
@@ -13286,6 +13385,7 @@ QUERIES: dict[str, QueryFn] = {
 
 def build_oracles() -> dict[str, str]:
     return {
+        "emb_pca_invariants": SQL_EMB_PCA_INVARIANTS,
         "approx_event_stats": _sql_approx_event_stats(),
         "event_mwu_drift": SQL_MWU_DRIFT,
         "event_welch_drift": SQL_WELCH_DRIFT,

@@ -79,3 +79,24 @@ def test_fit_rejects_tiny_input(spark):
     df = _df_from(spark, np.ones((1, 3)))
     with pytest.raises(ValueError):
         fit_pca(df, k=1)
+
+
+def test_invariants_query_checks_hold_and_trace_matches_numpy(spark, sf_dir):
+    """emb_pca_invariants (r11 VERDICT ask #4): the partial oracle for
+    the eigensolve. All four CHECK booleans must hold on the real
+    corpus, and the portably-computed trace must equal numpy's
+    covariance trace on the same data (the identity the oracle pins)."""
+    import pyarrow.parquet as pq
+
+    from kyiv_traffic_bigdata_spark.queries import QUERIES
+
+    rows = QUERIES["emb_pca_invariants"](spark, sf_dir).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.eigsum_matches_trace and r.eigs_nonnegative
+    assert r.eigs_descending and r.components_orthonormal
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet").to_pydict()["embedding"]
+    x = np.array([np.asarray(v, dtype=np.float64) for v in emb])
+    ref_trace = float(np.trace(np.cov(x, rowvar=False, bias=True)))
+    assert r.dim == x.shape[1] and r.n_vecs == len(x)
+    assert r.trace6 == pytest.approx(ref_trace, rel=1e-5)

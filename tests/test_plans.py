@@ -1408,3 +1408,17 @@ def test_r11_batch2_plan_shapes(plans):
     assert sort_merge_join_count(ci) == 0
     assert broadcast_join_count(ci) == 0
     assert "CartesianProduct" not in ci
+
+
+def test_pca_invariants_returned_plan_single_scan_no_joins(plans):
+    """emb_pca_invariants: the RETURNED plan is the one posexplode
+    aggregate — exactly one embeddings scan, zero joins, map-side
+    partial agg (the eigen side is driver metadata, not plan nodes).
+    At 100 TB this query costs two single-pass scans total (the gram
+    pass inside fit_pca plus this aggregate), never a shuffle of the
+    corpus beyond the 64-row per-dim slab."""
+    plan = plans("emb_pca_invariants")
+    assert parquet_scan_count(plan, "embeddings") == 1
+    assert sort_merge_join_count(plan) == 0
+    assert broadcast_join_count(plan) == 0
+    assert "partial" in plan  # map-side combine on the per-dim agg
