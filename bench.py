@@ -38,32 +38,46 @@ def infer_sf(path: str) -> float:
 
 
 def map_refresh_verdict(
-    map_path: str, loadavg_1min: float | None, max_load: float
+    map_path: str, loadavg: list[float] | None, max_load: float
 ) -> tuple[bool, str | None]:
     """Loadavg gate for the committed per-query map (r08 VERDICT #3):
     an idle-host map must never be overwritten by a refresh taken on a
     contended host — the ±30% load noise would be committed as if it
     were a code regression. Returns (write?, reason-if-skipped).
 
-    Rules: always write when the host is idle (1-min loadavg <=
-    ``max_load``), when loadavg is unreadable, when the gate is
-    disabled (max_load <= 0), or when there is no usable prior map /
-    the prior map was itself captured under load (a loaded refresh of
-    a loaded map loses nothing). Refuse only when a loaded run would
-    clobber a strictly-better (idle-host) map."""
-    if max_load <= 0 or loadavg_1min is None or loadavg_1min <= max_load:
+    "Idle" means BOTH the 1-min and 5-min load averages are at or
+    under ``max_load`` (r11 VERDICT "what's wrong" #1: the r11 final
+    map passed a 1-min-only gate at loadavg 1.78 while the 5-min
+    average was 8.98 — heavy load minutes earlier still depresses the
+    first queries of a run via page-cache/cpufreq/JVM-compile
+    contention, so a 1-min check alone lets warm-host maps through).
+
+    Rules: always write when the host is idle by that definition, when
+    loadavg is unreadable, when the gate is disabled (max_load <= 0),
+    or when there is no usable prior map / the prior map was itself
+    captured under load (a loaded refresh of a loaded map loses
+    nothing). Refuse only when a loaded run would clobber a
+    strictly-better (idle-host) map."""
+
+    def _busy(la: list[float] | None) -> bool:
+        # gate on the worse of (1-min, 5-min); 15-min is history, not
+        # contention, and would lock the gate for most of an hour
+        return la is not None and max(la[0], la[1]) > max_load
+
+    if max_load <= 0 or loadavg is None or not _busy(loadavg):
         return True, None
     try:
         with open(map_path) as fh:
             prior = json.load(fh)
-        prior_load = (prior.get("host_loadavg_prerun_1_5_15") or [None])[0]
+        prior_load = prior.get("host_loadavg_prerun_1_5_15")
     except (OSError, ValueError):
         return True, None
-    if prior_load is None or prior_load > max_load:
+    if prior_load is None or len(prior_load) < 2 or _busy(prior_load):
         return True, None
     return False, (
-        f"prerun 1-min loadavg {loadavg_1min} > {max_load}: kept the "
-        f"prior idle-host map (its prerun loadavg was {prior_load})"
+        f"prerun loadavg 1/5-min {loadavg[0]}/{loadavg[1]} > {max_load}: "
+        f"kept the prior idle-host map (its prerun loadavg was "
+        f"{prior_load[0]}/{prior_load[1]})"
     )
 
 
@@ -251,9 +265,7 @@ def main() -> None:
         os.path.dirname(os.path.abspath(__file__)), "bench_queries.json"
     )
     max_load = float(os.environ.get("SPARK_GRAFT_BENCH_MAX_LOAD", "2.0"))
-    write_map, skip_reason = map_refresh_verdict(
-        map_path, loadavg_start[0] if loadavg_start else None, max_load
-    )
+    write_map, skip_reason = map_refresh_verdict(map_path, loadavg_start, max_load)
     # Measured-noise-band mover check (r10 VERDICT #2): the prior map
     # may carry a `noise_band` derived by tools/noise_band.py from two
     # back-to-back idle runs on identical code. Flag only queries whose

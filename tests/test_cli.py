@@ -178,28 +178,37 @@ def test_bench_map_loadavg_gate(tmp_path):
     mp = str(tmp_path / "bench_queries.json")
 
     # no prior map -> always write, loaded or not
-    assert map_refresh_verdict(mp, 9.9, 2.0) == (True, None)
+    assert map_refresh_verdict(mp, [9.9, 9.9, 9.9], 2.0) == (True, None)
     # idle host -> write
     (tmp_path / "bench_queries.json").write_text(
         _json.dumps({"host_loadavg_prerun_1_5_15": [0.4, 1.0, 1.0]})
     )
-    assert map_refresh_verdict(mp, 0.5, 2.0) == (True, None)
+    assert map_refresh_verdict(mp, [0.5, 0.7, 1.0], 2.0) == (True, None)
     # loaded host over an idle-host map -> REFUSE, reason names both
-    ok, reason = map_refresh_verdict(mp, 9.9, 2.0)
+    ok, reason = map_refresh_verdict(mp, [9.9, 9.9, 9.9], 2.0)
     assert not ok and "9.9" in reason and "0.4" in reason
+    # r11 VERDICT #1: 1-min idle but 5-min still hot -> warm host, REFUSE
+    ok, reason = map_refresh_verdict(mp, [1.7, 8.9, 18.8], 2.0)
+    assert not ok and "8.9" in reason
     # loaded host over a map that was itself loaded -> write
     (tmp_path / "bench_queries.json").write_text(
         _json.dumps({"host_loadavg_prerun_1_5_15": [25.0, 9.0, 9.0]})
     )
-    assert map_refresh_verdict(mp, 9.9, 2.0) == (True, None)
+    assert map_refresh_verdict(mp, [9.9, 9.9, 9.9], 2.0) == (True, None)
+    # ...including a prior map that passed the old 1-min-only gate but
+    # was warm at the 5-min scale (the r11 final map's exact shape)
+    (tmp_path / "bench_queries.json").write_text(
+        _json.dumps({"host_loadavg_prerun_1_5_15": [1.78, 8.98, 18.82]})
+    )
+    assert map_refresh_verdict(mp, [9.9, 9.9, 9.9], 2.0) == (True, None)
     # prior map without loadavg (pre-r05 format) -> write
     (tmp_path / "bench_queries.json").write_text(_json.dumps({"queries": {}}))
-    assert map_refresh_verdict(mp, 9.9, 2.0) == (True, None)
+    assert map_refresh_verdict(mp, [9.9, 9.9, 9.9], 2.0) == (True, None)
     # corrupt prior map -> write
     (tmp_path / "bench_queries.json").write_text("not json")
-    assert map_refresh_verdict(mp, 9.9, 2.0) == (True, None)
+    assert map_refresh_verdict(mp, [9.9, 9.9, 9.9], 2.0) == (True, None)
     # gate disabled / loadavg unreadable -> write
-    assert map_refresh_verdict(mp, 9.9, 0.0) == (True, None)
+    assert map_refresh_verdict(mp, [9.9, 9.9, 9.9], 0.0) == (True, None)
     assert map_refresh_verdict(mp, None, 2.0) == (True, None)
 
 

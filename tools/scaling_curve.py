@@ -121,6 +121,15 @@ NOTED_CURVE_QUERIES = {
         "~k fact explode into a BOUNDED groups*levels*depth*width "
         "counter table; descent is driver-side constant work"
     ),
+    # r12 (r11 VERDICT #3): the only r11 addition that was missing from
+    # the curve after its md5-register-HLL rewrite changed its cost
+    # shape (a per-(type, register) shuffle the native-sketch version
+    # did not have)
+    "approx_event_stats": (
+        "~k fact pass; the register table is BOUNDED at m=2^p registers "
+        "per type, so the shuffle and everything after it are "
+        "corpus-independent slab work"
+    ),
 }
 
 #: pair-producing dedup/ANN representatives (r09): measurable because
@@ -175,6 +184,17 @@ def main() -> None:
         + list(NOTED_CURVE_QUERIES.items())
         + list(PAIR_CURVE_QUERIES.items())
     )
+    # Incremental re-measurement (r12): SPARK_GRAFT_CURVE_ONLY=a,b,c
+    # restricts the run to the named queries so a round that changes
+    # two queries can refresh exactly their rows instead of paying the
+    # full multi-hour 100x sweep.
+    only = os.environ.get("SPARK_GRAFT_CURVE_ONLY")
+    if only:
+        wanted = {n.strip() for n in only.split(",") if n.strip()}
+        unknown = wanted - {n for n, _ in plan}
+        if unknown:
+            raise SystemExit(f"SPARK_GRAFT_CURVE_ONLY names unknown queries: {sorted(unknown)}")
+        plan = [(n, b) for n, b in plan if n in wanted]
     for name, bar in plan:
         if name in PAIR_CURVE_QUERIES:
             # fresh JVM for EVERY pair-family query: r09 restarted once
