@@ -12277,6 +12277,48 @@ POISSON1_CDF = (
 #: land on exact order statistics of the replicate slab).
 BOOT_REPS = 32
 
+#: Per-replicate uniform derivation (r12, the r11 VERDICT #7 trim):
+#: ONE md5 per fact row (``portable_hash(event_id)``) instead of one
+#: per (row, replicate); replicate b's uniform comes from a murmur3
+#: fmix32 avalanche of ``h + b·golden`` — pure int64 arithmetic both
+#: engines evaluate identically, with every 32-bit wrapping multiply
+#: split into 16-bit halves so no intermediate exceeds 2^49 (Spark 4
+#: ANSI and DuckDB both RAISE on int64 overflow; hex-masked wrap is
+#: not portable, bounded splits are). fmix32 is a bijection with full
+#: avalanche, so replicate streams decorrelate the way the per-
+#: replicate md5 did — the replicate hash needs uniformity, not
+#: collision resistance. Measured at sf0.1: the md5 ladder was the
+#: dominant term of the replicate pass (see OPTIMIZATION_r12.md).
+MIX_GOLDEN = 2654435761  # 2^32 / golden ratio, odd
+_FMIX_C1_HI, _FMIX_C1_LO = divmod(0x85EBCA6B, 65536)
+_FMIX_C2_HI, _FMIX_C2_LO = divmod(0xC2B2AE35, 65536)
+
+
+def _mix32(x, mult_hi: int, mult_lo: int):
+    """(x * m) mod 2^32 for 0 <= x < 2^32 via 16-bit split products."""
+    return (
+        x * F.lit(mult_lo)
+        + ((x * F.lit(mult_hi)) % F.lit(65536)) * F.lit(65536)
+    ) % F.lit(4294967296)
+
+
+def _shr_xor(x, pow2: int):
+    """x XOR (x >> log2(pow2)) for non-negative x, via exact floor-div
+    (both engines; no shift operators needed)."""
+    return x.bitwiseXOR(F.floor(x / F.lit(pow2)).cast("long"))
+
+
+def mix32_uniform(h, b):
+    """Replicate-b uniform in [0, 1) from the per-row 32-bit hash
+    ``h``: u = fmix32((h + b·MIX_GOLDEN) mod 2^32) / 2^32."""
+    x = (h + b.cast("long") * F.lit(MIX_GOLDEN)) % F.lit(4294967296)
+    x = _shr_xor(x, 65536)
+    x = _mix32(x, _FMIX_C1_HI, _FMIX_C1_LO)
+    x = _shr_xor(x, 8192)
+    x = _mix32(x, _FMIX_C2_HI, _FMIX_C2_LO)
+    x = _shr_xor(x, 65536)
+    return x.cast("double") / F.lit(4294967296.0)
+
 
 def q_event_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """POISSON BOOTSTRAP confidence interval for the per-type mean —
@@ -12289,11 +12331,14 @@ def q_event_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
     BOOT_REPS replicate means per event type.
 
     Determinism: the multiplicity is the Poisson(1) inverse CDF at
-    u = portable_hash(event_id ':' replicate) / 2³² — the md5-derived
-    32-bit hash both engines share — against hard-coded CDF constants;
-    replicate sums are decimal-cast; the percentile picks exact order
-    statistics (integer ceil ranks) with the replicate id as the tie
-    breaker.
+    u = fmix32(portable_hash(event_id) + b·golden) / 2³² — ONE
+    md5-derived 32-bit hash per fact row, avalanche-mixed per
+    replicate with pure int64 arithmetic both engines evaluate
+    identically (see :func:`mix32_uniform`; the r12 rewrite of the
+    per-(row, replicate) md5, which was the replicate pass's dominant
+    cost) — against hard-coded CDF constants; replicate sums are
+    decimal-cast; the percentile picks exact order statistics (integer
+    ceil ranks) with the replicate id as the tie breaker.
 
     Scale: the ×BOOT_REPS expansion is map-side (explode straight into
     a partial aggregate — never materialized) and collapses to
@@ -12309,25 +12354,32 @@ def q_event_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("value").alias("n"),
         stable_avg("value").alias("_mean"),
     )
-    rep = ev.select(
+    # ONE md5 per fact row, projected BELOW the explode so the
+    # Generate replicates the finished 32-bit value instead of
+    # re-hashing per replicate (r12; the old per-(row, b) md5 was the
+    # replicate pass's dominant cost).
+    hashed = ev.select(
         "event_type",
         "value",
-        F.explode(
-            F.sequence(F.lit(0), F.lit(BOOT_REPS - 1))
-        ).alias("b"),
-        "event_id",
+        TX.portable_hash(F.col("event_id").cast("string")).alias("_h"),
     )
-    u = (
-        TX.portable_hash(
-            F.concat_ws(":", F.col("event_id"), F.col("b"))
-        ).cast("double")
-        / F.lit(4294967296.0)
+    rep = hashed.select(
+        "event_type",
+        "value",
+        "_h",
+        F.explode(F.sequence(F.lit(0), F.lit(BOOT_REPS - 1))).alias("b"),
     )
     # Stage u as a projected column BEFORE the inverse-CDF ladder: the
     # 10 CASE branches each reference u, and Catalyst does not
     # subexpression-share across WHEN arms, so an inline u re-runs the
-    # md5 up to 10x per row (measured 10.2 s -> 3.6 s at sf0.1).
-    staged_u = rep.select("event_type", "b", "value", u.alias("_u"))
+    # whole mix chain up to 10x per row (measured 10.2 s -> 3.6 s at
+    # sf0.1 back when u was the md5; same staging logic applies).
+    staged_u = rep.select(
+        "event_type",
+        "b",
+        "value",
+        mix32_uniform(F.col("_h"), F.col("b")).alias("_u"),
+    )
     w = F.lit(9)
     for k in range(len(POISSON1_CDF) - 1, -1, -1):
         w = F.when(
@@ -12376,12 +12428,14 @@ def q_event_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_poisson_bootstrap() -> str:
-    h = _PORTABLE_HASH.format(
-        s="CONCAT(CAST(event_id AS VARCHAR), ':', CAST(b AS VARCHAR))"
-    )
+    h = _PORTABLE_HASH.format(s="CAST(event_id AS VARCHAR)")
     ladder = " ".join(
         f"WHEN u < {c} THEN {k}" for k, c in enumerate(POISSON1_CDF)
     )
+    # fmix32 mix chain, step-per-CTE — the EXACT integer expressions of
+    # mix32_uniform (16-bit-split wrapping multiplies, floor-div shifts)
+    m1 = f"(x1 * {_FMIX_C1_LO} + ((x1 * {_FMIX_C1_HI}) % 65536) * 65536) % 4294967296"
+    m2 = f"(x3 * {_FMIX_C2_LO} + ((x3 * {_FMIX_C2_HI}) % 65536) * 65536) % 4294967296"
     return f"""
 WITH ev AS (
   SELECT event_type, event_id, value FROM events WHERE value IS NOT NULL
@@ -12391,13 +12445,24 @@ point AS (
          {_savg('value', 'COUNT(value)')} AS mean_raw
   FROM ev GROUP BY event_type
 ),
+hashed AS (
+  SELECT event_type, value, {h} AS h FROM ev
+),
 rep AS (
-  SELECT event_type, value,
-         CAST({h} AS DOUBLE) / 4294967296.0 AS u, b
-  FROM ev CROSS JOIN (SELECT unnest(range(0, {BOOT_REPS})) AS b)
+  SELECT event_type, value, (h + b * {MIX_GOLDEN}) % 4294967296 AS x0, b
+  FROM hashed CROSS JOIN (SELECT unnest(range(0, {BOOT_REPS})) AS b)
+),
+mx1 AS (SELECT event_type, value, b, xor(x0, x0 // 65536) AS x1 FROM rep),
+mx2 AS (SELECT event_type, value, b, {m1} AS x2 FROM mx1),
+mx3 AS (SELECT event_type, value, b, xor(x2, x2 // 8192) AS x3 FROM mx2),
+mx4 AS (SELECT event_type, value, b, {m2} AS x4 FROM mx3),
+mx5 AS (
+  SELECT event_type, value, b,
+         CAST(xor(x4, x4 // 65536) AS DOUBLE) / 4294967296.0 AS u
+  FROM mx4
 ),
 weighted AS (
-  SELECT event_type, b, CASE {ladder} ELSE 9 END AS w, value FROM rep
+  SELECT event_type, b, CASE {ladder} ELSE 9 END AS w, value FROM mx5
 ),
 cells AS (
   SELECT event_type, b,

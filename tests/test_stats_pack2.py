@@ -199,9 +199,56 @@ def _poisson_weight(u: float) -> int:
     return 9
 
 
+def _fmix32(x: int) -> int:
+    """Reference murmur3 fmix32 (full-width wrap; the engines' 16-bit
+    split-product formulation is algebraically identical — pinned by
+    test_mix32_split_equals_full_wrap below)."""
+    M = 0xFFFFFFFF
+    x ^= x >> 16
+    x = (x * 0x85EBCA6B) & M
+    x ^= x >> 13
+    x = (x * 0xC2B2AE35) & M
+    x ^= x >> 16
+    return x
+
+
+def _replicate_uniform(eid, b: int) -> float:
+    from kyiv_traffic_bigdata_spark.queries import MIX_GOLDEN
+
+    h = int(hashlib.md5(str(eid).encode()).hexdigest()[:8], 16)
+    return _fmix32((h + b * MIX_GOLDEN) % 4294967296) / 4294967296.0
+
+
+def test_mix32_split_equals_full_wrap():
+    """The overflow-free 16-bit-split wrapping multiply both engines
+    evaluate must equal the reference (x*m) mod 2^32 for boundary and
+    avalanche-typical inputs."""
+    for m in (0x85EBCA6B, 0xC2B2AE35):
+        hi, lo = divmod(m, 65536)
+        for x in (0, 1, 65535, 65536, 2**31 - 1, 2**31, 2**32 - 1,
+                  123456789, 987654321, 0xDEADBEEF):
+            split = (x * lo + ((x * hi) % 65536) * 65536) % 4294967296
+            assert split == (x * m) % 4294967296
+
+
+def test_replicate_uniforms_are_uniform_enough():
+    """The fmix32 replicate stream must keep the Poisson(1) weight mean
+    ~1 (the property the bootstrap needs from its hash), per replicate
+    and overall."""
+    n = 4000
+    per_b = []
+    for b in range(BOOT_REPS):
+        ws = [_poisson_weight(_replicate_uniform(e, b)) for e in range(n)]
+        per_b.append(sum(ws) / n)
+    overall = sum(per_b) / len(per_b)
+    assert abs(overall - 1.0) < 0.02
+    assert all(abs(m - 1.0) < 0.12 for m in per_b)
+
+
 def test_poisson_bootstrap_matches_hash_replay(duck):
-    """Replicate means recomputed by replaying the md5-derived weights
-    in Python must reproduce the oracle's point mean and CI bounds."""
+    """Replicate means recomputed by replaying the hash-derived weights
+    in Python (one md5 per row + fmix32 per replicate — the r12
+    derivation) must reproduce the oracle's point mean and CI bounds."""
     rows = duck.sql(
         "SELECT event_type, event_id, value FROM events "
         "WHERE value IS NOT NULL"
@@ -217,8 +264,7 @@ def test_poisson_bootstrap_matches_hash_replay(duck):
         for b in range(BOOT_REPS):
             sw = swv = 0.0
             for eid, v in evs:
-                h = int(hashlib.md5(f"{eid}:{b}".encode()).hexdigest()[:8], 16)
-                w = _poisson_weight(h / 4294967296.0)
+                w = _poisson_weight(_replicate_uniform(eid, b))
                 sw += w
                 swv += w * v
             if sw > 0:
