@@ -1067,13 +1067,23 @@ def repeated_spans(
         .select("_h")
     )
     # hits is bounded by the true repeat mass (tiny vs the corpus) and
-    # feeds the confirm aggregate AND the final projection — checkpoint
-    # so the survivor/base join doesn't run twice.
+    # feeds the confirm aggregate AND the final projection. NOT staged
+    # (r12): recomputing the survivor/base join twice off the staged
+    # ``pos`` costs the same as the checkpoint's own materialization at
+    # sf0.1 (A/B 2.25 s vs 2.25 s end-to-end) and at 100 TB it removes
+    # a repeat-mass-sized write+read in 'reliable' staging. A window-
+    # count rewrite of BOTH the gate and this confirm (no checkpoints,
+    # one shuffle each) measured 1.6 s vs 2.25 s at sf0.1 but was
+    # REJECTED: count-over-window has no partial aggregation and no
+    # AQE skew split, so one boilerplate 40-gram shared by ~every doc
+    # of a crawl sorts its entire position mass in a single task —
+    # precisely the data ExactSubstr dedup exists for. The agg+semi
+    # shape keeps map-side combine on the int gate and an AQE-
+    # splittable join on both phases (guide §2.4/§3).
     hits = (
         pos.join(cand, "_h", "semi")
         .join(base, "doc_id")
         .select("doc_id", "pos", F.expr(f"substring(_t, pos, {k})").alias("_s"))
-        .transform(stage)
     )
     confirmed_grams = (
         hits.groupBy("_s")

@@ -1721,9 +1721,19 @@ def q_doc_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: chunk text never leaves its map task (hash+len computed in
     place); the two shuffles move (chunk_hash, len) pairs — a corpus/64
     row table of 16-byte keys — then re-key by doc_id for the bounded
-    per-doc report; empty docs ride the LEFT join with count 0."""
+    per-doc report; empty docs ride the LEFT join with count 0.
+
+    The chunk-row table is STAGED (r12): it feeds both the corpus-wide
+    hash-count aggregate and the join probe, and without staging the
+    whole Arrow-hash + chunking chain ran twice (measured 2.47 s ->
+    1.49 s at sf0.1, guide §1/§2). A count-over-window rewrite (no
+    join-back) measured 1.38 s but loses partial aggregation and the
+    AQE skew split on hot boilerplate chunks — same rejection as
+    operators.dedup.repeated_spans' confirm phase."""
+    from .operators.staging import stage
+
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    rows = DD.cdc_chunk_rows(d)
+    rows = DD.cdc_chunk_rows(d).transform(stage)
     counts = rows.groupBy("chunk_hash").agg(F.count(F.lit(1)).alias("_n"))
     agg = (
         rows.join(counts, "chunk_hash")
@@ -6443,11 +6453,19 @@ def q_orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     strings. The standard ingest-time data-quality summary (what
     Deequ/Great-Expectations profilers emit) as a first-class query.
 
-    Scale: ONE pass over the fact — all per-column aggregates ride a
-    single hash aggregate (the multi-distinct rewrite is Catalyst's
-    Expand, a bounded constant fan-out of 6), and the unpivot is a
-    ``stack`` over the finished 1-row aggregate, not a per-column
-    rescan."""
+    Scale: TWO hash-aggregate passes over the fact, zero Sort nodes
+    (r12, guide §2.3/§5). One combined aggregate is a trap here:
+    min/max over STRING columns put var-length fields in the agg
+    buffer, which disqualifies HashAggregate, and the multi-distinct
+    rewrite (Catalyst Expand, fan-out 7) then rides a SortAggregate
+    cascade — a full sort of the expanded fact. Splitting lets each
+    half stay hash-shaped: the nulls/min/max agg has no Expand (a
+    streaming single-group agg; its SortAggregate has empty grouping,
+    so no Sort is planned), and the distinct-count agg's buffer is
+    all longs (HashAggregate-eligible, strings appear only as
+    grouping keys). Measured 2.75 s -> 0.95 s at sf0.1; the two 1-row
+    results meet in a broadcast cross join and the unpivot is a
+    ``stack`` over the finished row, not a per-column rescan."""
     o = load_table(spark, sf_dir, "orders")
 
     def _repr(col, kind):
@@ -6457,17 +6475,18 @@ def q_orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             return col.cast("decimal(18,2)").cast("string")
         return col.cast("string")
 
-    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    base_aggs = [F.count(F.lit(1)).alias("n_rows")]
+    nd_aggs = []
     for c, kind in PROFILE_COLUMNS:
-        aggs += [
+        base_aggs += [
             F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
             .cast("long")
             .alias(f"{c}__nulls"),
-            F.countDistinct(F.col(c)).alias(f"{c}__nd"),
             _repr(F.min(F.col(c)), kind).alias(f"{c}__min"),
             _repr(F.max(F.col(c)), kind).alias(f"{c}__max"),
         ]
-    row = o.agg(*aggs)
+        nd_aggs.append(F.countDistinct(F.col(c)).alias(f"{c}__nd"))
+    row = o.agg(*base_aggs).crossJoin(F.broadcast(o.agg(*nd_aggs)))
     stack_args = ", ".join(
         f"'{c}', {c}__nulls, {c}__nd, {c}__min, {c}__max"
         for c, _ in PROFILE_COLUMNS

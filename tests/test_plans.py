@@ -852,16 +852,25 @@ def test_hybrid_rrf_fuses_shortlists_only(plans):
     assert "CartesianProduct" not in plan
 
 
-def test_orders_profile_single_scan_expand_rewrite(plans):
-    """Data profiling: all per-column aggregates (nulls, multi-column
-    distincts, min/max reprs) must ride ONE scan of the orders parquet
-    — Catalyst's Expand rewrite for multi-distinct, not one scan per
-    column — and the unpivot is a generate over the finished 1-row
-    aggregate."""
+def test_orders_profile_split_hash_aggregates(plans):
+    """Data profiling (r12 shape): TWO scans of the orders parquet —
+    one streaming nulls/min/max aggregate (no Expand) and one
+    multi-distinct aggregate (Catalyst Expand with an all-long
+    buffer) — and crucially ZERO Sort nodes: a combined aggregate
+    puts string min/max in the buffer, disqualifies HashAggregate,
+    and sorts the whole expanded fact (measured 2.75 s vs 0.95 s at
+    sf0.1). The two 1-row results meet in a broadcast join and the
+    unpivot is a generate over the finished row, not a per-column
+    rescan."""
     plan = plans("orders_profile")
-    assert parquet_scan_count(plan, "orders") == 1
+    assert parquet_scan_count(plan, "orders") == 2
     assert "Expand" in plan
     assert "Generate" in plan
+    assert re.search(r"\(\d+\) Sort\b", plan) is None
+    # exactly one broadcast join of the two 1-row aggregates (each
+    # node appears twice in formatted plans: tree line + detail line)
+    assert broadcast_join_count(plan) == 2
+    assert "BroadcastNestedLoopJoin" in plan
 
 
 def test_fk_audit_key_aggregated_joins_and_pruned_scans(plans):
