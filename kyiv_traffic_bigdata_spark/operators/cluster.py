@@ -68,24 +68,31 @@ def connected_components(
             .agg(F.min("_nc").alias("_mn"))
             .withColumnRenamed("a", "node")
         )
-        new_labels = (
+        # Convergence check fused into the propagation round (r12,
+        # guide §1.3/§5.1): the old/new label comparison IS this
+        # join's own output, so carry a per-row changed flag through
+        # the staged frame instead of re-joining the two label
+        # snapshots afterwards — that re-join was a second shuffle
+        # job per round. The check is then an any-row scan of the
+        # just-materialized checkpoint blocks (isEmpty = limit-1
+        # take, no shuffle), and each round runs one propagation job
+        # instead of two.
+        newc = F.least(
+            F.col("component"), F.coalesce(F.col("_mn"), F.col("component"))
+        )
+        staged_round = (
             labels.join(nbr_min, "node", "left")
             .select(
                 "node",
-                F.least(
-                    F.col("component"), F.coalesce(F.col("_mn"), F.col("component"))
-                ).alias("component"),
+                newc.alias("_newc"),
+                (newc != F.col("component")).alias("_chg"),
             )
             .transform(stage)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.component") != F.col("o.component"))
-            .count()
+        labels = staged_round.select(
+            "node", F.col("_newc").alias("component")
         )
-        labels = new_labels
-        if changed == 0:
+        if staged_round.where(F.col("_chg")).isEmpty():
             return labels
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} rounds — "
@@ -161,6 +168,10 @@ def bfs_depths(
             # saves max_depth-d staged join rounds; near-dup graphs
             # usually settle in 1-2 hops
             break
-        depths = depths.unionByName(nxt).transform(stage)
+        # nxt is already a checkpoint; the settled set is a union of
+        # checkpoints whose anti-join probe reads them directly —
+        # re-staging the growing union each round was a second full
+        # materialization per round for no lineage benefit (r12).
+        depths = depths.unionByName(nxt)
         frontier = nxt.select("node")
     return depths

@@ -7567,6 +7567,14 @@ def q_neardup_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = pairs.select(
         F.col("id_a").alias("lo"), F.col("id_b").alias("hi")
     ).transform(stage)
+    # Early exit on a stable edge count (r12): the peel only ever
+    # REMOVES edges, so an unchanged count is a fixed point — every
+    # remaining round is the identity and skipping it cannot change
+    # the result (the SQL twin still unrolls all KCORE_ROUNDS layers;
+    # its extra layers are no-ops on the converged edge set). The
+    # count reads the just-staged checkpoint blocks — no join, no
+    # recompute — and typically saves 1-2 full peel rounds.
+    prev_n = edges.count()
     for _ in range(KCORE_ROUNDS):
         deg = (
             edges.select(F.col("lo").alias("v"))
@@ -7581,6 +7589,10 @@ def q_neardup_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("lo", "hi")
             .transform(stage)
         )
+        n = edges.count()
+        if n == prev_n:
+            break
+        prev_n = n
     return (
         edges.select(F.col("lo").alias("doc_id"))
         .unionAll(edges.select(F.col("hi").alias("doc_id")))
