@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 from .config import KYIV_BBOX_NARROW, UKRAINE_BBOX
 from .functions import text as TX
 from .functions.geo import classify_region, in_bbox, speed_bucket
+from .functions.gridsum import grid_sum, grid_sum_dec, grid_sum_over
 from .functions.rounding import SQL_ROUND6, round6
 from .operators import dedup as DD
 from .operators import kmeans as KM
@@ -228,19 +229,23 @@ def _sw_sql(words: tuple[str, ...]) -> str:
 
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q1-shaped grouped aggregation (SURVEY A2/A3): one hash
-    aggregate with map-side partials; decimal-stable sums."""
+    aggregate with map-side partials; exact grid sums (r12 — the money
+    columns are 2-dp by construction, so disc_price is a 4-dp and
+    charge a 6-dp grid value; functions.gridsum replaces the per-row
+    decimal casts that dominated the scan at a bit-identical result,
+    re-proven by the unchanged decimal-formula oracle)."""
     li = load_table(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
     charge = disc_price * (F.lit(1.0) + F.col("l_tax"))
     return (
         li.groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
-            F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
-            F.sum(disc_price.cast(DEC)).cast("double").alias("sum_disc_price"),
-            F.sum(charge.cast(DEC)).cast("double").alias("sum_charge"),
-            (F.sum(dec("l_quantity")).cast("double") / F.count("l_quantity")).alias("avg_qty"),
-            (F.sum(dec("l_discount")).cast("double") / F.count("l_discount")).alias("avg_disc"),
+            grid_sum(F.col("l_quantity"), 0).alias("sum_qty"),
+            grid_sum(F.col("l_extendedprice"), 2).alias("sum_base_price"),
+            grid_sum(disc_price, 4).alias("sum_disc_price"),
+            grid_sum(charge, 6).alias("sum_charge"),
+            (grid_sum(F.col("l_quantity"), 0) / F.count("l_quantity")).alias("avg_qty"),
+            (grid_sum(F.col("l_discount"), 2) / F.count("l_discount")).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -263,7 +268,7 @@ def q_top_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-K by aggregate (SURVEY W3): TakeOrderedAndProject plan."""
     li = load_table(spark, sf_dir, "lineitem")
     agg = li.groupBy("l_partkey").agg(
-        F.sum(dec("l_quantity")).cast("double").alias("total_qty"),
+        grid_sum(F.col("l_quantity"), 0).alias("total_qty"),
         F.count(F.lit(1)).alias("n_lines"),
     )
     return top_k(agg, [F.col("total_qty").desc(), F.col("l_partkey").asc()], 10)
@@ -420,7 +425,7 @@ def q_user_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.session_window(F.col("ts").cast("timestamp"), "30 minutes").alias("_w"),
     ).agg(
         F.count(F.lit(1)).cast("long").alias("n_events"),
-        F.sum(dec("value")).cast("double").alias("sum_value"),
+        grid_sum(F.col("value"), 2).alias("sum_value"),
     )
     return grouped.select(
         "user_id",
@@ -741,7 +746,7 @@ def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         how="inner",
     )
     agg = joined.groupBy("c_custkey", "c_name", "n_name").agg(
-        F.sum(dec("o_totalprice")).cast("double").alias("revenue"),
+        grid_sum(F.col("o_totalprice"), 2).alias("revenue"),
         F.count(F.lit(1)).alias("n_orders"),
     )
     return top_k(agg, [F.col("revenue").desc(), F.col("c_custkey").asc()], 10)
@@ -940,9 +945,20 @@ def q_geo_nearby_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     turns the cross range-join into a co-partitioned equi-join; cell_deg
     0.02 > 1 km in lon-degrees at 50.7N, so blocking is lossless and the
     oracle states the plain distance join."""
-    pos = _geo_positions(spark, sf_dir)
-    probes = pos.where(F.col("event_id") % 200 == 0).select("event_id", "lat", "lon")
-    corpus = pos.select("event_id", "lat", "lon")
+    from .operators.staging import stage
+
+    # STAGED (r12): the projected position table feeds BOTH join sides
+    # (probes are a 1/200 filter of it) — un-staged, Catalyst re-derived
+    # the events scan + lat/lon projection once per side (4 scans in the
+    # before plan). One fact pass; the staged frame carries only
+    # (event_id, lat, lon).
+    pos = (
+        _geo_positions(spark, sf_dir)
+        .select("event_id", "lat", "lon")
+        .transform(stage)
+    )
+    probes = pos.where(F.col("event_id") % 200 == 0)
+    corpus = pos
     joined = proximity_join(
         probes, corpus, radius_km=1.0, cell_deg=0.02,
         left_prefix="p_", right_prefix="e_",
@@ -1077,7 +1093,8 @@ def q_sales_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # collapse the joined facts to per-(region, nation) partials first, so
     # the rollup's 3x Expand multiplies 25 nation rows, not every order.
     base = j.groupBy("r_name", "n_name").agg(
-        F.sum(dec("o_totalprice")).alias("_rev"),
+        # exact 2-dp grid sum (r12) — bit-identical to the decimal cast
+        grid_sum_dec(F.col("o_totalprice"), 2).alias("_rev"),
         F.count(F.lit(1)).alias("_n"),
     )
     return base.rollup("r_name", "n_name").agg(
@@ -1173,9 +1190,12 @@ def q_sales_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     # is the difference between expanding the fact table and expanding a
     # kilobyte of partials; same trick generalizes to any rollup/cube over
     # algebraic aggregates.
+    # exact grid sums (r12, functions.gridsum): quantity is integral and
+    # extendedprice a 2-dp grid column, so the int64 split-sum equals
+    # the old decimal cast-sum bit-for-bit without the per-row cast
     base = li.groupBy("l_returnflag", "l_linestatus").agg(
-        F.sum(dec("l_quantity")).alias("_q"),
-        F.sum(dec("l_extendedprice")).alias("_p"),
+        grid_sum_dec(F.col("l_quantity"), 0).alias("_q"),
+        grid_sum_dec(F.col("l_extendedprice"), 2).alias("_p"),
         F.count(F.lit(1)).alias("_n"),
     )
     return (
@@ -1354,10 +1374,13 @@ def q_event_anomaly_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     the stats ride a broadcast back onto the stream for a map-only
     z-score."""
     ev = load_table(spark, sf_dir, "events")
+    # value is a 2-dp grid column, so value**2 sits on the 4-dp grid:
+    # exact int64 grid sums (r12, functions.gridsum), bit-identical to
+    # the old decimal casts
     stats = ev.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("_n"),
-        F.sum(dec("value")).cast("double").alias("_s"),
-        F.sum(dec(F.col("value") * F.col("value"))).cast("double").alias("_s2"),
+        grid_sum(F.col("value"), 2).alias("_s"),
+        grid_sum(F.col("value") * F.col("value"), 4).alias("_s2"),
     )
     # greatest(0, ·): with an all-equal group the double-arithmetic
     # variance can land at -1e-18 — DuckDB's sqrt RAISES on negatives
@@ -1420,8 +1443,9 @@ def q_doc_lang_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_tokens").alias("total_tokens"),
+            # integer token counts: exact grid sum at dp 0 (r12)
             (
-                F.sum(F.col("n_tokens").cast(DEC)).cast("double")
+                grid_sum(F.col("n_tokens").cast("double"), 0)
                 / F.count("n_tokens")
             ).alias("avg_tokens"),
         )
@@ -3300,9 +3324,10 @@ def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = load_table(spark, sf_dir, "supplier")
     nat = load_table(spark, sf_dir, "nation")
     reg = load_table(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
-    revenue = (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).cast(
-        DEC
-    )
+    # revenue = price(2 dp) x (1 - discount)(2 dp) sits on the 4-dp
+    # grid: exact int64 grid sum (r12, functions.gridsum), bit-identical
+    # to the old decimal cast-sum
+    revenue = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
     j = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
@@ -3314,7 +3339,7 @@ def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
         .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
     )
-    return j.groupBy("n_name").agg(F.sum(revenue).cast("double").alias("revenue"))
+    return j.groupBy("n_name").agg(grid_sum(revenue, 4).alias("revenue"))
 
 
 SQL_LOCAL_SUPPLIER_VOLUME = f"""
@@ -4094,9 +4119,10 @@ def q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_discount") <= 0.04)
         & (F.col("l_quantity") < 24.0)
     )
+    # price(2 dp) x discount(2 dp) is a 4-dp grid value: exact int64
+    # grid sum (r12, functions.gridsum)
     return li.agg(
-        F.sum((F.col("l_extendedprice") * F.col("l_discount")).cast(DEC))
-        .cast("double")
+        grid_sum(F.col("l_extendedprice") * F.col("l_discount"), 4)
         .alias("revenue"),
         F.count(F.lit(1)).alias("n_items"),
     )
@@ -4206,8 +4232,9 @@ def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = (
         li.join(part, li.l_partkey == part.p_partkey)
         .agg(
-            F.sum(promo.cast(DEC)).cast("double").alias("_promo"),
-            F.sum(disc.cast(DEC)).cast("double").alias("_total"),
+            # 4-dp-grid sums (r12, functions.gridsum), incl. the CASE's 0.0
+            grid_sum(promo, 4).alias("_promo"),
+            grid_sum(disc, 4).alias("_total"),
             F.count(F.lit(1)).alias("n_items"),
         )
     )
@@ -4296,7 +4323,7 @@ def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     w = Window.partitionBy("l_partkey")
     avg_qty = (
-        F.sum(dec("l_quantity")).over(w).cast("double")
+        grid_sum_over(F.col("l_quantity"), 0, w).cast("double")
         / F.count(F.lit(1)).over(w)
     )
     j = li.withColumn("_avg_qty", avg_qty).where(
@@ -4304,7 +4331,7 @@ def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return j.agg(
         F.round(
-            F.sum(dec("l_extendedprice")).cast("double") / F.lit(7.0), 6
+            grid_sum(F.col("l_extendedprice"), 2) / F.lit(7.0), 6
         ).alias("avg_yearly"),
         F.count(F.lit(1)).alias("n_small"),
     )
@@ -4332,7 +4359,7 @@ def q_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     big = (
         li.groupBy("l_orderkey")
-        .agg(F.sum(dec("l_quantity")).cast("double").alias("sum_qty"))
+        .agg(grid_sum(F.col("l_quantity"), 0).alias("sum_qty"))
         .where(F.col("sum_qty") > 300.0)
     )
     orders = load_table(spark, sf_dir, "orders")
@@ -4434,9 +4461,9 @@ def q_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp")
     )
     avg_bal = cust.where(F.col("c_acctbal") > 0.0).agg(
-        (
-            F.sum(dec("c_acctbal")).cast("double") / F.count(F.lit(1))
-        ).alias("_avg")
+        # 2-dp-grid balance (can be negative; the grid split floors
+        # correctly) -> exact int64 grid sum (r12, functions.gridsum)
+        (grid_sum(F.col("c_acctbal"), 2) / F.count(F.lit(1))).alias("_avg")
     )
     rich = cust.crossJoin(F.broadcast(avg_bal)).where(
         F.col("c_acctbal") > F.col("_avg")
@@ -4446,7 +4473,7 @@ def q_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return idle.groupBy("c_mktsegment").agg(
         F.count(F.lit(1)).alias("n_custs"),
-        F.sum(dec("c_acctbal")).cast("double").alias("total_acctbal"),
+        grid_sum(F.col("c_acctbal"), 2).alias("total_acctbal"),
     )
 
 
@@ -5450,8 +5477,10 @@ def q_doc_domain_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = scored.groupBy("domain").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("_n_tok").alias("total_tokens"),
+        # _q is a round6 output, i.e. a 6-dp grid value in [0,1]:
+        # exact int64 grid sum (r12, functions.gridsum)
         F.round(
-            F.sum(F.col("_q").cast(DEC)).cast("double") / F.count(F.lit(1)), 6
+            grid_sum(F.col("_q"), 6) / F.count(F.lit(1)), 6
         ).alias("avg_quality"),
     )
     return agg.select(
@@ -5773,9 +5802,8 @@ def q_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_nationkey").alias("_cn_key"), F.col("n_name").alias("cust_nation")
     )
     a, b = F.lit(TRADE_NATION_A), F.lit(TRADE_NATION_B)
-    revenue = (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).cast(
-        DEC
-    )
+    # 4-dp-grid revenue -> exact int64 grid sum (r12, functions.gridsum)
+    revenue = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
     j = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
@@ -5793,7 +5821,7 @@ def q_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cust_nation",
             F.year("l_shipdate").cast("long").alias("l_year"),
         )
-        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .agg(grid_sum(revenue, 4).alias("revenue"))
     )
 
 
@@ -5838,7 +5866,9 @@ def q_nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     ns = nat.select(
         F.col("n_nationkey").alias("_sn_key"), F.col("n_name").alias("supp_nation")
     )
-    vol = (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).cast(DEC)
+    # 4-dp-grid volume (and its CASE-gated share twin, 0.0 included on
+    # the grid) -> exact int64 grid sums (r12, functions.gridsum)
+    vol = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
     j = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
@@ -5848,11 +5878,11 @@ def q_nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(ns), supp.s_nationkey == F.col("_sn_key"))
     )
     share_vol = F.when(F.col("supp_nation") == SHARE_NATION, vol).otherwise(
-        F.lit(0.0).cast(DEC)
+        F.lit(0.0)
     )
     agg = j.groupBy(F.year("o_orderdate").cast("long").alias("o_year")).agg(
-        F.sum(vol).cast("double").alias("total_revenue"),
-        F.sum(share_vol).cast("double").alias("nation_revenue"),
+        grid_sum(vol, 4).alias("total_revenue"),
+        grid_sum(share_vol, 4).alias("nation_revenue"),
     )
     return agg.select(
         "o_year",
@@ -5901,7 +5931,8 @@ def q_product_line_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part").where(
         F.col("p_name").contains("widget")
     )
-    vol = (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).cast(DEC)
+    # 4-dp-grid volume -> exact int64 grid sum (r12, functions.gridsum)
+    vol = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
     j = (
         li.join(part, li.l_partkey == part.p_partkey)
         .join(supp, li.l_suppkey == supp.s_suppkey)
@@ -5913,7 +5944,7 @@ def q_product_line_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_name").alias("nation"),
             F.year("o_orderdate").cast("long").alias("o_year"),
         )
-        .agg(F.sum(vol).cast("double").alias("sum_profit"))
+        .agg(grid_sum(vol, 4).alias("sum_profit"))
     )
 
 
@@ -7497,14 +7528,15 @@ def q_part_type_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     part = load_table(spark, sf_dir, "part")
-    rev = (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).cast(DEC)
+    # 4-dp-grid revenue -> exact int64 grid sum (r12, functions.gridsum)
+    rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
     yearly = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(part.select("p_partkey", "p_type")), li.l_partkey == part.p_partkey)
         .groupBy(
             "p_type", F.year("o_orderdate").cast("long").alias("o_year")
         )
-        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .agg(grid_sum(rev, 4).alias("revenue"))
     )
     w = Window.partitionBy("p_type").orderBy("o_year")
     prev = F.lag("revenue").over(w)
@@ -9095,7 +9127,9 @@ def q_important_part_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     vals = (
         li.join(rs, li.l_suppkey == rs.s_suppkey)
         .groupBy("l_partkey")
-        .agg(F.sum(dec("l_extendedprice")).alias("_val"))
+        # exact 2-dp grid sum kept as decimal for the downstream exact
+        # re-aggregation into _total (r12, functions.gridsum)
+        .agg(grid_sum_dec(F.col("l_extendedprice"), 2).alias("_val"))
         .transform(stage)
     )
     total = vals.agg(
@@ -9264,7 +9298,9 @@ def q_dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     sq = (
         li.join(F.broadcast(partf), li.l_partkey == partf.p_partkey)
         .groupBy("l_partkey", "l_suppkey")
-        .agg(F.sum(dec("l_quantity")).alias("_q"))
+        # quantity is integral: exact grid sum as decimal so the window
+        # re-aggregation into _qt stays exact (r12, functions.gridsum)
+        .agg(grid_sum_dec(F.col("l_quantity"), 0).alias("_q"))
     )
     w = Window.partitionBy("l_partkey")
     dom = (
@@ -10451,7 +10487,9 @@ def q_order_priority_marginals(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial rows, never fact rows."""
     o = load_table(spark, sf_dir, "orders")
     base = o.groupBy("o_orderpriority", "o_orderstatus").agg(
-        F.sum(dec("o_totalprice")).alias("_p"),
+        # exact 2-dp grid sum kept as decimal for the grouping-sets
+        # re-aggregation (r12, functions.gridsum)
+        grid_sum_dec(F.col("o_totalprice"), 2).alias("_p"),
         F.count(F.lit(1)).alias("_n"),
     )
     return (
@@ -11066,17 +11104,19 @@ def q_event_welch_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     mid = ev.agg(F.expr("(min(ts_us) + max(ts_us)) div 2").alias("_mid"))
     a = F.col("ts_us") <= F.col("_mid")
     v = F.col("value")
-    dsum = lambda c: F.sum(c.cast(DEC)).cast("double")  # noqa: E731
+    # value is a 2-dp grid column (squares on the 4-dp grid); the CASE
+    # branches pass NULL through the grid split exactly like the old
+    # decimal cast did (r12, functions.gridsum)
     m = (
         ev.crossJoin(F.broadcast(mid))
         .groupBy("event_type")
         .agg(
             F.count(F.when(a, 1)).alias("_n1"),
             F.count(F.when(~a, 1)).alias("_n2"),
-            dsum(F.when(a, v)).alias("_s1"),
-            dsum(F.when(~a, v)).alias("_s2"),
-            dsum(F.when(a, v * v)).alias("_q1"),
-            dsum(F.when(~a, v * v)).alias("_q2"),
+            grid_sum(F.when(a, v), 2).alias("_s1"),
+            grid_sum(F.when(~a, v), 2).alias("_s2"),
+            grid_sum(F.when(a, v * v), 4).alias("_q1"),
+            grid_sum(F.when(~a, v * v), 4).alias("_q2"),
         )
         .where((F.col("_n1") > 0) & (F.col("_n2") > 0))
     )
@@ -11477,8 +11517,12 @@ def q_event_winsor_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n_values").cast("long").alias("n_values"),
             F.max("p05").alias("p05"),
             F.max("p95").alias("p95"),
-            stable_avg("value").alias("mean_raw"),
-            F.sum(w.cast(DEC)).cast("double").alias("_ws"),
+            # value (and its clamp to the 2-dp order-statistic bounds)
+            # stays on the 2-dp grid: exact int64 grid sums (r12)
+            (grid_sum(F.col("value"), 2) / F.count("value")).alias(
+                "mean_raw"
+            ),
+            grid_sum(w, 2).alias("_ws"),
             F.count_if(F.col("value") < F.col("p05"))
             .cast("long")
             .alias("n_clipped_low"),
@@ -11620,15 +11664,23 @@ def q_brand_price_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
     k×dim-metadata convention (9 moments per group, never a matrix
     library on the hot path).
 
-    Determinism: every moment (Σx, Σx², Σxy …) is a decimal(28,10) sum
-    of IEEE products — layout-free and engine-identical; the Cramer
-    determinants are then plain double arithmetic with IDENTICAL
-    parenthesization in both engines. Near-singular groups (|det| <
-    OLS_DET_EPS) yield NULL coefficients on both sides.
+    Determinism: every moment (Σx, Σx², Σxy …) is an EXACT grid sum
+    (functions.gridsum, r12): quantity is integer-valued, discount and
+    price sit on the 2-dp grid, so each product is a 0/2/4-dp grid
+    value and the int64 split-sum is value-identical to the old
+    decimal(28,10) cast-sum (the oracle keeps the decimal formula and
+    re-proves the equality per SF) at a ninth of the per-row cost —
+    the decimal casts WERE this query (isolated A/B: 4.1 s decimal vs
+    0.68 s grid for the 9-sum aggregate). Layout-free (integer adds);
+    the Cramer determinants are then plain double arithmetic with
+    IDENTICAL parenthesization in both engines. Near-singular groups
+    (|det| < OLS_DET_EPS) yield NULL coefficients on both sides.
 
     Scale: fact scan → broadcast dim join (brand) → one hash aggregate
     to groups×9 moments → map-only closed form. No windows, no
-    iteration, no driver solve."""
+    iteration, no driver solve. Overflow audit for the split sums is
+    in functions/gridsum.py (worst expression x1·y at 4 dp clears
+    7e13 rows)."""
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_partkey",
         F.col("l_quantity").alias("x1"),
@@ -11638,20 +11690,21 @@ def q_brand_price_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part").select(
         F.col("p_partkey").alias("l_partkey"), F.col("p_brand").alias("brand")
     )
-    dsum = lambda c: F.sum(c.cast(DEC)).cast("double")  # noqa: E731
+    # grid dp per moment: x1 (quantity) integral, x2 (discount) and y
+    # (price) 2 dp → products at the summed dp
     m = (
         li.join(F.broadcast(part), "l_partkey")
         .groupBy("brand")
         .agg(
             F.count(F.lit(1)).cast("double").alias("n"),
-            dsum(F.col("x1")).alias("s1"),
-            dsum(F.col("x2")).alias("s2"),
-            dsum(F.col("x1") * F.col("x1")).alias("s11"),
-            dsum(F.col("x2") * F.col("x2")).alias("s22"),
-            dsum(F.col("x1") * F.col("x2")).alias("s12"),
-            dsum(F.col("y")).alias("sy"),
-            dsum(F.col("x1") * F.col("y")).alias("s1y"),
-            dsum(F.col("x2") * F.col("y")).alias("s2y"),
+            grid_sum(F.col("x1"), 0).alias("s1"),
+            grid_sum(F.col("x2"), 2).alias("s2"),
+            grid_sum(F.col("x1") * F.col("x1"), 0).alias("s11"),
+            grid_sum(F.col("x2") * F.col("x2"), 4).alias("s22"),
+            grid_sum(F.col("x1") * F.col("x2"), 2).alias("s12"),
+            grid_sum(F.col("y"), 2).alias("sy"),
+            grid_sum(F.col("x1") * F.col("y"), 2).alias("s1y"),
+            grid_sum(F.col("x2") * F.col("y"), 4).alias("s2y"),
         )
     )
     n, s1, s2 = F.col("n"), F.col("s1"), F.col("s2")
@@ -12367,8 +12420,11 @@ def q_event_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
     replicate with pure int64 arithmetic both engines evaluate
     identically (see :func:`mix32_uniform`; the r12 rewrite of the
     per-(row, replicate) md5, which was the replicate pass's dominant
-    cost) — against hard-coded CDF constants; replicate sums are
-    decimal-cast; the percentile picks exact order statistics (integer
+    cost) — against hard-coded CDF constants; replicate sums are exact
+    int64 grid sums (functions.gridsum, r12 — w·value is a 2-dp grid
+    value, so the split-sum equals the old decimal-cast sum bit-for-bit
+    without the per-(row, replicate) decimal cast that dominated after
+    the md5 fix); the percentile picks exact order statistics (integer
     ceil ranks) with the replicate id as the tie breaker.
 
     Scale: the ×BOOT_REPS expansion is map-side (explode straight into
@@ -12383,7 +12439,9 @@ def q_event_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     point = ev.groupBy("event_type").agg(
         F.count("value").alias("n"),
-        stable_avg("value").alias("_mean"),
+        # exact grid sum / count == stable_avg bit-for-bit (value is a
+        # 2-dp grid column; r12, see functions.gridsum)
+        (grid_sum(F.col("value"), 2) / F.count("value")).alias("_mean"),
     )
     # ONE md5 per fact row, projected BELOW the explode so the
     # Generate replicates the finished 32-bit value instead of
@@ -12421,7 +12479,11 @@ def q_event_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "b")
         .agg(
             F.sum("_w").alias("_sw"),
-            F.sum((F.col("_w") * F.col("value")).cast(DEC)).alias("_swv"),
+            # _w is a small int and value a 2-dp grid column, so _w·value
+            # is a 2-dp grid value: the int64 grid sum replaces the
+            # decimal cast that dominated the ×BOOT_REPS replicate pass
+            # (r12; bit-identical, re-proven by the unchanged oracle)
+            grid_sum_dec(F.col("_w") * F.col("value"), 2).alias("_swv"),
         )
         .where(F.col("_sw") > 0)
         .select(
@@ -12698,13 +12760,21 @@ def q_event_trend_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairwise self-join runs on that BOUNDED slab (≤ span-in-hours rows
     per type — 720 here — so ≤ h(h−1)/2 pairs per type, INDEPENDENT of
     corpus row count: 100× the events is the same 259k pairs)."""
+    from .operators.staging import stage
+
     ev = load_table(spark, sf_dir, "events")
+    # STAGED (r12): the bounded (type, hour) grid feeds BOTH sides of
+    # the pairwise self-join AND the ties aggregate — un-staged,
+    # Catalyst re-derived the fact scan + hash aggregate three times
+    # (the before plan shows three parquet scans of events). One fact
+    # pass, then every consumer reads the ≤ types×span slab.
     cells = (
         ev.select(
             "event_type", F.expr("ts_us div 3600000000").alias("_h")
         )
         .groupBy("event_type", "_h")
         .agg(F.count(F.lit(1)).alias("_c"))
+        .transform(stage)
     )
     a, b = cells.alias("a"), cells.alias("b")
     pairs = a.join(
