@@ -26,6 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.gridsum import grid_sum
 from ..functions.rounding import round6
 from .staging import stage
 
@@ -51,8 +52,14 @@ def pagerank(
     sym = stage(
         e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
     )
-    deg = sym.groupBy("a").agg(F.count(F.lit(1)).alias("deg")).withColumnRenamed(
-        "a", "node"
+    # deg is ALSO staged (r12): it appears in every sweep's join and in
+    # the final projection, and un-staged Catalyst re-ran the degree
+    # aggregate over sym once per appearance (4x for 3 sweeps); the
+    # node-sized checkpoint also makes the count() below a block read.
+    deg = stage(
+        sym.groupBy("a")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .withColumnRenamed("a", "node")
     )
     n = deg.count()  # driver scalar — node count is metadata
     if n == 0:
@@ -66,8 +73,13 @@ def pagerank(
             F.col("b").alias("node"),
             round6(F.col("rank") / F.col("deg")).alias("_c"),
         )
+        # _c is a round6 output, i.e. a 6-dp grid value in [0, 1]: the
+        # int64 grid split-sum equals the old decimal(18,6) cast-sum
+        # bit-for-bit without the per-edge BigDecimal cast (r12; see
+        # functions/gridsum.py — the SQL twin keeps the decimal formula
+        # and the oracle re-proves the equality per sweep)
         inflow = contrib.groupBy("node").agg(
-            F.sum(F.col("_c").cast("decimal(18,6)")).cast("double").alias("_s")
+            grid_sum(F.col("_c"), 6).alias("_s")
         )
         r = (
             deg.join(inflow, "node", "left")

@@ -8105,15 +8105,21 @@ def q_order_price_rank_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("o_totalprice") * 100).cast("long").alias("_cents"),
     )
     cells = build_rank_sketch(orders, "o_orderpriority", "_cents")
-    totals = {
-        r["g"]: r["n"]
-        for r in orders.groupBy(F.col("o_orderpriority").alias("g"))
-        .agg(F.count(F.lit(1)).alias("n"))
-        .collect()
-    }
+    cell_rows = cells.collect()
+    # r12: per-group totals fall out of the sketch itself — every
+    # (non-null-value) row lands in exactly one bucket of each
+    # (lvl, j) pair, so summing the full width at (lvl=0, j=0) IS the
+    # group count. The separate count aggregate was a second full
+    # orders scan for a number the collected counter table already
+    # holds. (o_totalprice is never NULL in this schema; a NULL value
+    # would drop from the sketch and the totals together.)
+    totals: dict = {}
+    for r in cell_rows:
+        if r["lvl"] == 0 and r["j"] == 0:
+            totals[r["g"]] = totals.get(r["g"], 0) + r["c"]
     return sketch_quantiles(
         spark,
-        cells.collect(),
+        cell_rows,
         totals,
         [("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100)],
         group_alias="o_orderpriority",
@@ -10630,11 +10636,17 @@ def q_doc_unigram_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: training touches the corpus once (distinct-word collapse);
     EM cost rides the word vocabulary; the vocab broadcast is ≤
     UNIGRAM_VOCAB rows of driver metadata; encode is map-only."""
+    from .operators.staging import stage
     from .operators.unigram import em_train, viterbi_encode, word_counts
 
     docs = load_table(spark, sf_dir, "documents")
+    # STAGED (r12): the distinct-word table feeds the seed-piece pass
+    # AND every EM iteration's mapInPandas — un-staged, each of those
+    # re-ran the corpus explode + word aggregate through its lineage
+    # (3 corpus passes for iters=2). One pass; EM re-reads the bounded
+    # (word, n) checkpoint.
     vocab = em_train(
-        word_counts(docs),
+        word_counts(docs).transform(stage),
         max_piece_len=6,
         max_pieces=UNIGRAM_SEED_PIECES,
         vocab_size=UNIGRAM_VOCAB,
