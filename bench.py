@@ -38,7 +38,11 @@ def infer_sf(path: str) -> float:
 
 
 def map_refresh_verdict(
-    map_path: str, loadavg: list[float] | None, max_load: float
+    map_path: str,
+    loadavg: list[float] | None,
+    max_load: float,
+    saturated_rate: float | None = None,
+    min_rate_frac: float = 0.5,
 ) -> tuple[bool, str | None]:
     """Loadavg gate for the committed per-query map (r08 VERDICT #3):
     an idle-host map must never be overwritten by a refresh taken on a
@@ -57,22 +61,51 @@ def map_refresh_verdict(
     or when there is no usable prior map / the prior map was itself
     captured under load (a loaded refresh of a loaded map loses
     nothing). Refuse only when a loaded run would clobber a
-    strictly-better (idle-host) map."""
+    strictly-better (idle-host) map.
+
+    Throughput canary (r12): loadavg cannot see a host that is merely
+    SLOW (cpu-quota throttling, noisy neighbors stealing cycles without
+    runnable-queue pressure). The bench already measures a pure-engine
+    throughput number before the query loop — the saturated ingest
+    replay rate — so a refresh whose ``saturated_rate`` falls below
+    ``min_rate_frac`` of the prior idle map's is refused even at
+    loadavg 0: observed live this round, a loadavg-0.14 host ran the
+    saturated replay at 0.9 M pos/s vs the committed map's 5.6 M/s
+    (6.3x slower) and every untouched query 2-3x slower with it — an
+    environment artifact that would have been committed as a universal
+    regression."""
 
     def _busy(la: list[float] | None) -> bool:
         # gate on the worse of (1-min, 5-min); 15-min is history, not
         # contention, and would lock the gate for most of an hour
         return la is not None and max(la[0], la[1]) > max_load
 
-    if max_load <= 0 or loadavg is None or not _busy(loadavg):
-        return True, None
     try:
         with open(map_path) as fh:
             prior = json.load(fh)
         prior_load = prior.get("host_loadavg_prerun_1_5_15")
     except (OSError, ValueError):
         return True, None
-    if prior_load is None or len(prior_load) < 2 or _busy(prior_load):
+    prior_idle = prior_load is not None and len(prior_load) >= 2 and not _busy(
+        prior_load
+    )
+    prior_rate = prior.get("ingest_saturated_positions_per_sec")
+    if (
+        prior_idle
+        and saturated_rate is not None
+        and isinstance(prior_rate, (int, float))
+        and prior_rate > 0
+        and saturated_rate < min_rate_frac * prior_rate
+    ):
+        return False, (
+            f"saturated ingest rate {saturated_rate:.0f}/s is under "
+            f"{min_rate_frac:.0%} of the prior idle-host map's "
+            f"{prior_rate:.0f}/s — host throughput degraded (loadavg "
+            f"cannot see cpu-quota/neighbor slowness); kept the prior map"
+        )
+    if max_load <= 0 or loadavg is None or not _busy(loadavg):
+        return True, None
+    if not prior_idle:
         return True, None
     return False, (
         f"prerun loadavg 1/5-min {loadavg[0]}/{loadavg[1]} > {max_load}: "
@@ -265,7 +298,12 @@ def main() -> None:
         os.path.dirname(os.path.abspath(__file__)), "bench_queries.json"
     )
     max_load = float(os.environ.get("SPARK_GRAFT_BENCH_MAX_LOAD", "2.0"))
-    write_map, skip_reason = map_refresh_verdict(map_path, loadavg_start, max_load)
+    write_map, skip_reason = map_refresh_verdict(
+        map_path,
+        loadavg_start,
+        max_load,
+        saturated_rate=ingest_stats.get("ingest_saturated_positions_per_sec"),
+    )
     # Measured-noise-band mover check (r10 VERDICT #2): the prior map
     # may carry a `noise_band` derived by tools/noise_band.py from two
     # back-to-back idle runs on identical code. Flag only queries whose

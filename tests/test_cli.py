@@ -249,3 +249,59 @@ def test_bench_mover_flagging_logic():
     assert not is_mover("steady")     # 0.3 s but only 15% rel
     assert is_mover("mover")          # 0.5 s and 50% rel
     assert not is_mover("tiny_move")  # under the floor
+
+
+def test_bench_map_throughput_canary(tmp_path):
+    """r12: loadavg cannot see a merely-SLOW host (cpu-quota /
+    noisy-neighbor throttling without runnable-queue pressure) — the
+    saturated-ingest-rate canary must refuse such a refresh over an
+    idle-host map, and only then."""
+    import json as _json
+
+    from bench import map_refresh_verdict
+
+    mp = str(tmp_path / "bench_queries.json")
+    (tmp_path / "bench_queries.json").write_text(
+        _json.dumps(
+            {
+                "host_loadavg_prerun_1_5_15": [0.4, 1.0, 1.0],
+                "ingest_saturated_positions_per_sec": 5630394.7,
+            }
+        )
+    )
+    # idle loadavg but 6x-degraded throughput (the live r12 incident
+    # shape) -> REFUSE, reason names both rates
+    ok, reason = map_refresh_verdict(mp, [0.14, 1.09, 2.66], 2.0, 896880.3)
+    assert not ok and "896880" in reason and "5630395" in reason
+    # healthy throughput on an idle host -> write
+    assert map_refresh_verdict(mp, [0.14, 1.09, 2.66], 2.0, 5100000.0) == (
+        True,
+        None,
+    )
+    # no rate measured this run -> loadavg rules alone decide
+    assert map_refresh_verdict(mp, [0.14, 1.09, 2.66], 2.0, None) == (
+        True,
+        None,
+    )
+    # prior map itself taken on a loaded host -> its rate is not a
+    # trustworthy baseline; degraded refresh still writes
+    (tmp_path / "bench_queries.json").write_text(
+        _json.dumps(
+            {
+                "host_loadavg_prerun_1_5_15": [9.0, 9.0, 9.0],
+                "ingest_saturated_positions_per_sec": 5630394.7,
+            }
+        )
+    )
+    assert map_refresh_verdict(mp, [0.14, 1.09, 2.66], 2.0, 896880.3) == (
+        True,
+        None,
+    )
+    # prior map predates the rate stat -> no canary, loadavg decides
+    (tmp_path / "bench_queries.json").write_text(
+        _json.dumps({"host_loadavg_prerun_1_5_15": [0.4, 1.0, 1.0]})
+    )
+    assert map_refresh_verdict(mp, [0.14, 1.09, 2.66], 2.0, 896880.3) == (
+        True,
+        None,
+    )
