@@ -73,7 +73,17 @@ def map_refresh_verdict(
     saturated replay at 0.9 M pos/s vs the committed map's 5.6 M/s
     (6.3x slower) and every untouched query 2-3x slower with it — an
     environment artifact that would have been committed as a universal
-    regression."""
+    regression.
+
+    Escape hatches (r12 ADVICE): ``max_load <= 0`` disables BOTH gates
+    (it predates the canary and documented "gate disabled" — a refresh
+    must then always write), and ``min_rate_frac <= 0`` disables just
+    the throughput canary (the ``SPARK_GRAFT_BENCH_MIN_RATE_FRAC`` env
+    knob), so a legitimately slower replacement host can refresh the
+    map without hand-editing the committed rate field."""
+
+    if max_load <= 0:
+        return True, None
 
     def _busy(la: list[float] | None) -> bool:
         # gate on the worse of (1-min, 5-min); 15-min is history, not
@@ -91,7 +101,8 @@ def map_refresh_verdict(
     )
     prior_rate = prior.get("ingest_saturated_positions_per_sec")
     if (
-        prior_idle
+        min_rate_frac > 0
+        and prior_idle
         and saturated_rate is not None
         and isinstance(prior_rate, (int, float))
         and prior_rate > 0
@@ -103,7 +114,7 @@ def map_refresh_verdict(
             f"{prior_rate:.0f}/s — host throughput degraded (loadavg "
             f"cannot see cpu-quota/neighbor slowness); kept the prior map"
         )
-    if max_load <= 0 or loadavg is None or not _busy(loadavg):
+    if loadavg is None or not _busy(loadavg):
         return True, None
     if not prior_idle:
         return True, None
@@ -298,11 +309,15 @@ def main() -> None:
         os.path.dirname(os.path.abspath(__file__)), "bench_queries.json"
     )
     max_load = float(os.environ.get("SPARK_GRAFT_BENCH_MAX_LOAD", "2.0"))
+    min_rate_frac = float(
+        os.environ.get("SPARK_GRAFT_BENCH_MIN_RATE_FRAC", "0.5")
+    )
     write_map, skip_reason = map_refresh_verdict(
         map_path,
         loadavg_start,
         max_load,
         saturated_rate=ingest_stats.get("ingest_saturated_positions_per_sec"),
+        min_rate_frac=min_rate_frac,
     )
     # Measured-noise-band mover check (r10 VERDICT #2): the prior map
     # may carry a `noise_band` derived by tools/noise_band.py from two

@@ -27,12 +27,22 @@ Why each step is exact / value-identical to the decimal-cast sum:
 
 * ``floor(x·10^dp + 0.5) = n`` exactly, because x is within a few ulps
   of the grid value n/10^dp (the stored double is the correctly-rounded
-  binary of the grid value; derived products add ≤ 3 more roundings),
+  binary of the grid value; derived products add a few more roundings),
   so x·10^dp lands within ~1e-4 of the integer n — never near the ±0.5
-  boundary. The decimal(28,10) cast recovers the same n/10^dp via the
-  shortest-repr parse (grid values have ≤ 15 significant digits and
-  round-trip). This is a PRECONDITION on the data, not a theorem about
-  arbitrary doubles: callers may only use grid_sum on columns that are
+  boundary. For STORED columns the decimal(28,10) cast recovers the
+  same n/10^dp via the shortest-repr parse (grid values have ≤ 15
+  significant digits and round-trip), so grid-int extraction and the
+  decimal cast agree per row. For multi-rounding DERIVED products
+  (e.g. the 3-factor 6-dp charge, |x| up to ~1.3e5) the accumulated
+  ~5 double roundings can deviate up to ~7e-11 from the grid value —
+  past the 5e-11 half-grid of the decimal(28,10) cast — so PER-ROW
+  equality with the decimal cast is not guaranteed there; what holds
+  (and what the queries need) is equality of the FINAL AGGREGATE
+  double within its ~2-ulp rounding slack, pinned empirically by the
+  oracle gate at every tested SF and by
+  tests/test_gridsum.py::test_grid_sum_max_magnitude_charge_products.
+  This is a PRECONDITION on the data, not a theorem about arbitrary
+  doubles: callers may only use grid_sum on columns that are
   decimal-grid by construction, and every converted query keeps its
   UNCHANGED decimal-formula DuckDB oracle, so any violation fails the
   hash gate instead of shipping a wrong number. Do NOT use it on
@@ -50,8 +60,9 @@ Why each step is exact / value-identical to the decimal-cast sum:
   yields scale ≥ 6 (adjustPrecisionScale keeps min scale 6), so for
   dp ≤ 6 the quotient is exact and the final decimal→double cast is
   the same correctly-rounded ``BigDecimal.doubleValue`` the old
-  decimal(28,10) sum used — bit-identical output at ANY scale, not
-  just when Σ fits 2^53.
+  decimal(28,10) sum used — equal output at ANY scale (bit-identical
+  for stored-grid columns; aggregate-level for multi-rounding derived
+  products per the first bullet), not just when Σ fits 2^53.
 * NULL rows null out n, q and r together, so both sums skip exactly
   the rows the decimal sum skipped; an all-null/empty group yields
   NULL through the recombine arithmetic, matching sum-over-empty.

@@ -8111,8 +8111,12 @@ def q_order_price_rank_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (lvl, j) pair, so summing the full width at (lvl=0, j=0) IS the
     # group count. The separate count aggregate was a second full
     # orders scan for a number the collected counter table already
-    # holds. (o_totalprice is never NULL in this schema; a NULL value
-    # would drop from the sketch and the totals together.)
+    # holds. (o_totalprice is never NULL in this schema. NB if it ever
+    # were: Spark's xxhash64 SKIPS null children — it returns the
+    # running seed rather than NULL — so a NULL _cents row would still
+    # emit (lvl, j) cells and be counted in these derived totals; to
+    # get drop-the-row semantics on a nullable column, filter NULLs
+    # before build_rank_sketch.)
     totals: dict = {}
     for r in cell_rows:
         if r["lvl"] == 0 and r["j"] == 0:
@@ -13325,78 +13329,21 @@ GROUP BY t.event_type
 # the very tail so no window slot is spent on a permanent no_oracle
 # row).
 QUERIES: dict[str, QueryFn] = {
-    # r12 window composition (driver verifies the FIRST 50 entries).
+    # r13 window composition (driver verifies the FIRST 50 entries).
     # Machine-checked by tests/test_oracle.py::test_rotation_ledger_
     # window_is_least_recent against the CORRECTNESS_r*.json ledger.
-    # Post-r11 ledger histogram: r8x48, r9x50, r10x50, r11x50 — so the
-    # window = the never-checked r12 addition + the whole r08 cohort
-    # + the stalest r09 slot (ties across the boundary allowed: the
-    # remaining r09 cohort is equally stale as the last slot).
-    # Composition:
-    # (a) emb_pca_invariants — NEW in r12 (never driver-checked; the
-    #     rotation invariant counts ledger-0 queries as the stalest):
-    #     the partial SQL oracle for the PCA eigensolve (r11 VERDICT
-    #     ask #4) — trace dual-computed, Σλ=trace / PSD / descending /
-    #     orthonormality as CHECK-style boolean columns;
-    "emb_pca_invariants": q_emb_pca_invariants,
-    # (b) the full 48-query r08-evidence cohort, prior order;
-    "emb_mrl_recall": q_emb_mrl_recall,
-    "doc_dsir_weights": q_doc_dsir_weights,
-    "emb_hard_negatives": q_emb_hard_negatives,
-    "emb_outliers": q_emb_outliers,
-    "ann_lsh": q_ann_lsh,
-    "promo_revenue": q_promo_revenue,
-    "returned_items": q_returned_items,
-    "shipping_priority": q_shipping_priority,
-    "small_quantity_revenue": q_small_quantity_revenue,
-    "top_revenue_supplier": q_top_revenue_supplier,
-    "doc_url_normalize": q_doc_url_normalize,
-    "doc_mixture_weights": q_doc_mixture_weights,
-    "doc_html_extract": q_doc_html_extract,
-    "doc_novelty": q_doc_novelty,
-    "doc_quality_classifier": q_doc_quality_classifier,
-    "emb_quantized": q_emb_quantized,
-    "emb_pq": q_emb_pq,
-    "doc_pack_windows": q_doc_pack_windows,
-    "doc_bigram_logprob": q_doc_bigram_logprob,
-    "doc_domain_quality": q_doc_domain_quality,
-    "doc_neardup_keep": q_doc_neardup_keep,
-    "emb_cluster_prune": q_emb_cluster_prune,
-    "doc_blocklist_filter": q_doc_blocklist_filter,
-    "doc_boilerplate_segments": q_doc_boilerplate_segments,
-    "nation_trade_volume": q_nation_trade_volume,
-    "nation_market_share": q_nation_market_share,
-    "product_line_profit": q_product_line_profit,
-    "customer_order_distribution": q_customer_order_distribution,
-    "emb_signbits": q_emb_signbits,
-    "ann_hamming": q_ann_hamming,
-    "ann_hamming_rerank": q_ann_hamming_rerank,
-    "events_changelog_state": q_events_changelog_state,
-    "doc_scd2_history": q_doc_scd2_history,
-    "neardup_triangles": q_neardup_triangles,
-    "doc_bm25_topk": q_doc_bm25_topk,
-    "event_markov_transitions": q_event_markov_transitions,
-    "doc_cross_lang_dups": q_doc_cross_lang_dups,
-    "part_type_yoy_growth": q_part_type_yoy_growth,
-    "pricing_summary": q_pricing_summary,
-    "top_parts": q_top_parts,
-    "lineitem_enriched": q_lineitem_enriched,
-    "latest_event_per_user": q_latest_event_per_user,
-    "event_value_rate": q_event_value_rate,
-    "event_type_rate_stats": q_event_type_rate_stats,
-    "hourly_event_stats": q_hourly_event_stats,
-    "user_sessions": q_user_sessions,
-    "user_session_windows": q_user_session_windows,
-    "event_retention": q_event_retention,
-    # (c) the stalest r09 slot (next in prior r09 order).
-    "event_hopping_stats": q_event_hopping_stats,
-    # ---- slots above are inside the driver's 50-query verification
-    # window; everything below holds an r09/r10/r11 driver-green row
-    # and rides the driver-faithful local replica until its next
-    # rotation. Non-window entries are kept stalest-first so the head
-    # of this section IS the staged r13 window (tools/rotation.py
-    # re-derives it from the ledger either way). ----
-    # r09 driver-green (head: the 49 remaining r09 slots)
+    # Post-r12 ledger histogram: r9x49, r10x50, r11x50, r12x50 — so
+    # the window = the whole remaining r09 cohort (49, stalest) + the
+    # stalest r10 slot. This also lands driver re-proof on 13 of the
+    # r12-touched paths (r12 VERDICT ask #1): doc_cdc_chunks, the
+    # graph family (bfs/kcore/communities), neardup_prefix_pairs,
+    # top_customers, important_part_value, dominant_part_suppliers,
+    # order_priority_marginals, min_cost_supplier, doc_containment_dups,
+    # doc_token_entropy and the rank sketch; the rest of the ask list
+    # carries r10/r11 evidence and cannot enter without violating the
+    # least-recent invariant (freshest_in <= stalest_out) while 49
+    # r9-stale queries wait — they head the staged r14 section below.
+    # (a) the full remaining 49-query r09-evidence cohort, prior order;
     "user_cumulative_uniques": q_user_cumulative_uniques,
     "part_name_fuzzy_matches": q_part_name_fuzzy_matches,
     "doc_token_heavy_hitters": q_doc_token_heavy_hitters,
@@ -13446,8 +13393,16 @@ QUERIES: dict[str, QueryFn] = {
     "event_type_ewma": q_event_type_ewma,
     "event_cms_heavy_hitters": q_event_cms_heavy_hitters,
     "cosine_topk": q_cosine_topk,
-    # r10 driver-green
+    # (b) the stalest r10 slot (first in prior r10 order; also the
+    #     r12 rank-sketch single-scan change, per VERDICT ask #1).
     "order_price_rank_sketch": q_order_price_rank_sketch,
+    # ---- slots above are inside the driver's 50-query verification
+    # window; everything below holds an r10/r11/r12 driver-green row
+    # and rides the driver-faithful local replica until its next
+    # rotation. Non-window entries are kept stalest-first so the head
+    # of this section IS the staged r14 window (tools/rotation.py
+    # re-derives it from the ledger either way). ----
+    # r10 driver-green
     "doc_kn_logprob": q_doc_kn_logprob,
     "event_ks_drift": q_event_ks_drift,
     "event_value_mad": q_event_value_mad,
@@ -13497,8 +13452,7 @@ QUERIES: dict[str, QueryFn] = {
     "doc_corpus_mix": q_doc_corpus_mix,
     "doc_curation_pipeline": q_doc_curation_pipeline,
     "doc_data_card": q_doc_data_card,
-    # r11 driver-green (the previous window, prior order — incl. the
-    # flagship, whose entry() smoke runs every round regardless)
+    # r11 driver-green (incl. the flagship, whose entry() smoke runs every round regardless)
     "approx_event_stats": q_approx_event_stats,
     "geo_trajectory": q_geo_trajectory,
     "doc_decontaminate": q_doc_decontaminate,
@@ -13549,6 +13503,57 @@ QUERIES: dict[str, QueryFn] = {
     "doc_quality_auc": q_doc_quality_auc,
     "event_markov_entropy": q_event_markov_entropy,
     "event_conformal_interval": q_event_conformal_interval,
+    # r12 driver-green
+    "emb_pca_invariants": q_emb_pca_invariants,
+    "emb_mrl_recall": q_emb_mrl_recall,
+    "doc_dsir_weights": q_doc_dsir_weights,
+    "emb_hard_negatives": q_emb_hard_negatives,
+    "emb_outliers": q_emb_outliers,
+    "ann_lsh": q_ann_lsh,
+    "promo_revenue": q_promo_revenue,
+    "returned_items": q_returned_items,
+    "shipping_priority": q_shipping_priority,
+    "small_quantity_revenue": q_small_quantity_revenue,
+    "top_revenue_supplier": q_top_revenue_supplier,
+    "doc_url_normalize": q_doc_url_normalize,
+    "doc_mixture_weights": q_doc_mixture_weights,
+    "doc_html_extract": q_doc_html_extract,
+    "doc_novelty": q_doc_novelty,
+    "doc_quality_classifier": q_doc_quality_classifier,
+    "emb_quantized": q_emb_quantized,
+    "emb_pq": q_emb_pq,
+    "doc_pack_windows": q_doc_pack_windows,
+    "doc_bigram_logprob": q_doc_bigram_logprob,
+    "doc_domain_quality": q_doc_domain_quality,
+    "doc_neardup_keep": q_doc_neardup_keep,
+    "emb_cluster_prune": q_emb_cluster_prune,
+    "doc_blocklist_filter": q_doc_blocklist_filter,
+    "doc_boilerplate_segments": q_doc_boilerplate_segments,
+    "nation_trade_volume": q_nation_trade_volume,
+    "nation_market_share": q_nation_market_share,
+    "product_line_profit": q_product_line_profit,
+    "customer_order_distribution": q_customer_order_distribution,
+    "emb_signbits": q_emb_signbits,
+    "ann_hamming": q_ann_hamming,
+    "ann_hamming_rerank": q_ann_hamming_rerank,
+    "events_changelog_state": q_events_changelog_state,
+    "doc_scd2_history": q_doc_scd2_history,
+    "neardup_triangles": q_neardup_triangles,
+    "doc_bm25_topk": q_doc_bm25_topk,
+    "event_markov_transitions": q_event_markov_transitions,
+    "doc_cross_lang_dups": q_doc_cross_lang_dups,
+    "part_type_yoy_growth": q_part_type_yoy_growth,
+    "pricing_summary": q_pricing_summary,
+    "top_parts": q_top_parts,
+    "lineitem_enriched": q_lineitem_enriched,
+    "latest_event_per_user": q_latest_event_per_user,
+    "event_value_rate": q_event_value_rate,
+    "event_type_rate_stats": q_event_type_rate_stats,
+    "hourly_event_stats": q_hourly_event_stats,
+    "user_sessions": q_user_sessions,
+    "user_session_windows": q_user_session_windows,
+    "event_retention": q_event_retention,
+    "event_hopping_stats": q_event_hopping_stats,
     # ---- no-oracle approximates: permanently at the tail so they
     # never occupy a driver verification slot (accuracy pinned by
     # recall/error tests, not a SQL twin). r12 note: emb_pca now has a

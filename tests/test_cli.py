@@ -305,3 +305,38 @@ def test_bench_map_throughput_canary(tmp_path):
         True,
         None,
     )
+
+
+def test_bench_map_gate_escape_hatches(tmp_path):
+    """r12 ADVICE: max_load <= 0 must disable BOTH gates (it documented
+    "gate disabled" before the canary existed), and min_rate_frac <= 0
+    (the SPARK_GRAFT_BENCH_MIN_RATE_FRAC env knob) must disable just
+    the throughput canary — a legitimately slower replacement host must
+    be able to refresh the map without hand-editing the committed rate."""
+    import json as _json
+
+    from bench import map_refresh_verdict
+
+    mp = str(tmp_path / "bench_queries.json")
+    (tmp_path / "bench_queries.json").write_text(
+        _json.dumps(
+            {
+                "host_loadavg_prerun_1_5_15": [0.4, 1.0, 1.0],
+                "ingest_saturated_positions_per_sec": 5630394.7,
+            }
+        )
+    )
+    # degraded throughput AND loaded host, but gate disabled -> write
+    assert map_refresh_verdict(mp, [9.9, 9.9, 9.9], 0.0, 896880.3) == (
+        True,
+        None,
+    )
+    # canary alone disabled: idle host writes despite degraded rate...
+    assert map_refresh_verdict(
+        mp, [0.14, 1.09, 2.66], 2.0, 896880.3, min_rate_frac=0.0
+    ) == (True, None)
+    # ...but the loadavg gate still applies
+    ok, reason = map_refresh_verdict(
+        mp, [9.9, 9.9, 9.9], 2.0, 896880.3, min_rate_frac=0.0
+    )
+    assert not ok and "loadavg" in reason

@@ -98,6 +98,43 @@ def test_grid_sum_negative_half_grid_values(spark):
     assert ref == fast
 
 
+def test_grid_sum_max_magnitude_charge_products(spark):
+    """Adversarial margin pin (r12 ADVICE): for multi-rounding DERIVED
+    6-dp products at max magnitude (charge ≈ 1.3e5, ~5 accumulated
+    double roundings) the per-row deviation from the grid value can
+    exceed the decimal(28,10) cast's 5e-11 half-grid, so per-row
+    equality with the decimal path is NOT claimed; what the module
+    docstring claims — and this test pins — is equality of the final
+    aggregate double within 2 ulps. Exact equality is additionally
+    reported via the assert message when it holds (it does on every
+    real table the oracle gate runs)."""
+    import math
+
+    rng = random.Random(13)
+    rows = []
+    for _ in range(20_000):
+        # TPC-H-shaped extremes: price pinned near its ~1.1e5 ceiling,
+        # worst-case discount/tax corners mixed with random grid values
+        price = round(rng.uniform(90_000.0, 104_949.5), 2)
+        disc = round(rng.choice([0.0, 0.01, 0.1, rng.uniform(0, 0.1)]), 2)
+        tax = round(rng.choice([0.0, 0.08, rng.uniform(0, 0.08)]), 2)
+        rows.append((price, disc, tax))
+    df = spark.createDataFrame(rows, "p double, d double, t double")
+    charge = F.col("p") * (F.lit(1.0) - F.col("d")) * (F.lit(1.0) + F.col("t"))
+    ref, fast = _both(df, charge, 6)
+    ulp = math.ulp(max(abs(ref), abs(fast)))
+    assert abs(ref - fast) <= 2 * ulp, (
+        f"aggregate deviation {abs(ref - fast)} > 2 ulps ({2 * ulp})"
+    )
+    # stored-grid columns (single rounding) stay bit-identical per row:
+    # the grid integer and the decimal(28,10) cast recover the same n
+    mism = df.where(
+        grid_scaled(F.col("p"), 2)
+        != F.round(F.col("p").cast(DEC) * 100).cast("long")
+    ).count()
+    assert mism == 0
+
+
 def test_grid_scaled_integer_column(spark):
     df = spark.createDataFrame([(50.0,), (1.0,), (-3.0,)], "x double")
     got = df.select(grid_scaled(F.col("x"), 0).alias("n")).collect()
