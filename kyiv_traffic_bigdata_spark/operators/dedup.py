@@ -223,19 +223,35 @@ def ngram_jaccard_pairs(
     # Materialize the index once: it feeds the df split, both join sides,
     # sizes, and hot arrays; the tokenize→n-gram chain is interpreted
     # higher-order lambdas and must not run per consumer.
+    #
+    # Int-id self-join (r13, guide §2.3 — same move as
+    # prefix_filter_pairs): the rare self-join shuffles the pruned index
+    # TWICE keyed by the n-gram string; n_rare only needs shingle
+    # IDENTITY, so the df table assigns each distinct shingle an
+    # injective int64 ``_sid`` (mono-id, collision-free by construction)
+    # and the self-join ships (doc_id, long) rows instead of
+    # (doc_id, ~27-byte string). The df table is STAGED so the id
+    # assignment is frozen before its two consumers (rare and hot
+    # splits) read it — an unstaged mono-id recomputed under a task
+    # retry could disagree between consumers (see prefix_filter_pairs).
     idx = shingle_index(docs, id_col, text_col, ngram).transform(stage)
-    dfreq = idx.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+    dfreq = (
+        idx.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .withColumn("_sid", F.monotonically_increasing_id())
+        .transform(stage)
+    )
     sizes = idx.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
-    rare = dfreq.where(F.col("_df") <= max_doc_freq).select("shingle")
+    rare = dfreq.where(F.col("_df") <= max_doc_freq).select("shingle", "_sid")
     hot_arrs = (
         idx.join(dfreq.where(F.col("_df") > max_doc_freq).select("shingle"), "shingle")
         .groupBy("doc_id")
         .agg(F.sort_array(F.collect_list("shingle")).alias("hot"))
     )
-    pruned = idx.join(rare, "shingle")
+    pruned = idx.join(rare, "shingle").select("doc_id", "_sid")
     a, b = pruned.alias("a"), pruned.alias("b")
     pairs = (
-        a.join(b, "shingle")
+        a.join(b, "_sid")
         .where(F.col("a.doc_id") < F.col("b.doc_id"))
         .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("n_rare"))
@@ -326,27 +342,57 @@ def prefix_filter_pairs(
     partitionBy(shingle) would put a hot boilerplate shingle's whole
     posting list in one task (windows can't be skew-split), while the
     join form is AQE-skew-splittable.
+
+    Int-id verify (r13, guide §2.3 "shuffle keys and metadata instead
+    of payloads"): the r12 dissection showed the VERIFY tail — two
+    shuffle_merge joins shipping each candidate pair its full sorted
+    SHINGLE-STRING arrays — at ~65% of the query (4.5 s of 7.0 s at
+    sf0.1; staging 2.4 s, candidates 0.6 s). Every downstream decision
+    only needs shingle IDENTITY, never the text, so each distinct
+    shingle gets an injective int64 ``_sid`` (monotonically_increasing_id
+    on the df table — partition id ⊕ offset, collision-free BY
+    CONSTRUCTION, unlike a hash) and everything past the one
+    idx ⋈ dfreq join — the window rank, the prefix self-join key, the
+    sorted verify arrays, the array_intersect — runs on 8-byte longs
+    instead of ~30-byte n-gram strings. The df table is staged FIRST:
+    mono-ids are assigned per partition at evaluation time, so an
+    unstaged df table recomputed under a task retry (shuffle fetch
+    order is nondeterministic) could hand two consumers different ids
+    for the same shingle; the localCheckpoint freezes one assignment
+    (lost blocks fail the job — no silent recompute; same argument as
+    guide §2.5's deterministic-synthetic-key rule). Output is
+    invariant: prefix filtering is lossless under ANY global total
+    order, and (_df asc, _sid asc) is one; the exact Jaccard per pair
+    is id-representation-independent because _sid is injective. The
+    naive all-pairs DuckDB twin (no ids, no candidates) re-proves both
+    claims at every SF.
     """
     from pyspark.sql.window import Window
 
     idx = shingle_index(docs, id_col, text_col, ngram).transform(stage)
-    dfreq = idx.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+    dfreq = (
+        idx.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .withColumn("_sid", F.monotonically_increasing_id())
+        .transform(stage)
+    )
     w_n = Window.partitionBy("doc_id")
-    w = Window.partitionBy("doc_id").orderBy(F.col("_df").asc(), F.col("shingle").asc())
+    w = Window.partitionBy("doc_id").orderBy(F.col("_df").asc(), F.col("_sid").asc())
     enriched = (
         idx.join(dfreq, "shingle")
         .withColumn("_n", F.count(F.lit(1)).over(w_n))
         .withColumn("_pos", F.row_number().over(w))
+        .select("doc_id", "_sid", "_n", "_pos")
         .transform(stage)
     )
     arrs = enriched.groupBy("doc_id").agg(
-        F.sort_array(F.collect_list("shingle")).alias("_arr"),
+        F.sort_array(F.collect_list("_sid")).alias("_arr"),
         F.count(F.lit(1)).alias("_n"),
     )
     prefix = enriched.where(
         F.col("_pos")
         <= F.col("_n") - F.ceil(F.lit(threshold) * F.col("_n")).cast("long") + F.lit(1)
-    ).select("doc_id", "shingle", "_n", "_pos")
+    ).select("doc_id", "_sid", "_n", "_pos")
     a, b = prefix.alias("a"), prefix.alias("b")
     # PPJoin POSITIONAL filter (Xiao/Wang/Lin/Yu, WWW 2008 — lossless,
     # r12): at a prefix hit on shingle s at global-order positions
@@ -372,7 +418,7 @@ def prefix_filter_pairs(
         F.col("a._n") - F.col("a._pos"), F.col("b._n") - F.col("b._pos")
     )
     cand = (
-        a.join(b, "shingle")
+        a.join(b, "_sid")
         .where(
             (F.col("a.doc_id") < F.col("b.doc_id"))
             & (
@@ -527,19 +573,27 @@ def containment_pairs(
     only pairs sharing exclusively hot shingles (which carry no dup
     signal by construction).
     """
+    # Int-id self-join (r13): same §2.3 narrow-key move as
+    # ngram_jaccard_pairs above — see the comment there (staged mono-id
+    # df table; n_rare is id-representation-independent).
     idx = shingle_index(docs, id_col, text_col, ngram).transform(stage)
-    dfreq = idx.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+    dfreq = (
+        idx.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .withColumn("_sid", F.monotonically_increasing_id())
+        .transform(stage)
+    )
     sizes = idx.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
-    rare = dfreq.where(F.col("_df") <= max_doc_freq).select("shingle")
+    rare = dfreq.where(F.col("_df") <= max_doc_freq).select("shingle", "_sid")
     hot_arrs = (
         idx.join(dfreq.where(F.col("_df") > max_doc_freq).select("shingle"), "shingle")
         .groupBy("doc_id")
         .agg(F.sort_array(F.collect_list("shingle")).alias("hot"))
     )
-    pruned = idx.join(rare, "shingle")
+    pruned = idx.join(rare, "shingle").select("doc_id", "_sid")
     a, b = pruned.alias("a"), pruned.alias("b")
     pairs = (
-        a.join(b, "shingle")
+        a.join(b, "_sid")
         .where(F.col("a.doc_id") < F.col("b.doc_id"))
         .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("n_rare"))
