@@ -4,6 +4,8 @@ lag window cannot give you incrementally)."""
 
 from __future__ import annotations
 
+import pytest
+
 import json
 import time
 
@@ -21,6 +23,7 @@ def _write_batch(dirpath, name, rows):
     )
 
 
+@pytest.mark.slow
 def test_state_carries_across_micro_batches(spark, tmp_path):
     src = tmp_path / "src"
     src.mkdir()
@@ -64,6 +67,7 @@ def test_state_carries_across_micro_batches(spark, tmp_path):
     assert abs(rows[(1, 1060)].speed_kmh - rows[(1, 1120)].speed_kmh) < 5
 
 
+@pytest.mark.slow
 def test_implausible_pairs_are_gated(spark, tmp_path):
     src = tmp_path / "src2"
     src.mkdir()
@@ -160,6 +164,7 @@ def test_streaming_sessionize_closes_on_gap_across_batches(spark, tmp_path):
     assert first.n_events == 3
 
 
+@pytest.mark.slow
 def test_stateful_ops_run_on_both_state_store_providers(spark, tmp_path):
     """SURVEY §4 posture: the stateful operators must run green on the
     RocksDB provider (disk-bounded state at 100 TB) AND on the default
@@ -387,7 +392,13 @@ def test_transform_with_state_matches_group_state_twin(spark, tmp_path):
         .start()
     )
     try:
-        deadline = time.time() + 90
+        # 300 s, not 90: the deadline only bounds the FAILURE path (the
+        # pass path exits as soon as the rows land), and 90 s was tight
+        # enough that a fully-loaded 50-min suite run flaked here once
+        # in r12 (passes in isolation on the same tree) — a wall-clock
+        # budget must absorb worst-case host contention, it costs
+        # nothing when green.
+        deadline = time.time() + 300
         while time.time() < deadline:
             if spark.sql("SELECT * FROM traj_tws").count() >= 1:
                 break
@@ -1046,6 +1057,7 @@ def test_tws_user_profiles_list_and_map_state_end_to_end(spark, tmp_path):
     assert abs(latest[(2, "buy")].recent_mean - recent_mean(2)) < 1e-9
 
 
+@pytest.mark.slow
 def test_tws_timer_flush_end_to_end(spark, tmp_path):
     """TWS processing-time timers: counts buffer in state and emit only
     when the per-key timer fires — also the shim conformance run for
@@ -1158,6 +1170,7 @@ def test_tws_sessionize_logic_sans_io():
     assert list(p.handleExpiredTimer((1,), None, None)) == []
 
 
+@pytest.mark.slow
 def test_tws_sessionize_matches_group_state_twin(spark, tmp_path):
     """End-to-end: streaming_sessionize_v2 (transformWithState) must
     emit the same gap-closed session as the applyInPandasWithState form

@@ -5,6 +5,8 @@ replacement for the reference's hand-rolled WAL, websocket_client.py:25-95).
 
 from __future__ import annotations
 
+import pytest
+
 import json
 import os
 
@@ -71,6 +73,7 @@ def _run_transcript(spark, transcript, out_dir, ckpt, expect_rows):
         q.stop()
 
 
+@pytest.mark.slow
 def test_transcript_datasource_batches_and_order(spark, tmp_path):
     transcript = tmp_path / "frames.log"
     lines = [frame(i, 7, 1_770_000_000 + i) for i in range(10)]

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 import time
 
 from pyspark.sql import functions as F
@@ -157,6 +159,7 @@ def test_stream_interval_join_rejects_same_ts_name(spark):
         stream_interval_join(df, df, key="id", left_ts="ts", right_ts="ts", max_delay_s=1)
 
 
+@pytest.mark.slow
 def test_stream_stream_join_checkpoint_restart_no_duplicates(spark, tmp_path):
     """Join state must survive a query restart via the checkpoint: a left
     row ingested in run 1 still matches a right row arriving in run 2,
@@ -294,6 +297,7 @@ def test_upsert_store_orphan_version_invisible(spark, tmp_path):
     assert [(r.id, r.val) for r in got] == [(1, "a")]
 
 
+@pytest.mark.slow
 def test_prune_dimension_versions(spark, tmp_path):
     import os
 

@@ -4,6 +4,8 @@ end-to-end file-replay stream."""
 
 from __future__ import annotations
 
+import pytest
+
 import json
 import os
 
@@ -19,6 +21,7 @@ def _decisions(spark, out_dir):
     return {r.doc_id: r.near_dup for r in rows}
 
 
+@pytest.mark.slow
 def test_handler_intra_and_cross_batch_and_replay(spark, tmp_path):
     from kyiv_traffic_bigdata_spark.streaming.dedup import neardup_batch_handler
 
@@ -47,6 +50,7 @@ def test_handler_intra_and_cross_batch_and_replay(spark, tmp_path):
     assert kept == {1, 3, 5}
 
 
+@pytest.mark.slow
 def test_streaming_end_to_end_file_replay(spark, tmp_path):
     from kyiv_traffic_bigdata_spark.streaming.dedup import start_neardup_filter_sink
 
